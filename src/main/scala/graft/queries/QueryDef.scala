@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One inventory entry from SURVEY.md §2: a Spark implementation plus
+  * (when SQL-expressible) the equivalent DuckDB oracle SQL. */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  /** All queries read driver-generated parquet only (TESTDATA.md).
+    *
+    * `events.parquet` is written with TIMESTAMP(NANOS) which Spark's
+    * parquet reader rejects; read nanos as long and convert to micros
+    * with exact integer division (matches DuckDB's nanos→micros
+    * truncation). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => raw
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
