@@ -1,12 +1,12 @@
 package graft
 
-import graft.queries.{CoreQueries, QueryDef}
+import graft.queries.{CoreQueries, PipelineQueries, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  def allQueries: Seq[QueryDef] = CoreQueries.all
+  def allQueries: Seq[QueryDef] = CoreQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

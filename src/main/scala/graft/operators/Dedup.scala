@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deduplication operators for LLM-pipeline data prep.
+  *
+  * Scale design: every method is groupBy/join on a derived key — a
+  * single shuffle keyed by hash/shingle/band — never a cross join.
+  * Candidate verification happens only within buckets, so 100 TB in
+  * means (bucketed) candidates out, not O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5 of the raw text. One shuffle. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(F.md5(F.col(textCol)).as("text_hash"))
+      .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
+
+  /** Canonical-fingerprint dedup (the classic "fingerprint" method):
+    * normalize → distinct tokens → sort → md5. Catches reorderings and
+    * repetition that exact hashing misses. One shuffle. */
+  def fingerprint(text: Column): Column =
+    F.md5(F.array_join(F.array_sort(F.array_distinct(TextOps.tokens(text))), " "))
+
+  def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(fingerprint(F.col(textCol)).as("fingerprint"))
+      .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_members"))
+
+  /** MinHash signatures over word `shingleN`-gram shingles with k
+    * portable hash functions (hash60 of "i|shingle"). One explode +
+    * one groupBy: the k mins are computed map-side (partial agg), so the
+    * shuffle carries one row per doc, not per shingle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(
+      F.col(idCol).as("doc_id"),
+      F.explode(F.array_distinct(TextOps.shingles(F.col(textCol), shingleN))).as("shingle"))
+    val mins = (0 until k).map { i =>
+      F.min(Hashing.hash60(F.concat(F.lit(s"$i|"), F.col("shingle")))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band the signature: band b's key is md5 of its r joined mins.
+    * Docs with < shingleN tokens have no signature and are excluded. */
+  def minhashBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = F.md5(F.concat_ws(",",
+        (0 until r).map(j => F.col(s"h${b * r + j}").cast("string")): _*))
+      F.struct(F.lit(b).as("band_idx"), key.as("band_hash"))
+    }
+    sig.select(F.col("doc_id"), F.explode(F.array(bandStructs: _*)).as("band"))
+      .select(F.col("doc_id"), F.col("band.band_idx"), F.col("band.band_hash"))
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 band bucket. The self-join
+    * shuffles on (band_idx, band_hash) — AQE handles skewed buckets. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val b = minhashBands(minhashSignatures(docs, idCol, textCol, k, shingleN), k, bands)
+    val left = b.select(F.col("doc_id").as("doc_a"), F.col("band_idx"), F.col("band_hash"))
+    val right = b.select(F.col("doc_id").as("doc_b"), F.col("band_idx"), F.col("band_hash"))
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(F.count(F.lit(1)).as("n_bands"))
+  }
+
+  /** SimHash (bitsCount-bit, default 32): per-token hash60 bit votes
+    * weighted by token count; bit b of the result is the majority sign.
+    * Two aggregations, both with map-side combine. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bitsCount: Int = 32): DataFrame = {
+    val tok = docs.select(
+      F.col(idCol).as("doc_id"),
+      F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("cnt"))
+      .withColumn("h", Hashing.hash60(F.col("tok")))
+    val bitVotes = (0 until bitsCount).map { b =>
+      F.sum(F.col("cnt") * (F.shiftright(F.col("h"), b).bitwiseAND(1) * 2 - 1)).as(s"v$b")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until bitsCount).map { b =>
+      F.when(F.col(s"v$b") > 0, F.lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(F.col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance within a blocking key
+    * (avoids O(n²): only same-block pairs are compared). */
+  def simhashPairs(docsWithSimhash: DataFrame, blockCol: String,
+      maxHamming: Int): DataFrame = {
+    val a = docsWithSimhash.select(F.col("doc_id").as("doc_a"),
+      F.col("simhash").as("sim_a"), F.col(blockCol).as("blk"))
+    val b = docsWithSimhash.select(F.col("doc_id").as("doc_b"),
+      F.col("simhash").as("sim_b"), F.col(blockCol).as("blk"))
+    a.join(b, "blk").filter(F.col("doc_a") < F.col("doc_b"))
+      .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+      .filter(F.col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    * shuffle keyed on shingle (the inverted index), intersection counts
+    * from the shingle join, sizes broadcast back. No cross join. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      F.col(idCol).as("doc_id"),
+      F.explode(F.array_distinct(TextOps.shingles(F.col(textCol), shingleN))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
+    val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle"))
+      .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle")), "shingle")
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        F.round(F.col("n_common").cast("double") /
+          (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+      .filter(F.col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+}

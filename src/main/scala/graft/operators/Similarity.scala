@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Embedding similarity search over `Array[Float]` columns.
+  *
+  * Scale paths:
+  *   - [[bruteForceTopK]]: exact top-k vs a *broadcast* query set — the
+  *     big side streams once, no shuffle of the corpus.
+  *   - [[blockedNearDupPairs]]: threshold pairs within a blocking key.
+  *   - [[hyperplaneBuckets]]: random-hyperplane LSH — the 100 TB path:
+  *     bucket first (narrow map), then compare only within buckets.
+  *
+  * Dot products run in double via zip_with+aggregate (codegen'd, no UDF).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    F.sqrt(F.aggregate(a, F.lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity rounded to 6dp (ULP-stable across engines). */
+  def cosine(a: Column, b: Column): Column =
+    F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact cosine top-k of the corpus for each query vector. Queries are
+    * broadcast (must be small); corpus is scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"))
+    val c = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"))
+    val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("match_id"))
+      .select(F.col("query_id"), F.col("match_id"),
+        cosine(F.col("q_vec"), F.col("c_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(F.col("cos").desc, F.col("match_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "cos")
+  }
+
+  /** Cosine-threshold near-duplicate pairs within a blocking column. */
+  def blockedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val a = corpus.select(F.col(idCol).as("vec_a"), F.col(vecCol).as("va"),
+      F.col(blockCol).as("blk"))
+    val b = corpus.select(F.col(idCol).as("vec_b"), F.col(vecCol).as("vb"),
+      F.col(blockCol).as("blk"))
+    a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
+      .select(F.col("vec_a"), F.col("vec_b"), cosine(F.col("va"), F.col("vb")).as("cos"))
+      .filter(F.col("cos") >= minCosine)
+  }
+
+  /** Deterministic ±1 hyperplanes: component i of plane p is the low
+    * md5 bit of "p,i". Computable identically driver-side and in SQL. */
+  def planeSigns(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      if ((Hashing.hash60(s"$p,$i") & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id (0 until 2^planes) per vector.
+    * Narrow map only — the downstream near-dup join shuffles on the
+    * bucket key instead of comparing all pairs. */
+  def hyperplaneBucket(vec: Column, signs: Array[Array[Double]]): Column = {
+    val bits = signs.zipWithIndex.map { case (plane, p) =>
+      val planeCol = F.array(plane.map(F.lit): _*)
+      val d = F.aggregate(
+        F.zip_with(vec, planeCol, (x, s) => x.cast("double") * s),
+        F.lit(0.0), (acc, x) => acc + x)
+      F.when(d > 0, F.lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  def hyperplaneBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, dim: Int = 64): DataFrame =
+    corpus.select(F.col(idCol).as("vec_id"),
+      hyperplaneBucket(F.col(vecCol), planeSigns(planes, dim)).as("bucket"))
+}

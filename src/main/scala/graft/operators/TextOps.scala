@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis operators for LLM-pipeline data prep: tokenization,
+  * shingling, language ID, quality scoring, n-gram stats.
+  *
+  * All operators are single-pass narrow transforms (no shuffle) except
+  * the n-gram frequency count (one shuffle on the gram key) — at 100 TB
+  * each stays embarrassingly parallel over input splits.
+  */
+object TextOps {
+
+  /** Whitespace word tokens, lowercased. */
+  def tokens(text: Column): Column = F.split(F.lower(text), " +")
+
+  /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
+    * Guarded sequence: Spark's sequence(0, negative) would DESCEND. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    F.when(F.size(toks) >= n,
+      F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        i => F.concat_ws(" ", (0 until n).map(k => F.element_at(toks, i + k + 1)): _*)))
+      .otherwise(F.array())
+  }
+
+  /** Marker-stopword language-ID heuristic: count language-specific
+    * marker tokens; predict the argmax, 'unknown' when none hit.
+    * Deterministic tie-break by the order below. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "una"))
+
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    F.size(F.filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+
+  def langId(text: Column): Column = {
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
+    val best = counts.map(_._2).reduce((a, b) => F.greatest(a, b))
+    counts.foldRight(F.lit("unknown"): Column) { case ((lang, cnt), els) =>
+      F.when(cnt > 0 && cnt === best, F.lit(lang)).otherwise(els)
+    }
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Linear quality score in [0,1]-ish: stopword ratio + punctuation
+    * ratio + length saturation. Deliberately transcendental-free so the
+    * score is bit-identical across engines (exp/log differ by ULPs
+    * between libm implementations; + * / do not). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTokens = F.size(toks).cast("long")
+    val nStop = F.size(F.filter(toks, t => stopwords.map(m => t === m).reduce(_ || _))).cast("long")
+    val nPunct = F.regexp_count(text, F.lit("[.,!?;]")).cast("long")
+    val nChars = F.length(text).cast("long")
+    val stopRatio = nStop.cast("double") / nTokens
+    val punctRatio = nPunct.cast("double") / nChars
+    val lenSat = F.least(nTokens.cast("double") / 100.0, F.lit(1.0))
+    Seq(
+      "n_tokens" -> nTokens,
+      "n_stop" -> nStop,
+      "n_punct" -> nPunct,
+      "stop_ratio" -> F.round(stopRatio, 6),
+      "quality" -> F.round(stopRatio * 0.5 + punctRatio * 0.3 + lenSat * 0.2, 6))
+  }
+
+  /** Top-k word n-grams by frequency across a corpus (one shuffle). */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(F.explode(shingles(F.col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("gram"))
+      .limit(k)
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.operators.{Dedup, Hashing, Similarity, TextOps}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-2 inventory: dedup & similarity (D), text analysis (E),
+  * multimodal metadata (F1). Oracle SQL for the hash-based operators is
+  * generated from the same parameters as the Spark implementation. */
+object PipelineQueries {
+
+  /** DuckDB: lowercase whitespace tokens of `text`. */
+  private val toksSql = "regexp_split_to_array(lower(text), ' +')"
+
+  /** DuckDB CTE producing (doc_id, shingle) distinct word n-grams. */
+  private def shingleCte(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(t)-${n - 1}, 0)),
+       |    i -> $parts)) AS shingle
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- D1
+  private val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("text_hash"),
+    Some("""
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY text_hash"""))
+
+  // ---------------------------------------------------------------- D2
+  private val dedupFingerprint = QueryDef(
+    "dedup_fingerprint",
+    (s, d) => Dedup.fingerprintGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("fingerprint"),
+    Some(s"""
+      SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
+             min(doc_id) AS keep_id, count(*) AS n_members
+      FROM documents GROUP BY 1 ORDER BY fingerprint"""))
+
+  // ---------------------------------------------------------------- D3
+  private val K = 16; private val BANDS = 4
+  private val dedupMinhash = QueryDef(
+    "dedup_minhash",
+    (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+      k = K, bands = BANDS, shingleN = 3)
+      .orderBy("doc_a", "doc_b"),
+    Some {
+      val mins = (0 until K)
+        .map(i => s"min(${Hashing.hash60Sql(s"'$i|' || shingle")}) AS h$i")
+        .mkString(",\n         ")
+      val r = K / BANDS
+      val bandSelects = (0 until BANDS).map { b =>
+        val cols = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${shingleCte(3)},
+         |sig AS (SELECT doc_id,
+         |        $mins
+         |        FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |     AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- D4
+  private val SIMHASH_BITS = 32
+  private val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text", SIMHASH_BITS)
+      .orderBy("doc_id"),
+    Some {
+      val bits = (0 until SIMHASH_BITS).map { b =>
+        s"(CASE WHEN sum(cnt * (((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |tokh AS (SELECT doc_id, cnt, ${Hashing.hash60Sql("tok")} AS h FROM tok)
+         |SELECT doc_id,
+         |       CAST($bits AS BIGINT) AS simhash
+         |FROM tokh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- D5
+  private val ngramJaccard = QueryDef(
+    "ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH ${shingleCte(3)},
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** DuckDB double dot product of two 64-dim float lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  // ---------------------------------------------------------------- D6
+  private val embedTopK = QueryDef(
+    "embed_cosine_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, match_id, ${cosSql("qv", "cv")} AS cos
+        FROM q, c WHERE query_id != match_id)
+      SELECT query_id, rank, match_id, cos FROM (
+        SELECT query_id, match_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, match_id) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // ---------------------------------------------------------------- D7
+  private val embedNearDup = QueryDef(
+    "embed_neardup",
+    (s, d) => Similarity.blockedNearDupPairs(t(s, d, "embeddings"),
+      "vec_id", "embedding", "label", minCosine = 0.35)
+      .orderBy("vec_a", "vec_b"),
+    Some(s"""
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.35 ORDER BY vec_a, vec_b"""))
+
+  // ---------------------------------------------------------------- D8
+  private val PLANES = 8
+  private val embedLshBuckets = QueryDef(
+    "embed_lsh_buckets",
+    (s, d) => Similarity.hyperplaneBuckets(t(s, d, "embeddings"),
+      "vec_id", "embedding", planes = PLANES, dim = 64)
+      .orderBy("vec_id"),
+    Some {
+      val signs = Similarity.planeSigns(PLANES, 64)
+      val bits = (0 until PLANES).map { p =>
+        val lits = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""SELECT vec_id,
+         |       CAST($bits AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E1
+  private val textLangid = QueryDef(
+    "text_langid",
+    (s, d) => {
+      val counts = TextOps.langMarkers.map { case (lang, ms) =>
+        s"n_$lang" -> TextOps.markerCount(F.col("text"), ms).cast("long")
+      }
+      t(s, d, "documents")
+        .select(F.col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
+          TextOps.langId(F.col("text")).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+        lang -> s"len(list_filter($toksSql, x -> $cond))"
+      }
+      val cols = markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n             ")
+      val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
+      val cases = markerSql.map(_._1)
+        .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
+        .mkString("\n                  ")
+      s"""SELECT doc_id, n_en, n_fr, n_de, n_es, pred_lang FROM (
+         |  SELECT doc_id,
+         |             $cols
+         |  FROM documents)
+         |  , LATERAL (SELECT CASE $cases
+         |                  ELSE 'unknown' END AS pred_lang)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E2
+  private val textQuality = QueryDef(
+    "text_quality",
+    (s, d) => {
+      val cols = TextOps.qualityColumns(F.col("text"))
+      t(s, d, "documents")
+        .select(F.col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct,
+         |       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+         |       round((n_stop * 1.0 / n_tokens) * 0.5
+         |             + (n_punct * 1.0 / n_chars_len) * 0.3
+         |             + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |         len($toksSql) AS n_tokens,
+         |         len(list_filter($toksSql, x -> $stop)) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS n_chars_len
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E3
+  private val textTokens = QueryDef(
+    "text_tokens",
+    (s, d) => {
+      val toks = TextOps.tokens(F.col("text"))
+      t(s, d, "documents").select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").as("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").as("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").as("n_distinct"),
+        F.ceil(F.length(F.col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             len($toksSql) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words,
+             len(list_distinct($toksSql)) AS n_distinct,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E4
+  private val textNgrams = QueryDef(
+    "text_ngrams",
+    (s, d) => TextOps.topNgrams(t(s, d, "documents"), "text", n = 2, k = 20),
+    Some(s"""
+      WITH grams AS (
+        SELECT unnest(list_transform(
+          generate_series(1, greatest(len(t)-1, 0)),
+          i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM (SELECT $toksSql AS t FROM documents))
+      SELECT gram, count(*) AS freq FROM grams
+      GROUP BY gram ORDER BY freq DESC, gram LIMIT 20"""))
+
+  // ---------------------------------------------------------------- F1
+  private val binaryMeta = QueryDef(
+    "binary_meta",
+    (s, d) => t(s, d, "documents").select(
+      F.col("doc_id"),
+      F.length(F.col("text").cast("binary")).cast("long").as("n_bytes"),
+      F.sha2(F.col("text"), 256).as("content_id"),
+      F.lower(F.hex(F.substring(F.col("text").cast("binary"), 1, 4))).as("magic_hex"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             sha256(text) AS content_id,
+             lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, ngramJaccard,
+    embedTopK, embedNearDup, embedLshBuckets,
+    textLangid, textQuality, textTokens, textNgrams, binaryMeta)
+}
