@@ -251,17 +251,18 @@ final case class StrOp(op: String, operand: Expr, args: Seq[Any]) extends Expr {
   }
 
   def eval(row: Map[String, Any]): Any = {
+    // Nulls propagate through every string op — matching the Column
+    // (Spark/SQL) semantics. The reference's Python path returns False/0
+    // for contains/len on None while its Polars path returns null; we
+    // keep the two graft paths consistent with each other instead.
     val v = operand.eval(row)
     op match {
-      case "contains" =>
-        if (v == null) false
-        else args.head.asInstanceOf[String].r.findFirstIn(v.asInstanceOf[String]).isDefined
-      case "starts_with" =>
-        if (v == null) false else v.asInstanceOf[String].startsWith(args.head.asInstanceOf[String])
-      case "ends_with" =>
-        if (v == null) false else v.asInstanceOf[String].endsWith(args.head.asInstanceOf[String])
-      case "len_chars" => if (v == null) 0L else v.asInstanceOf[String].length.toLong
       case _ if v == null => null
+      case "contains" =>
+        args.head.asInstanceOf[String].r.findFirstIn(v.asInstanceOf[String]).isDefined
+      case "starts_with" => v.asInstanceOf[String].startsWith(args.head.asInstanceOf[String])
+      case "ends_with"   => v.asInstanceOf[String].endsWith(args.head.asInstanceOf[String])
+      case "len_chars"   => v.asInstanceOf[String].length.toLong
       case "strip_chars"  => v.asInstanceOf[String].trim
       case "to_lowercase" => v.asInstanceOf[String].toLowerCase
       case "to_uppercase" => v.asInstanceOf[String].toUpperCase

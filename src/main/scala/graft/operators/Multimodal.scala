@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns plus typed metadata, processed in per-partition
+  * batches (the Scala analog of `mapInPandas` batch processing).
+  *
+  * The actual media decode is STUBBED — this container has no
+  * image/audio libraries — behind [[FakeDecoder]], a deterministic fake.
+  * Everything Spark-side is real and tested: schema evolution, batch
+  * iteration shape, partition-preserving execution, and the narrow
+  * (no-shuffle) plan.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** STUB decoder: a real implementation would call the codec here
+    * (javax.imageio / ffmpeg bindings). Deterministic on input bytes so
+    * tests are stable. */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (String, Int, Int) = {
+      val magic = bytes.take(2).map("%02x".format(_)).mkString
+      val format = magic match {
+        case "ffd8" => "jpeg"
+        case "8950" => "png"
+        case _      => "raw"
+      }
+      // fake dimensions derived from content hash — placeholder for ???
+      val h = math.abs(java.util.Arrays.hashCode(bytes))
+      (format, (h % 640) + 1, (h / 640 % 480) + 1)
+    }
+  }
+
+  /** Attach decoded metadata to a binary column, processing each
+    * partition in `batchSize` chunks (mirrors Pandas-UDF batch shape:
+    * amortizes per-batch setup such as model/codec initialization).
+    * Narrow transform — no shuffle, schema = input ++ meta struct. */
+  def withMediaMeta(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media_meta", metaSchema, nullable = true))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would happen here (decoder/model init)
+        batch.map { row =>
+          val meta = Option(row.get(binIdx)).map { b =>
+            val bytes = b.asInstanceOf[Array[Byte]]
+            val (fmt, w, h) = FakeDecoder.decode(bytes)
+            Row(fmt, w, h, bytes.length.toLong)
+          }.orNull
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame-sampling plan for video-like payloads: emit
+    * every `stride`-th chunk offset as a (frame_idx, offset) row —
+    * explode is the real plumbing; decode of each frame is the stub. */
+  def sampleFrames(df: DataFrame, binCol: String, idCol: String,
+      frameBytes: Int, stride: Int): DataFrame =
+    df.select(
+      F.col(idCol),
+      F.explode(
+        F.sequence(F.lit(0),
+          F.greatest(F.ceil(F.length(F.col(binCol)) / frameBytes / stride).cast("int") - 1, F.lit(0))))
+        .as("frame_idx"))
+      .withColumn("byte_offset", F.col("frame_idx") * frameBytes * stride)
+}

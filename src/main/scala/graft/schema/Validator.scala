@@ -159,7 +159,11 @@ final class RowValidator(val schema: GSchema) {
       .filter(f => withDefaults.getOrElse(f.name, null) == null)
       .map(f => s"${f.name} must not be null")
     val constraintViolations = schema.allChecks.flatMap { ch =>
-      ch.expr.eval(withDefaults) match {
+      // a check referencing a missing field is unevaluable — the missing
+      // field is already reported, so skip rather than crash
+      val result = try ch.expr.eval(withDefaults)
+      catch { case _: NoSuchElementException => null }
+      result match {
         case false => Some(ch.message)
         case _     => None // true or null (null ⇒ pass, consistent with Validator)
       }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{functions => F}
+
+/** Dedup / similarity / text operators on the sf0.001 test tables. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup groups cover all docs") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.agg(F.sum("n_dups")).head().getLong(0) == docs.count())
+  }
+
+  test("fingerprint ignores token order and repetition") {
+    import spark.implicits._
+    val d = Seq((1L, "b a a c"), (2L, "a b c c"), (3L, "x y")).toDF("doc_id", "text")
+    val g = Dedup.fingerprintGroups(d, "doc_id", "text").collect()
+    assert(g.length == 2)
+    assert(g.find(_.getLong(2) == 2L).get.getLong(1) == 1L) // keep min id
+  }
+
+  test("minhash LSH finds the near-duplicate pairs found by exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 4 bands of 4 rows catches j>=0.8 pairs w.h.p.
+    assert(exact.nonEmpty || lsh.isEmpty || true) // structural guard
+    assert((exact -- lsh).isEmpty, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash of identical texts equal, near hamming for near-dups") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u v w")).toDF("doc_id", "text")
+    val s = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    assert(java.lang.Long.bitCount(s(1L) ^ s(3L)) > 0)
+  }
+
+  test("cosine matches manual computation") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = d.select(Similarity.cosine(F.col("a"), F.col("b"))).head().getDouble(0)
+    val expected = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(c - expected) < 1e-6)
+  }
+
+  test("brute-force top-k returns k ranked matches per query") {
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 2),
+      "vec_id", "embedding", 3)
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.sliding(2).forall(p => p(0) >= p(1))) // descending
+    }
+  }
+
+  test("hyperplane buckets deterministic and bounded") {
+    val b = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding", planes = 8)
+    val vals = b.select("bucket").collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < 256))
+    val again = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding", planes = 8)
+      .select("bucket").collect().map(_.getLong(0))
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("language id picks marker language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog"), (2L, "le chat et la mer les amis"),
+      (3L, "der hund und die katze"), (4L, "xyz qqq")).toDF("doc_id", "text")
+    val out = d.select(F.col("doc_id"), TextOps.langId(F.col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "unknown"))
+  }
+
+  test("shingles guarded for short docs") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = d.select(F.col("doc_id"), TextOps.shingles(F.col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("a b c", "b c d"))
+  }
+}
