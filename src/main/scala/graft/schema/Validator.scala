@@ -33,15 +33,33 @@ final class SchemaViolationException(
   */
 final class Validator(val schema: GSchema) {
 
-  /** (message, validColumn) — validColumn is null-safe: null ⇒ pass. */
+  /** (message, validColumn) — validColumn is null-safe: null ⇒ pass.
+    *
+    * Pushdown-friendly compilation: a `coalesce(pred, true)` wrapper
+    * would block parquet predicate pushdown (only IsNotNull reaches the
+    * scan). Instead:
+    *   - non-nullable field constraints stay BARE (the null-check
+    *     conjunct already excludes null rows, and a null predicate is
+    *     not counted as a violation in report mode) → min/max row-group
+    *     pruning works at the scan;
+    *   - nullable field constraints become `pred OR col IS NULL`, which
+    *     parquet can push as an Or filter;
+    *   - model-level checks (multi-column) keep the coalesce wrapper.
+    */
   def compiledChecks: Seq[(String, Column)] = {
     val nullChecks = schema.fields.filterNot(_.nullable).map { f =>
       s"${f.name} must not be null" -> F.col(f.name).isNotNull
     }
-    val constraintChecks = schema.allChecks.map { ch =>
+    val fieldChecks = schema.fields.flatMap { f =>
+      f.checks.map { ch =>
+        val pred = ch.expr.toColumn
+        ch.message -> (if (f.nullable) pred || F.col(f.name).isNull else pred)
+      }
+    }
+    val modelChecks = schema.modelChecks.map { ch =>
       ch.message -> F.coalesce(ch.expr.toColumn, F.lit(true))
     }
-    nullChecks ++ constraintChecks
+    nullChecks ++ fieldChecks ++ modelChecks
   }
 
   /** Missing-column handling + defaults + cast + prune/order — analog of
