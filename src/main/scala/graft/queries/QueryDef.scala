@@ -17,6 +17,8 @@ object Tables {
     * with exact integer division (matches DuckDB's nanos→micros
     * truncation). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark) // idempotent
+
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")

@@ -12,6 +12,7 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  graft.functions.VectorFunctions.register(spark)
 }
 
 abstract class SparkSpec extends AnyFunSuite {

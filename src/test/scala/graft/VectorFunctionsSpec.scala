@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{functions => F}
+
+/** Native Catalyst FloatDotProduct: codegen path, interpreted path, SQL
+  * registration, and agreement with the higher-order-function fold. */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(0.5f, -1.5f, 2.5f), Array(-2.0f, 0.25f, 8.0f))).toDF("a", "b")
+
+  test("native dot matches manual value") {
+    val v = df.select(VectorFunctions.floatDot($"a", $"b")).collect().map(_.getDouble(0))
+    assert(v(0) == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+    assert(math.abs(v(1) - (0.5 * -2.0 + -1.5 * 0.25 + 2.5 * 8.0)) < 1e-12)
+  }
+
+  test("native dot agrees bit-for-bit with zip_with/aggregate fold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val hof = F.aggregate(
+      F.zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+    val rows = emb.select(
+      VectorFunctions.floatDot($"embedding", $"embedding").as("native"), hof.as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact
+  }
+
+  test("null inputs yield null") {
+    val d = Seq((Array(1.0f), null.asInstanceOf[Array[Float]])).toDF("a", "b")
+    assert(d.select(VectorFunctions.floatDot($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("registered for SQL use") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val v = spark.sql("SELECT float_dot(a, b) FROM vecs").collect().map(_.getDouble(0))
+    assert(v(0) == 32.0)
+  }
+
+  test("whole-stage codegen survives (no fallback to interpreted plan)") {
+    // needs a non-local relation: local tables constant-fold away codegen
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = emb.select(VectorFunctions.floatDot($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Project") && plan.contains("float_dot"))
+  }
+}
