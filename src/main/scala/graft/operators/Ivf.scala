@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** IVF-style approximate nearest neighbour: coarse-quantize the corpus
+  * into centroid lists, then search only the lists nearest to the query
+  * (the 100 TB scale path — a brute-force scan touches every vector;
+  * IVF touches `nprobe / nlists` of them).
+  *
+  * Centroids here come from any labelling (a clustering column, a prior
+  * k-means, a category) — [[centroidsByKey]] computes the mean vector
+  * per key. Components are cast to float32, which absorbs the ±1-ULP
+  * double drift of unordered averaging and keeps results engine-portable.
+  */
+object Ivf {
+
+  /** Mean embedding per key → (ckey, centroid float32[dim]).
+    * Two shuffles ((key,pos) then key), both with partial aggregation. */
+  def centroidsByKey(corpus: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(F.col(keyCol).as("ckey"), F.posexplode(F.col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("ckey", "pos")
+      .agg(F.avg(F.col("v").cast("double")).as("cv"))
+      .groupBy("ckey")
+      .agg(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cv")))),
+        s => s.getField("cv").cast("float")).as("centroid"))
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast
+    * centroids; ties broken by key). Narrow over the corpus + broadcast:
+    * no corpus shuffle. */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val scored = corpus.crossJoin(F.broadcast(centroids))
+      .select(F.col(idCol).as("vec_id"), F.col("ckey"),
+        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("ckey"))
+    scored.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
+      .select(F.col("vec_id"), F.col("ckey").as("centroid_label"), F.col("cos"))
+  }
+
+  /** ANN search: probe the `nprobe` centroid lists nearest each query,
+    * rank candidates by true cosine. Corpus shuffles once on its
+    * assigned list; queries (small) broadcast. */
+  def search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val assigned = assign(corpus, centroids, idCol, vecCol)
+      .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
+      .join(corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec")), "match_id")
+    val qProbes = assign(queries, centroids, idCol, vecCol) // nearest-1 fallback
+    val probes =
+      if (nprobe <= 1) qProbes.select(F.col("vec_id").as("query_id"), F.col("centroid_label"))
+      else {
+        val scored = queries.crossJoin(F.broadcast(centroids))
+          .select(F.col(idCol).as("query_id"), F.col("ckey"),
+            Similarity.cosine(F.col(vecCol), F.col("centroid")).as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col("ckey"))
+        scored.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= nprobe)
+          .select(F.col("query_id"), F.col("ckey").as("centroid_label"))
+      }
+    val qVec = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"))
+    val cands = F.broadcast(probes.join(qVec, "query_id"))
+      .join(assigned, "centroid_label")
+      .filter(F.col("query_id") =!= F.col("match_id"))
+      .select(F.col("query_id"), F.col("match_id"),
+        Similarity.cosine(F.col("q_vec"), F.col("c_vec")).as("cos"))
+    val w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col("match_id"))
+    cands.withColumn("rank", F.row_number().over(w2))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "cos")
+  }
+}
+
+/** Skew-handling patterns: deterministic two-phase (salted) shapes whose
+  * results equal the unsalted plan — so the same oracle SQL verifies them. */
+object Skew {
+
+  /** Two-phase count: partial count per (input-partition, key), then
+    * final sum per key. The skewed key's rows never meet in one task. */
+  def saltedCount(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(F.spark_partition_id().as("_salt"), F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("_partial"))
+      .groupBy(keyCol)
+      .agg(F.sum("_partial").as("n"))
+
+  /** Salted fact⋈dim join: fact rows get a deterministic salt (their
+    * input partition id mod `salts`), the dim side is replicated once
+    * per salt, and the join key becomes (key, salt) — a skewed fact key
+    * spreads over `salts` reducers. Equivalent to the plain join when
+    * dim keys are unique. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      F.pmod(F.spark_partition_id().cast("long"), F.lit(salts.toLong)))
+    val explodedDim = dim.withColumn("_salt",
+      F.explode(F.sequence(F.lit(0L), F.lit(salts.toLong - 1))))
+    saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

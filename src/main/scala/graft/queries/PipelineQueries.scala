@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Hashing, Similarity, TextOps}
+import graft.operators.{Dedup, Hashing, Ivf, Similarity, Skew, TextOps}
 import org.apache.spark.sql.{functions => F}
 import Tables.t
 
@@ -278,8 +278,56 @@ object PipelineQueries {
              lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- D9
+  private val embedIvfAssign = QueryDef(
+    "embed_ivf_assign",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ivf.assign(emb, Ivf.centroidsByKey(emb, "label", "embedding"),
+        "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2),
+      cvec AS (
+        SELECT ckey, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
+        FROM cent GROUP BY ckey),
+      scored AS (
+        SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+        FROM embeddings, cvec)
+      SELECT vec_id, centroid_label, cos FROM (
+        SELECT vec_id, ckey AS centroid_label, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+        FROM scored) WHERE rn = 1
+      ORDER BY vec_id"""))
+
+  // ------------------------------------------------------- skew pattern
+  private val joinSalted = QueryDef(
+    "join_salted",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier")
+        .select(F.col("s_suppkey").as("l_suppkey"), F.col("s_name"))
+      Skew.saltedJoin(li, supp, "l_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(
+          F.sum(F.col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .as("total_price"),
+          F.count(F.lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
+    Some("""
+      SELECT s_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total_price,
+             count(*) AS n_items
+      FROM lineitem, supplier WHERE l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, ngramJaccard,
-    embedTopK, embedNearDup, embedLshBuckets,
-    textLangid, textQuality, textTokens, textNgrams, binaryMeta)
+    embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign,
+    textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted)
 }

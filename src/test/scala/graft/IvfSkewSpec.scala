@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Ivf, Similarity, Skew}
+import org.apache.spark.sql.{functions => F}
+
+/** D9 (IVF ANN) + skew patterns. */
+class IvfSkewSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("centroids: one float vector of corpus dimension per key") {
+    val c = Ivf.centroidsByKey(emb, "label", "embedding")
+    val rows = c.collect()
+    assert(rows.length == emb.select("label").distinct().count())
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+  }
+
+  test("assignment covers every vector exactly once") {
+    val centroids = Ivf.centroidsByKey(emb, "label", "embedding")
+    val a = Ivf.assign(emb, centroids, "vec_id", "embedding")
+    assert(a.count() == emb.count())
+    assert(a.select("vec_id").distinct().count() == emb.count())
+  }
+
+  test("ivf search: probing more lists converges toward brute force") {
+    val centroids = Ivf.centroidsByKey(emb, "label", "embedding")
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfAll = Ivf.search(emb, centroids, queries, "vec_id", "embedding",
+      k = 5, nprobe = 10) // probe all 10 lists == exhaustive
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAll == brute) // full probe must equal brute force
+    val ivf2 = Ivf.search(emb, centroids, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    assert(ivf2.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
+  test("salted count equals plain count") {
+    val plain = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(li, "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(F.col("s_suppkey").as("l_suppkey"), F.col("s_name"))
+    val plain = li.join(supp, "l_suppkey").groupBy("s_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(li, supp, "l_suppkey", 8).groupBy("s_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
