@@ -27,27 +27,39 @@ object Dedup {
     docs.groupBy(fingerprint(F.col(textCol)).as("fingerprint"))
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_members"))
 
-  /** MinHash signatures over word `shingleN`-gram shingles with k
-    * portable hash functions (hash60 of "i|shingle"). One explode +
-    * one groupBy: the k mins are computed map-side (partial agg), so the
-    * shuffle carries one row per doc, not per shingle. */
+  /** Mersenne prime 2³¹−1: the affine minhash family works in [0, M). */
+  val M31: Long = 2147483647L
+
+  /** Deterministic affine coefficients for hash function i (shared with
+    * the oracle SQL generator). */
+  def minhashCoef(i: Int): (Long, Long) =
+    ((Hashing.hash60(s"minhash-a-$i") % (M31 - 1)) + 1,
+      Hashing.hash60(s"minhash-b-$i") % M31)
+
+  /** MinHash signatures over word `shingleN`-gram shingles: ONE md5 per
+    * shingle, then k affine transforms h_i = (a_i·h + b_i) mod M31 (the
+    * standard universal-hash family — 16× cheaper than k independent
+    * md5s). One explode + one groupBy: the k mins are computed map-side
+    * (partial agg), so the shuffle carries one row per doc, not per
+    * shingle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(
-      F.col(idCol).as("doc_id"),
-      F.explode(F.array_distinct(TextOps.shingles(F.col(textCol), shingleN))).as("shingle"))
+    val sh = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
+      .withColumn("_h", Hashing.hash60(F.col("shingle")) % M31)
     val mins = (0 until k).map { i =>
-      F.min(Hashing.hash60(F.concat(F.lit(s"$i|"), F.col("shingle")))).as(s"h$i")
+      val (a, b) = minhashCoef(i)
+      F.min((F.col("_h") * a + b) % M31).as(s"h$i")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Band the signature: band b's key is md5 of its r joined mins.
+  /** Band the signature: band b's key is hash60 of its r joined mins
+    * (a long — joins on 8-byte keys, not 32-char md5 strings).
     * Docs with < shingleN tokens have no signature and are excluded. */
   def minhashBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
-      val key = F.md5(F.concat_ws(",",
+      val key = Hashing.hash60(F.concat_ws(",",
         (0 until r).map(j => F.col(s"h${b * r + j}").cast("string")): _*))
       F.struct(F.lit(b).as("band_idx"), key.as("band_hash"))
     }
@@ -56,10 +68,14 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing ≥1 band bucket. The self-join
-    * shuffles on (band_idx, band_hash) — AQE handles skewed buckets. */
+    * shuffles on (band_idx, band_hash) — AQE handles skewed buckets.
+    * The banded signature (1 row per doc per band) is persisted so the
+    * self-join's two sides don't re-run shingling+hashing — at 100 TB
+    * this intermediate is exactly what you'd checkpoint. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val b = minhashBands(minhashSignatures(docs, idCol, textCol, k, shingleN), k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = b.select(F.col("doc_id").as("doc_a"), F.col("band_idx"), F.col("band_hash"))
     val right = b.select(F.col("doc_id").as("doc_b"), F.col("band_idx"), F.col("band_hash"))
     left.join(right, Seq("band_idx", "band_hash"))
@@ -103,16 +119,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
-    * shuffle keyed on shingle (the inverted index), intersection counts
-    * from the shingle join, sizes broadcast back. No cross join. */
+    * shuffle keyed on the shingle HASH (8-byte join key — the inverted
+    * index), intersection counts from the shingle join, sizes joined
+    * back. No cross join; the hashed shingle index is persisted so the
+    * self-join + size aggregation evaluate it once. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(
-      F.col(idCol).as("doc_id"),
-      F.explode(F.array_distinct(TextOps.shingles(F.col(textCol), shingleN))).as("shingle"))
+    val sh = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
+      .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("shingle_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
-    val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle"))
-      .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle")), "shingle")
+    val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle_h"))
+      .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle_h")), "shingle_h")
       .filter(F.col("doc_a") < F.col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).as("n_common"))
     inter

@@ -15,16 +15,28 @@ object TextOps {
   /** Whitespace word tokens, lowercased. */
   def tokens(text: Column): Column = F.split(F.lower(text), " +")
 
-  /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
-    * Guarded sequence: Spark's sequence(0, negative) would DESCEND. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    * column. Guarded sequence: Spark's sequence(0, negative) would
+    * DESCEND. Callers must project the token array first ([[shingleDocs]])
+    * — inlining `split()` here makes Catalyst re-split the text once per
+    * element reference, turning shingling O(len·shingles). */
+  def shinglesOf(toks: Column, n: Int): Column =
     F.when(F.size(toks) >= n,
       F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         i => F.concat_ws(" ", (0 until n).map(k => F.element_at(toks, i + k + 1)): _*)))
       .otherwise(F.array())
-  }
+
+  /** Word n-gram shingles of a text column (materializes tokens). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** (doc_id, shingle) distinct pairs with tokens materialized once per
+    * row (the Generate node keeps the token projection from collapsing
+    * back into per-element re-splits). */
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"),
+        F.explode(F.array_distinct(shinglesOf(F.col("_toks"), n))).as("shingle"))
 
   /** Marker-stopword language-ID heuristic: count language-specific
     * marker tokens; predict the argmax, 'unknown' when none hit.
@@ -71,7 +83,8 @@ object TextOps {
 
   /** Top-k word n-grams by frequency across a corpus (one shuffle). */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    docs.select(F.explode(shingles(F.col(textCol), n)).as("gram"))
+    docs.select(tokens(F.col(textCol)).as("_toks"))
+      .select(F.explode(shinglesOf(F.col("_toks"), n)).as("gram"))
       .groupBy("gram").agg(F.count(F.lit(1)).as("freq"))
       .orderBy(F.col("freq").desc, F.col("gram"))
       .limit(k)

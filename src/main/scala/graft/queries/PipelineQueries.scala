@@ -50,18 +50,21 @@ object PipelineQueries {
       k = K, bands = BANDS, shingleN = 3)
       .orderBy("doc_a", "doc_b"),
     Some {
-      val mins = (0 until K)
-        .map(i => s"min(${Hashing.hash60Sql(s"'$i|' || shingle")}) AS h$i")
-        .mkString(",\n         ")
+      val mins = (0 until K).map { i =>
+        val (a, b) = Dedup.minhashCoef(i)
+        s"min((_h * $a + $b) % ${Dedup.M31}) AS h$i"
+      }.mkString(",\n         ")
       val r = K / BANDS
       val bandSelects = (0 until BANDS).map { b =>
         val cols = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sig"
+        s"SELECT doc_id, $b AS band_idx, " +
+          s"${Hashing.hash60Sql(s"concat_ws(',', $cols)")} AS band_hash FROM sig"
       }.mkString("\nUNION ALL\n")
       s"""WITH ${shingleCte(3)},
+         |shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Dedup.M31} AS _h FROM sh),
          |sig AS (SELECT doc_id,
          |        $mins
-         |        FROM sh GROUP BY doc_id),
+         |        FROM shh GROUP BY doc_id),
          |bands AS ($bandSelects)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
          |FROM bands a JOIN bands b
@@ -98,10 +101,11 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH ${shingleCte(3)},
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_common,
              round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
