@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region (otherwise the first
+    // query absorbs ~5 s of JIT + classloading unrelated to its plan)
+    try {
+      spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

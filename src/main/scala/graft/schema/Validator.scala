@@ -137,6 +137,9 @@ final class Validator(val schema: GSchema) {
     coerced
   }
 
+  /** Human-readable constraint list (reference: describe_constraints). */
+  def describeConstraints: Seq[String] = compiledChecks.map(_._1)
+
   /** Distributed uniqueness check for fields declared unique=true (or
     * primaryKey): keys occurring more than once. One shuffle per field.
     * (The reference only records `unique` as SQLAlchemy metadata — here
