@@ -402,6 +402,35 @@ object CoreQueries {
         FROM orders)
       WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
 
+  // ------------------------------------------------------- C5b (top_k)
+  /** Same result as window_topn but via the bounded-heap TopKStruct
+    * aggregate: shuffle carries k rows per group instead of the table. */
+  private val aggTopK = QueryDef(
+    "agg_topk",
+    (s, d) => {
+      val sortStruct = F.struct(
+        F.col("o_totalprice"),
+        (-F.col("o_orderkey")).as("_negkey"), // tie: smaller orderkey ranks first
+        F.col("o_orderkey"))
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKFunctions.topK(sortStruct, 3).as("top"))
+        .select(F.col("o_orderpriority"), F.posexplode(F.col("top")).as(Seq("pos", "s")))
+        .select(
+          F.col("o_orderpriority"),
+          (F.col("pos") + 1).cast("int").as("rn"),
+          F.col("s.o_orderkey").as("o_orderkey"),
+          F.col("s.o_totalprice").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some("""
+      SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
+
   // ---------------------------------------------------------------- C6
   private val windowRunning = QueryDef(
     "window_running",
@@ -556,6 +585,6 @@ object CoreQueries {
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
-    windowTopN, windowRunning, sessionize, aggRollup, pivotEvents,
+    windowTopN, aggTopK, windowRunning, sessionize, aggRollup, pivotEvents,
     aggDistinct, windowTumbling)
 }

@@ -18,6 +18,7 @@ object Tables {
     * truncation). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark) // idempotent
+    graft.functions.TopKFunctions.register(spark)
 
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -38,4 +38,59 @@ object StreamOps {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  // ---- custom state: gap-based streaming sessionization ----
+
+  case class SessionInput(userId: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  case class SessionOut(userId: Long, sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp, nEvents: Long)
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState:
+    * a session closes when the next event for the key arrives after
+    * `gap`, or when the event-time watermark passes lastSeen+gap
+    * (EventTimeTimeout — watermark-driven, so idle keys don't spin
+    * empty micro-batches the way processing-time timeouts do). Per-key
+    * state is one small struct — bounded regardless of stream length. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionInput],
+      gapMs: Long, watermarkDelay: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[SessionInput],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+          new java.sql.Timestamp(s.lastSeen), s.nEvents))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+            case Some(s) => // gap exceeded: close and start fresh
+              closed ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+                new java.sql.Timestamp(s.lastSeen), s.nEvents)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastSeen + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

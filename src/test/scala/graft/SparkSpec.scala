@@ -13,6 +13,7 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   graft.functions.VectorFunctions.register(spark)
+  graft.functions.TopKFunctions.register(spark)
 }
 
 abstract class SparkSpec extends AnyFunSuite {
