@@ -547,6 +547,79 @@ object CoreQueries {
       FROM events WHERE user_id < 50
       GROUP BY user_id ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- C13
+  /** As-of join (composed union+window re-expression) vs DuckDB's
+    * native ASOF JOIN as the oracle. */
+  private val asofJoin = QueryDef(
+    "asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(F.col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("event_id").as("r_event_id"), F.col("value").as("r_value"))
+      graft.operators.AsOfJoin.asOf(errors, clicks, "user_id", "ts",
+        Seq("r_event_id", "r_value"))
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"),
+          F.col("asof_r_event_id").as("asof_event_id"),
+          F.col("asof_r_value").as("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH lefts AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      rights AS (
+        SELECT user_id, ts, event_id AS r_event_id, value AS r_value
+        FROM events WHERE event_type = 'click')
+      SELECT l.event_id, l.user_id, l.ts,
+             r.r_event_id AS asof_event_id, r.r_value AS asof_value
+      FROM lefts l ASOF LEFT JOIN rights r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""))
+
+  // --------------------------------------------------------------- C14
+  private val aggPercentile = QueryDef(
+    "agg_percentile",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).as("median_disc"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(quantile_cont(l_discount, 0.5), 4) AS median_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- C15
+  /** RANGE-frame window: events per user in the trailing hour. */
+  private val windowRange = QueryDef(
+    "window_range",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      t(s, d, "events").filter(F.col("user_id") < 50)
+        .select(
+          F.col("event_id"), F.col("user_id"),
+          F.count(F.lit(1)).over(w).as("n_last_hour"),
+          F.sum(dec(F.col("value"))).over(w).as("sum_last_hour"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             count(*) OVER w AS n_last_hour,
+             sum(CAST(value AS DECIMAL(18,4))) OVER w AS sum_last_hour
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   // ---------------------------------------------------------------- C7
   private val aggDistinct = QueryDef(
     "agg_distinct",
@@ -586,5 +659,5 @@ object CoreQueries {
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
     windowTopN, aggTopK, windowRunning, sessionize, aggRollup, pivotEvents,
-    aggDistinct, windowTumbling)
+    aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange)
 }
