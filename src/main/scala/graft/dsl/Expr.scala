@@ -56,7 +56,8 @@ sealed trait Expr {
   def dt: DtAcc      = DtAcc(this)
 
   // ---- membership (reference membership.py)
-  def isIn(values: Seq[Any]): Expr = InOp(this, values)
+  def isIn(values: Seq[Any]): Expr = InOp(this, values, nullsEqual = false)
+  def isIn(values: Seq[Any], nullsEqual: Boolean): Expr = InOp(this, values, nullsEqual)
   def isBetween(lo: Any, hi: Any, closed: String = "both"): Expr =
     BetweenOp(this, Expr.lift(lo), Expr.lift(hi), closed)
 }
@@ -305,7 +306,9 @@ final case class DtOp(op: String, operand: Expr, arg: Option[Expr]) extends Expr
       case "minute" => F.minute(c)
       case "second" => F.second(c)
       case "total_days" =>
-        (c.cast("double") - arg.get.toColumn.cast("double")) / F.lit(86400.0)
+        // date → timestamp first: DateType has no direct double cast
+        (c.cast("timestamp").cast("double") -
+          arg.get.toColumn.cast("timestamp").cast("double")) / F.lit(86400.0)
     }
   }
 
@@ -337,11 +340,18 @@ final case class DtOp(op: String, operand: Expr, arg: Option[Expr]) extends Expr
   }
 }
 
-final case class InOp(operand: Expr, values: Seq[Any]) extends Expr {
-  def toColumn: Column = operand.toColumn.isin(values: _*)
+final case class InOp(operand: Expr, values: Seq[Any], nullsEqual: Boolean = false) extends Expr {
+  def toColumn: Column = {
+    val c = operand.toColumn
+    val base = c.isin(values.filter(_ != null): _*)
+    if (nullsEqual) F.when(c.isNull, F.lit(values.contains(null))).otherwise(base)
+    else base
+  }
   def eval(row: Map[String, Any]): Any = {
     val v = operand.eval(row)
-    if (v == null) null else values.exists(x => Expr.cmp(v, x) == 0)
+    if (v == null) {
+      if (nullsEqual) values.contains(null) else null
+    } else values.exists(x => x != null && Expr.cmp(v, x) == 0)
   }
 }
 

@@ -89,6 +89,26 @@ class DslSpec extends SparkSpec {
     ).foreach(agree)
   }
 
+  test("isIn nullsEqual treats null as a member (reference nulls_equal)") {
+    val m = Map[String, Any]("x" -> null)
+    assert(col("x").isIn(Seq(1L, 2L)).eval(m) == null)
+    assert(col("x").isIn(Seq(1L, null), nullsEqual = true).eval(m) == true)
+    assert(col("x").isIn(Seq(1L, 2L), nullsEqual = true).eval(m) == false)
+    // column path agrees
+    val df3 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null.asInstanceOf[java.lang.Long])),
+      StructType(Seq(StructField("x", LongType))))
+    assert(df3.select(col("x").isIn(Seq(1L, null), nullsEqual = true).toColumn).head().getBoolean(0))
+  }
+
+  test("totalDays works on DATE columns too") {
+    import spark.implicits._
+    val d = Seq(java.sql.Date.valueOf("2024-01-11")).toDF("d")
+    val v = d.select(col("d").dt.totalDays(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+      .toColumn).head().getDouble(0)
+    assert(v == 10.0)
+  }
+
   test("invalid closed mode rejected") {
     intercept[IllegalArgumentException](col("a").isBetween(1, 2, "sideways"))
   }
