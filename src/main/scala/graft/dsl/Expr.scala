@@ -6,7 +6,10 @@ import org.apache.spark.sql.{functions => F}
 /** Validator-DSL expression AST.
   *
   * Re-expression of the reference DSL (flycatcher
-  * src/flycatcher/validators/{core,ops,string,datetime,membership}.py)
+  * validators/core.py:19 `FieldRef`, validators/ops.py:286 `BinaryOp` /
+  * ops.py:416 `UnaryOp`, validators/string.py:618 `StringOp`,
+  * validators/datetime.py:809 `DateTimeOp`,
+  * validators/membership.py:963 `MembershipOp`)
   * that compiles to two targets:
   *
   *   - [[Expr!.toColumn]] — an `org.apache.spark.sql.Column` (Catalyst
@@ -215,7 +218,7 @@ final case class Un(op: String, operand: Expr, arg: Option[Any] = None) extends 
   }
 }
 
-/** String ops accessor (reference string.py StringAccessor). */
+/** String ops accessor (reference validators/string.py:578 StringAccessor). */
 final case class StringAcc(e: Expr) {
   def contains(pattern: String): Expr   = StrOp("contains", e, Seq(pattern))
   def startsWith(prefix: String): Expr  = StrOp("starts_with", e, Seq(prefix))
@@ -283,7 +286,7 @@ final case class StrOp(op: String, operand: Expr, args: Seq[Any]) extends Expr {
   }
 }
 
-/** Datetime ops accessor (reference datetime.py DateTimeAccessor). */
+/** Datetime ops accessor (reference validators/datetime.py:761 DateTimeAccessor). */
 final case class DtAcc(e: Expr) {
   def year: Expr   = DtOp("year", e, None)
   def month: Expr  = DtOp("month", e, None)

@@ -122,12 +122,28 @@ object Dedup {
     * shuffle keyed on the shingle HASH (8-byte join key — the inverted
     * index), intersection counts from the shingle join, sizes joined
     * back. No cross join; the hashed shingle index is persisted so the
-    * self-join + size aggregation evaluate it once. */
+    * self-join + size aggregation evaluate it once.
+    *
+    * `maxDocFreq` caps the inverted index: shingles appearing in more
+    * than that many docs are dropped BEFORE the self-join (sizes are
+    * computed on the capped set, so the Jaccard stays self-consistent).
+    * Without a cap, a shingle shared by d docs contributes d² join rows —
+    * on duplicate-heavy corpora that is quadratic (measured 20× blowup at
+    * 10× duplication). At 100 TB always set a cap; compose with
+    * [[ngramJaccardPairsUnique]] to collapse exact duplicates first. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val raw = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
       .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("shingle_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = maxDocFreq match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle_h")
+        raw.withColumn("_df", F.count(F.lit(1)).over(w))
+          .filter(F.col("_df") <= cap).drop("_df")
+      case None => raw
+    }
+    val sh = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
     val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle_h"))
       .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle_h")), "shingle_h")
@@ -141,5 +157,20 @@ object Dedup {
           (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
       .filter(F.col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Scale composition for duplicate-heavy corpora: collapse exact
+    * duplicates to one representative (min id) FIRST, then run n-gram
+    * Jaccard among unique texts only. A corpus with d copies per doc
+    * costs d² in the naive shingle join but 1× here — pair results are
+    * between representatives; join back to [[exactGroups]] to expand. */
+  def ngramJaccardPairsUnique(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val uniq = docs
+      .groupBy(F.md5(F.col(textCol)).as("_th"))
+      .agg(F.min(F.col(idCol)).as(idCol), F.first(F.col(textCol)).as(textCol))
+      .drop("_th")
+    ngramJaccardPairs(uniq, idCol, textCol, shingleN, minJaccard, maxDocFreq)
   }
 }

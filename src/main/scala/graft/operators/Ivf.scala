@@ -18,7 +18,8 @@ object Ivf {
 
   /** Mean embedding per key → (ckey, centroid float32[dim]).
     * Two shuffles ((key,pos) then key), both with partial aggregation. */
-  def centroidsByKey(corpus: DataFrame, keyCol: String, vecCol: String): DataFrame =
+  def centroidsByKey(corpus: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus
       .select(F.col(keyCol).as("ckey"), F.posexplode(F.col(vecCol)).as(Seq("pos", "v")))
       .groupBy("ckey", "pos")
@@ -27,12 +28,14 @@ object Ivf {
       .agg(F.transform(
         F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cv")))),
         s => s.getField("cv").cast("float")).as("centroid"))
+  }
 
   /** Assign each vector to its nearest centroid by cosine (broadcast
     * centroids; ties broken by key). Narrow over the corpus + broadcast:
     * no corpus shuffle. */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val scored = corpus.crossJoin(F.broadcast(centroids))
       .select(F.col(idCol).as("vec_id"), F.col("ckey"),
         Similarity.cosine(F.col(vecCol), F.col("centroid")).as("cos"))

@@ -33,6 +33,7 @@ object Similarity {
     * broadcast (must be small); corpus is scanned once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"))
     val c = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"))
     val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("match_id"))
@@ -48,6 +49,7 @@ object Similarity {
   /** Cosine-threshold near-duplicate pairs within a blocking column. */
   def blockedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val a = corpus.select(F.col(idCol).as("vec_a"), F.col(vecCol).as("va"),
       F.col(blockCol).as("blk"))
     val b = corpus.select(F.col(idCol).as("vec_b"), F.col(vecCol).as("vb"),
@@ -79,7 +81,9 @@ object Similarity {
   }
 
   def hyperplaneBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, dim: Int = 64): DataFrame =
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.select(F.col(idCol).as("vec_id"),
       hyperplaneBucket(F.col(vecCol), planeSigns(planes, dim)).as("bucket"))
+  }
 }

@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 final case class Check(expr: Expr, message: String)
 
 /** Field definitions — re-expression of flycatcher src/flycatcher/fields.py
-  * (Integer/Float/String/Boolean/Datetime/Date + FieldInfo metadata) onto
-  * Spark's type system.
+  * (Integer:341 / Float:440 / String:522 / Boolean:618 / Datetime:642 /
+  * Date:720 + Field() metadata, fields.py:109) onto Spark's type system.
   *
   * Each field yields:
   *   - a Catalyst [[org.apache.spark.sql.types.StructField]] (dtype + nullability),

@@ -4,7 +4,8 @@ import graft.dsl.Expr
 import org.apache.spark.sql.types._
 
 /** Schema definition — re-expression of flycatcher's `Schema` class
-  * (src/flycatcher/base.py) in builder form.
+  * (src/flycatcher/base.py:172; metaclass field collection base.py:11)
+  * in builder form.
   *
   * One definition yields three artifacts, mirroring the reference's
   * to_polars_validator / to_pydantic / to_sqlalchemy:
@@ -15,8 +16,8 @@ import org.apache.spark.sql.types._
   *     Pydantic analog),
   *   - [[ddl]]         — Spark SQL `CREATE TABLE` (the SQLAlchemy analog).
   *
-  * Cross-field validators (reference `@model_validator`) are added with
-  * [[check]].
+  * Cross-field validators (reference `@model_validator`, base.py:385)
+  * are added with [[check]].
   */
 final case class GSchema(
     name: String,
@@ -40,7 +41,8 @@ final case class GSchema(
   def validator: Validator       = new Validator(this)
   def rowValidator: RowValidator = new RowValidator(this)
 
-  /** Spark SQL DDL — analog of to_sqlalchemy (create_sqlalchemy_table).
+  /** Spark SQL DDL — analog of to_sqlalchemy
+    * (generators/sqlalchemy.py:14 create_sqlalchemy_table).
     * Spark has no enforced PK/UNIQUE; emitted as comments + table props.  */
   def ddl(tableName: String = defaultTableName, using: String = "parquet"): String = {
     def sqlLit(v: Any): String = v match {
@@ -62,7 +64,8 @@ final case class GSchema(
     s"CREATE TABLE $tableName (\n${cols.mkString(",\n")}\n) USING $using"
   }
 
-  /** Reference naming rule: strip "Schema" suffix, lowercase, pluralize. */
+  /** Reference naming rule (generators/sqlalchemy.py:42): strip
+    * "Schema" suffix, lowercase, pluralize. */
   def defaultTableName: String =
     name.stripSuffix("Schema").toLowerCase + "s"
 }

@@ -13,7 +13,8 @@ final class SchemaViolationException(
       (if (sample.nonEmpty) s"\nSample violations:\n${sample.mkString("\n")}" else ""))
 
 /** Distributed DataFrame validator — Spark-first re-design of flycatcher's
-  * `PolarsValidator` (src/flycatcher/generators/polars.py).
+  * `PolarsValidator` (src/flycatcher/generators/polars.py:16; validate
+  * loop polars.py:96-258).
   *
   * Scale-critical deviation from the reference: flycatcher evaluates each
   * constraint with its own `df.filter(...)` pass (O(constraints) scans).
@@ -160,8 +161,9 @@ final class Validator(val schema: GSchema) {
   }
 }
 
-/** Row-level validation — the Pydantic analog (reference to_pydantic /
-  * create_pydantic_model). Interprets the same DSL checks per record. */
+/** Row-level validation — the Pydantic analog (reference
+  * generators/pydantic.py:15 create_pydantic_model, validators attached
+  * pydantic.py:70-116). Interprets the same DSL checks per record. */
 final class RowValidator(val schema: GSchema) {
 
   /** Returns failure messages (empty ⇒ valid). */

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.{functions => F}
+
+/** Scale probe: replicate the sf0.1 corpus ~10× with shifted ids (/tmp
+  * only) and run the heavy pipeline operators, reporting wall time. */
+object ScaleTest {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale"
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+
+    val docs0 = spark.read.parquet(s"$base/documents.parquet")
+    val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+    val nDocs = docs0.count(); val nEmb = emb0.count()
+    val docs = (0 until mult).map { i =>
+      docs0.withColumn("doc_id", F.col("doc_id") + F.lit(i * nDocs))
+    }.reduce(_ unionByName _)
+    val emb = (0 until mult).map { i =>
+      emb0.withColumn("vec_id", F.col("vec_id") + F.lit(i * nEmb))
+    }.reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    println(s"scale corpus: ${d.count()} docs, ${e.count()} vectors")
+
+    def time(n: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val c = f
+      println(f"$n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+    }
+    time("dedup_exact")(graft.operators.Dedup.exactGroups(d, "doc_id", "text").count())
+    time("dedup_fingerprint")(graft.operators.Dedup.fingerprintGroups(d, "doc_id", "text").count())
+    time("minhash_pairs")(graft.operators.Dedup.minhashCandidatePairs(d, "doc_id", "text").count())
+    time("ngram_jaccard_unique")(graft.operators.Dedup.ngramJaccardPairsUnique(d, "doc_id", "text", 3, 0.5).count())
+    time("simhash")(graft.operators.Dedup.simhash(d, "doc_id", "text").count())
+    time("lsh_buckets")(graft.operators.Similarity.hyperplaneBuckets(e, "vec_id", "embedding").count())
+    time("ivf_assign")(graft.operators.Ivf.assign(e,
+      graft.operators.Ivf.centroidsByKey(e, "label", "embedding"), "vec_id", "embedding").count())
+    time("topk_brute_10q")(graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5).count())
+    spark.stop()
+  }
+}
