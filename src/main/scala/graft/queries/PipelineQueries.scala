@@ -330,8 +330,26 @@ object PipelineQueries {
       FROM lineitem, supplier WHERE l_suppkey = s_suppkey
       GROUP BY s_name ORDER BY s_name"""))
 
+  // ------------------------------------------------------------ F2
+  /** Batched multimodal decode pipeline. No SQL oracle (the stub
+    * decoder's dimensions are JVM-hash-derived) → driver records a
+    * rows-only check; determinism is covered by `MultimodalSourcesSpec`. */
+  private val multimodalMeta = QueryDef(
+    "multimodal_meta",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("payload", F.col("text").cast("binary"))
+      graft.operators.Multimodal.withMediaMeta(docs, "payload", batchSize = 64)
+        .select(F.col("doc_id"), F.col("media_meta.format").as("format"),
+          F.col("media_meta.width").as("width"),
+          F.col("media_meta.n_bytes").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, ngramJaccard,
     embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign,
-    textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted)
+    textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
+    multimodalMeta)
 }

@@ -49,6 +49,8 @@ final case class GLong(
     nullable: Boolean = false, default: Option[Any] = None,
     primaryKey: Boolean = false, unique: Boolean = false, index: Boolean = false,
     description: Option[String] = None,
+    /** DDL metadata only, like the reference (fields.py:37 autoincrement). */
+    autoincrement: Boolean = false,
     width: Int = 64) extends GField {
   def dataType: DataType = width match {
     case 64 => LongType

@@ -52,10 +52,15 @@ final case class GSchema(
     val cols = fields.map { f =>
       val notNull = if (f.nullable) "" else " NOT NULL"
       val default = f.default.map(d => s" DEFAULT ${sqlLit(d)}").getOrElse("")
+      val auto = f match {
+        case l: GLong if l.autoincrement => Some("autoincrement")
+        case _ => None
+      }
       val tags = Seq(
         if (f.primaryKey) Some("primary key") else None,
         if (f.unique) Some("unique") else None,
-        if (f.index) Some("index") else None).flatten
+        if (f.index) Some("index") else None,
+        auto).flatten
       val comment = (f.description.toSeq ++ (if (tags.nonEmpty) Seq(tags.mkString(", ")) else Nil))
         .mkString("; ")
       val commentSql = if (comment.nonEmpty) s" COMMENT ${sqlLit(comment)}" else ""
