@@ -308,6 +308,53 @@ object PipelineQueries {
         FROM scored) WHERE rn = 1
       ORDER BY vec_id"""))
 
+  // ------------------------------------------------------- D9 (search)
+  private val centroidCtes = s"""cent AS (
+        SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2),
+      cvec AS (
+        SELECT ckey, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
+        FROM cent GROUP BY ckey)"""
+
+  private val embedIvfSearch = QueryDef(
+    "embed_ivf_search",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ivf.search(emb, Ivf.centroidsByKey(emb, "label", "embedding"),
+        emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $centroidCtes,
+      assigned AS (
+        SELECT vec_id AS match_id, ckey AS centroid_label FROM (
+          SELECT vec_id, ckey,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+                FROM embeddings, cvec)) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, centroid_label FROM (
+          SELECT query_id, ckey AS centroid_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT e.vec_id AS query_id, ckey,
+                       ${cosSql("e.embedding", "centroid")} AS cos
+                FROM embeddings e, cvec WHERE e.vec_id < 3)) WHERE rn <= 2),
+      cands AS (
+        SELECT p.query_id, a.match_id,
+               ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM probes p
+             JOIN assigned a ON p.centroid_label = a.centroid_label
+             JOIN embeddings q ON q.vec_id = p.query_id
+             JOIN embeddings c ON c.vec_id = a.match_id
+        WHERE p.query_id != a.match_id)
+      SELECT query_id, rank, match_id, cos FROM (
+        SELECT query_id, match_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, match_id) AS INTEGER) AS rank
+        FROM cands)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // ------------------------------------------------------- skew pattern
   private val joinSalted = QueryDef(
     "join_salted",
@@ -349,7 +396,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, ngramJaccard,
-    embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign,
+    embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta)
 }

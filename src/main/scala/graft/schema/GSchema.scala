@@ -25,6 +25,17 @@ final case class GSchema(
     modelChecks: Seq[Check] = Nil) {
 
   def field(f: GField): GSchema = copy(fields = fields :+ f)
+
+  /** Schema inheritance: parent fields/checks come first, same-name
+    * fields in THIS schema override the parent's (the behavior the
+    * reference documents as intended — base.py:24 TODO + test_schema.py
+    * test_inherited_fields_collected). */
+  def extend(parent: GSchema): GSchema = {
+    val ownNames = fields.map(_.name).toSet
+    copy(
+      fields = parent.fields.filterNot(f => ownNames(f.name)) ++ fields,
+      modelChecks = parent.modelChecks ++ modelChecks)
+  }
   def check(expr: Expr, message: String): GSchema =
     copy(modelChecks = modelChecks :+ Check(expr, message))
   def check(expr: Expr): GSchema = check(expr, "Validation failed")

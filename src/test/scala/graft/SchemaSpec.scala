@@ -61,6 +61,20 @@ class SchemaSpec extends SparkSpec {
     assert(s.modelChecks.map(_.message) == Seq("adults only", "Validation failed"))
   }
 
+  test("schema inheritance: parent fields first, child overrides by name") {
+    val base = GSchema("BaseSchema")
+      .field(GLong("id", primaryKey = true))
+      .field(GString("name"))
+      .check(col("id") >= 0L, "id non-negative")
+    val child = GSchema("ChildSchema")
+      .field(GString("name", minLength = Some(3))) // override
+      .field(GBool("active"))
+      .extend(base)
+    assert(child.fields.map(_.name) == Seq("id", "name", "active"))
+    assert(child.fieldMap("name").asInstanceOf[GString].minLength.contains(3))
+    assert(child.modelChecks.map(_.message) == Seq("id non-negative"))
+  }
+
   test("multiple_of constraint") {
     val s = GSchema("S").field(GLong("score", multipleOf = Some(10L)))
     assert(s.allChecks.head.message == "score must be multiple of 10")
