@@ -30,6 +30,56 @@ object Ivf {
         s => s.getField("cv").cast("float")).as("centroid"))
   }
 
+  /** Deterministic Lloyd k-means quantizer (the self-contained IVF
+    * path when no natural clustering column exists).
+    *
+    * Determinism: seeds are the k vectors with the smallest
+    * (hash60(id), id); each iteration assigns by cosine against
+    * DRIVER-COLLECTED centroid literals (k·dim doubles — tiny), so
+    * assignment is a narrow map with no join, then recomputes means in
+    * one shuffle. iters·2 jobs total; corpus is never collected. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def collectVecs(df: DataFrame, col: String): Array[Array[Float]] =
+      df.select(col).collect().map(_.getSeq[Float](0).toArray)
+
+    var centroids: Array[Array[Float]] = collectVecs(
+      corpus.orderBy(Hashing.hash60(F.col(idCol).cast("string")), F.col(idCol))
+        .limit(k), vecCol)
+
+    for (_ <- 1 to iters) {
+      val scored = (0 until centroids.length).map { i =>
+        val c = F.array(centroids(i).map(F.lit): _*)
+        // struct(cos, -idx): array_max picks highest cos, ties → lowest idx
+        F.struct(Similarity.cosine(F.col(vecCol), c).as("cos"),
+          F.lit(-i).as("negIdx"))
+      }
+      val best = F.array_max(F.array(scored: _*))
+      val assigned = corpus.select(F.col(vecCol).as("v"),
+        (-best.getField("negIdx")).as("ck"))
+      val means = assigned
+        .select(F.col("ck"), F.posexplode(F.col("v")).as(Seq("pos", "x")))
+        .groupBy("ck", "pos").agg(F.avg(F.col("x").cast("double")).as("m"))
+        .groupBy("ck")
+        .agg(F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .orderBy("ck")
+      val updated = collectVecs(means, "centroid")
+      // empty clusters keep their previous centroid
+      val byCk = means.select("ck").collect().map(_.getInt(0)).zip(updated).toMap
+      centroids = centroids.indices.map(i => byCk.getOrElse(i, centroids(i))).toArray
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ckey", "centroid")
+      .select(F.col("ckey"), F.col("centroid").cast("array<float>"))
+  }
+
   /** Assign each vector to its nearest centroid by cosine (broadcast
     * centroids; ties broken by key). Narrow over the corpus + broadcast:
     * no corpus shuffle. */

@@ -39,6 +39,24 @@ class IvfSkewSpec extends SparkSpec {
     assert(ivf2.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("kmeans quantizer: deterministic, k clusters, full-probe search == brute force") {
+    val c1 = Ivf.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val c2 = Ivf.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(c1.count() == 8)
+    val v1 = c1.orderBy("ckey").collect().map(_.getSeq[Float](1))
+    val v2 = c2.orderBy("ckey").collect().map(_.getSeq[Float](1))
+    assert(v1.toSeq == v2.toSeq) // deterministic
+
+    val queries = emb.filter(F.col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.search(emb, c1, queries, "vec_id", "embedding", k = 3, nprobe = 8)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
   test("salted count equals plain count") {
     val plain = li.groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
