@@ -75,8 +75,11 @@ final class Validator(val schema: GSchema) {
         s"Missing required columns: ${missingRequired.mkString(", ")}")
 
     val cols = schema.fields.map { f =>
+      // try_cast: malformed values become null (the reference's polars
+      // cast(strict=False)) instead of throwing under ANSI mode; the
+      // nullability checks then flag or filter them
       val base =
-        if (present(f.name)) F.col(f.name).cast(f.dataType)
+        if (present(f.name)) F.col(f.name).try_cast(f.dataType)
         else F.lit(f.default.get).cast(f.dataType)
       val filled =
         if (fillNulls && f.default.isDefined && present(f.name))
@@ -102,7 +105,9 @@ final class Validator(val schema: GSchema) {
     val coerced = coerce(df, fillNulls)
     val checks = compiledChecks
     val aggs = checks.zipWithIndex.map { case ((_, ok), i) =>
-      F.sum(F.when(!ok, 1L).otherwise(0L)).as(s"_c$i")
+      // coalesce: sum over an EMPTY frame is null, which would read as
+      // a null violation count (and NPE strict mode)
+      F.coalesce(F.sum(F.when(!ok, 1L).otherwise(0L)), F.lit(0L)).as(s"_c$i")
     }
     val counted = coerced.agg(aggs.head, aggs.tail: _*)
     val pairs = checks.zipWithIndex.map { case ((msg, _), i) =>

@@ -109,6 +109,30 @@ class ValidatorSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("empty DataFrame validates cleanly in every mode") {
+    val empty = df(Seq())
+    assert(schema.validator.validate(empty, strict = true).count() == 0)
+    assert(schema.validator.validate(empty, strict = false).count() == 0)
+    val rep = schema.validator.report(empty).collect()
+    assert(rep.nonEmpty && rep.forall(_.getLong(1) == 0L))
+  }
+
+  test("corrupt values survive coercion as nulls and are caught by checks") {
+    import org.apache.spark.sql.types.{StringType, StructField => SF, StructType => ST}
+    val in = spark.createDataFrame(
+      Seq(Row("7", "Widget", "9.5", null),
+          Row("oops", "Gadget", "not-a-number", null)).asJava,
+      ST(Seq(SF("id", StringType), SF("name", StringType),
+        SF("price", StringType), SF("discount_price", StringType))))
+    // cast failures → null → non-nullable checks flag them
+    val out = schema.validator.validate(in, strict = false)
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val rep = schema.validator.report(in).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("id must not be null") == 1L)
+    assert(rep("price must not be null") == 1L)
+  }
+
   test("uniqueViolations finds duplicate keys") {
     val in = df(Seq(good, Row(1L, "Other", 2.0, null), Row(2L, "Third", 3.0, null)))
     val v = schema.validator.uniqueViolations(in).collect()
