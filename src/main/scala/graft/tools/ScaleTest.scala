@@ -44,6 +44,18 @@ object ScaleTest {
       graft.operators.Ivf.centroidsByKey(e, "label", "embedding"), "vec_id", "embedding").count())
     time("topk_brute_10q")(graft.operators.Similarity.bruteForceTopK(
       e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5).count())
+
+    // validation path at ~6M rows
+    val li0 = spark.read.parquet(s"$base/lineitem.parquet")
+    val nLi = li0.count()
+    (0 until mult).map { i =>
+      li0.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10000000L))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    println(s"lineitem scale rows: ${li.count()}")
+    val v = graft.queries.Schemas.lineitem.validator
+    time("validate_filter_6M")(v.filterValid(li).count())
+    time("violation_report_6M")(v.report(li).count())
     spark.stop()
   }
 }
