@@ -620,6 +620,66 @@ object CoreQueries {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- C16
+  private val aggCube = QueryDef(
+    "agg_cube",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("g_orders2")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g1,
+               CAST(grouping(o_orderpriority) AS INT) AS g2,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+               count(*) AS n
+        FROM g_orders2
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g1, g2, o_orderstatus, o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INTEGER) AS g1,
+             CAST(grouping(o_orderpriority) AS INTEGER) AS g2,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+             count(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g1, g2, o_orderstatus, o_orderpriority"""))
+
+  // --------------------------------------------------------------- C17
+  private val windowLead = QueryDef(
+    "window_lead",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events").filter(F.col("user_id") < 20)
+        .select(
+          F.col("user_id"), F.col("event_id"),
+          F.lead("event_type", 1).over(w).as("next_type"),
+          F.lead("event_type", 2, "none").over(w).as("next2_type"),
+          F.first("event_type").over(w).as("first_type"),
+          F.last("event_type").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)).as("last_type"),
+          F.nth_value(F.col("event_type"), 2).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("second_type"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             lead(event_type, 1) OVER w AS next_type,
+             lead(event_type, 2, 'none') OVER w AS next2_type,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+             nth_value(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_type
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
   // ---------------------------------------------------------------- C7
   private val aggDistinct = QueryDef(
     "agg_distinct",
@@ -659,5 +719,6 @@ object CoreQueries {
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
     windowTopN, aggTopK, windowRunning, sessionize, aggRollup, pivotEvents,
-    aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange)
+    aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange,
+    aggCube, windowLead)
 }
