@@ -93,6 +93,38 @@ object PipelineQueries {
          |FROM tokh GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  // --------------------------------------------------------------- D4b
+  /** Near-dup pairs by SimHash hamming distance within language blocks. */
+  private val simhashPairs = QueryDef(
+    "simhash_pairs",
+    (s, d) => {
+      val withLang = Dedup.simhash(t(s, d, "documents"), "doc_id", "text", SIMHASH_BITS)
+        .join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+      Dedup.simhashPairs(withLang, "lang", maxHamming = 6)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bits = (0 until SIMHASH_BITS).map { b =>
+        s"(CASE WHEN sum(cnt * (((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |tokh AS (SELECT doc_id, cnt, ${Hashing.hash60Sql("tok")} AS h FROM tok),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |       FROM tokh GROUP BY doc_id),
+         |shl AS (SELECT sh.doc_id, simhash, lang
+         |        FROM sh JOIN documents USING (doc_id))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM shl a JOIN shl b
+         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
   // ---------------------------------------------------------------- D5
   private val ngramJaccard = QueryDef(
     "ngram_jaccard",
@@ -395,7 +427,8 @@ object PipelineQueries {
     None)
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, ngramJaccard,
+    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
+    ngramJaccard,
     embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta)
