@@ -109,6 +109,12 @@ class ValidatorSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("showViolations prints the report without altering the result") {
+    val out = schema.validator.validate(
+      df(Seq(good, badName)), strict = false, showViolations = true)
+    assert(out.count() == 1)
+  }
+
   test("empty DataFrame validates cleanly in every mode") {
     val empty = df(Seq())
     assert(schema.validator.validate(empty, strict = true).count() == 0)
