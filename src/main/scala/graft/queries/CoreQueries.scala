@@ -16,6 +16,15 @@ object CoreQueries {
   /** Exact decimal image of a ≤2dp double column (sums become exact and
     * engine-independent). */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Hash-portable output image of an exact decimal aggregate. Decimal
+    * output types hash-mismatch the oracle (Spark's DECIMAL(p+10,s) vs
+    * DuckDB's DECIMAL(38,s) land as different pandas types on the
+    * driver), so format the exact decimal to its plain string and parse
+    * it back as a double: both engines produce the identical string and
+    * both parse it with a correctly-rounded strtod → identical bits.
+    * DuckDB side: CAST(CAST(x AS VARCHAR) AS DOUBLE). */
+  private def pd(c: Column): Column = c.cast("string").cast("double")
   private def ts(s: String): Column = F.to_timestamp(F.lit(s))
 
   // ---------------------------------------------------------------- A3
@@ -265,26 +274,26 @@ object CoreQueries {
       li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          F.sum(dec(F.col("l_quantity"))).as("sum_qty"),
-          F.sum(dec(F.col("l_extendedprice"))).as("sum_base_price"),
-          F.sum(discPrice).as("sum_disc_price"),
-          F.sum(dec(F.col("l_extendedprice")) * taxMul).as("sum_charge"),
-          F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6).as("avg_qty"),
-          F.round(F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1)), 6).as("avg_disc"),
+          pd(F.sum(dec(F.col("l_quantity")))).as("sum_qty"),
+          pd(F.sum(dec(F.col("l_extendedprice")))).as("sum_base_price"),
+          pd(F.sum(discPrice)).as("sum_disc_price"),
+          pd(F.sum(dec(F.col("l_extendedprice")) * taxMul)).as("sum_charge"),
+          F.round(pd(F.sum(dec(F.col("l_quantity")))) / F.count(F.lit(1)), 6).as("avg_qty"),
+          F.round(pd(F.sum(dec(F.col("l_discount")))) / F.count(F.lit(1)), 6).as("avg_disc"),
           F.count(F.lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                  * CAST(CAST(1.0 - l_discount AS DECIMAL(18,4))
-                        * CAST(1.0 + l_tax AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS sum_charge,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
-             round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                        * CAST(1.0 + l_tax AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+             round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty,
+             round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -301,15 +310,15 @@ object CoreQueries {
       li.join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1.0) - F.col("l_discount")))
+        .agg(pd(F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1.0) - F.col("l_discount"))))
           .as("revenue"))
         .orderBy(F.col("revenue").desc, F.col("l_orderkey"))
         .limit(10)
     },
     Some("""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS revenue
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         AND l_orderkey = o_orderkey
@@ -333,15 +342,15 @@ object CoreQueries {
         .join(F.broadcast(region), F.col("n_regionkey") === F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-          F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1.0) - F.col("l_discount")))
+          pd(F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1.0) - F.col("l_discount"))))
             .as("revenue"),
           F.count(F.lit(1)).as("n_items"))
         .orderBy(F.col("revenue").desc, F.col("n_name"))
     },
     Some("""
       SELECT n_name,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS revenue,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM region, nation, customer, orders, lineitem
       WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
@@ -443,16 +452,16 @@ object CoreQueries {
           F.col("user_id"), F.col("event_id"),
           F.row_number().over(w).as("rn"),
           F.lag("value", 1).over(w).as("prev_value"),
-          F.sum(dec(F.col("value"))).over(wRows).as("run_sum"))
+          pd(F.sum(dec(F.col("value"))).over(wRows)).as("run_sum"))
         .orderBy("user_id", "rn")
     },
     Some("""
       SELECT user_id, event_id,
              CAST(row_number() OVER w AS INTEGER) AS rn,
              lag(value, 1) OVER w AS prev_value,
-             sum(CAST(value AS DECIMAL(18,4))) OVER
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS run_sum
+                   ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_sum
       FROM events WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, rn"""))
@@ -487,8 +496,8 @@ object CoreQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end
@@ -507,7 +516,7 @@ object CoreQueries {
       s.sql("""
         SELECT /*+ BROADCAST(g_customer), BROADCAST(g_nation) */
                n_name, CAST(grouping(n_name) AS INT) AS grp,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_price,
                count(*) AS n_orders
         FROM g_orders JOIN g_customer ON o_custkey = c_custkey
              JOIN g_nation ON c_nationkey = n_nationkey
@@ -516,7 +525,7 @@ object CoreQueries {
     },
     Some("""
       SELECT n_name, CAST(grouping(n_name) AS INTEGER) AS grp,
-             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
              count(*) AS n_orders
       FROM orders, customer, nation
       WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
@@ -608,13 +617,13 @@ object CoreQueries {
         .select(
           F.col("event_id"), F.col("user_id"),
           F.count(F.lit(1)).over(w).as("n_last_hour"),
-          F.sum(dec(F.col("value"))).over(w).as("sum_last_hour"))
+          pd(F.sum(dec(F.col("value"))).over(w)).as("sum_last_hour"))
         .orderBy("event_id")
     },
     Some("""
       SELECT event_id, user_id,
              count(*) OVER w AS n_last_hour,
-             sum(CAST(value AS DECIMAL(18,4))) OVER w AS sum_last_hour
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS sum_last_hour
       FROM events WHERE user_id < 50
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -629,7 +638,7 @@ object CoreQueries {
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS INT) AS g1,
                CAST(grouping(o_orderpriority) AS INT) AS g2,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_price,
                count(*) AS n
         FROM g_orders2
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -639,7 +648,7 @@ object CoreQueries {
       SELECT o_orderstatus, o_orderpriority,
              CAST(grouping(o_orderstatus) AS INTEGER) AS g1,
              CAST(grouping(o_orderpriority) AS INTEGER) AS g2,
-             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
              count(*) AS n
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -706,12 +715,12 @@ object CoreQueries {
         F.col("event_type"))
       .agg(
         F.count(F.lit(1)).as("n"),
-        F.sum(dec(F.col("value"))).as("sum_value"))
+        pd(F.sum(dec(F.col("value")))).as("sum_value"))
       .orderBy("win_start", "event_type"),
     Some("""
       SELECT date_trunc('hour', ts) AS win_start, event_type,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
   val all: Seq[QueryDef] = Seq(

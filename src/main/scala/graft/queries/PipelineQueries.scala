@@ -398,13 +398,14 @@ object PipelineQueries {
         .groupBy("s_name")
         .agg(
           F.sum(F.col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("string").cast("double") // hash-portable: see CoreQueries.pd
             .as("total_price"),
           F.count(F.lit(1)).as("n_items"))
         .orderBy("s_name")
     },
     Some("""
       SELECT s_name,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
              count(*) AS n_items
       FROM lineitem, supplier WHERE l_suppkey = s_suppkey
       GROUP BY s_name ORDER BY s_name"""))

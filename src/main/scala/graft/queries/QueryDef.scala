@@ -16,9 +16,15 @@ object Tables {
     * parquet reader rejects; read nanos as long and convert to micros
     * with exact integer division (matches DuckDB's nanos→micros
     * truncation). */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark) // idempotent
-    graft.functions.TopKFunctions.register(spark)
+    if (registered.add(spark)) { // once per session: re-registering spams WARNs
+      graft.functions.VectorFunctions.register(spark)
+      graft.functions.TopKFunctions.register(spark)
+    }
 
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,8 +34,11 @@ for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
     try:
-        got = con.execute(
-            f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+        # read spark output with pyarrow (NOT duckdb): keeps decimal /
+        # int widths as written, like the driver's hash sees them
+        import pandas as pd
+        parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
     except Exception as e:
         fails.append((name, f"no spark output: {e}")); continue
     try:
@@ -50,11 +53,46 @@ for name, sql in sorted(oracle.items()):
         continue
     if len(got) != len(exp):
         fails.append((name, f"row count {len(got)} vs {len(exp)}")); continue
-    # exact compare (driver hashes values)
+    # exact compare (driver hashes values, type-sensitively: decimal vs
+    # float vs int mismatches hash-fail even when numerically equal)
     import pandas as pd
+    import numpy as np
     diff_cols = []
     for c in got.columns:
         a, b = got[c], exp[c]
+        # timestamps: driver normalizes units (INT96→ns vs duckdb µs both
+        # hash-matched in r1), so compare values, not units; same for
+        # date32→object(date) vs duckdb datetime64
+        def is_dt(s):
+            return str(s.dtype).startswith("datetime64") or (
+                str(s.dtype) == "object" and len(s) and
+                all(type(v).__name__ in ("date", "datetime", "Timestamp")
+                    for v in s if v is not None))
+        if is_dt(a) and is_dt(b):
+            a = pd.to_datetime(a).astype("datetime64[us]")
+            b = pd.to_datetime(b).astype("datetime64[us]")
+            if not (a.eq(b) | (a.isna() & b.isna())).all():
+                i = int((~(a.eq(b) | (a.isna() & b.isna()))).to_numpy().argmax())
+                diff_cols.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+            continue
+        if str(a.dtype) != str(b.dtype):
+            diff_cols.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+            continue
+        if str(a.dtype) == "object" and len(a):
+            ta = {type(v).__name__ for v in a if v is not None}
+            tb = {type(v).__name__ for v in b if v is not None}
+            if ta != tb:
+                diff_cols.append(f"{c}: value types {ta} vs {tb}")
+                continue
+        if str(a.dtype) == "float64":
+            av, bv = a.to_numpy(), b.to_numpy()
+            eq = bool(np.all((av.view("int64") == bv.view("int64"))
+                             | (np.isnan(av) & np.isnan(bv))))
+            if not eq:
+                i = int(np.argmax(~((av.view("int64") == bv.view("int64"))
+                                    | (np.isnan(av) & np.isnan(bv)))))
+                diff_cols.append(f"{c}[{i}]: {av[i]!r} vs {bv[i]!r} (bitwise)")
+            continue
         try:
             eq = (a.eq(b) | (a.isna() & b.isna())).all()
         except Exception:
