@@ -24,8 +24,10 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false)))
 
   /** STUB decoder: a real implementation would call the codec here
-    * (javax.imageio / ffmpeg bindings). Deterministic on input bytes so
-    * tests are stable. */
+    * (javax.imageio / ffmpeg bindings). Deterministic on input bytes AND
+    * engine-portable: the fake dimensions derive from the md5 content
+    * hash (graft.operators.Hashing.hash60 semantics), so a SQL oracle
+    * can reproduce them exactly. */
   object FakeDecoder {
     def decode(bytes: Array[Byte]): (String, Int, Int) = {
       val magic = bytes.take(2).map("%02x".format(_)).mkString
@@ -34,9 +36,10 @@ object Multimodal {
         case "8950" => "png"
         case _      => "raw"
       }
-      // fake dimensions derived from content hash — placeholder for ???
-      val h = math.abs(java.util.Arrays.hashCode(bytes))
-      (format, (h % 640) + 1, (h / 640 % 480) + 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (format, ((h % 640) + 1).toInt, ((h / 640 % 480) + 1).toInt)
     }
   }
 

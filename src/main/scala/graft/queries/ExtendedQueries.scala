@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.DecimalType
+import Tables.t
+
+/** Wave-3 inventory: JSON extraction, portable exact statistics, set
+  * operations, collect aggregates, GROUPING SETS, ranking windows,
+  * source/sink round-trips (csv/json, partitioned parquet, bucketed
+  * tables) and deterministic k-means IVF quantization.
+  *
+  * Oracle-parity: decimal-exact internal sums surfaced via the
+  * string→double round-trip (see CoreQueries.pd); double formulas are
+  * written with the identical expression tree on both engines.
+  */
+object ExtendedQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def pd(c: Column): Column = c.cast("string").cast("double")
+
+  // ------------------------------------------------------------ B7 json
+  /** JSON property extraction from the events.props payload column. */
+  private val jsonExtract = QueryDef(
+    "json_extract",
+    (s, d) => t(s, d, "events").select(
+      F.col("event_id"),
+      F.get_json_object(F.col("props"), "$.k").cast("long").as("prop_k"),
+      F.get_json_object(F.col("props"), "$.missing").isNull.as("no_extra"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+             json_extract_string(props, '$.missing') IS NULL AS no_extra
+      FROM events ORDER BY event_id"""))
+
+  // ----------------------------------------------------------- C18 stats
+  /** Sample variance / stddev / covariance / correlation from EXACT
+    * decimal power sums — the final double formula is evaluated with the
+    * identical expression tree in both engines, so the moments are
+    * bit-portable (a naive stddev_samp aggregates doubles in partition
+    * order and drifts by ULPs between engines). */
+  private val aggStats = QueryDef(
+    "agg_stats",
+    (s, d) => {
+      val x = dec(F.col("l_quantity"))
+      val y = dec(F.col("l_extendedprice"))
+      val li = t(s, d, "lineitem")
+      val agged = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).as("n_rows"),
+        pd(F.sum(x)).as("_sx"), pd(F.sum((x * x).cast(DecimalType(38, 8)))).as("_sxx"),
+        pd(F.sum(y)).as("_sy"), pd(F.sum((y * y).cast(DecimalType(38, 8)))).as("_syy"),
+        pd(F.sum((x * y).cast(DecimalType(38, 8)))).as("_sxy"))
+      val n = F.col("n_rows").cast("double")
+      val sx = F.col("_sx"); val sxx = F.col("_sxx")
+      val sy = F.col("_sy"); val syy = F.col("_syy"); val sxy = F.col("_sxy")
+      agged.select(
+        F.col("l_returnflag"), F.col("n_rows"),
+        F.round((sxx - sx * sx / n) / (n - 1.0), 6).as("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1.0)), 6).as("std_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1.0), 6).as("covar_qp"),
+        F.round((sxy - sx * sy / n) /
+          (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6).as("corr_qp"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH sums AS (
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n_rows,
+             round((sxx - sx * sx / n) / (n - 1.0), 6) AS var_qty,
+             round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_qty,
+             round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_qp,
+             round((sxy - sx * sy / n)
+                   / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qp
+      FROM (SELECT *, CAST(n_rows AS DOUBLE) AS n FROM sums)
+      ORDER BY l_returnflag"""))
+
+  // ------------------------------------------------------------ C19 sets
+  /** INTERSECT / EXCEPT / UNION-distinct between two key sets. */
+  private val setOps = QueryDef(
+    "set_ops",
+    (s, d) => {
+      val building = t(s, d, "customer")
+        .filter(F.col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val urgent = t(s, d, "orders")
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .select(F.col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(urgent).withColumn("op", F.lit("intersect"))
+        .unionByName(building.except(urgent).withColumn("op", F.lit("except")))
+        .unionByName(building.union(urgent).distinct().withColumn("op", F.lit("union")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+    Some("""
+      SELECT 'intersect' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'except' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'union' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      ORDER BY op, c_custkey"""))
+
+  // --------------------------------------------------------- C20 collect
+  /** collect_list / collect_set aggregates, surfaced as joined strings
+    * (engine-portable representation of list results). */
+  private val aggCollect = QueryDef(
+    "agg_collect",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        F.array_join(F.array_sort(F.collect_set(F.col("o_orderstatus"))), ",")
+          .as("statuses"),
+        F.array_join(
+          F.slice(F.array_sort(F.collect_list(F.col("o_orderkey"))), 1, 10)
+            .cast("array<string>"), ",").as("first_keys"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+             array_to_string(list_transform(list_sort(list(o_orderkey))[1:10],
+                                            x -> CAST(x AS VARCHAR)), ',') AS first_keys,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // --------------------------------------------- C21 explicit grouping sets
+  private val groupingSets = QueryDef(
+    "grouping_sets",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("g_orders3")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g1,
+               CAST(grouping(o_orderpriority) AS INT) AS g2,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_price,
+               count(*) AS n
+        FROM g_orders3
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g1, g2, o_orderstatus, o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INTEGER) AS g1,
+             CAST(grouping(o_orderpriority) AS INTEGER) AS g2,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g1, g2, o_orderstatus, o_orderpriority"""))
+
+  // ----------------------------------------------------- C22 rank family
+  /** rank / dense_rank / percent_rank / cume_dist / ntile. Rank functions
+    * order by the raw value (ties collapse deterministically); ntile needs
+    * a total order so its window adds the key tie-break. */
+  private val windowNtile = QueryDef(
+    "window_ntile",
+    (s, d) => {
+      val wRank = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val wPos = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority"),
+        F.rank().over(wRank).cast("long").as("rnk"),
+        F.dense_rank().over(wRank).cast("long").as("drnk"),
+        F.percent_rank().over(wRank).as("pct"),
+        F.cume_dist().over(wRank).as("cume"),
+        F.ntile(4).over(wPos).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(rank() OVER wr AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER wr AS BIGINT) AS drnk,
+             percent_rank() OVER wr AS pct,
+             cume_dist() OVER wr AS cume,
+             CAST(ntile(4) OVER wp AS BIGINT) AS quartile
+      FROM orders
+      WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+             wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  // ------------------------------------------------------------------ H2
+  /** csv + json round-trip with explicit schema enforcement: write the
+    * supplier table to both formats, read each back with the declared
+    * schema, verify content equals the source (the oracle reads the
+    * source directly). Doubles survive because both writers emit the
+    * shortest round-trip representation. */
+  private val sourceRoundtrip = QueryDef(
+    "source_roundtrip",
+    (s, d) => {
+      val base = s"/tmp/graft_h2_${new java.io.File(d).getName}"
+      val sup = t(s, d, "supplier")
+      sup.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      sup.write.mode("overwrite").json(s"$base/json")
+      val csv = s.read.schema(sup.schema).option("header", "true")
+        .csv(s"$base/csv").withColumn("fmt", F.lit("csv"))
+      val json = s.read.schema(sup.schema).json(s"$base/json")
+        .withColumn("fmt", F.lit("json"))
+      csv.unionByName(json).orderBy("fmt", "s_suppkey")
+    },
+    Some("""
+      SELECT *, 'csv' AS fmt FROM supplier
+      UNION ALL
+      SELECT *, 'json' AS fmt FROM supplier
+      ORDER BY fmt, s_suppkey"""))
+
+  // ------------------------------------------------------------------ H3
+  /** Partitioned parquet write + partition-pruned read: orders land
+    * hive-partitioned by priority; the read back filters ONE partition
+    * (explain shows PartitionFilters, no full scan) and aggregates. */
+  private val partitionedPrune = QueryDef(
+    "partitioned_prune",
+    (s, d) => {
+      val out = s"/tmp/graft_h3_${new java.io.File(d).getName}"
+      t(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+          F.count(F.lit(1)).as("n_orders"),
+          pd(F.sum(dec(F.col("o_totalprice")))).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ------------------------------------------------------------------ H4
+  /** Co-bucketed join: both sides bucketed+sorted on the join key with
+    * the same bucket count → sort-merge join with NO exchange on either
+    * side (asserted in BucketingSpec; this query verifies the results
+    * through the managed-table write/read path). */
+  private val bucketedJoin = QueryDef(
+    "bucketed_join",
+    (s, d) => {
+      val sf = new java.io.File(d).getName.replace(".", "_").replace("-", "_")
+      val ob = s"g_orders_bkt_$sf"; val cb = s"g_cust_bkt_$sf"
+      // managed-table dirs survive across sessions while the in-memory
+      // catalog does not — clear them so saveAsTable never hits
+      // "location already exists"
+      val wh = new java.io.File(java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq(ob, cb).foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val dir = new java.io.File(wh, n)
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
+      }
+      t(s, d, "orders").write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
+      t(s, d, "customer").write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
+      s.table(ob).hint("MERGE")
+        .join(s.table(cb), F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          F.count(F.lit(1)).as("n_orders"),
+          pd(F.sum(dec(F.col("o_totalprice")))).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ------------------------------------------------------------ D9c
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  /** Deterministic Lloyd k-means (k=4, 2 iterations, md5-hash-ordered
+    * seeds) + final nearest-centroid assignment, summarized per cluster.
+    * The oracle unrolls both iterations as CTEs; float32-cast means and
+    * 6dp-rounded cosines keep every step engine-portable. */
+  private val embedKmeans = QueryDef(
+    "embed_kmeans",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Ivf.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 4, iters = 2)
+      graft.operators.Ivf.assign(emb, cents, "vec_id", "embedding")
+        .groupBy("centroid_label")
+        .agg(
+          F.count(F.lit(1)).as("n_members"),
+          F.min("cos").as("min_cos"),
+          F.max("cos").as("max_cos"))
+        .orderBy("centroid_label")
+    },
+    Some {
+      def assignCte(score: String, from: String): String =
+        s"""(SELECT vec_id, ck, cos FROM (
+           |    SELECT e.vec_id, c.ck, $score AS cos,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY $score DESC, c.ck) AS rn
+           |    FROM embeddings e, $from c) WHERE rn = 1)""".stripMargin
+      def meansCte(assign: String): String =
+        s"""(SELECT ck, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
+           |  FROM (SELECT a.ck, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS cv
+           |        FROM $assign a JOIN embeddings e USING (vec_id),
+           |             generate_series(1, 64) AS t(i)
+           |        GROUP BY 1, 2) GROUP BY ck)""".stripMargin
+      val cos = cosSql("e.embedding", "c.centroid")
+      s"""WITH seeds AS (
+         |  SELECT ck, centroid FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS ck,
+         |           embedding AS centroid
+         |    FROM (SELECT vec_id, ${graft.operators.Hashing.hash60Sql("CAST(vec_id AS VARCHAR)")} AS h,
+         |                 embedding FROM embeddings)) WHERE ck < 4),
+         |a1 AS ${assignCte(cos, "seeds")},
+         |c1 AS ${meansCte("a1")},
+         |c1f AS (SELECT * FROM c1 UNION ALL
+         |        SELECT s.ck, s.centroid FROM seeds s
+         |        WHERE s.ck NOT IN (SELECT ck FROM c1)),
+         |a2 AS ${assignCte(cos, "c1f")},
+         |c2 AS ${meansCte("a2")},
+         |c2f AS (SELECT * FROM c2 UNION ALL
+         |        SELECT s.ck, s.centroid FROM seeds s
+         |        WHERE s.ck NOT IN (SELECT ck FROM c2)),
+         |a3 AS ${assignCte(cos, "c2f")}
+         |SELECT CAST(ck AS INTEGER) AS centroid_label, count(*) AS n_members,
+         |       min(cos) AS min_cos, max(cos) AS max_cos
+         |FROM a3 GROUP BY ck ORDER BY centroid_label""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
+    sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans)
+}

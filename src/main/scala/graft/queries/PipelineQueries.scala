@@ -411,9 +411,10 @@ object PipelineQueries {
       GROUP BY s_name ORDER BY s_name"""))
 
   // ------------------------------------------------------------ F2
-  /** Batched multimodal decode pipeline. No SQL oracle (the stub
-    * decoder's dimensions are JVM-hash-derived) → driver records a
-    * rows-only check; determinism is covered by `MultimodalSourcesSpec`. */
+  /** Batched multimodal decode pipeline (mapPartitions batch iterator).
+    * The stub decoder derives fake dimensions from the md5 content hash,
+    * so the oracle reproduces them in SQL; the batching/schema plumbing
+    * is additionally covered by `MultimodalSourcesSpec`. */
   private val multimodalMeta = QueryDef(
     "multimodal_meta",
     (s, d) => {
@@ -422,10 +423,20 @@ object PipelineQueries {
       graft.operators.Multimodal.withMediaMeta(docs, "payload", batchSize = 64)
         .select(F.col("doc_id"), F.col("media_meta.format").as("format"),
           F.col("media_meta.width").as("width"),
+          F.col("media_meta.height").as("height"),
           F.col("media_meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""
+      SELECT doc_id,
+             CASE substr(lower(hex(encode(substr(text, 1, 2)))), 1, 4)
+               WHEN 'ffd8' THEN 'jpeg' WHEN '8950' THEN 'png'
+               ELSE 'raw' END AS format,
+             CAST((h % 640) + 1 AS INTEGER) AS width,
+             CAST((h // 640 % 480) + 1 AS INTEGER) AS height,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM (SELECT doc_id, text, ${Hashing.hash60Sql("text")} AS h FROM documents)
+      ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
