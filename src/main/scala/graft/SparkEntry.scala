@@ -1,13 +1,14 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtendedQueries, PipelineQueries, QueryDef}
+import graft.queries.{CoreQueries, ExtendedQueries, PipelineQueries, QueryDef, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
-    CoreQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

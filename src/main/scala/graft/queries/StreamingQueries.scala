@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Streaming-executed inventory entries (G): each query REALLY runs
+  * Structured Streaming — file source → stream transforms → memory sink
+  * (Trigger.AvailableNow drains the backlog then stops) — and its result
+  * is checked against the same DuckDB oracle as the batch twin. This is
+  * the strongest form of the "streaming == batch semantics" claim.
+  *
+  * Scale notes: the file source is the bounded stand-in for Kafka; all
+  * plans here are the incremental-execution versions (stateful agg /
+  * dedup state in the state store, watermark-driven eviction covered in
+  * StreamingSpec with late data).
+  */
+object StreamingQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def pd(c: Column): Column = c.cast("string").cast("double")
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stage a driver table as a parquet DIRECTORY (the file streaming
+    * source wants a directory it can list) with converted timestamps. */
+  private def stage(s: SparkSession, d: String, table: String): String = {
+    val dir = s"/tmp/graft_stream_${new java.io.File(d).getName}/$table"
+    t(s, d, table).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Run a bounded stream into a memory sink and return its content. */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ------------------------------------------------------------------ G2
+  /** Tumbling-window aggregate executed AS A STREAM (the batch
+    * window_tumbling twin; same oracle). */
+  private val streamTumbling = QueryDef(
+    "stream_tumbling",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          pd(F.sum(dec(F.col("value")))).as("sum_value"))
+        .select(F.col("window.start").as("win_start"), F.col("event_type"),
+          F.col("n"), F.col("sum_value"))
+      drain(agg, "complete").orderBy("win_start", "event_type")
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  // ------------------------------------------------------------------ G1
+  /** Filter-mode schema validation of a stream: the SAME declarative
+    * validator plan as batch (stateless narrow transforms → append
+    * mode), drained and compared to the batch oracle. */
+  private val streamValidate = QueryDef(
+    "stream_validate",
+    (s, d) => {
+      val dir = stage(s, d, "lineitem")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val valid = graft.streaming.StreamOps.validateStream(stream, Schemas.lineitem)
+      drain(valid, "append").orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+             l_shipdate
+      FROM lineitem
+      WHERE l_orderkey >= 0 AND l_quantity >= 1 AND l_quantity <= 45
+        AND l_extendedprice > 0 AND l_discount >= 0 AND l_discount <= 0.05
+        AND l_tax >= 0
+        AND length(l_returnflag) BETWEEN 1 AND 1
+        AND regexp_matches(l_returnflag, '^[ANR]$')
+        AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        AND l_extendedprice / l_quantity <= 2000.0
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ------------------------------------------------------------------ G3
+  /** Stateful streaming exact-dedup: dropDuplicates state persists
+    * across micro-batches, so the drained sink holds exactly one row per
+    * (event_type, user_id); a batch count over it is order-independent
+    * and equals DISTINCT on the source. (Bounded-backfill shape; the
+    * watermark-bounded variant is exercised in StreamingSpec.) */
+  private val streamDedup = QueryDef(
+    "stream_dedup",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val first = stream.dropDuplicates(Seq("event_type", "user_id"))
+      drain(first, "append")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup)
+}

@@ -7,7 +7,11 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (n <- Seq("validate_filter", "agg_q1", "join_pricing", "dedup_minhash", "embed_cosine_topk")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("validate_filter", "agg_q1", "join_pricing", "dedup_minhash",
+        "embed_cosine_topk", "partitioned_prune", "bucketed_join", "set_ops",
+        "agg_stats", "window_ntile")
+    for (n <- names) {
       println(s"========== $n")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
     }
