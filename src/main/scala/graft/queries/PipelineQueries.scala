@@ -438,10 +438,117 @@ object PipelineQueries {
       FROM (SELECT doc_id, text, ${Hashing.hash60Sql("text")} AS h FROM documents)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- E5
+  /** Deterministic hash-based sampling + train/valid/test split: the
+    * md5 bucket of the id is stable across runs, engines and cluster
+    * sizes — the only sane way to sample/split 100 TB reproducibly
+    * (rand() re-rolls per retry/task). 50% sample, 8/1/1 split. */
+  private val sampleHash = QueryDef(
+    "sample_hash",
+    (s, d) => {
+      val h = Hashing.hash60(F.col("doc_id").cast("string"))
+      t(s, d, "documents")
+        .select(F.col("doc_id"), F.col("lang"),
+          (h % 100).as("bucket"),
+          F.when(h % 10 < 8, "train").when(h % 10 === 8, "valid")
+            .otherwise("test").as("split"))
+        .filter(F.col("bucket") < 50)
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, $h % 100 AS bucket,
+         |       CASE WHEN $h % 10 < 8 THEN 'train'
+         |            WHEN $h % 10 = 8 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM documents WHERE $h % 100 < 50
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E6
+  /** Text canonicalization: lowercase, strip punctuation, collapse
+    * whitespace — the normalize step before fingerprint/shingle dedup. */
+  private val textNormalize = QueryDef(
+    "text_normalize",
+    (s, d) => {
+      val norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[.,!?;]", ""), " +", " "))
+      t(s, d, "documents").select(
+        F.col("doc_id"),
+        F.length(F.col("text")).cast("long").as("n_raw"),
+        F.length(norm).cast("long").as("n_norm"),
+        F.md5(norm).as("norm_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_raw,
+             CAST(length(norm) AS BIGINT) AS n_norm,
+             md5(norm) AS norm_hash
+      FROM (SELECT doc_id, text,
+              trim(regexp_replace(regexp_replace(lower(text), '[.,!?;]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E7
+  /** Composed training-data pipeline in ONE declarative plan: exact-dedup
+    * representatives → language ID → quality score → filter. Each step
+    * is a narrow transform or a single-shuffle aggregate, so the whole
+    * pipeline is one scan + one shuffle at any scale. */
+  private val pipelineQuality = QueryDef(
+    "pipeline_quality",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = docs
+        .groupBy(F.md5(F.col("text")).as("_th"))
+        .agg(F.min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val cols = TextOps.qualityColumns(F.col("text")).toMap
+      docs.join(keep, "doc_id")
+        .select(F.col("doc_id"),
+          TextOps.langId(F.col("text")).as("pred_lang"),
+          cols("n_tokens").as("n_tokens"),
+          cols("quality").as("quality"))
+        .filter(F.col("pred_lang") === "en" && F.col("quality") >= 0.2)
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
+      val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+        lang -> s"len(list_filter($toksSql, x -> $cond))"
+      }
+      val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
+      val cases = markerSql.map(_._1)
+        .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
+        .mkString("\n                  ")
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |feats AS (
+         |  SELECT doc_id,
+         |         ${markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n         ")},
+         |         len($toksSql) AS n_tokens,
+         |         len(list_filter($toksSql, x -> $stop)) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS n_chars_len
+         |  FROM documents JOIN keep USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CASE $cases ELSE 'unknown' END AS pred_lang,
+         |         n_tokens,
+         |         round((n_stop * 1.0 / n_tokens) * 0.5
+         |               + (n_punct * 1.0 / n_chars_len) * 0.3
+         |               + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality
+         |  FROM feats)
+         |SELECT doc_id, pred_lang, n_tokens, quality FROM scored
+         |WHERE pred_lang = 'en' AND quality >= 0.2
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
     embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
-    multimodalMeta)
+    multimodalMeta, sampleHash, textNormalize, pipelineQuality)
 }

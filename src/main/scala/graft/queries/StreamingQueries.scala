@@ -24,11 +24,18 @@ object StreamingQueries {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  private val staged =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   /** Stage a driver table as a parquet DIRECTORY (the file streaming
-    * source wants a directory it can list) with converted timestamps. */
+    * source wants a directory it can list) with converted timestamps.
+    * Written once per (sf, table) per JVM — several streaming queries
+    * share the same staged input. */
   private def stage(s: SparkSession, d: String, table: String): String = {
     val dir = s"/tmp/graft_stream_${new java.io.File(d).getName}/$table"
-    t(s, d, table).write.mode("overwrite").parquet(dir)
+    if (staged.add(dir))
+      t(s, d, table).write.mode("overwrite").parquet(dir)
     dir
   }
 
