@@ -105,12 +105,16 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance within a blocking key
-    * (avoids O(n²): only same-block pairs are compared). */
+    * (avoids O(n²): only same-block pairs are compared). The signature
+    * frame is persisted: the self-join references it twice and the
+    * two token-aggregation shuffles behind it must not run twice. */
   def simhashPairs(docsWithSimhash: DataFrame, blockCol: String,
       maxHamming: Int): DataFrame = {
-    val a = docsWithSimhash.select(F.col("doc_id").as("doc_a"),
+    val sigs = docsWithSimhash
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sigs.select(F.col("doc_id").as("doc_a"),
       F.col("simhash").as("sim_a"), F.col(blockCol).as("blk"))
-    val b = docsWithSimhash.select(F.col("doc_id").as("doc_b"),
+    val b = sigs.select(F.col("doc_id").as("doc_b"),
       F.col("simhash").as("sim_b"), F.col(blockCol).as("blk"))
     a.join(b, "blk").filter(F.col("doc_a") < F.col("doc_b"))
       .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))

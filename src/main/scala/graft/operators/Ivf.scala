@@ -28,6 +28,9 @@ object Ivf {
       .agg(F.transform(
         F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cv")))),
         s => s.getField("cv").cast("float")).as("centroid"))
+      // k tiny rows referenced by several branches (corpus assign + query
+      // probes): persist so the two-shuffle mean never re-runs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Deterministic Lloyd k-means quantizer (the self-contained IVF

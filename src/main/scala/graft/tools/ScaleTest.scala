@@ -44,6 +44,13 @@ object ScaleTest {
       graft.operators.Ivf.centroidsByKey(e, "label", "embedding"), "vec_id", "embedding").count())
     time("topk_brute_10q")(graft.operators.Similarity.bruteForceTopK(
       e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5).count())
+    time("kmeans_k8_i2")(graft.operators.Ivf.kmeansCentroids(
+      e, "vec_id", "embedding", k = 8, iters = 2).count())
+    time("simhash_pairs_blocked") {
+      val sigs = graft.operators.Dedup.simhash(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      graft.operators.Dedup.simhashPairs(sigs, "lang", maxHamming = 3).count()
+    }
 
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
