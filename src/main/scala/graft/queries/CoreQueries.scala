@@ -504,6 +504,41 @@ object CoreQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  // --------------------------------------------------------------- C8b
+  /** Native session_window (gap-based) sessions. Boundary semantics:
+    * Spark merges events whose [ts, ts+gap) intervals OVERLAP, so a gap
+    * of exactly 30 min starts a NEW session (>= in the oracle), and
+    * session_end is last_ts + gap. */
+  private val sessionWindow = QueryDef(
+    "session_window",
+    (s, d) => t(s, d, "events")
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n_events"))
+      .select(
+        F.col("user_id"),
+        F.col("session_window.start").as("session_start"),
+        F.col("session_window.end").as("session_end"),
+        F.col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------------------- C9
   private val aggRollup = QueryDef(
     "agg_rollup",
@@ -727,7 +762,8 @@ object CoreQueries {
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
-    windowTopN, aggTopK, windowRunning, sessionize, aggRollup, pivotEvents,
+    windowTopN, aggTopK, windowRunning, sessionize, sessionWindow,
+    aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange,
     aggCube, windowLead)
 }
