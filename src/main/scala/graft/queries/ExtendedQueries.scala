@@ -287,6 +287,61 @@ object ExtendedQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // ----------------------------------------------------------- C23 scalar
+  /** Correlated scalar subquery: orders beating 1.5× their customer's
+    * average. The average is decimal-exact then string→double so the
+    * comparison threshold is bit-identical in both engines. */
+  private val scalarSubquery = QueryDef(
+    "scalar_subquery",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("g_orders4")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM g_orders4 o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+                 / count(*)
+          FROM g_orders4 o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 1.5 * (
+        SELECT CAST(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
+  // --------------------------------------------------------- C24 interval
+  /** Time-range (interval) join: for each error event, the click events
+    * by the same user in the preceding 10 minutes. Equi-join on user_id
+    * carries the shuffle; the range predicate filters inside the join —
+    * at scale this is the bucketed-by-time pattern, not a cross join. */
+  private val intervalJoin = QueryDef(
+    "interval_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(F.col("event_type") === "error")
+        .select(F.col("event_id").as("err_id"), F.col("user_id"),
+          F.col("ts").as("err_ts"))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("event_id").as("click_id"), F.col("user_id"),
+          F.col("ts").as("click_ts"))
+      errors.join(clicks, Seq("user_id"))
+        .filter(F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES")
+          && F.col("click_ts") < F.col("err_ts"))
+        .select("user_id", "err_id", "click_id")
+        .orderBy("err_id", "click_id")
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+      FROM events e JOIN events c
+        ON e.user_id = c.user_id
+       AND e.event_type = 'error' AND c.event_type = 'click'
+       AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+      ORDER BY err_id, click_id"""))
+
   // ------------------------------------------------------------ D9c
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -349,5 +404,6 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
-    sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans)
+    sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
+    scalarSubquery, intervalJoin)
 }
