@@ -1,0 +1,125 @@
+package graft.plans
+
+import graft.functions.TopKStruct
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite the top-N-per-group window pattern
+  *
+  *   Filter(rn <= k, [Project(attrs)] Window(rn := row_number() over
+  *          (partition p order o), child))
+  *
+  * into a bounded-heap aggregation
+  *
+  *   Project(child cols + rn := pos+1,
+  *     Generate(posexplode(top),
+  *       Aggregate(p, top_k(struct(o', child cols), k), child)))
+  *
+  * The window form shuffles and fully sorts EVERY row of every group;
+  * the rewrite ships at most k rows per group per map task (partial
+  * aggregation) — at 100 TB the difference between sorting the table
+  * and a metadata-sized exchange.
+  *
+  * Safety: fires only when the ordering maps losslessly onto the
+  * keep-largest heap — every sort key DESC (nulls-smallest ordering ==
+  * NULLS LAST, the DESC default), or ASC on a non-nullable numeric
+  * (negated overflow-safely). Anything else keeps the window plan.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private val MaxK = 10000 // above this a heap per group stops paying off
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      rewrite(f, cond, child).getOrElse(f)
+  }
+
+  private def rewrite(f: Filter, cond: Expression,
+      below: LogicalPlan): Option[LogicalPlan] = {
+    // peel an attribute-only Project between Filter and Window
+    val (projected, w) = below match {
+      case p @ Project(pl, win: Window)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        (Some(p), win)
+      case win: Window => (None, win)
+      case _ => return None
+    }
+    val Window(winExprs, parts, order, wChild, _) = w
+    if (winExprs.length != 1 || order.isEmpty) return None
+    if (!parts.forall(_.isInstanceOf[AttributeReference])) return None
+
+    val (rnAttr, rnName, rnId) = winExprs.head match {
+      case a @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(_, _, _)), name) =>
+        (a.toAttribute, name, a.exprId)
+      case _ => return None
+    }
+
+    val k = cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rnId => v
+      case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rnId => v - 1
+      case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rnId && v == 1 => 1
+      case _ => return None
+    }
+    if (k <= 0 || k > MaxK) return None
+
+    // map each sort key onto the keep-largest heap, or bail
+    val sortKeys: Seq[Expression] = order.map { so =>
+      val e = so.child
+      so.direction match {
+        case Descending if !e.nullable || so.nullOrdering == NullsLast => e
+        case Ascending if !e.nullable =>
+          e.dataType match {
+            case DoubleType | FloatType => UnaryMinus(e)
+            case IntegerType | ShortType | ByteType =>
+              UnaryMinus(Cast(e, LongType)) // widen: no overflow under ANSI
+            case LongType => UnaryMinus(Cast(e, DecimalType(20, 0)))
+            case dt: DecimalType if dt.precision < 38 =>
+              UnaryMinus(Cast(e, DecimalType(dt.precision + 1, dt.scale)))
+            case _ => return None
+          }
+        case _ => return None
+      }
+    }
+
+    // payload columns that ARE a (non-negated) sort key are not stored
+    // twice: their struct slot is the sort-key slot
+    val keyIdOf: Map[ExprId, Int] = sortKeys.zipWithIndex.collect {
+      case (a: AttributeReference, i) => a.exprId -> i
+    }.toMap
+    val payload = wChild.output.filterNot(a => keyIdOf.contains(a.exprId))
+    val structExpr = CreateStruct(sortKeys ++ payload)
+    val topAlias = Alias(
+      TopKStruct(structExpr, k).toAggregateExpression(), "_graft_top")()
+    val agg = Aggregate(parts,
+      parts.map(_.asInstanceOf[NamedExpression]) :+ topAlias, wChild)
+
+    val structType = structExpr.dataType.asInstanceOf[StructType]
+    val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
+    val rowAttr = AttributeReference("_graft_row", structType, nullable = false)()
+    val gen = Generate(PosExplode(topAlias.toAttribute),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(posAttr, rowAttr), child = agg)
+
+    // rebuild the original output under the ORIGINAL exprIds
+    val partIds = parts.map(_.asInstanceOf[AttributeReference].exprId).toSet
+    val out: Seq[NamedExpression] = (projected.map(_.output).getOrElse(w.output)).map {
+      case a if a.exprId == rnId =>
+        Alias(Cast(Add(posAttr, Literal(1)), IntegerType), rnName)(exprId = rnId)
+      case a if partIds.contains(a.exprId) => a
+      case a =>
+        val idx = keyIdOf.getOrElse(a.exprId, {
+          val p = payload.indexWhere(_.exprId == a.exprId)
+          if (p < 0) return None // not a child column
+          sortKeys.length + p
+        })
+        Alias(GetStructField(rowAttr, idx, Some(a.name)), a.name)(exprId = a.exprId)
+    }
+    Some(Project(out, gen))
+  }
+}

@@ -411,6 +411,32 @@ object CoreQueries {
         FROM orders)
       WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
 
+  // ------------------------------------------------------ C5c (rewrite)
+  /** Written as the plain window top-N — but the ordering is all-DESC,
+    * so the TopKRewrite optimizer rule replaces the full per-partition
+    * sort with the bounded-heap top_k aggregate (PlanSpec asserts the
+    * rewritten plan; this query proves result equivalence vs the
+    * window-form oracle). */
+  private val windowTopNRewrite = QueryDef(
+    "window_topn_rewrite",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some("""
+      SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS INTEGER) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
+
   // ------------------------------------------------------- C5b (top_k)
   /** Same result as window_topn but via the bounded-heap TopKStruct
     * aggregate: shuffle carries k rows per group instead of the table. */
@@ -762,7 +788,7 @@ object CoreQueries {
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
-    windowTopN, aggTopK, windowRunning, sessionize, sessionWindow,
+    windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange,
     aggCube, windowLead)

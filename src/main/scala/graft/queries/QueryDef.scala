@@ -24,6 +24,9 @@ object Tables {
     if (registered.add(spark)) { // once per session: re-registering spams WARNs
       graft.functions.VectorFunctions.register(spark)
       graft.functions.TopKFunctions.register(spark)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
     }
 
     if (name == "events") {

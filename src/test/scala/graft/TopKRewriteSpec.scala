@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TopKRewrite optimizer rule: plan shape + result equivalence +
+  * safety bail-outs. */
+class TopKRewriteSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // query-path session setup (functions + TopKRewrite optimizer rule)
+    graft.queries.Tables.t(s, "/root/testdata/sf0.001", "orders")
+    s
+  }
+  import spark.implicits._
+
+  private def df = {
+    graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+  }
+
+  private def topn(orderCols: Seq[org.apache.spark.sql.Column], k: Int = 3) = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(orderCols: _*)
+    df.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= k)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+  }
+
+  test("all-DESC ordering is rewritten to the top_k aggregate") {
+    val q = topn(Seq(F.col("o_totalprice").desc, F.col("o_orderkey").desc))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("top_k"), s"expected rewrite, got:\n$plan")
+    // the Window node must be gone (Spark's WindowGroupLimit pre-pruning
+    // below the aggregate is fine and still mentions row_number())
+    assert(!plan.contains("windowspecdefinition"), s"window survived:\n$plan")
+  }
+
+  test("rewritten results equal the window form") {
+    val desc = Seq(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+    val rewritten = topn(desc).orderBy("o_orderpriority", "rn").collect()
+    // genuine window plan: no Filter node at all (filtered driver-side)
+    val windowForm = {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+      df.withColumn("rn", F.row_number().over(w))
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn").collect()
+        .filter(_.getInt(1) <= 3)
+    }
+    assert(rewritten.toSeq == windowForm.toSeq)
+  }
+
+  test("ASC non-nullable numeric keys negate and rewrite") {
+    val base = spark.range(100).select(
+      (F.col("id") % 5).as("g"), F.col("id").as("v"))
+    val w = Window.partitionBy("g").orderBy(F.col("v").asc)
+    val q = base.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 2).select("g", "v", "rn")
+    assert(q.queryExecution.optimizedPlan.toString.contains("top_k"))
+    val got = q.orderBy("g", "rn").as[(Long, Long, Int)].collect().toSeq
+    val exp = (0L until 5L).flatMap(g => Seq((g, g, 1), (g, g + 5, 2)))
+    assert(got == exp)
+  }
+
+  test("nullable ASC tie-break bails out (window plan kept)") {
+    val q = topn(Seq(F.col("o_totalprice").desc, F.col("o_orderkey").asc))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("top_k"), "must not rewrite nullable ASC keys")
+  }
+
+  test("string sort key bails out") {
+    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderstatus").asc)
+    val q = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 1)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
+  }
+
+  test("rank (non-row_number) bails out") {
+    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc)
+    val q = df.withColumn("rn", F.rank().over(w)).filter(F.col("rn") <= 3)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
+  }
+}
