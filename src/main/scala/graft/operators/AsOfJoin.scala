@@ -18,20 +18,24 @@ import org.apache.spark.sql.{functions => F}
   */
 object AsOfJoin {
 
-  /** @param left    probe side (must contain keyCol and tsCol)
-    * @param right   reference side (must contain keyCol, tsCol, payload)
-    * @param keyCol  equi-join key (same name both sides)
-    * @param tsCol   event-time column (same name both sides)
-    * @param payload right-side columns to attach as `asof_<name>`
+  /** @param left      probe side (must contain keyCol and tsCol)
+    * @param right     reference side (must contain keyCol, tsCol, payload)
+    * @param keyCol    equi-join key (same name both sides)
+    * @param tsCol     event-time column (same name both sides)
+    * @param payload   right-side columns to attach as `asof_<name>`
+    * @param direction "backward" (latest right.ts <= left.ts, default) or
+    *                  "forward" (earliest right.ts >= left.ts)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val lType = StructType(leftCols.map(c => StructField(c, left.schema(c).dataType)))
     val pType = StructType(payload.map(c => StructField(c, right.schema(c).dataType)))
 
     // tag 0 = right, 1 = left → at equal ts the right row sorts first,
-    // giving <= ("backward") semantics
+    // making the bound inclusive in either direction
     val rightSide = right.select(
       F.col(keyCol), F.col(tsCol), F.lit(0).as("_tag"),
       F.lit(null).cast(lType).as("_l"),
@@ -41,7 +45,9 @@ object AsOfJoin {
       F.struct(leftCols.map(F.col): _*).as("_l"),
       F.lit(null).cast(pType).as("_p"))
 
-    val w = Window.partitionBy(keyCol).orderBy(F.col(tsCol), F.col("_tag"))
+    val tsOrder =
+      if (direction == "backward") F.col(tsCol).asc else F.col(tsCol).desc
+    val w = Window.partitionBy(keyCol).orderBy(tsOrder, F.col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     rightSide.unionByName(leftSide)
       .withColumn("_last_p", F.last("_p", ignoreNulls = true).over(w))

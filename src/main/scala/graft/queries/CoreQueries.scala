@@ -648,6 +648,36 @@ object CoreQueries {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""))
 
+  // -------------------------------------------------------------- C13b
+  /** Forward as-of join (earliest following click per error). */
+  private val asofForward = QueryDef(
+    "asof_forward",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(F.col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("event_id").as("r_event_id"), F.col("value").as("r_value"))
+      graft.operators.AsOfJoin.asOf(errors, clicks, "user_id", "ts",
+        Seq("r_event_id", "r_value"), direction = "forward")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"),
+          F.col("asof_r_event_id").as("asof_event_id"),
+          F.col("asof_r_value").as("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH lefts AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      rights AS (
+        SELECT user_id, ts, event_id AS r_event_id, value AS r_value
+        FROM events WHERE event_type = 'click')
+      SELECT l.event_id, l.user_id, l.ts,
+             r.r_event_id AS asof_event_id, r.r_value AS asof_value
+      FROM lefts l ASOF LEFT JOIN rights r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+      ORDER BY l.event_id"""))
+
   // --------------------------------------------------------------- C14
   private val aggPercentile = QueryDef(
     "agg_percentile",
@@ -790,6 +820,6 @@ object CoreQueries {
     aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
     windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
     aggRollup, pivotEvents,
-    aggDistinct, windowTumbling, asofJoin, aggPercentile, windowRange,
+    aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile, windowRange,
     aggCube, windowLead)
 }
