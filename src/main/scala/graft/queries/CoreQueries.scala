@@ -780,6 +780,43 @@ object CoreQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id"""))
 
+  // -------------------------------------------------------------- C2b
+  /** Q14-style promo revenue share: broadcast part dim, conditional
+    * aggregation, single scalar output. */
+  private val joinPromo = QueryDef(
+    "join_promo",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(F.col("l_shipdate") >= ts("1996-01-01 00:00:00")
+          && F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      val part = t(s, d, "part").select("p_partkey", "p_type")
+      val rev = dec(F.col("l_extendedprice")) * dec(F.lit(1.0) - F.col("l_discount"))
+      li.join(F.broadcast(part), F.col("l_partkey") === F.col("p_partkey"))
+        .agg(
+          pd(F.sum(F.when(F.col("p_type") === "PROMO", rev)
+            .otherwise(F.lit(0).cast(DecimalType(18, 4))))).as("promo_rev"),
+          pd(F.sum(rev)).as("total_rev"),
+          F.count(F.lit(1)).as("n_items"))
+        .select(
+          F.round(F.col("promo_rev") * 100.0 / F.col("total_rev"), 6).as("promo_pct"),
+          F.col("promo_rev"), F.col("total_rev"), F.col("n_items"))
+    },
+    Some("""
+      SELECT round(promo_rev * 100.0 / total_rev, 6) AS promo_pct,
+             promo_rev, total_rev, n_items
+      FROM (
+        SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_rev,
+               count(*) AS n_items
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')"""))
+
   // ---------------------------------------------------------------- C7
   private val aggDistinct = QueryDef(
     "agg_distinct",
@@ -817,7 +854,7 @@ object CoreQueries {
   val all: Seq[QueryDef] = Seq(
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
-    aggQ1, joinPricing, joinMulti, joinSemi, joinAnti,
+    aggQ1, joinPricing, joinPromo, joinMulti, joinSemi, joinAnti,
     windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile, windowRange,

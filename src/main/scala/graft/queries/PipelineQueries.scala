@@ -190,22 +190,58 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- D8
   private val PLANES = 8
+
+  /** DuckDB expression for the 8-plane hyperplane bucket of `embedding`. */
+  private def bucketBitsSql: String = {
+    val signs = Similarity.planeSigns(PLANES, 64)
+    (0 until PLANES).map { p =>
+      val lits = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n             + ")
+  }
+
   private val embedLshBuckets = QueryDef(
     "embed_lsh_buckets",
     (s, d) => Similarity.hyperplaneBuckets(t(s, d, "embeddings"),
       "vec_id", "embedding", planes = PLANES, dim = 64)
       .orderBy("vec_id"),
-    Some {
-      val signs = Similarity.planeSigns(PLANES, 64)
-      val bits = (0 until PLANES).map { p =>
-        val lits = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
-          s"i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("\n             + ")
-      s"""SELECT vec_id,
-         |       CAST($bits AS BIGINT) AS bucket
-         |FROM embeddings ORDER BY vec_id""".stripMargin
-    })
+    Some(s"""SELECT vec_id,
+       |       CAST($bucketBitsSql AS BIGINT) AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // --------------------------------------------------------------- D8b
+  /** The LSH scale path END-TO-END: hyperplane-bucket the corpus (narrow
+    * map), then verify cosine only WITHIN buckets — the candidate join
+    * shuffles on the bucket key, never all-pairs. (D7 blocks on a given
+    * label; this needs no labels.) */
+  private val embedLshNearDup = QueryDef(
+    "embed_lsh_neardup",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val b = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding",
+        planes = PLANES, dim = 64)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val left = b.select(F.col("vec_id").as("vec_a"),
+        F.col("embedding").as("va"), F.col("bucket"))
+      val right = b.select(F.col("vec_id").as("vec_b"),
+        F.col("embedding").as("vb"), F.col("bucket"))
+      left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        .select(F.col("bucket"), F.col("vec_a"), F.col("vec_b"),
+          Similarity.cosine(F.col("va"), F.col("vb")).as("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id, CAST($bucketBitsSql AS BIGINT) AS bucket, embedding
+        FROM embeddings)
+      SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+      ORDER BY vec_a, vec_b"""))
 
   // ---------------------------------------------------------------- E1
   private val textLangid = QueryDef(
@@ -548,7 +584,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
-    embedTopK, embedNearDup, embedLshBuckets, embedIvfAssign, embedIvfSearch,
+    embedTopK, embedNearDup, embedLshBuckets, embedLshNearDup,
+    embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality)
 }
