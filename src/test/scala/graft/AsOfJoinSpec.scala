@@ -28,6 +28,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> null))
   }
 
+  test("forward direction attaches earliest right row at or after left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:30:00")),
+      (2L, 10L, ts("2024-01-01 02:00:00")), // nothing after → null
+      (3L, 20L, ts("2024-01-01 01:00:00"))) // exactly equal ts → matches
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "past"),
+      (10L, ts("2024-01-01 01:00:00"), "next"),
+      (20L, ts("2024-01-01 01:00:00"), "eq"))
+      .toDF("k", "ts", "tag")
+
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("tag"), direction = "forward")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "next", 2L -> null, 3L -> "eq"))
+  }
+
   test("left row count preserved (left-join semantics)") {
     val ev = graft.queries.Tables.t(spark, sf, "events")
     val errors = ev.filter(F.col("event_type") === "error").select("event_id", "user_id", "ts")

@@ -74,6 +74,33 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
   }
 
+  test("property: rewrite equals driver-computed top-k on random data") {
+    val rnd = new scala.util.Random(42)
+    for (k <- Seq(1, 3, 7)) {
+      // unique sort key per group → deterministic row_number
+      val rows = (0 until 8).flatMap { g =>
+        rnd.shuffle((0 until 40).toList).zipWithIndex.map {
+          case (v, i) => (g, v, s"p$g-$i")
+        }
+      }
+      val df = rows.toDF("g", "v", "p")
+      for (asc <- Seq(true, false)) {
+        val ord = if (asc) F.col("v").asc else F.col("v").desc
+        val w = Window.partitionBy("g").orderBy(ord)
+        val q = df.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k).select("g", "v", "p", "rn")
+        assert(q.queryExecution.optimizedPlan.toString.contains("top_k"),
+          s"rule must fire (asc=$asc)")
+        val got = q.as[(Int, Int, String, Int)].collect().toSet
+        val exp = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val sorted = if (asc) rs.sortBy(_._2) else rs.sortBy(-_._2)
+          sorted.take(k).zipWithIndex.map { case ((g, v, p), i) => (g, v, p, i + 1) }
+        }.toSet
+        assert(got == exp, s"k=$k asc=$asc")
+      }
+    }
+  }
+
   test("rank (non-row_number) bails out") {
     val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc)
     val q = df.withColumn("rn", F.rank().over(w)).filter(F.col("rn") <= 3)
