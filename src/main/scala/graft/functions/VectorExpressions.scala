@@ -67,6 +67,51 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: the portable 60-bit md5 hash —
+  * semantically identical to `conv(substring(md5(c), 1, 15), 16, 10)`
+  * (== the first 15 hex digits of the md5 as a base-16 number == the
+  * first 8 digest bytes as an unsigned big-endian long >>> 4), but
+  * without materializing the 32-char hex string or running conv's
+  * string-parse loop. Every dedup/shingle operator hashes through this,
+  * so the hex round-trip was pure overhead on the hot path.
+  */
+case class Md5Prefix60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix60 expects string, got ${dt.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5(utf8 bytes) as a long (always ≥ 0). */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+}
+
 /** Column-API + SQL-registry surface for the native vector functions. */
 object VectorFunctions {
 
@@ -84,10 +129,18 @@ object VectorFunctions {
     org.apache.spark.sql.functions.round(
       floatDot(a, b) / (floatNorm(a) * floatNorm(b)), 6)
 
-  /** Register `float_dot` for SQL use on an existing session. */
-  def register(spark: SparkSession): Unit =
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the native functions for SQL use on an existing session
+    * (idempotent and silent on repeat calls). */
+  def register(spark: SparkSession): Unit = if (registered.add(spark)) {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix60", exprs => Md5Prefix60(exprs(0)), "built-in")
+  }
 }
 
 /** Session extension (config: spark.sql.extensions=graft.functions.GraftExtensions)
@@ -100,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
   }
 }

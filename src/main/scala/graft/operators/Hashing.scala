@@ -13,9 +13,16 @@ import org.apache.spark.sql.{functions => F}
   */
 object Hashing {
 
-  /** Positive 60-bit hash of a string column: first 15 hex chars of md5. */
-  def hash60(c: Column): Column =
-    F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+  /** Positive 60-bit hash of a string column: first 15 hex chars of md5.
+    * Backed by the native codegen'd [[graft.functions.Md5Prefix60]]
+    * (identical value to `conv(substring(md5(c),1,15),16,10)` without
+    * the hex-string round-trip — this runs once per shingle/token, so
+    * the allocation savings compound on the dedup hot path). */
+  def hash60(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VectorFunctions.register)
+    F.call_function("md5_prefix60", c)
+  }
 
   /** Same hash computed driver-side (for deterministic constants such as
     * LSH hyperplanes). */

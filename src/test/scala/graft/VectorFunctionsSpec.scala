@@ -50,3 +50,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("float_dot"))
   }
 }
+
+class Md5Prefix60Spec extends SparkSpec {
+  import org.apache.spark.sql.{functions => F}
+  import spark.implicits._
+
+  test("native md5_prefix60 equals the conv(substring(md5)) chain") {
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "a", "hello world", "naïve ünïcode ✓") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString)
+    val df = strs.toDF("s")
+    val got = df.select(graft.operators.Hashing.hash60(F.col("s"))).collect()
+      .map(_.getLong(0)).toSeq
+    val ref = df.select(F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+      .cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(got == ref)
+    // matches the driver-side constant hash too
+    assert(strs.map(graft.operators.Hashing.hash60) == got)
+  }
+
+  test("md5_prefix60 null propagates") {
+    val df = Seq(Some("x"), None).toDF("s")
+    val got = df.select(graft.operators.Hashing.hash60(F.col("s"))).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
+  }
+}
