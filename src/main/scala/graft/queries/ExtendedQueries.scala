@@ -287,6 +287,56 @@ object ExtendedQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // ---------------------------------------------------------- C25 max_by
+  /** max_by / min_by (argmax) aggregates. The ordering value is the
+    * (price, key) pair encoded as one exact scaled BIGINT so ties are
+    * deterministic in both engines (DuckDB's arg_max has no tuple
+    * ordering). */
+  private val aggMaxBy = QueryDef(
+    "agg_maxby",
+    (s, d) => {
+      val encoded = (dec(F.col("o_totalprice")) * 10000).cast("long") * 10000000L +
+        F.col("o_orderkey")
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          F.max_by(F.col("o_orderkey"), encoded).as("top_key"),
+          F.min_by(F.col("o_orderkey"), encoded).as("bottom_key"),
+          F.max(F.col("o_totalprice")).as("max_price"),
+          F.min(F.col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                                 * 10000000 + o_orderkey) AS top_key,
+             arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                                 * 10000000 + o_orderkey) AS bottom_key,
+             max(o_totalprice) AS max_price,
+             min(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ------------------------------------------------------- G2b hopping
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in two windows. The oracle unnests the two candidate
+    * window starts per event. */
+  private val windowHopping = QueryDef(
+    "window_hopping",
+    (s, d) => t(s, d, "events")
+      .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        pd(F.sum(dec(F.col("value")))).as("sum_value"))
+      .select(F.col("window.start").as("win_start"), F.col("event_type"),
+        F.col("n"), F.col("sum_value"))
+      .orderBy("win_start", "event_type"),
+    Some("""
+      SELECT ws AS win_start, event_type, count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM (SELECT event_type, value,
+              unnest([time_bucket(INTERVAL '30 minutes', ts),
+                      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+            FROM events)
+      GROUP BY ws, event_type ORDER BY win_start, event_type"""))
+
   // ----------------------------------------------------------- C23 scalar
   /** Correlated scalar subquery: orders beating 1.5× their customer's
     * average. The average is decimal-exact then string→double so the
@@ -405,5 +455,5 @@ object ExtendedQueries {
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
-    scalarSubquery, intervalJoin)
+    scalarSubquery, intervalJoin, aggMaxBy, windowHopping)
 }

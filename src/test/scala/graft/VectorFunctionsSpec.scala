@@ -75,3 +75,10 @@ class Md5Prefix60Spec extends SparkSpec {
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
   }
 }
+
+class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("extension point applies cleanly (functions + optimizer rule)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+}
