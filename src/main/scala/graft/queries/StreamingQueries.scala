@@ -39,6 +39,12 @@ object StreamingQueries {
     dir
   }
 
+  /** Pre-stage the streaming inputs (used by Bench's untimed warmup so
+    * the timed region measures the stream execution, not scaffolding). */
+  def prewarm(s: SparkSession, d: String): Unit = {
+    stage(s, d, "events"); stage(s, d, "lineitem")
+  }
+
   /** Run a bounded stream into a memory sink and return its content. */
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
