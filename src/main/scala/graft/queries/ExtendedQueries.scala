@@ -90,11 +90,15 @@ object ExtendedQueries {
   private val setOps = QueryDef(
     "set_ops",
     (s, d) => {
+      // each side feeds three set-op branches — persist so the scans
+      // and the distinct shuffle run once
       val building = t(s, d, "customer")
         .filter(F.col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val urgent = t(s, d, "orders")
         .filter(F.col("o_orderpriority") === "1-URGENT")
         .select(F.col("o_custkey").as("c_custkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       building.intersect(urgent).withColumn("op", F.lit("intersect"))
         .unionByName(building.except(urgent).withColumn("op", F.lit("except")))
         .unionByName(building.union(urgent).distinct().withColumn("op", F.lit("union")))

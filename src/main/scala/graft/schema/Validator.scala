@@ -152,17 +152,22 @@ final class Validator(val schema: GSchema) {
     * it is actually enforceable at scale.) */
   def uniqueViolations(df: DataFrame): DataFrame = {
     val uniqueFields = schema.fields.filter(f => f.unique || f.primaryKey).map(_.name)
-    val parts = uniqueFields.map { fn =>
-      df.groupBy(F.col(fn).cast("string").as("key_value"))
-        .agg(F.count(F.lit(1)).as("occurrences"))
-        .filter(F.col("occurrences") > 1)
-        .select(F.lit(fn).as("field"), F.col("key_value"), F.col("occurrences"))
-    }
-    parts.reduceOption(_.unionAll(_)).getOrElse {
-      df.sparkSession.emptyDataFrame
+    if (uniqueFields.isEmpty) {
+      return df.sparkSession.emptyDataFrame
         .select(F.lit("").as("field"), F.lit("").as("key_value"), F.lit(0L).as("occurrences"))
         .limit(0)
     }
+    // ONE scan for any number of unique fields: explode each row into
+    // (field, value) pairs, then a single groupBy — at 100 TB the extra
+    // N−1 table scans of the per-field form dwarf the (same-sized)
+    // shuffle this costs
+    df.select(F.explode(F.array(uniqueFields.map(fn =>
+      F.struct(F.lit(fn).as("field"), F.col(fn).cast("string").as("key_value"))): _*))
+      .as("_p"))
+      .select(F.col("_p.field").as("field"), F.col("_p.key_value").as("key_value"))
+      .groupBy("field", "key_value")
+      .agg(F.count(F.lit(1)).as("occurrences"))
+      .filter(F.col("occurrences") > 1)
   }
 }
 
