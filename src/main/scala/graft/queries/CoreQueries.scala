@@ -817,6 +817,33 @@ object CoreQueries {
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')"""))
 
+  // -------------------------------------------------------------- C8c
+  /** Sequential funnel: per user, did a click precede a purchase?
+    * Conditional min/max aggregation — one shuffle, no self-join. */
+  private val funnel = QueryDef(
+    "funnel",
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        F.min(F.when(F.col("event_type") === "click", F.col("ts"))).as("first_click"),
+        F.max(F.when(F.col("event_type") === "purchase", F.col("ts"))).as("last_purchase"),
+        F.count(F.when(F.col("event_type") === "click", F.lit(1))).as("n_clicks"),
+        F.count(F.when(F.col("event_type") === "purchase", F.lit(1))).as("n_purchases"))
+      .withColumn("converted",
+        F.col("first_click").isNotNull && F.col("last_purchase").isNotNull &&
+          F.col("first_click") < F.col("last_purchase"))
+      .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+             max(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase,
+             count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             coalesce(min(ts) FILTER (WHERE event_type = 'click')
+                      < max(ts) FILTER (WHERE event_type = 'purchase'), FALSE)
+               AS converted
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- C7
   private val aggDistinct = QueryDef(
     "agg_distinct",
@@ -856,6 +883,7 @@ object CoreQueries {
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinPromo, joinMulti, joinSemi, joinAnti,
     windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
+    funnel,
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile, windowRange,
     aggCube, windowLead)

@@ -474,6 +474,45 @@ object PipelineQueries {
       FROM (SELECT doc_id, text, ${Hashing.hash60Sql("text")} AS h FROM documents)
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- D1b
+  /** Apply the exact-dedup decision: keep only each text's minimum
+    * doc_id (candidates → action; the write-side of D1). */
+  private val dedupApply = QueryDef(
+    "dedup_apply",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(F.col("keep_id").as("doc_id"))
+      docs.join(keep, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- D1c
+  /** Dedup-rate metrics per source — the pipeline health dashboard
+    * numbers (rows, distinct texts, duplicate fraction). */
+  private val dedupRate = QueryDef(
+    "dedup_rate",
+    (s, d) => t(s, d, "documents")
+      .groupBy("source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).as("n_unique"),
+        F.round((F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text"))))
+          .cast("double") / F.count(F.lit(1)), 6).as("dup_rate"))
+      .orderBy("source"),
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique,
+             round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                   / count(*), 6) AS dup_rate
+      FROM documents GROUP BY source ORDER BY source"""))
+
   // ---------------------------------------------------------------- E5
   /** Deterministic hash-based sampling + train/valid/test split: the
     * md5 bucket of the id is stable across runs, engines and cluster
@@ -587,5 +626,6 @@ object PipelineQueries {
     embedTopK, embedNearDup, embedLshBuckets, embedLshNearDup,
     embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
-    multimodalMeta, sampleHash, textNormalize, pipelineQuality)
+    multimodalMeta, sampleHash, textNormalize, pipelineQuality,
+    dedupApply, dedupRate)
 }
