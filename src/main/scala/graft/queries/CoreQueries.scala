@@ -720,6 +720,59 @@ object CoreQueries {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- C15b
+  /** Centered sliding ROWS frame (±2 rows around each event). */
+  private val windowSliding = QueryDef(
+    "window_sliding",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+      t(s, d, "events").filter(F.col("user_id") < 20)
+        .select(
+          F.col("user_id"), F.col("event_id"),
+          F.count(F.lit(1)).over(w).as("n_nearby"),
+          pd(F.sum(dec(F.col("value"))).over(w)).as("sum_nearby"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_nearby,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS sum_nearby
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      ORDER BY user_id, event_id"""))
+
+  // -------------------------------------------------------------- C10b
+  /** Pivot → unpivot round trip: melt the wide per-user counts back to
+    * long form; equals the direct grouped counts (zero rows dropped
+    * because the pivot filled absent combinations with 0). */
+  private val unpivotCounts = QueryDef(
+    "unpivot_counts",
+    (s, d) => {
+      val wide = t(s, d, "events").filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+        Array(F.col("user_id")),
+        Array(F.col("click"), F.col("view"), F.col("purchase"),
+          F.col("signup"), F.col("error")),
+        "event_type", "n")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT u.user_id, t.event_type,
+             coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u
+      CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')) t(event_type)
+      LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+                 FROM events WHERE user_id < 50 GROUP BY 1, 2) c
+        ON u.user_id = c.user_id AND t.event_type = c.event_type
+      ORDER BY u.user_id, t.event_type"""))
+
   // --------------------------------------------------------------- C16
   private val aggCube = QueryDef(
     "agg_cube",
@@ -885,6 +938,7 @@ object CoreQueries {
     windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
     funnel,
     aggRollup, pivotEvents,
-    aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile, windowRange,
+    aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile,
+    windowRange, windowSliding, unpivotCounts,
     aggCube, windowLead)
 }
