@@ -101,6 +101,32 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("global top-k (no partitionBy) rewrites to a global aggregate") {
+    val w = Window.orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+    val q = df.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 5)
+      .select("rn", "o_orderkey", "o_totalprice")
+    assert(q.queryExecution.optimizedPlan.toString.contains("top_k"))
+    val got = q.orderBy("rn").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val exp = df.select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, p) => (-p, -k) }.take(5)
+      .zipWithIndex.map { case ((k, _), i) => (i + 1, k) }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("rn < k and rn === 1 comparison forms rewrite") {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+    val lt = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") < 4)
+    assert(lt.queryExecution.optimizedPlan.toString.contains("top_k"))
+    assert(lt.count() == 15) // 3 per priority
+
+    val eq = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") === 1)
+    assert(eq.queryExecution.optimizedPlan.toString.contains("top_k"))
+    assert(eq.count() == 5)
+  }
+
   test("rank (non-row_number) bails out") {
     val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc)
     val q = df.withColumn("rn", F.rank().over(w)).filter(F.col("rn") <= 3)
