@@ -119,6 +119,17 @@ final case class Col(name: String) extends Expr {
     row.getOrElse(name, throw new NoSuchElementException(s"Field '$name' not found in values"))
 }
 
+/** Escape hatch mirroring the reference's dict-result validators
+  * (validators/base.py ValidatorResult dict form): a raw engine
+  * expression for the bulk path plus an optional row-level callable.
+  * A bulk-only check evaluates to null (pass) on the row path — the
+  * analog of `get_pydantic_validator()` returning None. */
+final case class Raw(column: Column,
+    rowFn: Option[Map[String, Any] => Any] = None) extends Expr {
+  def toColumn: Column = column
+  def eval(row: Map[String, Any]): Any = rowFn.map(_(row)).orNull
+}
+
 final case class Lit(value: Any) extends Expr {
   def toColumn: Column = Expr.litColumn(value)
   def eval(row: Map[String, Any]): Any = value
