@@ -446,6 +446,68 @@ object PipelineQueries {
       FROM lineitem, supplier WHERE l_suppkey = s_suppkey
       GROUP BY s_name ORDER BY s_name"""))
 
+  // ---------------------------------------------------------------- E9
+  /** BM25 keyword search over the corpus (k1=1.2, b=0.75) with the
+    * rational Robertson idf (N−df+0.5)/(df+0.5) — no logarithm, so the
+    * score is bit-portable across engines (ln is not correctly-rounded
+    * in either libm). Corpus stats aggregate once and broadcast back;
+    * scoring is a narrow map. */
+  private val bm25Terms = Seq("spark", "data", "query")
+
+  private val bm25Search = QueryDef(
+    "bm25_search",
+    (s, d) => {
+      val toks = TextOps.tokens(F.col("text"))
+      val base = t(s, d, "documents").select(
+        F.col("doc_id") +:
+          F.size(toks).cast("double").as("dl") +:
+          bm25Terms.map(tm =>
+            F.size(F.filter(toks, x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+      val statCols =
+        F.count(F.lit(1)).cast("double").as("n") +:
+          F.sum(F.col("dl").cast("long")).cast("double").as("sum_dl") +:
+          bm25Terms.map(tm =>
+            F.sum(F.when(F.col(s"tf_$tm") > 0, 1L).otherwise(0L))
+              .cast("double").as(s"df_$tm"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val crossed = base.crossJoin(F.broadcast(stats))
+      val score = bm25Terms.map { tm =>
+        val tf = F.col(s"tf_$tm"); val df = F.col(s"df_$tm")
+        ((F.col("n") - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+          (tf + F.lit(1.2) * (F.lit(1.0) - 0.75 +
+            F.lit(0.75) * F.col("dl") / (F.col("sum_dl") / F.col("n"))))
+      }.reduce(_ + _)
+      crossed.select(F.col("doc_id"), F.round(score, 6).as("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc, F.col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val tfCols = bm25Terms.map(tm =>
+        s"CAST(len(list_filter(t, x -> x = '$tm')) AS DOUBLE) AS tf_$tm").mkString(",\n               ")
+      val dfCols = bm25Terms.map(tm =>
+        s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm").mkString(",\n               ")
+      val terms = bm25Terms.map { tm =>
+        s"((n - df_$tm + 0.5) / (df_$tm + 0.5)) * (tf_$tm * 2.2) / " +
+          s"(tf_$tm + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))"
+      }.mkString("\n             + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |               $tfCols
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |               CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl,
+         |               $dfCols
+         |  FROM base)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         round($terms, 6) AS score
+         |  FROM base, stats)
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    })
+
   // ------------------------------------------------------------ F2
   /** Batched multimodal decode pipeline (mapPartitions batch iterator).
     * The stub decoder derives fake dimensions from the md5 content hash,
@@ -627,5 +689,5 @@ object PipelineQueries {
     embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality,
-    dedupApply, dedupRate)
+    dedupApply, dedupRate, bm25Search)
 }
