@@ -508,6 +508,57 @@ object PipelineQueries {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     })
 
+  // --------------------------------------------------------------- E10
+  /** Inverted-index build: term → document frequency + first posting
+    * ids (the search-index construction path; one explode + one
+    * shuffle on the term). Restricted to common terms (df ≥ 50). */
+  private val invertedIndex = QueryDef(
+    "inverted_index",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(F.col("doc_id"),
+        F.explode(F.array_distinct(TextOps.tokens(F.col("text")))).as("term"))
+        .groupBy("term")
+        .agg(
+          F.count(F.lit(1)).as("df"),
+          F.array_join(
+            F.slice(F.array_sort(F.collect_list(F.col("doc_id"))), 1, 10)
+              .cast("array<string>"), ",").as("postings_head"))
+        .filter(F.col("df") >= 50)
+        .orderBy("term")
+    },
+    Some(s"""
+      SELECT term, count(*) AS df,
+             array_to_string(list_transform(list_sort(list(doc_id))[1:10],
+                                            x -> CAST(x AS VARCHAR)), ',') AS postings_head
+      FROM (SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents))
+      GROUP BY term HAVING count(*) >= 50 ORDER BY term"""))
+
+  // --------------------------------------------------------------- E11
+  /** One-row corpus summary: docs, token volume, vocabulary size,
+    * type-token ratio (exact counts; ratio rounded). */
+  private val corpusStats = QueryDef(
+    "corpus_stats",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(F.explode(TextOps.tokens(F.col("text"))).as("term"))
+      val nDocs = docs.count() // tiny scalar; corpus row count
+      tok.agg(
+        F.count(F.lit(1)).as("n_tokens"),
+        F.countDistinct(F.col("term")).as("vocab"),
+        F.round(F.countDistinct(F.col("term")).cast("double") / F.count(F.lit(1)), 6)
+          .as("type_token_ratio"))
+        .withColumn("n_docs", F.lit(nDocs))
+        .select("n_docs", "n_tokens", "vocab", "type_token_ratio")
+    },
+    Some(s"""
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             count(*) AS n_tokens,
+             count(DISTINCT term) AS vocab,
+             round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS type_token_ratio
+      FROM (SELECT unnest($toksSql) AS term FROM documents)"""))
+
   // ------------------------------------------------------------ F2
   /** Batched multimodal decode pipeline (mapPartitions batch iterator).
     * The stub decoder derives fake dimensions from the md5 content hash,
@@ -689,5 +740,5 @@ object PipelineQueries {
     embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality,
-    dedupApply, dedupRate, bm25Search)
+    dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats)
 }
