@@ -559,6 +559,52 @@ object PipelineQueries {
              round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS type_token_ratio
       FROM (SELECT unnest($toksSql) AS term FROM documents)"""))
 
+  // ------------------------------------------------------ skew (count)
+  /** Two-phase salted count (partial per input partition, then final):
+    * the skewed key's rows never meet in one task. Oracle = plain
+    * GROUP BY count, which the two-phase plan must equal exactly. */
+  private val saltedCount = QueryDef(
+    "salted_count",
+    (s, d) => Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag")
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- D5b
+  /** Dedup-first n-gram Jaccard (the duplicate-heavy-corpus scale
+    * composition): collapse exact duplicates to their min-id
+    * representative, THEN pair by shingles — a d-times-duplicated corpus
+    * costs 1×, not d². */
+  private val ngramJaccardUnique = QueryDef(
+    "ngram_jaccard_unique",
+    (s, d) => Dedup.ngramJaccardPairsUnique(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some {
+      val parts = (0 until 3).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH uniq AS (
+         |  SELECT min(doc_id) AS doc_id, min(text) AS text
+         |  FROM documents GROUP BY md5(text)),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(t)-2, 0)),
+         |    i -> $parts)) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS t FROM uniq))),
+         |shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM shh a JOIN shh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
   // ------------------------------------------------------------ F2
   /** Batched multimodal decode pipeline (mapPartitions batch iterator).
     * The stub decoder derives fake dimensions from the md5 content hash,
@@ -740,5 +786,6 @@ object PipelineQueries {
     embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality,
-    dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats)
+    dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
+    saltedCount, ngramJaccardUnique)
 }
