@@ -47,7 +47,9 @@ object AsOfJoin {
 
     val tsOrder =
       if (direction == "backward") F.col(tsCol).asc else F.col(tsCol).desc
-    val w = Window.partitionBy(keyCol).orderBy(tsOrder, F.col("_tag"))
+    // `_p` as final tie-break: several right rows at the same (key, ts)
+    // would otherwise attach a shuffle-order-dependent payload
+    val w = Window.partitionBy(keyCol).orderBy(tsOrder, F.col("_tag"), F.col("_p"))
       .rowsBetween(Window.unboundedPreceding, 0)
     rightSide.unionByName(leftSide)
       .withColumn("_last_p", F.last("_p", ignoreNulls = true).over(w))

@@ -9,6 +9,12 @@ import org.apache.spark.sql.{functions => F}
   * single shuffle keyed by hash/shingle/band — never a cross join.
   * Candidate verification happens only within buckets, so 100 TB in
   * means (bucketed) candidates out, not O(n²).
+  *
+  * Caching: methods whose plans reference an intermediate twice persist
+  * it (MEMORY_AND_DISK). Caches live until the session ends — a
+  * long-lived session running many dedup jobs should call
+  * `spark.catalog.clearCache()` between jobs or scope a session per
+  * pipeline run.
   */
 object Dedup {
 
@@ -57,6 +63,8 @@ object Dedup {
     * (a long — joins on 8-byte keys, not 32-char md5 strings).
     * Docs with < shingleN tokens have no signature and are excluded. */
   def minhashBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be divisible by bands ($bands) — trailing signature components would be silently dropped")
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val key = Hashing.hash60(F.concat_ws(",",

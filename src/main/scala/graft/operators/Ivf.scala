@@ -72,9 +72,11 @@ object Ivf {
           F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
         .orderBy("ck")
-      val updated = collectVecs(means, "centroid")
+      // ONE collect for keys and vectors (a second collect would re-run
+      // the whole assignment + aggregation)
+      val byCk = means.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       // empty clusters keep their previous centroid
-      val byCk = means.select("ck").collect().map(_.getInt(0)).zip(updated).toMap
       centroids = centroids.indices.map(i => byCk.getOrElse(i, centroids(i))).toArray
     }
     centroids.zipWithIndex

@@ -71,12 +71,14 @@ object Multimodal {
     * every `stride`-th chunk offset as a (frame_idx, offset) row —
     * explode is the real plumbing; decode of each frame is the stub. */
   def sampleFrames(df: DataFrame, binCol: String, idCol: String,
-      frameBytes: Int, stride: Int): DataFrame =
-    df.select(
-      F.col(idCol),
-      F.explode(
-        F.sequence(F.lit(0),
-          F.greatest(F.ceil(F.length(F.col(binCol)) / frameBytes / stride).cast("int") - 1, F.lit(0))))
-        .as("frame_idx"))
+      frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = F.ceil(F.length(F.col(binCol)) / frameBytes / stride).cast("int")
+    // empty or NULL payloads have no frames: emit an empty array (the
+    // non-outer explode then drops the row) instead of a spurious
+    // frame_idx=0
+    val idxs = F.when(nFrames > 0, F.sequence(F.lit(0), nFrames - 1))
+      .otherwise(F.array().cast("array<int>"))
+    df.select(F.col(idCol), F.explode(idxs).as("frame_idx"))
       .withColumn("byte_offset", F.col("frame_idx") * frameBytes * stride)
+  }
 }

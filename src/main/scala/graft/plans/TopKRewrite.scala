@@ -68,14 +68,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
     if (k <= 0 || k > MaxK) return None
 
-    // map each sort key onto the keep-largest heap, or bail
+    // map each sort key onto the keep-largest heap, or bail. ASC
+    // negation excludes float/double: -NaN == NaN would move NaN rows
+    // from sorts-last (Spark treats NaN as greatest) to ranked first;
+    // integral/decimal negation is exact and overflow-safe via widening.
     val sortKeys: Seq[Expression] = order.map { so =>
       val e = so.child
       so.direction match {
         case Descending if !e.nullable || so.nullOrdering == NullsLast => e
         case Ascending if !e.nullable =>
           e.dataType match {
-            case DoubleType | FloatType => UnaryMinus(e)
             case IntegerType | ShortType | ByteType =>
               UnaryMinus(Cast(e, LongType)) // widen: no overflow under ANSI
             case LongType => UnaryMinus(Cast(e, DecimalType(20, 0)))
@@ -93,6 +95,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case (a: AttributeReference, i) => a.exprId -> i
     }.toMap
     val payload = wChild.output.filterNot(a => keyIdOf.contains(a.exprId))
+    // the heap compares the whole struct — every packed column must be
+    // orderable (a map-typed payload would crash the interpreted
+    // ordering at runtime)
+    if (!(sortKeys.map(_.dataType) ++ payload.map(_.dataType))
+        .forall(RowOrdering.isOrderable)) return None
     val structExpr = CreateStruct(sortKeys ++ payload)
     val topAlias = Alias(
       TopKStruct(structExpr, k).toAggregateExpression(), "_graft_top")()

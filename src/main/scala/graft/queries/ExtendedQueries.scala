@@ -295,7 +295,9 @@ object ExtendedQueries {
   /** max_by / min_by (argmax) aggregates. The ordering value is the
     * (price, key) pair encoded as one exact scaled BIGINT so ties are
     * deterministic in both engines (DuckDB's arg_max has no tuple
-    * ordering). */
+    * ordering). Encoding domain: o_orderkey < 10⁷ and o_totalprice <
+    * 9.2×10⁷ (holds through TPC-H sf≈1; beyond that, widen the key
+    * multiplier or switch to a struct-ordered max_by Spark-side). */
   private val aggMaxBy = QueryDef(
     "agg_maxby",
     (s, d) => {

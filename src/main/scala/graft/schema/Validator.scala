@@ -178,9 +178,10 @@ final class RowValidator(val schema: GSchema) {
 
   /** Returns failure messages (empty ⇒ valid). */
   def check(row: Map[String, Any]): Seq[String] = {
-    val missing = schema.fields
+    val missingFields = schema.fields
       .filterNot(f => row.contains(f.name) || f.default.isDefined || f.nullable)
-      .map(f => s"${f.name} is required")
+    val missing = missingFields.map(f => s"${f.name} is required")
+    val missingNames = missingFields.map(_.name).toSet
     val withDefaults = schema.fields.flatMap { f =>
       (row.get(f.name).filter(_ != null) match {
         case some @ Some(_) => some
@@ -189,6 +190,7 @@ final class RowValidator(val schema: GSchema) {
     }.toMap
     val nullViolations = schema.fields
       .filterNot(_.nullable)
+      .filterNot(f => missingNames(f.name)) // already reported as required
       .filter(f => withDefaults.getOrElse(f.name, null) == null)
       .map(f => s"${f.name} must not be null")
     val constraintViolations = schema.allChecks.flatMap { ch =>
@@ -201,7 +203,7 @@ final class RowValidator(val schema: GSchema) {
         case _     => None // true or null (null ⇒ pass, consistent with Validator)
       }
     }
-    missing ++ nullViolations.diff(missing) ++ constraintViolations
+    missing ++ nullViolations ++ constraintViolations
   }
 
   def isValid(row: Map[String, Any]): Boolean = check(row).isEmpty

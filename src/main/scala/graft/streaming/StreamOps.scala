@@ -72,7 +72,13 @@ object StreamOps {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.lastSeen <= gapMs =>
-              cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+              // a late-but-in-gap event must never move the session
+              // boundaries backward (lastSeen regressing would wrongly
+              // split later events into a new session)
+              cur = Some(s.copy(
+                sessionStart = math.min(s.sessionStart, t),
+                lastSeen = math.max(s.lastSeen, t),
+                nEvents = s.nEvents + 1))
             case Some(s) => // gap exceeded: close and start fresh
               closed ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
                 new java.sql.Timestamp(s.lastSeen), s.nEvents)
