@@ -39,6 +39,14 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(frames.map(_._2).toSeq == Seq(0, 200, 400, 600, 800))
   }
 
+  test("F2: empty and NULL payloads yield zero frames") {
+    val d = Seq((1L, Array.empty[Byte]), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.fill[Byte](150)(1))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(d, "payload", "id", frameBytes = 100, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(frames.toSeq == Seq((3L, 0), (3L, 100)))
+  }
+
   test("H2: csv and json round-trip with schema enforcement") {
     val dir = Files.createTempDirectory("graft_sources").toString
     val schema = graft.queries.Schemas.documents

@@ -127,6 +127,24 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(eq.count() == 5)
   }
 
+  test("ASC double sort key bails out (-NaN == NaN would rank NaN first)") {
+    val base = spark.range(10).select(
+      (F.col("id") % 2).as("g"), F.col("id").cast("double").as("v"))
+    val w = Window.partitionBy("g").orderBy(F.col("v").asc)
+    val q = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
+  }
+
+  test("map-typed payload column bails out (heap ordering would crash)") {
+    val base = spark.range(10).select(
+      (F.col("id") % 2).as("g"), F.col("id").as("v"),
+      F.map_from_arrays(F.array(F.lit("k")), F.array(F.col("id"))).as("m"))
+    val w = Window.partitionBy("g").orderBy(F.col("v").desc)
+    val q = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
+    assert(q.count() == 4) // window plan still works
+  }
+
   test("rank (non-row_number) bails out") {
     val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc)
     val q = df.withColumn("rn", F.rank().over(w)).filter(F.col("rn") <= 3)
