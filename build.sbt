@@ -14,6 +14,9 @@ run / fork := true
 // Forked run output goes straight to stdout (no "[info] " prefix) so the
 // driver can json-parse Bench's single JSON line.
 outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line so Bench's JSON
+// line is the LAST stdout line (the driver parses the tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

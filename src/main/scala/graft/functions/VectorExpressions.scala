@@ -129,9 +129,12 @@ object VectorFunctions {
     org.apache.spark.sql.functions.round(
       floatDot(a, b) / (floatNorm(a) * floatNorm(b)), 6)
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // Weak keys: a stopped session must not be pinned forever in a
+  // long-lived JVM that builds many sessions.
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Register the native functions for SQL use on an existing session
     * (idempotent and silent on repeat calls). */

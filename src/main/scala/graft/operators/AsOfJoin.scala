@@ -25,11 +25,28 @@ object AsOfJoin {
     * @param payload   right-side columns to attach as `asof_<name>`
     * @param direction "backward" (latest right.ts <= left.ts, default) or
     *                  "forward" (earliest right.ts >= left.ts)
+    * @param tieBreakCol right-side column deciding WHICH right row wins
+    *                  when several share the same (key, ts) — use a cheap
+    *                  id column on wide payloads. Default: the whole
+    *                  payload struct (deterministic, but makes every
+    *                  payload column a sort key, so all payload types
+    *                  must be orderable — no maps).
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      payload: Seq[String], direction: String = "backward"): DataFrame = {
+      payload: Seq[String], direction: String = "backward",
+      tieBreakCol: Option[String] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    tieBreakCol.foreach(c => require(payload.contains(c),
+      s"tieBreakCol '$c' must be one of the payload columns $payload"))
+    if (tieBreakCol.isEmpty) payload.foreach { c =>
+      val dt = right.schema(c).dataType
+      require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"as-of payload column '$c' ($dt) is not orderable and cannot " +
+          "serve as the duplicate-(key,ts) tie-break; pass tieBreakCol=" +
+          "Some(<orderable right-side column>) to break ties explicitly")
+    }
     val leftCols = left.columns.toSeq
     val lType = StructType(leftCols.map(c => StructField(c, left.schema(c).dataType)))
     val pType = StructType(payload.map(c => StructField(c, right.schema(c).dataType)))
@@ -47,9 +64,12 @@ object AsOfJoin {
 
     val tsOrder =
       if (direction == "backward") F.col(tsCol).asc else F.col(tsCol).desc
-    // `_p` as final tie-break: several right rows at the same (key, ts)
-    // would otherwise attach a shuffle-order-dependent payload
-    val w = Window.partitionBy(keyCol).orderBy(tsOrder, F.col("_tag"), F.col("_p"))
+    // final tie-break: several right rows at the same (key, ts) would
+    // otherwise attach a shuffle-order-dependent payload. An explicit
+    // tieBreakCol keeps the sort key cheap on wide payloads.
+    val tie = tieBreakCol.map(c => F.col("_p").getField(c))
+      .getOrElse(F.col("_p"))
+    val w = Window.partitionBy(keyCol).orderBy(tsOrder, F.col("_tag"), tie)
       .rowsBetween(Window.unboundedPreceding, 0)
     rightSide.unionByName(leftSide)
       .withColumn("_last_p", F.last("_p", ignoreNulls = true).over(w))

@@ -61,7 +61,13 @@ object Dedup {
 
   /** Band the signature: band b's key is hash60 of its r joined mins
     * (a long — joins on 8-byte keys, not 32-char md5 strings).
-    * Docs with < shingleN tokens have no signature and are excluded. */
+    * Docs with < shingleN tokens have no signature and are excluded.
+    *
+    * BEHAVIOR CHANGE (r2): `k % bands != 0` now throws instead of
+    * silently dropping the trailing `k % bands` signature components —
+    * callers that relied on e.g. (k=16, bands=3) must pick parameters
+    * where bands divides k (the dropped components weakened recall in a
+    * way the caller couldn't see). */
   def minhashBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must be divisible by bands ($bands) — trailing signature components would be silently dropped")
@@ -82,8 +88,8 @@ object Dedup {
     * this intermediate is exactly what you'd checkpoint. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val b = minhashBands(minhashSignatures(docs, idCol, textCol, k, shingleN), k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = CacheScope.persist(
+      minhashBands(minhashSignatures(docs, idCol, textCol, k, shingleN), k, bands))
     val left = b.select(F.col("doc_id").as("doc_a"), F.col("band_idx"), F.col("band_hash"))
     val right = b.select(F.col("doc_id").as("doc_b"), F.col("band_idx"), F.col("band_hash"))
     left.join(right, Seq("band_idx", "band_hash"))
@@ -118,8 +124,7 @@ object Dedup {
     * two token-aggregation shuffles behind it must not run twice. */
   def simhashPairs(docsWithSimhash: DataFrame, blockCol: String,
       maxHamming: Int): DataFrame = {
-    val sigs = docsWithSimhash
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheScope.persist(docsWithSimhash)
     val a = sigs.select(F.col("doc_id").as("doc_a"),
       F.col("simhash").as("sim_a"), F.col(blockCol).as("blk"))
     val b = sigs.select(F.col("doc_id").as("doc_b"),
@@ -155,7 +160,7 @@ object Dedup {
           .filter(F.col("_df") <= cap).drop("_df")
       case None => raw
     }
-    val sh = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.persist(capped)
     val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
     val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle_h"))
       .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle_h")), "shingle_h")

@@ -18,11 +18,18 @@ object Hashing {
     * (identical value to `conv(substring(md5(c),1,15),16,10)` without
     * the hex-string round-trip — this runs once per shingle/token, so
     * the allocation savings compound on the dedup hot path). */
-  def hash60(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.VectorFunctions.register)
-    F.call_function("md5_prefix60", c)
-  }
+  def hash60(c: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorFunctions.register(s)
+        F.call_function("md5_prefix60", c)
+      case None =>
+        // No active session on this thread (e.g. Column built ahead of
+        // time, or under a foreign session): fall back to the
+        // session-independent built-in form — identical value, just via
+        // the hex-string round-trip.
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    }
 
   /** Same hash computed driver-side (for deterministic constants such as
     * LSH hyperplanes). */

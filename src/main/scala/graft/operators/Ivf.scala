@@ -30,7 +30,7 @@ object Ivf {
         s => s.getField("cv").cast("float")).as("centroid"))
       // k tiny rows referenced by several branches (corpus assign + query
       // probes): persist so the two-shuffle mean never re-runs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persist)
   }
 
   /** Deterministic Lloyd k-means quantizer (the self-contained IVF

@@ -94,11 +94,11 @@ object ExtendedQueries {
       // and the distinct shuffle run once
       val building = t(s, d, "customer")
         .filter(F.col("c_mktsegment") === "BUILDING").select("c_custkey")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.CacheScope.persist)
       val urgent = t(s, d, "orders")
         .filter(F.col("o_orderpriority") === "1-URGENT")
         .select(F.col("o_custkey").as("c_custkey")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.CacheScope.persist)
       building.intersect(urgent).withColumn("op", F.lit("intersect"))
         .unionByName(building.except(urgent).withColumn("op", F.lit("except")))
         .unionByName(building.union(urgent).distinct().withColumn("op", F.lit("union")))

@@ -222,7 +222,7 @@ object PipelineQueries {
       val b = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding",
         planes = PLANES, dim = 64)
         .join(emb.select("vec_id", "embedding"), "vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.CacheScope.persist)
       val left = b.select(F.col("vec_id").as("vec_a"),
         F.col("embedding").as("va"), F.col("bucket"))
       val right = b.select(F.col("vec_id").as("vec_b"),

@@ -16,9 +16,12 @@ object Tables {
     * parquet reader rejects; read nanos as long and convert to micros
     * with exact integer division (matches DuckDB's nanos→micros
     * truncation). */
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // Weak keys so stopped sessions can be GC'd (long-lived JVMs create
+  // many sessions; a strong-keyed registry would pin each one).
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (registered.add(spark)) { // once per session: re-registering spams WARNs
