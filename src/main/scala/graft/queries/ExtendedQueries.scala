@@ -234,7 +234,12 @@ object ExtendedQueries {
     "partitioned_prune",
     (s, d) => {
       val out = s"/tmp/graft_h3_${new java.io.File(d).getName}"
-      t(s, d, "orders").write.mode("overwrite")
+      // repartition on the partition column first: every write task
+      // otherwise emits a file per priority it sees (tasks × 5 small
+      // files — the classic partitioned-write small-files explosion; at
+      // 100 TB you'd add a salt to this repartition to bound task size)
+      t(s, d, "orders").repartition(F.col("o_orderpriority"))
+        .write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(out)
       s.read.parquet(out)
         .filter(F.col("o_orderpriority") === "1-URGENT")
@@ -273,9 +278,15 @@ object ExtendedQueries {
           new Directory(dir).deleteRecursively()
         }
       }
-      t(s, d, "orders").write.format("parquet")
+      // repartition(8, key) matches the bucket hash (both are
+      // pmod(murmur3, 8)), so each task holds exactly one bucket and
+      // writes ONE file — without it every task emits a file per bucket
+      // it sees (tasks × 8 small files, and 8× the open writers)
+      t(s, d, "orders").repartition(8, F.col("o_custkey"))
+        .write.format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
-      t(s, d, "customer").write.format("parquet")
+      t(s, d, "customer").repartition(8, F.col("c_custkey"))
+        .write.format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
       s.table(ob).hint("MERGE")
         .join(s.table(cb), F.col("o_custkey") === F.col("c_custkey"))

@@ -125,5 +125,58 @@ object StreamingQueries {
       SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup)
+  // ------------------------------------------------------------------ G4
+  /** Custom-state gap sessionization EXECUTED as a stream
+    * (flatMapGroupsWithState + EventTimeTimeout) vs the batch
+    * lag/cumsum sessionizer as the oracle.
+    *
+    * Only CLOSED sessions are emitted: a session closes when a later
+    * event of the same user exceeds the 30-min gap, or when the final
+    * watermark (max ts − 10 min) passes lastSeen + gap. Every session
+    * ending > 45 min before max(ts) is therefore guaranteed emitted
+    * (45 > 10 + 30 absorbs the ms-floor of the timeout clock), so BOTH
+    * sides filter to that prefix — micro-exact, no boundary races. */
+  private val streamSession = QueryDef(
+    "stream_session",
+    (s, d) => {
+      import s.implicits._
+      val dir = stage(s, d, "events")
+      val batch = s.read.parquet(dir)
+      val maxUs = batch.agg(F.max(F.unix_micros(F.col("ts")))).head().getLong(0)
+      val cutoffUs = maxUs - 2700L * 1000000L // max(ts) − 45 min
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+      val in = stream.select(F.col("user_id").as("userId"), F.col("ts"))
+        .as[graft.streaming.StreamOps.SessionInput]
+      val sessions = graft.streaming.StreamOps
+        .sessionizeStream(in, gapMs = 1800L * 1000, watermarkDelay = "10 minutes")
+      drain(sessions.toDF(), "append")
+        .filter(F.unix_micros(F.col("sessionEnd")) < cutoffUs)
+        .select(F.col("userId").as("user_id"),
+          F.col("sessionStart").as("session_start"),
+          F.col("sessionEnd").as("session_end"),
+          F.col("nEvents").as("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      HAVING date_diff('microsecond', max(ts), (SELECT max(ts) FROM events))
+             > 2700000000
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
+    streamSession)
 }

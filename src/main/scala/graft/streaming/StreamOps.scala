@@ -11,7 +11,7 @@ import org.apache.spark.sql.{functions => F}
   * reference's "define once, validate everywhere" promise, extended to
   * streams.
   */
-object StreamOps {
+object StreamOps extends Serializable {
 
   /** Filter-mode validation of a stream: coercion + one conjunctive
     * predicate. Stateless → any output mode, no watermark needed. */
@@ -42,9 +42,21 @@ object StreamOps {
   // ---- custom state: gap-based streaming sessionization ----
 
   case class SessionInput(userId: Long, ts: java.sql.Timestamp)
+  /** sessionStart/lastSeen are epoch MICROS (not millis): Timestamp
+    * carries micros in its nanos field, and `.getTime` alone would
+    * truncate them — session boundaries must be micro-exact to agree
+    * with the batch sessionizer. */
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(userId: Long, sessionStart: java.sql.Timestamp,
       sessionEnd: java.sql.Timestamp, nEvents: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom-state streaming sessionization via flatMapGroupsWithState:
     * a session closes when the next event for the key arrives after
@@ -59,19 +71,20 @@ object StreamOps {
 
     def fn(userId: Long, rows: Iterator[SessionInput],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val gapUs = gapMs * 1000L
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
-          new java.sql.Timestamp(s.lastSeen), s.nEvents))
+        Iterator(SessionOut(userId, microsTs(s.sessionStart),
+          microsTs(s.lastSeen), s.nEvents))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
         var closed = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = tsMicros(e.ts)
           cur match {
-            case Some(s) if t - s.lastSeen <= gapMs =>
+            case Some(s) if t - s.lastSeen <= gapUs =>
               // a late-but-in-gap event must never move the session
               // boundaries backward (lastSeen regressing would wrongly
               // split later events into a new session)
@@ -80,8 +93,8 @@ object StreamOps {
                 lastSeen = math.max(s.lastSeen, t),
                 nEvents = s.nEvents + 1))
             case Some(s) => // gap exceeded: close and start fresh
-              closed ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
-                new java.sql.Timestamp(s.lastSeen), s.nEvents)
+              closed ::= SessionOut(userId, microsTs(s.sessionStart),
+                microsTs(s.lastSeen), s.nEvents)
               cur = Some(SessionState(t, t, 1))
             case None =>
               cur = Some(SessionState(t, t, 1))
@@ -89,7 +102,10 @@ object StreamOps {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastSeen + gapMs)
+          // timeout API is epoch-millis; floor keeps it ≤ the exact
+          // micro deadline (fires one ms early at worst — callers that
+          // compare against batch apply a margin anyway)
+          state.setTimeoutTimestamp(Math.floorDiv(s.lastSeen, 1000L) + gapMs)
         }
         closed.reverseIterator
       }
