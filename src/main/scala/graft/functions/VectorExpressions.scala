@@ -115,12 +115,16 @@ object Md5Prefix60 {
 /** Column-API + SQL-registry surface for the native vector functions. */
 object VectorFunctions {
 
-  /** Column surface via the function registry (Spark 4 removed public
-    * Column↔Expression constructors; call_function resolves against the
-    * session at analysis time — [[register]] must have run on it, which
-    * [[graft.queries.Tables.t]] and the test harness guarantee). */
+  /** Column surface: the expression is built DIRECTLY (via
+    * [[org.apache.spark.sql.graft.ColumnBridge]]), not through the
+    * per-session function registry — session-independent, so Columns
+    * analyze correctly under newSession()/cross-thread use where a
+    * call_function("float_dot", …) would hit UNRESOLVED_ROUTINE. The
+    * SQL-name registry ([[register]]) remains for `spark.sql` users. */
   def floatDot(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("float_dot", a, b)
+    org.apache.spark.sql.graft.ColumnBridge.column(FloatDotProduct(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def floatNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(floatDot(a, a))

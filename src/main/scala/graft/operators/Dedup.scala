@@ -11,10 +11,10 @@ import org.apache.spark.sql.{functions => F}
   * means (bucketed) candidates out, not O(n²).
   *
   * Caching: methods whose plans reference an intermediate twice persist
-  * it (MEMORY_AND_DISK). Caches live until the session ends — a
-  * long-lived session running many dedup jobs should call
-  * `spark.catalog.clearCache()` between jobs or scope a session per
-  * pipeline run.
+  * it (MEMORY_AND_DISK) through [[CacheScope]] — call
+  * `CacheScope.release(spark)` after the consuming action to unpersist
+  * this job's intermediates without touching other jobs' caches
+  * (Verify/Bench do, per query).
   */
 object Dedup {
 
@@ -146,11 +146,14 @@ object Dedup {
     * computed on the capped set, so the Jaccard stays self-consistent).
     * Without a cap, a shingle shared by d docs contributes d² join rows —
     * on duplicate-heavy corpora that is quadratic (measured 20× blowup at
-    * 10× duplication). At 100 TB always set a cap; compose with
+    * 10× duplication), so the SAFE capped path is the DEFAULT
+    * (cap = 1000; r4 change — previously None): pass
+    * `maxDocFreq = None` explicitly to opt into the exact uncapped
+    * semantics on corpora known to be dedup'd. Compose with
     * [[ngramJaccardPairsUnique]] to collapse exact duplicates first. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val raw = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
       .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("shingle_h"))
     val capped = maxDocFreq match {
@@ -183,7 +186,7 @@ object Dedup {
     * between representatives; join back to [[exactGroups]] to expand. */
   def ngramJaccardPairsUnique(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val uniq = docs
       .groupBy(F.md5(F.col(textCol)).as("_th"))
       .agg(F.min(F.col(idCol)).as(idCol), F.first(F.col(textCol)).as(textCol))

@@ -17,19 +17,18 @@ object Hashing {
     * Backed by the native codegen'd [[graft.functions.Md5Prefix60]]
     * (identical value to `conv(substring(md5(c),1,15),16,10)` without
     * the hex-string round-trip — this runs once per shingle/token, so
-    * the allocation savings compound on the dedup hot path). */
+    * the allocation savings compound on the dedup hot path).
+    *
+    * Built DIRECTLY as an expression Column (no per-session function
+    * registry): the Column is session-independent, so it analyzes
+    * correctly with no active session on the calling thread, under
+    * `newSession()`, and across threads — `call_function` would resolve
+    * by name at analysis time and fail with UNRESOLVED_ROUTINE on any
+    * session that never registered it. */
   def hash60(c: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.VectorFunctions.register(s)
-        F.call_function("md5_prefix60", c)
-      case None =>
-        // No active session on this thread (e.g. Column built ahead of
-        // time, or under a foreign session): fall back to the
-        // session-independent built-in form — identical value, just via
-        // the hex-string round-trip.
-        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-    }
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Same hash computed driver-side (for deterministic constants such as
     * LSH hyperplanes). */

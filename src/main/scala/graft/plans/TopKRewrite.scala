@@ -8,8 +8,8 @@ import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite the top-N-per-group window pattern
   *
-  *   Filter(rn <= k, [Project(attrs)] Window(rn := row_number() over
-  *          (partition p order o), child))
+  *   Filter(rn <= k, [Project(attrs | renaming aliases)]
+  *          Window(rn := row_number() over (partition p order o), child))
   *
   * into a bounded-heap aggregation
   *
@@ -19,8 +19,21 @@ import org.apache.spark.sql.types._
   *
   * The window form shuffles and fully sorts EVERY row of every group;
   * the rewrite ships at most k rows per group per map task (partial
-  * aggregation) — at 100 TB the difference between sorting the table
-  * and a metadata-sized exchange.
+  * aggregation) and replaces the per-partition sort with a k-row heap —
+  * at 100 TB the difference between sorting the table and a
+  * metadata-sized exchange. (Spark's own InferWindowGroupLimit bounds
+  * the shuffle similarly but keeps the sort-based window on the
+  * survivors; the heap aggregate eliminates it.)
+  *
+  * rank()/dense_rank() <= k are DELIBERATELY left alone: the heap
+  * cannot answer them (boundary ties can push qualifying rows past k
+  * ROWS), and Spark 4's native InferWindowGroupLimit already inserts a
+  * map-side WindowGroupLimit for all three rank-like functions — a
+  * single-scan, pre-shuffle bound of k+ties rows per group per input
+  * partition. Any sound rewrite here (e.g. a top-k-distinct-keys
+  * LeftSemi prefilter) needs a second scan of the child to re-probe it,
+  * which is strictly worse than the built-in. PlanSpec asserts the
+  * native WindowGroupLimit fires on the rank pattern instead.
   *
   * Safety: fires only when the ordering maps losslessly onto the
   * keep-largest heap — every sort key DESC (nulls-smallest ordering ==
@@ -38,10 +51,15 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(f: Filter, cond: Expression,
       below: LogicalPlan): Option[LogicalPlan] = {
-    // peel an attribute-only Project between Filter and Window
+    // peel a Project of plain attributes / renaming aliases of
+    // attributes between Filter and Window
+    def passthrough(e: NamedExpression): Boolean = e match {
+      case _: AttributeReference => true
+      case Alias(_: AttributeReference, _) => true
+      case _ => false
+    }
     val (projected, w) = below match {
-      case p @ Project(pl, win: Window)
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      case p @ Project(pl, win: Window) if pl.forall(passthrough) =>
         (Some(p), win)
       case win: Window => (None, win)
       case _ => return None
@@ -113,19 +131,34 @@ object TopKRewrite extends Rule[LogicalPlan] {
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(posAttr, rowAttr), child = agg)
 
-    // rebuild the original output under the ORIGINAL exprIds
+    // rebuild the original output under the ORIGINAL output exprIds —
+    // for a renaming Project the output id is the ALIAS id and the
+    // source id is the underlying attribute's
     val partIds = parts.map(_.asInstanceOf[AttributeReference].exprId).toSet
-    val out: Seq[NamedExpression] = (projected.map(_.output).getOrElse(w.output)).map {
-      case a if a.exprId == rnId =>
-        Alias(Cast(Add(posAttr, Literal(1)), IntegerType), rnName)(exprId = rnId)
-      case a if partIds.contains(a.exprId) => a
-      case a =>
-        val idx = keyIdOf.getOrElse(a.exprId, {
-          val p = payload.indexWhere(_.exprId == a.exprId)
+    val sources: Seq[(ExprId, String, ExprId)] = projected match {
+      case Some(p) => p.projectList.map {
+        case a: AttributeReference => (a.exprId, a.name, a.exprId)
+        case al @ Alias(ar: AttributeReference, name) => (ar.exprId, name, al.exprId)
+        case _ => return None // unreachable: passthrough() vetted
+      }
+      case None => w.output.map(a => (a.exprId, a.name, a.exprId))
+    }
+    val out: Seq[NamedExpression] = sources.map { case (srcId, name, outId) =>
+      if (srcId == rnId)
+        Alias(Cast(Add(posAttr, Literal(1)), IntegerType), name)(exprId = outId)
+      else if (partIds.contains(srcId)) {
+        val attr = parts.collectFirst {
+          case a: AttributeReference if a.exprId == srcId => a
+        }.get
+        if (outId == srcId) attr else Alias(attr, name)(exprId = outId)
+      } else {
+        val idx = keyIdOf.getOrElse(srcId, {
+          val p = payload.indexWhere(_.exprId == srcId)
           if (p < 0) return None // not a child column
           sortKeys.length + p
         })
-        Alias(GetStructField(rowAttr, idx, Some(a.name)), a.name)(exprId = a.exprId)
+        Alias(GetStructField(rowAttr, idx, Some(name)), name)(exprId = outId)
+      }
     }
     Some(Project(out, gen))
   }

@@ -466,6 +466,63 @@ object CoreQueries {
         FROM orders)
       WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
 
+  // ------------------------------------------------- C5e (top_k_distinct)
+  /** Top-3 DISTINCT customer keys per priority via the bounded TreeSet
+    * aggregate [[graft.functions.TopKDistinct]] — the scale-safe form of
+    * distinct-top-k (collect_set would buffer every distinct key of the
+    * group before truncating; this keeps 3). */
+  private val aggTopKDistinct = QueryDef(
+    "agg_topk_distinct",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKFunctions
+          .topKDistinct(F.struct(F.col("o_custkey")), 3).as("top"))
+        .select(F.col("o_orderpriority"), F.posexplode(F.col("top")).as(Seq("pos", "s")))
+        .select(
+          F.col("o_orderpriority"),
+          (F.col("pos") + 1).cast("int").as("rnk"),
+          F.col("s.o_custkey").as("o_custkey"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some("""
+      SELECT o_orderpriority, rnk, o_custkey FROM (
+        SELECT o_orderpriority, o_custkey,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_custkey DESC) AS INTEGER) AS rnk
+        FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders))
+      WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
+
+  // ------------------------------------------------------ C5d (rank)
+  /** rank() ≤ k with TIES — deliberately NOT rewritten by TopKRewrite
+    * (the heap cannot represent boundary ties): Spark 4's native
+    * InferWindowGroupLimit bounds this pattern instead, inserting a
+    * map-side WindowGroupLimit that keeps ≤ k+ties rows per group per
+    * input partition BEFORE the shuffle — single scan, which beats any
+    * semi-join prefilter we could build (those need a second scan to
+    * re-probe the child). TopKRewriteSpec asserts the native node fires;
+    * this query proves tie semantics vs the window oracle (o_custkey
+    * repeats within a priority → real >k-rows tie groups). */
+  private val windowRankTopK = QueryDef(
+    "window_rank_topk",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(F.col("o_custkey").desc)
+      t(s, d, "orders")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_custkey")
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority, rnk, o_orderkey, o_custkey FROM (
+        SELECT o_orderpriority, o_orderkey, o_custkey,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_custkey DESC) AS INTEGER) AS rnk
+        FROM orders)
+      WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey"""))
+
   // ---------------------------------------------------------------- C6
   private val windowRunning = QueryDef(
     "window_running",
@@ -935,7 +992,8 @@ object CoreQueries {
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
     aggQ1, joinPricing, joinPromo, joinMulti, joinSemi, joinAnti,
-    windowTopN, windowTopNRewrite, aggTopK, windowRunning, sessionize, sessionWindow,
+    windowTopN, windowTopNRewrite, aggTopK, aggTopKDistinct, windowRankTopK,
+    windowRunning, sessionize, sessionWindow,
     funnel,
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile,

@@ -123,8 +123,12 @@ object ExtendedQueries {
       ORDER BY op, c_custkey"""))
 
   // --------------------------------------------------------- C20 collect
-  /** collect_list / collect_set aggregates, surfaced as joined strings
-    * (engine-portable representation of list results). */
+  /** collect_set (bounded domain: order statuses) + a bounded-heap
+    * bottom-k for the first keys, surfaced as joined strings
+    * (engine-portable representation of list results). first_keys is
+    * NOT collect_list+slice — that buffers the whole group's keys in
+    * one aggregation state before truncating (OOM at 100×); the heap
+    * state is O(10) per group. */
   private val aggCollect = QueryDef(
     "agg_collect",
     (s, d) => t(s, d, "orders")
@@ -133,7 +137,7 @@ object ExtendedQueries {
         F.array_join(F.array_sort(F.collect_set(F.col("o_orderstatus"))), ",")
           .as("statuses"),
         F.array_join(
-          F.slice(F.array_sort(F.collect_list(F.col("o_orderkey"))), 1, 10)
+          graft.functions.TopKFunctions.bottomKLong(F.col("o_orderkey"), 10)
             .cast("array<string>"), ",").as("first_keys"),
         F.count(F.lit(1)).as("n"))
       .orderBy("o_orderpriority"),
@@ -210,7 +214,7 @@ object ExtendedQueries {
   private val sourceRoundtrip = QueryDef(
     "source_roundtrip",
     (s, d) => {
-      val base = s"/tmp/graft_h2_${new java.io.File(d).getName}"
+      val base = s"/tmp/graft_h2_${Harness.runId}_${new java.io.File(d).getName}"
       val sup = t(s, d, "supplier")
       sup.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       sup.write.mode("overwrite").json(s"$base/json")
@@ -233,7 +237,7 @@ object ExtendedQueries {
   private val partitionedPrune = QueryDef(
     "partitioned_prune",
     (s, d) => {
-      val out = s"/tmp/graft_h3_${new java.io.File(d).getName}"
+      val out = s"/tmp/graft_h3_${Harness.runId}_${new java.io.File(d).getName}"
       // repartition on the partition column first: every write task
       // otherwise emits a file per priority it sees (tasks × 5 small
       // files — the classic partitioned-write small-files explosion; at
@@ -264,7 +268,10 @@ object ExtendedQueries {
     "bucketed_join",
     (s, d) => {
       val sf = new java.io.File(d).getName.replace(".", "_").replace("-", "_")
-      val ob = s"g_orders_bkt_$sf"; val cb = s"g_cust_bkt_$sf"
+      // run-id suffix: managed-table DIRS are shared across JVMs via the
+      // warehouse dir even though the in-memory catalog is not
+      val ob = s"g_orders_bkt_${Harness.runId}_$sf"
+      val cb = s"g_cust_bkt_${Harness.runId}_$sf"
       // managed-table dirs survive across sessions while the in-memory
       // catalog does not — clear them so saveAsTable never hits
       // "location already exists"

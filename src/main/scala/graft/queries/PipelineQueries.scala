@@ -126,14 +126,48 @@ object PipelineQueries {
     })
 
   // ---------------------------------------------------------------- D5
+  /** Exact (UNCAPPED) n-gram Jaccard — the reference-semantics oracle.
+    * maxDocFreq = None is an explicit opt-out of the capped default:
+    * quadratic on duplicate-heavy corpora, kept as the exactness
+    * reference. Production path = ngram_jaccard_capped / D5b. */
   private val ngramJaccard = QueryDef(
     "ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-      shingleN = 3, minJaccard = 0.5)
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = None)
       .orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH ${shingleCte(3)},
       shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shh a JOIN shh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  // --------------------------------------------------------------- D5c
+  /** The capped DEFAULT path with a cap small enough to bite at test
+    * scale (df ≤ 5; max shingle df at sf0.01 is 7, so the cap really
+    * drops shingles and the oracle checks the capped SEMANTICS, not a
+    * no-op): stopword-like shingles are dropped BEFORE the self-join on
+    * both sides, sizes are computed on the capped set. This is the form
+    * whose join fan-out is bounded by cap·df rows per shingle instead
+    * of df². */
+  private val ngramJaccardCapped = QueryDef(
+    "ngram_jaccard_capped",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = Some(5))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH ${shingleCte(3)},
+      shh0 AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      shh AS (SELECT doc_id, shingle_h FROM shh0
+              QUALIFY count(*) OVER (PARTITION BY shingle_h) <= 5),
       sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -511,7 +545,13 @@ object PipelineQueries {
   // --------------------------------------------------------------- E10
   /** Inverted-index build: term → document frequency + first posting
     * ids (the search-index construction path; one explode + one
-    * shuffle on the term). Restricted to common terms (df ≥ 50). */
+    * shuffle on the term). Restricted to common terms (df ≥ 50).
+    *
+    * The postings head is a bounded-heap bottom-k, NOT
+    * collect_list+slice: a stopword's posting list is the whole corpus,
+    * and collect_list buffers ALL of it in one aggregation state before
+    * the slice — executor OOM at 100×. The heap carries ≤ 10 ids per
+    * term per map task (partial agg). */
   private val invertedIndex = QueryDef(
     "inverted_index",
     (s, d) => {
@@ -522,7 +562,7 @@ object PipelineQueries {
         .agg(
           F.count(F.lit(1)).as("df"),
           F.array_join(
-            F.slice(F.array_sort(F.collect_list(F.col("doc_id"))), 1, 10)
+            graft.functions.TopKFunctions.bottomKLong(F.col("doc_id"), 10)
               .cast("array<string>"), ",").as("postings_head"))
         .filter(F.col("df") >= 50)
         .orderBy("term")
@@ -537,27 +577,34 @@ object PipelineQueries {
 
   // --------------------------------------------------------------- E11
   /** One-row corpus summary: docs, token volume, vocabulary size,
-    * type-token ratio (exact counts; ratio rounded). */
+    * type-token ratio (exact counts; ratio rounded).
+    *
+    * Single plan, single scan: the doc count rides the same exploded
+    * aggregate as count(DISTINCT doc_id) instead of a separate
+    * `docs.count()` action (which was a second full scan of `documents`
+    * — 2x I/O at 100 TB). doc_id is the primary key, so the distinct
+    * count equals the row count for every doc with >= 1 token; an
+    * empty-text doc would be excluded on BOTH sides (explode and unnest
+    * drop empty arrays identically). */
   private val corpusStats = QueryDef(
     "corpus_stats",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val tok = docs.select(F.explode(TextOps.tokens(F.col("text"))).as("term"))
-      val nDocs = docs.count() // tiny scalar; corpus row count
-      tok.agg(
-        F.count(F.lit(1)).as("n_tokens"),
-        F.countDistinct(F.col("term")).as("vocab"),
-        F.round(F.countDistinct(F.col("term")).cast("double") / F.count(F.lit(1)), 6)
-          .as("type_token_ratio"))
-        .withColumn("n_docs", F.lit(nDocs))
-        .select("n_docs", "n_tokens", "vocab", "type_token_ratio")
+      docs.select(F.col("doc_id"),
+          F.explode(TextOps.tokens(F.col("text"))).as("term"))
+        .agg(
+          F.countDistinct(F.col("doc_id")).as("n_docs"),
+          F.count(F.lit(1)).as("n_tokens"),
+          F.countDistinct(F.col("term")).as("vocab"),
+          F.round(F.countDistinct(F.col("term")).cast("double") / F.count(F.lit(1)), 6)
+            .as("type_token_ratio"))
     },
     Some(s"""
-      SELECT (SELECT count(*) FROM documents) AS n_docs,
+      SELECT count(DISTINCT doc_id) AS n_docs,
              count(*) AS n_tokens,
              count(DISTINCT term) AS vocab,
              round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS type_token_ratio
-      FROM (SELECT unnest($toksSql) AS term FROM documents)"""))
+      FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)"""))
 
   // ------------------------------------------------------ skew (count)
   /** Two-phase salted count (partial per input partition, then final):
@@ -579,7 +626,7 @@ object PipelineQueries {
   private val ngramJaccardUnique = QueryDef(
     "ngram_jaccard_unique",
     (s, d) => Dedup.ngramJaccardPairsUnique(t(s, d, "documents"), "doc_id", "text",
-      shingleN = 3, minJaccard = 0.5)
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = None) // exact oracle: explicit opt-out of the capped default
       .orderBy("doc_a", "doc_b"),
     Some {
       val parts = (0 until 3).map(k => s"t[i+$k]").mkString(" || ' ' || ")
@@ -787,5 +834,5 @@ object PipelineQueries {
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
-    saltedCount, ngramJaccardUnique)
+    saltedCount, ngramJaccardUnique, ngramJaccardCapped)
 }

@@ -9,6 +9,17 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+object Harness {
+  /** Per-JVM run id for scratch paths and managed-table names. Fixed
+    * sf-keyed paths let two concurrent JVMs (e.g. a local check.py next
+    * to the driver's verify) overwrite each other's staging dirs
+    * mid-read; pid+nanotime is unique per JVM while stable within it,
+    * so per-JVM reuse (streaming stage dirs) still works. */
+  val runId: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "_" +
+      java.lang.Long.toHexString(System.nanoTime())
+}
+
 object Tables {
   /** All queries read driver-generated parquet only (TESTDATA.md).
     *

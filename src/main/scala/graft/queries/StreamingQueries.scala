@@ -33,7 +33,7 @@ object StreamingQueries {
     * Written once per (sf, table) per JVM — several streaming queries
     * share the same staged input. */
   private def stage(s: SparkSession, d: String, table: String): String = {
-    val dir = s"/tmp/graft_stream_${new java.io.File(d).getName}/$table"
+    val dir = s"/tmp/graft_stream_${Harness.runId}_${new java.io.File(d).getName}/$table"
     if (staged.add(dir))
       t(s, d, table).write.mode("overwrite").parquet(dir)
     dir

@@ -173,8 +173,84 @@ final class Validator(val schema: GSchema) {
 
 /** Row-level validation — the Pydantic analog (reference
   * generators/pydantic.py:15 create_pydantic_model, validators attached
-  * pydantic.py:70-116). Interprets the same DSL checks per record. */
+  * pydantic.py:70-116). Interprets the same DSL checks per record.
+  *
+  * Input values are COERCED onto the declared field types before
+  * constraint evaluation (pydantic lax-mode construction semantics:
+  * `"5"` parses for a long field, garbage fails with a cast message) —
+  * the row-path twin of the bulk path's `try_cast` in
+  * [[Validator.coerce]]. */
 final class RowValidator(val schema: GSchema) {
+
+  import org.apache.spark.sql.types._
+
+  /** Lax coercion of one non-null raw value onto `f.dataType`.
+    * Accepted conversions mirror pydantic lax mode: numeric strings and
+    * whole floats for integer fields; numerics and numeric strings for
+    * double fields; "true"/"false"/0/1 for booleans; ISO-8601 strings
+    * for timestamps/dates. Unknown target types pass through. */
+  private def coerceValue(f: GField, v: Any): Either[String, Any] = {
+    def fail: Either[String, Any] =
+      Left(s"${f.name}: cannot coerce '$v' to ${f.dataType.simpleString}")
+    try {
+      f.dataType match {
+        case LongType | IntegerType | ShortType => v match {
+          case x: Long    => Right(x)
+          case x: Int     => Right(x.toLong)
+          case x: Short   => Right(x.toLong)
+          case x: Byte    => Right(x.toLong)
+          case x: Double  => if (x.isWhole) Right(x.toLong) else fail
+          case x: Float   => if (x.isWhole) Right(x.toLong) else fail
+          case x: Boolean => Right(if (x) 1L else 0L) // python bool <: int
+          case x: String  => Right(x.trim.toLong)
+          case _          => fail
+        }
+        case DoubleType => v match {
+          case x: Double => Right(x)
+          case x: Float  => Right(x.toDouble)
+          case x: Long   => Right(x.toDouble)
+          case x: Int    => Right(x.toDouble)
+          case x: Short  => Right(x.toDouble)
+          case x: String => Right(x.trim.toDouble)
+          case _         => fail
+        }
+        case BooleanType => v match {
+          case x: Boolean => Right(x)
+          case 0L | 0     => Right(false)
+          case 1L | 1     => Right(true)
+          case x: String  => x.trim.toLowerCase match {
+            case "true" | "1"  => Right(true)
+            case "false" | "0" => Right(false)
+            case _             => fail
+          }
+          case _ => fail
+        }
+        case StringType => v match { // pydantic v2 lax does NOT stringify numbers
+          case x: String => Right(x)
+          case _         => fail
+        }
+        case TimestampType => v match {
+          case x: java.time.Instant   => Right(x)
+          case x: java.sql.Timestamp  => Right(x.toInstant)
+          case x: String =>
+            try Right(java.time.Instant.parse(x.trim))
+            catch { // date-time without zone: read as UTC
+              case _: java.time.format.DateTimeParseException =>
+                Right(java.time.LocalDateTime.parse(x.trim)
+                  .toInstant(java.time.ZoneOffset.UTC))
+            }
+          case _ => fail
+        }
+        case DateType => v match {
+          case x: java.time.LocalDate => Right(x)
+          case x: java.sql.Date       => Right(x.toLocalDate)
+          case x: String              => Right(java.time.LocalDate.parse(x.trim))
+          case _                      => fail
+        }
+        case _ => Right(v) // GTyped free types: no coercion surface
+      }
+    } catch { case _: NumberFormatException | _: java.time.format.DateTimeParseException => fail }
+  }
 
   /** Returns failure messages (empty ⇒ valid). */
   def check(row: Map[String, Any]): Seq[String] = {
@@ -193,17 +269,26 @@ final class RowValidator(val schema: GSchema) {
       .filterNot(f => missingNames(f.name)) // already reported as required
       .filter(f => withDefaults.getOrElse(f.name, null) == null)
       .map(f => s"${f.name} must not be null")
+    // coerce per field; a failed coercion is reported once and the field
+    // is withheld from constraint eval (its checks are unevaluable)
+    val fieldByName = schema.fields.map(f => f.name -> f).toMap
+    val coercions = withDefaults.map { case (k, v) =>
+      k -> fieldByName.get(k).map(coerceValue(_, v)).getOrElse(Right(v))
+    }
+    val coerceErrors = schema.fields.flatMap(f =>
+      coercions.get(f.name).collect { case Left(m) => m })
+    val coerced = coercions.collect { case (k, Right(v)) => k -> v }
     val constraintViolations = schema.allChecks.flatMap { ch =>
-      // a check referencing a missing field is unevaluable — the missing
-      // field is already reported, so skip rather than crash
-      val result = try ch.expr.eval(withDefaults)
+      // a check referencing a missing/uncoercible field is unevaluable —
+      // that field is already reported, so skip rather than crash
+      val result = try ch.expr.eval(coerced)
       catch { case _: NoSuchElementException => null }
       result match {
         case false => Some(ch.message)
         case _     => None // true or null (null ⇒ pass, consistent with Validator)
       }
     }
-    missing ++ nullViolations ++ constraintViolations
+    missing ++ nullViolations ++ coerceErrors ++ constraintViolations
   }
 
   def isValid(row: Map[String, Any]): Boolean = check(row).isEmpty

@@ -55,6 +55,38 @@ class RowValidatorSpec extends AnyFunSuite {
     assert(s.rowValidator.check(Map("a" -> "x", "b" -> null)).isEmpty)
   }
 
+  test("lax type coercion: numeric strings parse, garbage fails with cast message") {
+    val s = GSchema("S")
+      .field(GLong("n", ge = Some(1L)))
+      .field(GDouble("x", gt = Some(0.0)))
+    // pydantic-lax: "5" constructs an int field (reference generators/pydantic.py:15)
+    assert(s.rowValidator.check(Map("n" -> "5", "x" -> "2.5")).isEmpty)
+    assert(s.rowValidator.check(Map("n" -> 5.0, "x" -> 3)).isEmpty) // whole float / int widen
+    val errs = s.rowValidator.check(Map("n" -> "abc", "x" -> 1.0))
+    assert(errs == Seq("n: cannot coerce 'abc' to bigint"))
+    // constraints evaluate on the COERCED value
+    assert(s.rowValidator.check(Map("n" -> "0", "x" -> 1.0)) == Seq("n must be >= 1"))
+  }
+
+  test("lax coercion: bool, timestamp and date strings") {
+    val s = GSchema("S")
+      .field(GBool("flag"))
+      .field(GTimestamp("at", ge = Some(java.time.Instant.parse("2024-01-01T00:00:00Z"))))
+      .field(GDate("day"))
+    assert(s.rowValidator.check(Map(
+      "flag" -> "true", "at" -> "2024-06-01T00:00:00Z", "day" -> "2024-06-01")).isEmpty)
+    assert(s.rowValidator.check(Map(
+      "flag" -> "yes", "at" -> "2024-06-01T00:00:00Z", "day" -> "2024-06-01"))
+      == Seq("flag: cannot coerce 'yes' to boolean"))
+    assert(s.rowValidator.check(Map(
+      "flag" -> true, "at" -> "2023-12-31T23:00:00Z", "day" -> "2024-06-01"))
+      == Seq("at must be >= 2024-01-01T00:00:00Z"))
+    // fractional float must NOT silently truncate to a long field
+    val s2 = GSchema("S2").field(GLong("n"))
+    assert(s2.rowValidator.check(Map("n" -> 5.5))
+      == Seq("n: cannot coerce '5.5' to bigint"))
+  }
+
   test("string and membership ops in row checks") {
     val s = GSchema("S")
       .field(GString("phone"))

@@ -145,9 +145,69 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(q.count() == 4) // window plan still works
   }
 
-  test("rank (non-row_number) bails out") {
-    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc)
-    val q = df.withColumn("rn", F.rank().over(w)).filter(F.col("rn") <= 3)
-    assert(!q.queryExecution.optimizedPlan.toString.contains("top_k"))
+  test("renaming Project between Filter and Window still rewrites") {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").desc)
+    val q = df.withColumn("rn", F.row_number().over(w))
+      .select(F.col("o_orderpriority").as("prio"), F.col("rn"),
+        F.col("o_orderkey").as("okey"), F.col("o_totalprice"))
+      .filter(F.col("rn") <= 3)
+    assert(q.queryExecution.optimizedPlan.toString.contains("top_k"),
+      s"alias project must not block the rewrite:\n${q.queryExecution.optimizedPlan}")
+    val got = q.orderBy("prio", "rn").collect()
+    assert(got.length == 15 && got.head.schema.fieldNames.toSeq ==
+      Seq("prio", "rn", "okey", "o_totalprice"))
+  }
+
+  test("rank() <= k bails out of the heap rewrite — native WindowGroupLimit covers it") {
+    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_custkey").desc)
+    val q = df.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // our rule must NOT fire (heap cannot represent boundary ties) …
+    assert(!plan.contains("top_k("), s"heap rewrite unsound for rank:\n$plan")
+    // … and Spark's InferWindowGroupLimit must bound the window
+    // map-side instead (single scan ≤ k+ties rows per input partition —
+    // the reason a second-scan semi-join prefilter would be a loss)
+    assert(plan.contains("WindowGroupLimit"), s"native group limit expected:\n$plan")
+    assert(plan.contains("windowspecdefinition"), s"window must survive:\n$plan")
+  }
+
+  test("rank/dense_rank window results honor ties (vs driver-computed)") {
+    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_custkey").desc)
+    val got = df.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_custkey")
+      .orderBy("o_orderpriority", "rnk", "o_custkey").collect().toSeq
+    // ties can push the emitted row count past 3 rows per group; never below
+    assert(got.size >= 15)
+    val exp = df.select("o_orderpriority", "o_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (prio, rows) =>
+        val sortedKeys = rows.map(_._2).sorted(Ordering[Long].reverse)
+        rows.map { case (_, ck) =>
+          (prio, 1 + sortedKeys.count(_ > ck), ck)
+        }.filter(_._2 <= 3)
+      }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getLong(2))) == exp)
+  }
+
+  test("top_k_distinct keeps k largest distinct values with O(k) state") {
+    import graft.functions.TopKFunctions
+    val base = spark.range(1000).select(
+      (F.col("id") % 4).as("g"), (F.col("id") % 25).as("v")) // 25 distinct per group
+    val got = base.groupBy("g")
+      .agg(TopKFunctions.topKDistinct(F.struct(F.col("v")), 3).as("top"))
+      .select(F.col("g"), F.col("top.v").as("vs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.values.foreach(vs => assert(vs == Seq(24L, 23L, 22L))) // descending, distinct
+  }
+
+  test("top_k_distinct via SQL registry") {
+    spark.range(100).select((F.col("id") % 10).as("v"))
+      .createOrReplaceTempView("tkd_in")
+    val rows = spark.sql(
+      "SELECT top_k_distinct(struct(v), 2) AS t FROM tkd_in")
+      .select(F.col("t.v")).as[Seq[Long]].head()
+    assert(rows == Seq(9L, 8L))
   }
 }

@@ -74,6 +74,20 @@ class Md5Prefix60Spec extends SparkSpec {
     val got = df.select(graft.operators.Hashing.hash60(F.col("s"))).collect()
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
   }
+
+  test("hash60 Column is session-independent (no active session / newSession)") {
+    // built with NO active session on the thread — must still analyze
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val col = try graft.operators.Hashing.hash60(F.col("s"))
+    finally active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    // …and analyzed under a DERIVED session whose registry never saw
+    // md5_prefix60 (call_function would die with UNRESOLVED_ROUTINE)
+    val s2 = spark.newSession()
+    val got = s2.createDataFrame(Seq(Tuple1("abc"))).toDF("s")
+      .select(col.as("h")).head().getLong(0)
+    assert(got == graft.operators.Hashing.hash60("abc"))
+  }
 }
 
 class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
