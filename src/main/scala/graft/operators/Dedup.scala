@@ -193,4 +193,57 @@ object Dedup {
       .drop("_th")
     ngramJaccardPairs(uniq, idCol, textCol, shingleN, minJaccard, maxDocFreq)
   }
+
+  /** Connected components over a near-dup PAIR graph → per-doc cluster
+    * id (the min doc id of its component). This is the step every
+    * production dedup pipeline needs between candidate pairs (D3–D5)
+    * and keep/drop decisions: near-duplication is transitive in intent
+    * (A≈B, B≈C ⇒ keep one of {A,B,C}) but pairs alone only say A–B.
+    *
+    * Distributed min-label propagation: each round every vertex takes
+    * the min of its own label and its neighbors' labels — one shuffle
+    * per round over (edges ⋈ labels), converging in O(component
+    * diameter) rounds. Dedup graphs are band-bucket cliques stitched by
+    * shared members (diameter ≲ 5), so rounds stay single digits at any
+    * scale; the per-round cost is linear in |edges|. (For adversarial
+    * long-path graphs you'd switch to pointer-jumping / large-star
+    * small-star — O(log n) rounds — which this API could adopt without
+    * signature change.) Each round's labels are persisted and the
+    * previous round's released; the convergence check rides the same
+    * aggregation (max label-change flag), not a separate scan.
+    *
+    * Output: (doc_id, cluster_id) for every vertex that appears in ≥ 1
+    * pair. Isolated docs are absent — join back against the corpus with
+    * a coalesce(cluster_id, doc_id) for the full assignment. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    var labels = CacheScope.persist(
+      edges.select(F.col("src").as("v")).distinct()
+        .withColumn("lbl", F.col("v")))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // min over {own label} ∪ {neighbor labels}
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(F.col("dst").as("v"))
+        .agg(F.min(F.col("lbl")).as("_nlbl"))
+      val next = CacheScope.persist(
+        labels.join(neighborMin, Seq("v"), "left")
+          .select(F.col("v"),
+            F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
+            (F.col("_nlbl") < F.col("lbl")).as("_changed")))
+      // one action per round: did any label improve? (metadata-sized)
+      converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
+        .head().getBoolean(0) == false
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
+  }
 }

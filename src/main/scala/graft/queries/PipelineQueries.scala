@@ -44,34 +44,68 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- D3
   private val K = 16; private val BANDS = 4
+
+  /** DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b, n_bands)` — the
+    * banded-minhash candidate pairs, shared by the D3 oracle and the
+    * D11 connected-components oracle. */
+  private def minhashCtesSql: String = {
+    val mins = (0 until K).map { i =>
+      val (a, b) = Dedup.minhashCoef(i)
+      s"min((_h * $a + $b) % ${Dedup.M31}) AS h$i"
+    }.mkString(",\n         ")
+    val r = K / BANDS
+    val bandSelects = (0 until BANDS).map { b =>
+      val cols = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"${Hashing.hash60Sql(s"concat_ws(',', $cols)")} AS band_hash FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""${shingleCte(3)},
+       |shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Dedup.M31} AS _h FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $mins
+       |        FROM shh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |mh_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |       AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   private val dedupMinhash = QueryDef(
     "dedup_minhash",
     (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
       k = K, bands = BANDS, shingleN = 3)
       .orderBy("doc_a", "doc_b"),
-    Some {
-      val mins = (0 until K).map { i =>
-        val (a, b) = Dedup.minhashCoef(i)
-        s"min((_h * $a + $b) % ${Dedup.M31}) AS h$i"
-      }.mkString(",\n         ")
-      val r = K / BANDS
-      val bandSelects = (0 until BANDS).map { b =>
-        val cols = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, " +
-          s"${Hashing.hash60Sql(s"concat_ws(',', $cols)")} AS band_hash FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH ${shingleCte(3)},
-         |shh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Dedup.M31} AS _h FROM sh),
-         |sig AS (SELECT doc_id,
-         |        $mins
-         |        FROM shh GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |     AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
-    })
+    Some(s"""WITH $minhashCtesSql
+      SELECT doc_a, doc_b, n_bands FROM mh_pairs ORDER BY doc_a, doc_b"""))
+
+  // --------------------------------------------------------------- D11
+  /** Near-dup CLUSTERS: connected components over the minhash candidate
+    * pairs via distributed min-label propagation (one shuffle per
+    * round, O(component diameter) rounds — see
+    * [[Dedup.connectedComponents]]). The production step between
+    * candidate pairs and keep/drop: A≈B, B≈C ⇒ one cluster {A,B,C}
+    * even though the pair list never says A–C. Oracle = recursive-CTE
+    * transitive closure over the same pairs. */
+  private val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
+        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                UNION SELECT doc_b, doc_a FROM mh_pairs),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- D4
   private val SIMHASH_BITS = 32
@@ -834,5 +868,5 @@ object PipelineQueries {
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
     multimodalMeta, sampleHash, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
-    saltedCount, ngramJaccardUnique, ngramJaccardCapped)
+    saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters)
 }

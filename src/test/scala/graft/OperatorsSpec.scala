@@ -14,6 +14,37 @@ class OperatorsSpec extends SparkSpec {
     assert(g.agg(F.sum("n_dups")).head().getLong(0) == docs.count())
   }
 
+  test("connected components: transitivity across a path needs multiple rounds") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 → several propagation rounds),
+    // separate pair 10-11, and a triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("connected components agree with exact-dup groups on clique pairs") {
+    import spark.implicits._
+    // pairs generated within exact-dup groups are cliques → components
+    // must reproduce the groups exactly (min id as representative)
+    val dup = docs.select(F.md5(F.col("text")).as("h"), F.col("doc_id"))
+    val pairs = dup.join(dup.withColumnRenamed("doc_id", "doc_b"), "h")
+      .filter(F.col("doc_id") < F.col("doc_b"))
+      .select(F.col("doc_id").as("doc_a"), F.col("doc_b"))
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val expected = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(F.col("n_dups") > 1)
+      .select(F.col("keep_id")).as[Long].collect().toSet
+    val gotReps = cc.select("cluster_id").distinct().as[Long].collect().toSet
+    assert(gotReps == expected)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("fingerprint ignores token order and repetition") {
     import spark.implicits._
     val d = Seq((1L, "b a a c"), (2L, "a b c c"), (3L, "x y")).toDF("doc_id", "text")
