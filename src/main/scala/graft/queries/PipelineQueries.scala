@@ -686,6 +686,44 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     })
 
+  // -------------------------------------------------------------- D11b
+  /** The END-TO-END near-dup dedup decision: LSH candidate pairs →
+    * transitive clusters → keep one representative (min doc_id) per
+    * cluster, isolated docs kept as-is. This is the full production
+    * composition (D3 → D11 → apply); output is the per-source keep
+    * counts a pipeline dashboard reports. */
+  private val dedupClustersApply = QueryDef(
+    "dedup_clusters_apply",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        k = K, bands = BANDS, shingleN = 3)
+      val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val kept = docs.join(clusters, Seq("doc_id"), "left")
+        .filter(F.col("cluster_id").isNull || F.col("cluster_id") === F.col("doc_id"))
+      kept.groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_kept"),
+          F.sum(F.when(F.col("cluster_id").isNotNull, 1L).otherwise(0L))
+            .as("n_cluster_reps"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                UNION SELECT doc_b, doc_a FROM mh_pairs),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a),
+      clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                   FROM reach GROUP BY a),
+      kept AS (SELECT d.source, c.cluster_id
+               FROM documents d LEFT JOIN clusters c USING (doc_id)
+               WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cluster_reps
+      FROM kept GROUP BY source ORDER BY source"""))
+
   // ------------------------------------------------------------ F2
   /** Batched multimodal decode pipeline (mapPartitions batch iterator).
     * The stub decoder derives fake dimensions from the md5 content hash,
@@ -752,6 +790,31 @@ object PipelineQueries {
              round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
                    / count(*), 6) AS dup_rate
       FROM documents GROUP BY source ORDER BY source"""))
+
+  // --------------------------------------------------------------- E6b
+  /** STRATIFIED deterministic sampling: per-language rates (en 80%,
+    * others 20% — the rebalancing move when one language dominates a
+    * crawl) over the same md5 bucket space as [[sampleHash]]. Still a
+    * narrow single-pass filter — stratification costs nothing extra at
+    * 100 TB because the rate is just a per-row CASE on the stratum
+    * column, not a per-stratum pass. */
+  private val sampleStratified = QueryDef(
+    "sample_stratified",
+    (s, d) => {
+      val h = Hashing.hash60(F.col("doc_id").cast("string"))
+      val rate = F.when(F.col("lang") === "en", 80).otherwise(20)
+      t(s, d, "documents")
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"))
+        .filter(h % 100 < rate)
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE $h % 100 < (CASE WHEN lang = 'en' THEN 80 ELSE 20 END)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   // ---------------------------------------------------------------- E5
   /** Deterministic hash-based sampling + train/valid/test split: the
@@ -866,7 +929,8 @@ object PipelineQueries {
     embedTopK, embedNearDup, embedLshBuckets, embedLshNearDup,
     embedIvfAssign, embedIvfSearch,
     textLangid, textQuality, textTokens, textNgrams, binaryMeta, joinSalted,
-    multimodalMeta, sampleHash, textNormalize, pipelineQuality,
+    multimodalMeta, sampleHash, sampleStratified, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
-    saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters)
+    saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
+    dedupClustersApply)
 }
