@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Corpus-curation operators for LLM training-data prep: heuristic
+  * quality gates (Gopher-style rule sets), repetition metrics,
+  * benchmark-contamination screening, token-budget sequence packing and
+  * domain-mixture rebalancing.
+  *
+  * Scale shape, per operator:
+  *  - [[qualityRules]] — pure narrow map (codegen, one scan, no shuffle).
+  *  - [[repetitionStats]] — one explode + two partial-aggregated
+  *    shuffles keyed on (doc, gram) then doc; state per group is a
+  *    handful of longs, never a list.
+  *  - [[contamination]] — benchmark n-gram set is broadcast (eval sets
+  *    are tiny relative to a 100 TB corpus); the corpus side stays a
+  *    narrow explode + one doc-keyed aggregate.
+  *  - [[packBins]] — the classic scale trap here is a GLOBAL running sum
+  *    (single-partition window). We shard into deterministic hash
+  *    buckets and pack within each bucket, so the window parallelizes
+  *    across buckets and each task only sorts its bucket.
+  *  - [[domainMix]] — group token totals are a map-side-combined
+  *    aggregate producing one row per domain; rates broadcast back.
+  *    Row selection is the deterministic md5-bucket filter (stable
+  *    across runs/engines/cluster sizes, unlike rand()).
+  */
+object Curation {
+
+  // ------------------------------------------------------------ quality
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 — re-expressed over whitespace tokens):
+    * word-count bounds, mean-word-length bounds, alphabetic-character
+    * ratio, and a minimum stop-word hit count. Emits the per-rule
+    * metrics, each rule as an int flag (0/1 — ints hash identically
+    * across engines; booleans are dtype-fragile), and the conjunction.
+    * Transcendental-free so every value is bit-portable. */
+  def qualityRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 1000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.7, minStopHits: Int = 2): DataFrame = {
+    val text = F.col(textCol)
+    val toks = TextOps.tokens(text)
+    val nWords = F.size(toks).cast("long")
+    val sumLen = F.aggregate(F.transform(toks, t => F.length(t).cast("long")),
+      F.lit(0L), (acc, x) => acc + x)
+    val meanLen = F.round(sumLen.cast("double") / nWords, 6)
+    val nAlpha = F.regexp_count(text, F.lit("[a-z]")).cast("long")
+    val alphaRatio = F.round(nAlpha.cast("double") / F.length(text), 6)
+    val nStop = F.size(F.filter(toks,
+      t => TextOps.stopwords.map(m => t === m).reduce(_ || _))).cast("long")
+    val flag = (c: Column) => F.when(c, 1L).otherwise(0L)
+    val ruleWords = flag(nWords >= minWords && nWords <= maxWords)
+    val ruleMeanLen = flag(meanLen >= minMeanLen && meanLen <= maxMeanLen)
+    val ruleAlpha = flag(alphaRatio >= minAlphaRatio)
+    val ruleStop = flag(nStop >= minStopHits)
+    docs.select(
+      F.col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stop"),
+      ruleWords.as("rule_words"),
+      ruleMeanLen.as("rule_mean_len"),
+      ruleAlpha.as("rule_alpha"),
+      ruleStop.as("rule_stop"),
+      (ruleWords * ruleMeanLen * ruleAlpha * ruleStop).as("keep"))
+  }
+
+  // --------------------------------------------------------- repetition
+  /** Per-document repetition metrics (the Gopher repetition filters):
+    * duplicate-token fraction (narrow, via array_distinct) and the
+    * fraction of n-grams taken by the single most frequent n-gram.
+    * One explode; aggregation state is O(1) per (doc, gram) and per doc
+    * — a pathological doc repeating one phrase millions of times costs
+    * counts, not buffered lists. Docs too short to have any n-gram
+    * survive with zero gram counts (explode_outer). */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      maxDupTokenFrac: Double = 0.55, maxTopGramFrac: Double = 0.10): DataFrame = {
+    val base = docs.select(
+      F.col(idCol).as("doc_id"),
+      TextOps.tokens(F.col(textCol)).as("_toks"))
+      .select(
+        F.col("doc_id"),
+        F.size(F.col("_toks")).cast("long").as("n_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).cast("long").as("n_distinct"),
+        F.explode_outer(TextOps.shinglesOf(F.col("_toks"), n)).as("gram"))
+    val perGram = base.groupBy("doc_id", "gram").agg(
+      F.sum(F.when(F.col("gram").isNotNull, 1L).otherwise(0L)).as("c"),
+      F.first("n_tokens").as("n_tokens"),
+      F.first("n_distinct").as("n_distinct"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      F.first("n_tokens").as("n_tokens"),
+      F.first("n_distinct").as("n_distinct"),
+      F.sum("c").as("n_grams"),
+      F.max("c").as("max_gram_freq"))
+    val dupFrac = F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6)
+    val topFrac = F.when(F.col("n_grams") === 0, 0.0)
+      .otherwise(F.round(F.col("max_gram_freq").cast("double") / F.col("n_grams"), 6))
+    perDoc.select(
+      F.col("doc_id"), F.col("n_tokens"),
+      dupFrac.as("dup_token_frac"),
+      F.col("n_grams"), F.col("max_gram_freq"),
+      topFrac.as("top_gram_frac"),
+      F.when(dupFrac <= maxDupTokenFrac && topFrac <= maxTopGramFrac, 1L)
+        .otherwise(0L).as("keep"))
+  }
+
+  // ------------------------------------------------------ contamination
+  /** Benchmark-contamination screen: fraction of each corpus document's
+    * distinct word n-grams that appear anywhere in the benchmark
+    * (eval-set) documents. The benchmark's distinct n-gram set is
+    * broadcast — eval suites are MBs against a corpus of TBs — so the
+    * corpus side is a narrow explode plus one doc-keyed aggregate, no
+    * corpus-sized shuffle on the gram key. Docs with fewer than n
+    * tokens have no n-grams and are omitted (nothing to contaminate). */
+  def contamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      flagAt: Double = 0.5): DataFrame = {
+    val benchGrams = TextOps.shingleDocs(benchmark, idCol, textCol, n)
+      .select(F.col("shingle")).distinct()
+      .withColumn("_hit", F.lit(1L))
+    val corpusGrams = TextOps.shingleDocs(corpus, idCol, textCol, n)
+    corpusGrams
+      .join(F.broadcast(benchGrams), Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_hit"))
+      .select(
+        F.col("doc_id"), F.col("n_grams"), F.col("n_hit"),
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6).as("contam_frac"),
+        F.when(F.col("n_hit").cast("double") / F.col("n_grams") >= flagAt, 1L)
+          .otherwise(0L).as("contaminated"))
+  }
+
+  // ------------------------------------------------------------ packing
+  /** Token-budget sequence packing: assign documents to fixed-budget
+    * bins (the "fill a 2k-token training sequence" move) via a running
+    * token sum sharded over deterministic hash buckets. A bin never
+    * spans buckets, so the per-bucket windows are independent — the
+    * plan is one shuffle on the bucket key and a per-task sort, where
+    * the naive global cumulative sum would serialize the corpus through
+    * one partition. Documents are packed in doc-id order within a
+    * bucket (deterministic; contiguous cumsum binning — a doc that
+    * straddles the boundary opens the next bin). */
+  def packBins(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      buckets: Int = 8, budget: Long = 500L): DataFrame = {
+    val bucket = F.pmod(Hashing.hash60(F.col(idCol).cast("string")), F.lit(buckets))
+      .cast("long").as("bucket")
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    docs.select(F.col(idCol), F.col(tokensCol).as("_tok"), bucket)
+      .withColumn("_cum", F.sum("_tok").over(w))
+      .withColumn("bin", F.expr(s"(_cum - 1) div $budget"))
+      .groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("_tok").as("bin_tokens"),
+        F.min(idCol).as("first_doc"),
+        F.max(idCol).as("last_doc"))
+  }
+
+  // --------------------------------------------------------- domain mix
+  /** Domain-mixture rebalancing: given target token shares per domain
+    * (language, source, …), compute a per-domain deterministic sampling
+    * rate `min(1, target_share · total_tokens / domain_tokens)` and
+    * apply it with the portable md5-bucket filter. Returns one row per
+    * domain with the rate and the kept doc/token counts. Two aggregates
+    * (domain totals, then kept counts) plus one broadcast join of the
+    * domain-count rate table back onto the corpus — no global sort, no
+    * rand(). */
+  def domainMix(
+      docs: DataFrame, idCol: String, domainCol: String, tokensCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val domTok = docs.groupBy(domainCol).agg(
+      F.sum(F.col(tokensCol)).cast("long").as("domain_tokens"),
+      F.count(F.lit(1)).as("n_total"))
+    // one row per domain; the empty-frame window runs on that tiny
+    // aggregate only (never on the corpus)
+    val withTotal = domTok.withColumn("_total",
+      F.sum("domain_tokens").over(Window.partitionBy()))
+    val target = targets.foldRight(F.lit(0.0): Column) { case ((k, v), els) =>
+      F.when(F.col(domainCol) === k, F.lit(v)).otherwise(els)
+    }
+    val rates = withTotal.select(
+      F.col(domainCol), F.col("domain_tokens"), F.col("n_total"),
+      F.round(F.least(F.lit(1.0),
+        target * F.col("_total") / F.col("domain_tokens")), 6).as("rate"))
+    val kept = docs
+      .join(F.broadcast(rates.select(domainCol, "rate")), Seq(domainCol))
+      .where(F.pmod(Hashing.hash60(F.col(idCol).cast("string")), F.lit(1000000L)) <
+        F.floor(F.col("rate") * 1e6))
+      .groupBy(domainCol).agg(
+        F.count(F.lit(1)).as("n_kept"),
+        F.sum(F.col(tokensCol)).cast("long").as("kept_tokens"))
+    rates.join(kept, Seq(domainCol), "left")
+      .select(
+        F.col(domainCol), F.col("domain_tokens"), F.col("n_total"), F.col("rate"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0L)).as("kept_tokens"))
+  }
+}

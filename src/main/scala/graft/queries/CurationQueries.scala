@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.operators.{Curation, Hashing}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-4 inventory: corpus-curation operators (SURVEY §2 E12–E16) —
+  * quality-rule gates, repetition metrics, benchmark contamination,
+  * token-budget packing and domain-mixture rebalancing. Oracle SQL is
+  * generated from the same thresholds as the Spark implementation so
+  * the two can never drift. */
+object CurationQueries {
+
+  private val toksSql = "regexp_split_to_array(lower(text), ' +')"
+
+  /** DuckDB n-gram list over a token-array column `t`. */
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 0)), i -> $parts)"
+  }
+
+  // ---------------------------------------------------------------- E12
+  /** Shared with the streaming twin `stream_quality` (G5) — the same
+    * oracle checks the batch plan and its incremental execution. */
+  private[queries] val qualityRulesSql: String = {
+    val stop = graft.operators.TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
+    s"""SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop,
+         |       rule_words, rule_mean_len, rule_alpha, rule_stop,
+         |       rule_words * rule_mean_len * rule_alpha * rule_stop AS keep
+         |FROM (
+         |  SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop,
+         |         CAST(CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS rule_words,
+         |         CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS rule_mean_len,
+         |         CAST(CASE WHEN alpha_ratio >= 0.7 THEN 1 ELSE 0 END AS BIGINT) AS rule_alpha,
+         |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rule_stop
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(t) AS n_words,
+         |           round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_word_len,
+         |           round(len(regexp_extract_all(text, '[a-z]')) * 1.0 / length(text), 6) AS alpha_ratio,
+         |           len(list_filter(t, x -> $stop)) AS n_stop
+         |    FROM (SELECT doc_id, text, $toksSql AS t FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityRules = QueryDef(
+    "quality_rules",
+    (s, d) => Curation.qualityRules(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(qualityRulesSql))
+
+  // ---------------------------------------------------------------- E13
+  private val textRepetition = QueryDef(
+    "text_repetition",
+    (s, d) => Curation.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, t, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+        FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+      g AS (
+        SELECT doc_id, unnest(${gramsSql(2)}) AS gram FROM d),
+      gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                    max(c) AS max_gram_freq
+             FROM gc GROUP BY 1)
+      SELECT doc_id, n_tokens, dup_token_frac, n_grams, max_gram_freq,
+             top_gram_frac,
+             CAST(CASE WHEN dup_token_frac <= 0.55 AND top_gram_frac <= 0.10
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM (
+        SELECT d.doc_id, d.n_tokens,
+               round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(max_gram_freq, 0) AS max_gram_freq,
+               CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                    ELSE round(max_gram_freq * 1.0 / n_grams, 6) END AS top_gram_frac
+        FROM d LEFT JOIN ga ON d.doc_id = ga.doc_id)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E14
+  /** Benchmark = the `src0` slice (stands in for an eval suite);
+    * corpus = everything else. */
+  private val contamination = QueryDef(
+    "contamination",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.contamination(
+        docs.where(F.col("source") =!= "src0"),
+        docs.where(F.col("source") === "src0"),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH bg AS (
+        SELECT DISTINCT unnest(${gramsSql(3)}) AS shingle
+        FROM (SELECT $toksSql AS t FROM documents WHERE source = 'src0')),
+      cg AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(${gramsSql(3)}) AS shingle
+          FROM (SELECT doc_id, $toksSql AS t
+                FROM documents WHERE source <> 'src0')))
+      SELECT doc_id, count(*) AS n_grams,
+             count(bg.shingle) AS n_hit,
+             round(count(bg.shingle) * 1.0 / count(*), 6) AS contam_frac,
+             CAST(CASE WHEN count(bg.shingle) * 1.0 / count(*) >= 0.5
+                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E15
+  private val packBins = QueryDef(
+    "pack_bins",
+    (s, d) => Curation.packBins(
+      t(s, d, "documents").select(
+        F.col("doc_id"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").as("est_tokens")),
+      "doc_id", "est_tokens", buckets = 8, budget = 500L)
+      .orderBy("bucket", "bin"),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+               ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket
+        FROM documents),
+      c AS (
+        SELECT doc_id, tok, bucket,
+               CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS cum
+        FROM d)
+      SELECT bucket, bin, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS bin_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM (SELECT bucket, (cum - 1) // 500 AS bin, tok, doc_id FROM c)
+      GROUP BY 1, 2 ORDER BY bucket, bin"""))
+
+  // ---------------------------------------------------------------- E16
+  private val mixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15, "zh" -> 0.15)
+
+  private val domainMix = QueryDef(
+    "domain_mix",
+    (s, d) => Curation.domainMix(
+      t(s, d, "documents").select(
+        F.col("doc_id"), F.col("lang"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").as("est_tokens")),
+      "doc_id", "lang", "est_tokens", mixTargets.toMap)
+      .orderBy("lang"),
+    Some {
+      val cases = mixTargets.map { case (l, v) => s"WHEN '$l' THEN $v" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+         |  FROM documents),
+         |dt AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS domain_tokens,
+         |              count(*) AS n_total
+         |       FROM d GROUP BY 1),
+         |tt AS (SELECT CAST(sum(domain_tokens) AS BIGINT) AS total FROM dt),
+         |r AS (SELECT lang, domain_tokens, n_total,
+         |             round(least(1.0, (CASE lang $cases ELSE 0.0 END) * total
+         |                   / domain_tokens), 6) AS rate
+         |      FROM dt, tt),
+         |k AS (SELECT d.lang, count(*) AS n_kept,
+         |             CAST(sum(tok) AS BIGINT) AS kept_tokens
+         |      FROM d JOIN r USING (lang)
+         |      WHERE ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+         |            < CAST(floor(rate * 1e6) AS BIGINT)
+         |      GROUP BY 1)
+         |SELECT r.lang, domain_tokens, n_total, rate,
+         |       coalesce(n_kept, 0) AS n_kept,
+         |       coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM r LEFT JOIN k ON r.lang = k.lang
+         |ORDER BY r.lang""".stripMargin
+    })
+
+  def all: Seq[QueryDef] = Seq(
+    qualityRules, textRepetition, contamination, packBins, domainMix)
+}

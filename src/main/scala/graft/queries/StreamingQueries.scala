@@ -177,6 +177,22 @@ object StreamingQueries {
              > 2700000000
       ORDER BY user_id, session_start"""))
 
+  // ------------------------------------------------------------------ G5
+  /** The corpus quality gate EXECUTED as a stream: [[graft.operators
+    * .Curation.qualityRules]] is a pure narrow map, so the identical
+    * declarative plan runs incrementally (append mode, no state) — new
+    * crawl shards stream through the same gate batch uses, checked
+    * against the same oracle. */
+  private val streamQuality = QueryDef(
+    "stream_quality",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val gated = graft.operators.Curation.qualityRules(stream, "doc_id", "text")
+      drain(gated, "append").orderBy("doc_id")
+    },
+    Some(CurationQueries.qualityRulesSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
-    streamSession)
+    streamSession, streamQuality)
 }

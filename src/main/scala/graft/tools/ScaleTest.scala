@@ -74,6 +74,30 @@ object ScaleTest {
       graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b").count()
     }
 
+    // r4 curation suite on the duplicated corpus: quality gate is a
+    // pure narrow map; repetition carries O(1) state per (doc, gram);
+    // contamination broadcasts the benchmark gram set; packing windows
+    // shard over hash buckets; domain mix is two tiny-keyed aggregates
+    time("quality_rules")(graft.operators.Curation.qualityRules(
+      d, "doc_id", "text").count())
+    time("text_repetition")(graft.operators.Curation.repetitionStats(
+      d, "doc_id", "text").count())
+    time("contamination") {
+      graft.operators.Curation.contamination(
+        d.where(F.col("source") =!= "src0"),
+        d.where(F.col("source") === "src0"), "doc_id", "text", n = 3).count()
+    }
+    time("pack_bins")(graft.operators.Curation.packBins(
+      d.select(F.col("doc_id"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok")),
+      "doc_id", "tok", buckets = 64, budget = 500L).count())
+    time("domain_mix")(graft.operators.Curation.domainMix(
+      d.select(F.col("doc_id"), F.col("lang"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok")),
+      "doc_id", "lang", "tok",
+      Map("en" -> 0.40, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15,
+        "zh" -> 0.15)).count())
+
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
     val nLi = li0.count()

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.{functions => F}
+
+/** Corpus-curation operators (SURVEY §2 E12–E16) on synthetic frames
+  * with known answers plus the sf0.001 documents table. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("quality rules: constructed pass and fail docs") {
+    import spark.implicits._
+    // 30 words, mean length 4.1, stopword "the" ×6, pure alpha+space
+    val good = ("the quick brown fox jumps over the lazy dogs daily " * 3).trim
+    val short = "tiny doc" // fails word count
+    val d = Seq((1L, good), (2L, short)).toDF("doc_id", "text")
+    val r = Curation.qualityRules(d, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 1L && r(2L) == 0L)
+  }
+
+  test("quality rules: every rule flag is the 0/1 indicator of its metric") {
+    val r = Curation.qualityRules(docs, "doc_id", "text")
+    val bad = r.where(
+      (F.col("rule_words") === 1) =!= (F.col("n_words").between(20, 1000)) ||
+        (F.col("rule_stop") === 1) =!= (F.col("n_stop") >= 2) ||
+        (F.col("rule_alpha") === 1) =!= (F.col("alpha_ratio") >= 0.7) ||
+        (F.col("keep") === 1) =!= (F.col("rule_words") === 1 &&
+          F.col("rule_mean_len") === 1 && F.col("rule_alpha") === 1 &&
+          F.col("rule_stop") === 1))
+    assert(bad.count() == 0)
+  }
+
+  test("repetition: a degenerate doc is flagged, a diverse one kept") {
+    import spark.implicits._
+    val loop = ("spam ham " * 30).trim // one bigram dominates
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ") // all distinct
+    val d = Seq((1L, loop), (2L, varied)).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(d, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Long, Double, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._7 == 0L && r(2L)._7 == 1L)
+    assert(r(2L)._3 == 0.0) // all-distinct doc: zero duplicate fraction
+    assert(r(1L)._3 > 0.9) // two distinct tokens in 60
+  }
+
+  test("repetition: doc shorter than the n-gram survives with zero grams") {
+    import spark.implicits._
+    val d = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(d, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_grams") == 0L &&
+      r.getAs[Double]("top_gram_frac") == 0.0)
+  }
+
+  test("contamination: planted benchmark overlap is found, clean doc is 0") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // identical → frac 1.0
+      (2L, "zeta eta theta iota kappa")) // disjoint → frac 0.0
+      .toDF("doc_id", "text")
+    val r = Curation.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id", "contam_frac", "contaminated")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 1.0 && r(1L)._3 == 1L)
+    assert(r(2L)._2 == 0.0 && r(2L)._3 == 0L)
+  }
+
+  test("pack bins: budget respected and every doc packed exactly once") {
+    val d = docs.select(F.col("doc_id"),
+      F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok"))
+    val bins = Curation.packBins(d, "doc_id", "tok", buckets = 8, budget = 500L)
+    // conservation: total docs and tokens survive the packing
+    val tot = bins.agg(F.sum("n_docs"), F.sum("bin_tokens")).head()
+    assert(tot.getLong(0) == d.count())
+    assert(tot.getLong(1) == d.agg(F.sum("tok")).head().getLong(0))
+    // a bin only exceeds the budget via its straddling last doc, so
+    // bin_tokens < budget + the largest document in the corpus
+    val maxTok = d.agg(F.max("tok")).head().getLong(0)
+    assert(bins.where(F.col("bin_tokens") >= 500L + maxTok).count() == 0)
+  }
+
+  test("domain mix: rates in (0,1], kept counts bounded, en share boosted") {
+    import spark.implicits._
+    val d = docs.select(F.col("doc_id"), F.col("lang"),
+      F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok"))
+    val r = Curation.domainMix(d, "doc_id", "lang", "tok",
+      Map("en" -> 0.40, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15, "zh" -> 0.15))
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val rate = row.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_total"))
+      // deterministic hash sampling keeps roughly rate·n_total docs
+      if (rate == 1.0)
+        assert(row.getAs[Long]("n_kept") == row.getAs[Long]("n_total"))
+    }
+    // each rate is exactly min(1, target·total/domain_tokens) on the
+    // frame's own aggregates
+    val total = rows.map(_.getAs[Long]("domain_tokens")).sum
+    val targets = Map("en" -> 0.40, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15, "zh" -> 0.15)
+    rows.foreach { row =>
+      val expect = math.min(1.0,
+        BigDecimal(targets(row.getString(0)) * total / row.getAs[Long]("domain_tokens"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Double]("rate") == expect, s"rate mismatch for ${row.getString(0)}")
+    }
+  }
+
+  test("domain mix is deterministic across runs") {
+    val d = docs.select(F.col("doc_id"), F.col("lang"),
+      F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok"))
+    val t = Map("en" -> 0.5, "fr" -> 0.125, "de" -> 0.125, "es" -> 0.125, "zh" -> 0.125)
+    val a = Curation.domainMix(d, "doc_id", "lang", "tok", t).collect().toSeq
+    val b = Curation.domainMix(d, "doc_id", "lang", "tok", t).collect().toSeq
+    assert(a.sortBy(_.getString(0)) == b.sortBy(_.getString(0)))
+  }
+}
