@@ -88,4 +88,33 @@ object TextOps {
       .groupBy("gram").agg(F.count(F.lit(1)).as("freq"))
       .orderBy(F.col("freq").desc, F.col("gram"))
       .limit(k)
+
+  /** Per-document top-k TF-IDF keywords. One explode; document
+    * frequencies come from re-aggregating the (doc, term) tf frame (no
+    * second corpus scan); the doc count rides a one-row broadcast; the
+    * per-doc top-k is the bounded-heap `top_k` aggregate — k terms per
+    * doc cross the final shuffle, never a doc's full vocabulary sorted.
+    * The idf is the rational Robertson form (N − df + ½)/(df + ½) —
+    * transcendental-free, so scores are bit-identical across engines
+    * (same trick as the BM25 operator). Ties break by term DESC (the
+    * heap's struct ordering), mirrored in the oracle. */
+  def keywordsTfIdf(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.explode(F.col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val nDocs = docs.agg(F.count(F.lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(F.broadcast(nDocs))
+      .withColumn("score", F.round(
+        F.col("tf") * ((F.col("n_docs") - F.col("df") + F.lit(0.5)) /
+          (F.col("df") + F.lit(0.5))), 6))
+    scored.groupBy("doc_id").agg(
+      F.transform(
+        graft.functions.TopKFunctions.topK(
+          F.struct(F.col("score"), F.col("term")), k),
+        x => x.getField("term")).as("keywords"),
+      F.max("score").as("top_score"))
+  }
 }

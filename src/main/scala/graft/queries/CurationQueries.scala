@@ -170,6 +170,33 @@ object CurationQueries {
          |ORDER BY r.lang""".stripMargin
     })
 
+  // ---------------------------------------------------------------- E17
+  private val keywordTfidf = QueryDef(
+    "keyword_tfidf",
+    (s, d) => graft.operators.TextOps.keywordsTfIdf(
+      t(s, d, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               round(tf * ((n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+        FROM tf JOIN df USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term DESC) AS rn
+        FROM scored)
+      SELECT doc_id,
+             list(term ORDER BY rn) FILTER (WHERE rn <= 5) AS keywords,
+             max(score) AS top_score
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] = Seq(
-    qualityRules, textRepetition, contamination, packBins, domainMix)
+    qualityRules, textRepetition, contamination, packBins, domainMix,
+    keywordTfidf)
 }

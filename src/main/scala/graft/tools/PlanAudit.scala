@@ -15,8 +15,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val skip = Set("stream_validate", "stream_tumbling", "stream_dedup")
-    graft.SparkEntry.allQueries.filterNot(q => skip(q.name)).foreach { q =>
+    graft.SparkEntry.allQueries.filterNot(_.name.startsWith("stream_")).foreach { q =>
       try {
         val plan = q.fn(spark, d).queryExecution.executedPlan.toString
         def c(s: String) = plan.sliding(s.length).count(_ == s)

@@ -109,6 +109,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf keywords: planted rare term outranks common terms") {
+    import spark.implicits._
+    // "zzrare" appears only in doc 1; "common" in every doc → idf ≈ 0
+    val d = Seq(
+      (1L, "common common zzrare common"),
+      (2L, "common common common other"),
+      (3L, "common other common other")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.keywordsTfIdf(d, "doc_id", "text", k = 2)
+      .select("doc_id", "keywords").as[(Long, Seq[String])].collect().toMap
+    assert(r(1L).head == "zzrare") // rare term wins despite tf=1 vs tf=3
+    assert(r.keySet == Set(1L, 2L, 3L))
+    r.values.foreach(ks => assert(ks.length <= 2))
+  }
+
+  test("tf-idf keywords match the row_number window form on real docs") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(F.col("doc_id"),
+      F.explode(graft.operators.TextOps.tokens(F.col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val scored = tf.join(df, "term").withColumn("score",
+      F.round(F.col("tf") * ((F.lit(n) - F.col("df") + F.lit(0.5)) /
+        (F.col("df") + F.lit(0.5))), 6))
+    val expect = scored.withColumn("rn", F.row_number().over(
+      Window.partitionBy("doc_id").orderBy(F.col("score").desc, F.col("term").desc)))
+      .where(F.col("rn") <= 5)
+      .groupBy("doc_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("term")))),
+          x => x.getField("term")).as("kw_win"))
+    val got = graft.operators.TextOps.keywordsTfIdf(docs, "doc_id", "text", k = 5)
+    val joined = got.join(expect, "doc_id")
+      .where(F.col("keywords") =!= F.col("kw_win"))
+    assert(joined.count() == 0)
+  }
+
   test("domain mix is deterministic across runs") {
     val d = docs.select(F.col("doc_id"), F.col("lang"),
       F.ceil(F.col("n_chars") / 4.0).cast("long").as("tok"))

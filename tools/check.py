@@ -84,6 +84,16 @@ for name, sql in sorted(oracle.items()):
             if ta != tb:
                 diff_cols.append(f"{c}: value types {ta} vs {tb}")
                 continue
+            # array-valued cells (list columns): normalize to nested
+            # tuples so Series.eq reduces to scalars (ndarray == ndarray
+            # is ambiguous for some element dtypes, e.g. string arrays)
+            def _norm(v):
+                if isinstance(v, (np.ndarray, list, tuple)):
+                    return tuple(_norm(x) for x in v)
+                return v
+            if any(isinstance(v, (np.ndarray, list)) for v in a if v is not None):
+                a = a.map(_norm)
+                b = b.map(_norm)
         if str(a.dtype) == "float64":
             av, bv = a.to_numpy(), b.to_numpy()
             eq = bool(np.all((av.view("int64") == bv.view("int64"))
