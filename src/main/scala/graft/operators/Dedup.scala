@@ -208,9 +208,14 @@ object Dedup {
     * scale; the per-round cost is linear in |edges|. (For adversarial
     * long-path graphs you'd switch to pointer-jumping / large-star
     * small-star — O(log n) rounds — which this API could adopt without
-    * signature change.) Each round's labels are persisted and the
-    * previous round's released; the convergence check rides the same
-    * aggregation (max label-change flag), not a separate scan.
+    * signature change.) Each round's labels are CHECKPOINTED, not just
+    * persisted: iterative self-joins grow the logical lineage linearly
+    * in rounds (plan analysis cost, and a cache eviction would trigger
+    * a full-history recompute), so every round truncates it — to the
+    * cluster checkpoint dir when one is set (fault-tolerant, the
+    * production setting), else an executor-local checkpoint. The
+    * convergence check rides the same materializing pass (max
+    * label-change flag), not a separate scan.
     *
     * Output: (doc_id, cluster_id) for every vertex that appears in ≥ 1
     * pair. Isolated docs are absent — join back against the corpus with
@@ -232,12 +237,17 @@ object Dedup {
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(F.col("dst").as("v"))
         .agg(F.min(F.col("lbl")).as("_nlbl"))
-      val next = CacheScope.persist(
-        labels.join(neighborMin, Seq("v"), "left")
-          .select(F.col("v"),
-            F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
-            (F.col("_nlbl") < F.col("lbl")).as("_changed")))
-      // one action per round: did any label improve? (metadata-sized)
+      val nextPlan = labels.join(neighborMin, Seq("v"), "left")
+        .select(F.col("v"),
+          F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
+          (F.col("_nlbl") < F.col("lbl")).as("_changed"))
+      // materialize + truncate lineage (eager checkpoint runs the job)
+      val next =
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          nextPlan.checkpoint()
+        else nextPlan.localCheckpoint()
+      // one action per round: did any label improve? (metadata-sized,
+      // reads the checkpointed partitions, not the join lineage)
       converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
         .head().getBoolean(0) == false
       labels.unpersist(blocking = false)
