@@ -163,6 +163,40 @@ object Curation {
         F.max(idCol).as("last_doc"))
   }
 
+  // ----------------------------------------------------------- chunking
+  /** Sliding token-window chunking: split each document into
+    * `chunkSize`-token windows advancing by `stride` tokens (overlap =
+    * chunkSize − stride), the standard long-document → training-sample
+    * move. Emits one row per chunk with its index, token count and
+    * re-joined text.
+    *
+    * Scale shape: a narrow projection + one Generate (explode) — no
+    * shuffle at all; each input split chunks independently, and chunk
+    * count is ~len/stride per doc (bounded output amplification,
+    * independent of corpus size). */
+  def chunkDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize and stride must be >= 1, got $chunkSize/$stride")
+    docs
+      .select(F.col(idCol).as("doc_id"),
+        TextOps.tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.col("_toks"),
+        // starts 0, stride, 2·stride, … < len (tokens() never yields an
+        // empty array, so the sequence upper bound is always >= 0)
+        F.explode(F.sequence(F.lit(0), F.size(F.col("_toks")) - 1,
+          F.lit(stride))).as("_start"))
+      .select(
+        F.col("doc_id"),
+        (F.col("_start") / stride).cast("long").as("chunk_idx"),
+        F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunkSize)).as("_chunk"))
+      .select(
+        F.col("doc_id"), F.col("chunk_idx"),
+        F.size(F.col("_chunk")).cast("long").as("n_tokens"),
+        F.concat_ws(" ", F.col("_chunk")).as("chunk_text"))
+  }
+
   // --------------------------------------------------------- domain mix
   /** Domain-mixture rebalancing: given target token shares per domain
     * (language, source, …), compute a per-domain deterministic sampling

@@ -256,4 +256,77 @@ object Dedup {
     }
     labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
+
+  // ---------------------------------------------------- incremental dedup
+  /** Incremental (batch-vs-store) exact dedup: classify each incoming
+    * document against a fingerprint store of previously-accepted docs —
+    * the shape of a CONTINUOUSLY-INGESTING corpus, where re-scanning the
+    * whole corpus per batch is not an option.
+    *
+    * Status per incoming doc:
+    *  - `dup_store` — fingerprint already in the store;
+    *  - `dup_batch` — new to the store but a lower-id doc in the SAME
+    *    batch carries the fingerprint;
+    *  - `new`       — the batch winner; what gets appended to the store.
+    *
+    * Scale shape: one distinct on the store side and one shuffle join on
+    * the fingerprint key (both map-side combined), plus one batch-keyed
+    * aggregate for the within-batch winner. The batch is typically ≪
+    * the store, so at cluster scale the planner's broadcast threshold /
+    * AQE can flip the join build side automatically; nothing here
+    * assumes either side fits in memory. */
+  def incrementalDedup(
+      incoming: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, storeFpCol: String): DataFrame = {
+    val inFp = incoming.select(
+      F.col(idCol).as("doc_id"), fingerprint(F.col(textCol)).as("fingerprint"))
+    val storeFps = store.select(F.col(storeFpCol).as("fingerprint"))
+      .distinct().withColumn("_in_store", F.lit(1L))
+    val winner = inFp.groupBy("fingerprint")
+      .agg(F.min("doc_id").as("_keep_id"))
+    inFp
+      .join(storeFps, Seq("fingerprint"), "left")
+      .join(winner, Seq("fingerprint"))
+      .select(
+        F.col("doc_id"), F.col("fingerprint"),
+        F.when(F.col("_in_store") === 1L, "dup_store")
+          .when(F.col("doc_id") =!= F.col("_keep_id"), "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
+  // ------------------------------------------------------- split leakage
+  /** Train/holdout leakage audit: hash-split the corpus, fingerprint
+    * both sides, and count holdout documents whose fingerprint also
+    * appears in train — the pre-training check that the eval split isn't
+    * memorizable from the training set.
+    *
+    * Single-pass shape: ONE shuffle on the fingerprint key producing
+    * per-fingerprint (train_count, holdout_count) pairs, then a
+    * metadata-sized global aggregate. No self-join, no second corpus
+    * scan — the naive formulation (distinct train fingerprints
+    * semi-joined against holdout) scans the corpus twice. */
+  def splitLeakage(
+      docs: DataFrame, idCol: String, textCol: String,
+      splits: Int = 10, holdoutBucket: Int = 9): DataFrame = {
+    require(holdoutBucket >= 0 && holdoutBucket < splits,
+      s"holdoutBucket must be in [0, $splits), got $holdoutBucket")
+    val isHoldout =
+      F.pmod(Hashing.hash60(F.col(idCol).cast("string")), F.lit(splits.toLong)) ===
+        holdoutBucket.toLong
+    val perFp = docs
+      .select(fingerprint(F.col(textCol)).as("fingerprint"),
+        F.when(isHoldout, 1L).otherwise(0L).as("_h"))
+      .groupBy("fingerprint")
+      .agg(F.sum(F.lit(1L) - F.col("_h")).as("_train_c"),
+        F.sum("_h").as("_holdout_c"))
+    perFp.agg(
+      F.sum("_train_c").as("n_train"),
+      F.sum("_holdout_c").as("n_holdout"),
+      F.sum(F.when(F.col("_train_c") > 0, F.col("_holdout_c")).otherwise(0L))
+        .as("n_leaked"))
+      .select(
+        F.col("n_train"), F.col("n_holdout"), F.col("n_leaked"),
+        F.round(F.col("n_leaked").cast("double") /
+          F.greatest(F.col("n_holdout"), F.lit(1L)), 6).as("leak_frac"))
+  }
 }

@@ -89,6 +89,52 @@ object TextOps {
       .orderBy(F.col("freq").desc, F.col("gram"))
       .limit(k)
 
+  /** Floor of log2 of a positive LONG, computed EXACTLY as
+    * `length(bin(x)) − 1` (number of binary digits minus one) — integer
+    * string ops, no floating-point log, so the value is bit-identical
+    * in every engine with a binary formatter (Spark `bin`, DuckDB
+    * `bin`). */
+  def floorLog2(c: Column): Column =
+    (F.length(F.bin(c)) - 1).cast("long")
+
+  /** Unigram surprisal proxy — a perplexity-style quality score without
+    * a trained LM: per document, the mean over tokens of
+    * `floor(log2 N) − floor(log2 count(term))`, where counts come from
+    * the corpus itself. Rare-token-heavy docs (typos, boilerplate soup,
+    * non-language noise) score HIGH; stopword soup scores LOW — the
+    * standard cheap both-tails filter.
+    *
+    * Integer surprisals make the score transcendental-free (the one
+    * division is a per-row double op — bit-portable), so the DuckDB
+    * oracle hash-matches exactly; a float log2 would drift by ULPs
+    * across libm implementations.
+    *
+    * Scale shape: one explode into a (doc, term) tf aggregate; that
+    * frame is PERSISTED (it feeds both the vocabulary re-aggregate and
+    * the scoring join — without the cache the broadcast build side
+    * recomputes it from a second corpus scan); per-term scoring is one
+    * join on the term key weighted by tf; the corpus-total rides a
+    * one-row broadcast. No driver-side state; release via
+    * [[CacheScope.release]] after the consuming action. */
+  def surprisalProxy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = CacheScope.persist(docs
+      .select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.explode(F.col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf")))
+    val termCounts = tf.groupBy("term").agg(F.sum("tf").as("_c"))
+    val total = termCounts.agg(F.sum("_c").as("_total"))
+    tf
+      .join(termCounts, "term")
+      .crossJoin(F.broadcast(total))
+      .select(F.col("doc_id"), F.col("tf"),
+        (floorLog2(F.col("_total")) - floorLog2(F.col("_c"))).as("_s"))
+      .groupBy("doc_id")
+      .agg(
+        F.sum("tf").as("n_tokens"),
+        F.round(F.sum(F.col("tf") * F.col("_s")).cast("double") / F.sum("tf"), 6)
+          .as("mean_surprisal"))
+  }
+
   /** Per-document top-k TF-IDF keywords. One explode; document
     * frequencies come from re-aggregating the (doc, term) tf frame (no
     * second corpus scan); the doc count rides a one-row broadcast; the

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.operators.{Curation, Dedup, Hashing, Privacy, Sketch, TextOps}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-5 inventory: training-data prep hardening (SURVEY §2 E18–E23) —
+  * PII scrubbing, sliding-window chunking, KMV cardinality sketching,
+  * incremental (batch-vs-store) dedup, unigram-surprisal quality
+  * scoring and train/holdout leakage auditing. Oracle SQL shares the
+  * pattern/threshold constants with the Spark side so the two cannot
+  * drift. */
+object PrepQueries {
+
+  private val toksSql = "regexp_split_to_array(lower(text), ' +')"
+  private val fpSql =
+    s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
+
+  // ---------------------------------------------------------------- E18
+  /** The synthetic corpus carries no PII, so the query plants
+    * deterministic pseudo-PII derived from real columns (doc_id/source)
+    * on BOTH sides — the regex engines are exercised on text that
+    * varies per document, and the redacted output hash-checks every
+    * replacement. */
+  private val piiRedact = QueryDef(
+    "pii_redact",
+    (s, d) => {
+      val aug = F.concat(
+        F.col("text"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) > 0,
+          F.concat(F.lit(" "), F.col("source"), F.lit("@example.com")))
+          .otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) > 0,
+          F.concat(F.lit(" 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"))).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) > 0,
+          F.concat(F.lit(" 555-"),
+            (F.pmod(F.col("doc_id"), F.lit(9000)) + 1000).cast("string"),
+            F.lit("-1234"))).otherwise(F.lit("")))
+      Privacy.redactPii(
+        t(s, d, "documents").select(F.col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some {
+      val pats = Privacy.defaultPatterns
+      val augSql =
+        """text
+          | || CASE WHEN doc_id % 3 > 0 THEN ' ' || source || '@example.com' ELSE '' END
+          | || CASE WHEN doc_id % 4 > 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+          | || CASE WHEN doc_id % 5 > 0 THEN ' 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234' ELSE '' END"""
+          .stripMargin.replace("\n", "")
+      val redacted = pats.foldLeft("text") { case (c, (_, pat, repl)) =>
+        s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      val counts = pats.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(", ")
+      val totalSql = pats.map { case (name, _, _) => s"n_$name" }.mkString(" + ")
+      s"""WITH a AS (SELECT doc_id, $augSql AS text FROM documents),
+         |r AS (SELECT doc_id, $redacted AS clean_text, $counts FROM a)
+         |SELECT doc_id, clean_text,
+         |       ${pats.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+         |       CAST($totalSql AS BIGINT) AS n_pii
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E19
+  private val chunkDocs = QueryDef(
+    "chunk_docs",
+    (s, d) => Curation.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+      s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS st FROM d)
+      SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+             CAST(len(ch) AS BIGINT) AS n_tokens,
+             array_to_string(ch, ' ') AS chunk_text
+      FROM (SELECT doc_id, st, list_slice(t, st, st + 63) AS ch FROM s)
+      ORDER BY doc_id, chunk_idx"""))
+
+  // ---------------------------------------------------------------- E20
+  private val kmvK = 64
+
+  private val approxDistinctKmv = QueryDef(
+    "approx_distinct_kmv",
+    (s, d) => Sketch.kmvDistinct(
+      t(s, d, "documents").select(
+        F.col("source"),
+        F.explode(TextOps.tokens(F.col("text"))).as("term")),
+      Seq("source"), "term", k = kmvK)
+      .orderBy("source"),
+    Some(s"""
+      WITH toks AS (
+        SELECT source, unnest($toksSql) AS term FROM documents),
+      h AS (SELECT DISTINCT source, ${Hashing.hash60Sql("term")} AS h FROM toks),
+      r AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CASE WHEN count(*) >= $kmvK THEN max(h) END AS kth_min,
+             ${Sketch.kmvEstimateSql(kmvK)} AS est_distinct
+      FROM r WHERE rn <= $kmvK
+      GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------- E21
+  /** Batch = the hash60(doc_id)%10==0 slice (a daily ingest stand-in);
+    * store = fingerprints of everything else. */
+  private val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val isBatch =
+        F.pmod(Hashing.hash60(F.col("doc_id").cast("string")), F.lit(10L)) === 0L
+      Dedup.incrementalDedup(
+        docs.where(isBatch),
+        docs.where(!isBatch).select(
+          Dedup.fingerprint(F.col("text")).as("fingerprint")),
+        "doc_id", "text", "fingerprint")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, $fpSql AS fingerprint,
+               ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_batch
+        FROM documents),
+      b AS (SELECT doc_id, fingerprint FROM f WHERE is_batch),
+      st AS (SELECT DISTINCT fingerprint FROM f WHERE NOT is_batch),
+      w AS (SELECT fingerprint, min(doc_id) AS keep_id FROM b GROUP BY 1)
+      SELECT b.doc_id, b.fingerprint,
+             CASE WHEN st.fingerprint IS NOT NULL THEN 'dup_store'
+                  WHEN b.doc_id <> w.keep_id THEN 'dup_batch'
+                  ELSE 'new' END AS status
+      FROM b LEFT JOIN st USING (fingerprint) JOIN w USING (fingerprint)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E22
+  private val surprisalProxy = QueryDef(
+    "surprisal_proxy",
+    (s, d) => TextOps.surprisalProxy(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+        GROUP BY 1, 2),
+      tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(CAST(sum(tf * ((length(bin(total)) - 1)
+                                  - (length(bin(c)) - 1))) AS DOUBLE)
+                   / sum(tf), 6) AS mean_surprisal
+      FROM tf JOIN tc USING (term), n
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E23
+  private val splitLeakage = QueryDef(
+    "split_leakage",
+    (s, d) => Dedup.splitLeakage(t(s, d, "documents"), "doc_id", "text",
+      splits = 10, holdoutBucket = 9),
+    Some(s"""
+      WITH f AS (
+        SELECT $fpSql AS fingerprint,
+               CASE WHEN ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 = 9
+                    THEN 1 ELSE 0 END AS h
+        FROM documents),
+      p AS (SELECT fingerprint,
+                   CAST(sum(1 - h) AS BIGINT) AS tc,
+                   CAST(sum(h) AS BIGINT) AS hc
+            FROM f GROUP BY 1)
+      SELECT CAST(sum(tc) AS BIGINT) AS n_train,
+             CAST(sum(hc) AS BIGINT) AS n_holdout,
+             CAST(sum(CASE WHEN tc > 0 THEN hc ELSE 0 END) AS BIGINT) AS n_leaked,
+             round(CAST(sum(CASE WHEN tc > 0 THEN hc ELSE 0 END) AS DOUBLE)
+                   / greatest(sum(hc), 1), 6) AS leak_frac
+      FROM p"""))
+
+  def all: Seq[QueryDef] = Seq(
+    piiRedact, chunkDocs, approxDistinctKmv, dedupIncremental,
+    surprisalProxy, splitLeakage)
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Privacy, Sketch, TextOps}
+import org.apache.spark.sql.{functions => F}
+
+/** Wave-5 prep operators (SURVEY §2 E18–E23) on synthetic frames with
+  * hand-computed answers plus the sf0.001 documents table. */
+class PrepSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  // ------------------------------------------------------------ privacy
+  test("pii redaction: replaces every pattern and counts each hit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith@corp.io and alice@a.co from 10.1.2.3 call 555-867-5309"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = Privacy.redactPii(d, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L,
+      "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>", 2L, 1L, 1L, 4L)))
+    assert(r(1) == ((2L, "no pii here at all", 0L, 0L, 0L, 0L)))
+  }
+
+  test("pii redaction plan is a single narrow scan (no shuffle)") {
+    val plan = Privacy.redactPii(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
+  // ----------------------------------------------------------- chunking
+  test("chunking: windows, stride overlap, and the short tail") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val d = Seq((7L, text)).toDF("doc_id", "text")
+    val r = Curation.chunkDocs(d, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    // starts 0,3,6,9 → chunks w1-4 / w4-7 / w7-10 / w10
+    assert(r.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(r.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(r(1)._4 == "w4 w5 w6 w7" && r(3)._4 == "w10")
+  }
+
+  test("chunking covers every token at stride == chunkSize (no overlap)") {
+    val chunks = Curation.chunkDocs(docs, "doc_id", "text",
+      chunkSize = 32, stride = 32)
+    val totTokens = docs
+      .select(F.size(TextOps.tokens(F.col("text"))).cast("long").as("n"))
+      .agg(F.sum("n")).head().getLong(0)
+    val totChunked = chunks.agg(F.sum("n_tokens")).head().getLong(0)
+    assert(totTokens == totChunked)
+  }
+
+  // ---------------------------------------------------------------- kmv
+  test("kmv sketch: exact below k, within rel-error envelope above k") {
+    import spark.implicits._
+    val d = (1 to 5000).map(i => ("big", s"v$i")) ++
+      (1 to 40).map(i => ("small", s"v$i"))
+    val r = Sketch.kmvDistinct(d.toDF("g", "v"), Seq("g"), "v", k = 256)
+      .as[(String, Long, Option[Long], Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // under-filled group: exact, no kth hash
+    assert(r("small")._2 == 40L && r("small")._3.isEmpty && r("small")._4 == 40.0)
+    // filled group: ~1/sqrt(k-2) ≈ 6.3% expected rel-error; 4σ envelope
+    val est = r("big")._4
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est too far from 5000")
+  }
+
+  test("kmv aggregation state is the bounded TreeSet heap, not a list") {
+    val plan = Sketch.kmvDistinct(
+      docs.select(F.col("source"),
+        F.explode(TextOps.tokens(F.col("text"))).as("term")),
+      Seq("source"), "term", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_distinct"), s"expected top_k_distinct agg:\n$plan")
+    assert(!plan.contains("collect_list"), s"unbounded collect_list in:\n$plan")
+  }
+
+  // ---------------------------------------------------- incremental dedup
+  test("incremental dedup: store dup / batch dup / new classification") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "alpha beta gamma"), // fp in store  -> dup_store
+      (11L, "delta epsilon"),    // batch winner -> new
+      (12L, "epsilon delta"),    // same fingerprint, higher id -> dup_batch
+      (13L, "zeta eta theta")    // unique       -> new
+    ).toDF("doc_id", "text")
+    val store = Seq("gamma beta alpha").toDF("text")
+      .select(Dedup.fingerprint(F.col("text")).as("fingerprint"))
+    val r = Dedup.incrementalDedup(batch, store, "doc_id", "text", "fingerprint")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(r == Map(10L -> "dup_store", 11L -> "new",
+      12L -> "dup_batch", 13L -> "new"))
+  }
+
+  // ----------------------------------------------------------- surprisal
+  test("surprisal proxy: hand-computed integer surprisals") {
+    import spark.implicits._
+    // corpus: a a a a b b c d  → N=8, c(a)=4, c(b)=2, c(c)=c(d)=1
+    // floorlog2: N=3, a=2, b=1, c=d=0 → s(a)=1 s(b)=2 s(c)=s(d)=3
+    val d = Seq((1L, "a a a a"), (2L, "b b c d")).toDF("doc_id", "text")
+    val r = TextOps.surprisalProxy(d, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(r(0) == ((1L, 4L, 1.0)))             // 4·1/4
+    assert(r(1) == ((2L, 4L, 2.5)))             // (2+2+3+3)/4
+  }
+
+  test("surprisal reuses the cached tf frame instead of re-scanning the corpus") {
+    // every consumer (vocabulary re-agg, corpus total, scoring join)
+    // must read the persisted tf cache — a FileScan outside an
+    // InMemoryRelation's printed cached-plan would be a second real scan
+    val plan = TextOps.surprisalProxy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    try {
+      val cacheReads =
+        plan.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan")
+      assert(cacheReads >= 2, s"expected tf cache reuse:\n$plan")
+      val firstScan = plan.indexOf("FileScan parquet")
+      val firstCache = plan.indexOf("InMemoryRelation")
+      assert(firstScan > firstCache,
+        s"found a FileScan outside the cached tf plan:\n$plan")
+    } finally graft.operators.CacheScope.release(spark)
+  }
+
+  // ------------------------------------------------------- split leakage
+  test("split leakage: duplicated fingerprints across splits are counted") {
+    import spark.implicits._
+    // force ids into known buckets by probing the hash
+    val ids = (1L to 400L)
+    val bucket = (i: Long) =>
+      java.lang.Long.remainderUnsigned(graft.operators.Hashing.hash60(i.toString), 10L)
+    val holdoutIds = ids.filter(bucket(_) == 9L)
+    assert(holdoutIds.nonEmpty)
+    val leakId = holdoutIds.head
+    val trainId = ids.find(bucket(_) != 9L).get
+    // leakId shares text with a train doc; other holdout docs are unique
+    val d = ids.map(i =>
+      (i, if (i == leakId || i == trainId) "shared text" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val r = Dedup.splitLeakage(d, "doc_id", "text", splits = 10, holdoutBucket = 9)
+      .head()
+    assert(r.getAs[Long]("n_holdout") == holdoutIds.size.toLong)
+    assert(r.getAs[Long]("n_train") == (400 - holdoutIds.size).toLong)
+    assert(r.getAs[Long]("n_leaked") == 1L)
+  }
+
+  test("split leakage is a single-shuffle plan (no self-join, one scan)") {
+    val plan = Dedup.splitLeakage(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 1, s"expected one corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+  }
+}
