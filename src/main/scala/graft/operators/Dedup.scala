@@ -241,13 +241,17 @@ object Dedup {
         .select(F.col("v"),
           F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
           (F.col("_nlbl") < F.col("lbl")).as("_changed"))
-      // materialize + truncate lineage (eager checkpoint runs the job)
+      // truncate lineage LAZILY: the convergence aggregate below is the
+      // materializing action, so each round stays ONE job (an eager
+      // checkpoint would run a second, measured 3× slower end-to-end at
+      // the 10× probe)
       val next =
         if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          nextPlan.checkpoint()
-        else nextPlan.localCheckpoint()
-      // one action per round: did any label improve? (metadata-sized,
-      // reads the checkpointed partitions, not the join lineage)
+          nextPlan.checkpoint(eager = false)
+        else nextPlan.localCheckpoint(eager = false)
+      // one action per round: did any label improve? (metadata-sized;
+      // materializes the checkpoint, later rounds read its partitions,
+      // not the join lineage)
       converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
         .head().getBoolean(0) == false
       labels.unpersist(blocking = false)

@@ -21,49 +21,50 @@ object PrepQueries {
     * deterministic pseudo-PII derived from real columns (doc_id/source)
     * on BOTH sides — the regex engines are exercised on text that
     * varies per document, and the redacted output hash-checks every
-    * replacement. */
+    * replacement. Shared with the streaming twin `stream_pii` (G6). */
+  private[queries] def augText: org.apache.spark.sql.Column = F.concat(
+    F.col("text"),
+    F.when(F.pmod(F.col("doc_id"), F.lit(3)) > 0,
+      F.concat(F.lit(" "), F.col("source"), F.lit("@example.com")))
+      .otherwise(F.lit("")),
+    F.when(F.pmod(F.col("doc_id"), F.lit(4)) > 0,
+      F.concat(F.lit(" 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7"))).otherwise(F.lit("")),
+    F.when(F.pmod(F.col("doc_id"), F.lit(5)) > 0,
+      F.concat(F.lit(" 555-"),
+        (F.pmod(F.col("doc_id"), F.lit(9000)) + 1000).cast("string"),
+        F.lit("-1234"))).otherwise(F.lit("")))
+
+  private[queries] val piiRedactSql: String = {
+    val pats = Privacy.defaultPatterns
+    val augSql =
+      """text
+        | || CASE WHEN doc_id % 3 > 0 THEN ' ' || source || '@example.com' ELSE '' END
+        | || CASE WHEN doc_id % 4 > 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+        | || CASE WHEN doc_id % 5 > 0 THEN ' 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234' ELSE '' END"""
+        .stripMargin.replace("\n", "")
+    val redacted = pats.foldLeft("text") { case (c, (_, pat, repl)) =>
+      s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    val counts = pats.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(", ")
+    val totalSql = pats.map { case (name, _, _) => s"n_$name" }.mkString(" + ")
+    s"""WITH a AS (SELECT doc_id, $augSql AS text FROM documents),
+       |r AS (SELECT doc_id, $redacted AS clean_text, $counts FROM a)
+       |SELECT doc_id, clean_text,
+       |       ${pats.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+       |       CAST($totalSql AS BIGINT) AS n_pii
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   private val piiRedact = QueryDef(
     "pii_redact",
-    (s, d) => {
-      val aug = F.concat(
-        F.col("text"),
-        F.when(F.pmod(F.col("doc_id"), F.lit(3)) > 0,
-          F.concat(F.lit(" "), F.col("source"), F.lit("@example.com")))
-          .otherwise(F.lit("")),
-        F.when(F.pmod(F.col("doc_id"), F.lit(4)) > 0,
-          F.concat(F.lit(" 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
-            F.lit(".7"))).otherwise(F.lit("")),
-        F.when(F.pmod(F.col("doc_id"), F.lit(5)) > 0,
-          F.concat(F.lit(" 555-"),
-            (F.pmod(F.col("doc_id"), F.lit(9000)) + 1000).cast("string"),
-            F.lit("-1234"))).otherwise(F.lit("")))
-      Privacy.redactPii(
-        t(s, d, "documents").select(F.col("doc_id"), aug.as("text")),
-        "doc_id", "text")
-        .orderBy("doc_id")
-    },
-    Some {
-      val pats = Privacy.defaultPatterns
-      val augSql =
-        """text
-          | || CASE WHEN doc_id % 3 > 0 THEN ' ' || source || '@example.com' ELSE '' END
-          | || CASE WHEN doc_id % 4 > 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
-          | || CASE WHEN doc_id % 5 > 0 THEN ' 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234' ELSE '' END"""
-          .stripMargin.replace("\n", "")
-      val redacted = pats.foldLeft("text") { case (c, (_, pat, repl)) =>
-        s"regexp_replace($c, '$pat', '$repl', 'g')"
-      }
-      val counts = pats.map { case (name, pat, _) =>
-        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
-      }.mkString(", ")
-      val totalSql = pats.map { case (name, _, _) => s"n_$name" }.mkString(" + ")
-      s"""WITH a AS (SELECT doc_id, $augSql AS text FROM documents),
-         |r AS (SELECT doc_id, $redacted AS clean_text, $counts FROM a)
-         |SELECT doc_id, clean_text,
-         |       ${pats.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
-         |       CAST($totalSql AS BIGINT) AS n_pii
-         |FROM r ORDER BY doc_id""".stripMargin
-    })
+    (s, d) => Privacy.redactPii(
+      t(s, d, "documents").select(F.col("doc_id"), augText.as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(piiRedactSql))
 
   // ---------------------------------------------------------------- E19
   private val chunkDocs = QueryDef(

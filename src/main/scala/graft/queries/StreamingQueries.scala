@@ -193,6 +193,23 @@ object StreamingQueries {
     },
     Some(CurationQueries.qualityRulesSql))
 
+  // ------------------------------------------------------------------ G6
+  /** The PII scrub EXECUTED as a stream: [[graft.operators.Privacy
+    * .redactPii]] is stateless and narrow, so the identical plan runs
+    * incrementally over streamed shards (append mode) against the batch
+    * twin's oracle — the shape of a scrub-on-ingest pipeline stage. */
+  private val streamPii = QueryDef(
+    "stream_pii",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val scrubbed = graft.operators.Privacy.redactPii(
+        stream.select(F.col("doc_id"), PrepQueries.augText.as("text")),
+        "doc_id", "text")
+      drain(scrubbed, "append").orderBy("doc_id")
+    },
+    Some(PrepQueries.piiRedactSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
-    streamSession, streamQuality)
+    streamSession, streamQuality, streamPii)
 }

@@ -98,6 +98,34 @@ object ScaleTest {
       Map("en" -> 0.40, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15,
         "zh" -> 0.15)).count())
 
+    // r4 wave-5 prep suite on the duplicated corpus: PII scrub and
+    // chunking are narrow maps; KMV state is O(k) per group; incremental
+    // dedup is one fingerprint join; surprisal reuses the cached tf
+    // frame; leakage is a single fingerprint-keyed shuffle
+    time("pii_redact")(graft.operators.Privacy.redactPii(
+      d, "doc_id", "text").count())
+    time("chunk_docs")(graft.operators.Curation.chunkDocs(
+      d, "doc_id", "text", chunkSize = 64, stride = 48).count())
+    time("kmv_distinct_k512")(graft.operators.Sketch.kmvDistinct(
+      d.select(F.col("source"), F.explode(
+        graft.operators.TextOps.tokens(F.col("text"))).as("term")),
+      Seq("source"), "term", k = 512).count())
+    time("dedup_incremental") {
+      val isBatch = F.pmod(graft.operators.Hashing.hash60(
+        F.col("doc_id").cast("string")), F.lit(10L)) === 0L
+      graft.operators.Dedup.incrementalDedup(
+        d.where(isBatch),
+        d.where(!isBatch).select(
+          graft.operators.Dedup.fingerprint(F.col("text")).as("fingerprint")),
+        "doc_id", "text", "fingerprint").count()
+    }
+    time("surprisal_proxy") {
+      val c = graft.operators.TextOps.surprisalProxy(d, "doc_id", "text").count()
+      graft.operators.CacheScope.release(spark); c
+    }
+    time("split_leakage")(graft.operators.Dedup.splitLeakage(
+      d, "doc_id", "text").count())
+
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
     val nLi = li0.count()
