@@ -197,6 +197,36 @@ object Curation {
         F.concat_ws(" ", F.col("_chunk")).as("chunk_text"))
   }
 
+  // ----------------------------------------------------------- upsample
+  /** Epoch-style domain upsampling — the other half of [[domainMix]]:
+    * given target EPOCHS per domain (2.5 = "see this domain 2½ times
+    * per training pass"; 0.25 = downsample to a quarter), emit each
+    * document `floor(e)` times plus one more for the deterministic
+    * md5-bucket fraction of docs covering `frac(e)`. Unlisted domains
+    * default to 1 epoch. Emits (id, domain, n_copies, copy_idx) — one
+    * row per materialized copy, `copy_idx` distinguishing repeats for
+    * downstream shuffling/packing.
+    *
+    * Scale shape: a pure narrow map + one Generate; output amplification
+    * is exactly the configured epoch mass, there is no shuffle, and the
+    * hash-bucket selection is stable across runs/engines/cluster sizes
+    * (rand() would resample every retry). */
+  def domainUpsample(
+      docs: DataFrame, idCol: String, domainCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    val e = epochs.foldRight(F.lit(1.0): Column) { case ((k, v), els) =>
+      F.when(F.col(domainCol) === k, F.lit(v)).otherwise(els)
+    }
+    val base = F.floor(e).cast("long")
+    val extra = (F.pmod(Hashing.hash60(F.col(idCol).cast("string")),
+      F.lit(1000000L)) < F.floor((e - F.floor(e)) * 1e6)).cast("long")
+    docs
+      .select(F.col(idCol), F.col(domainCol), (base + extra).as("n_copies"))
+      .where(F.col("n_copies") > 0)
+      .select(F.col(idCol), F.col(domainCol), F.col("n_copies"),
+        F.explode(F.sequence(F.lit(1L), F.col("n_copies"))).as("copy_idx"))
+  }
+
   // --------------------------------------------------------- domain mix
   /** Domain-mixture rebalancing: given target token shares per domain
     * (language, source, …), compute a per-domain deterministic sampling

@@ -298,6 +298,37 @@ object Dedup {
           .otherwise("new").as("status"))
   }
 
+  // ------------------------------------------------------ priority dedup
+  /** Source-priority dedup: among documents sharing a fingerprint, keep
+    * the one from the highest-priority source ("prefer curated over
+    * crawled"), tie-breaking on min doc_id. Unlisted sources rank below
+    * every listed one.
+    *
+    * Scale shape: ONE aggregate on the fingerprint key — the winner is
+    * an O(1)-state min(struct(−priority, doc_id, source)) with map-side
+    * partial aggregation, NOT a corpus-wide row_number window (which
+    * would sort every group's members; the struct-min carries one row
+    * per group per task across the shuffle). */
+  def priorityDedup(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      priorities: Map[String, Int]): DataFrame = {
+    val prio = priorities.foldRight(F.lit(0): Column) { case ((k, v), els) =>
+      F.when(F.col(sourceCol) === k, F.lit(v)).otherwise(els)
+    }
+    docs
+      .select(fingerprint(F.col(textCol)).as("fingerprint"),
+        F.struct((-prio).cast("long").as("_np"),
+          F.col(idCol).cast("long").as("id"),
+          F.col(sourceCol).as("src")).as("_w"))
+      .groupBy("fingerprint")
+      .agg(F.min("_w").as("_win"), F.count(F.lit(1)).as("n_members"))
+      .select(
+        F.col("fingerprint"),
+        F.col("_win.id").as("keep_id"),
+        F.col("_win.src").as("keep_source"),
+        F.col("n_members"))
+  }
+
   // ------------------------------------------------------- split leakage
   /** Train/holdout leakage audit: hash-split the corpus, fingerprint
     * both sides, and count holdout documents whose fingerprint also

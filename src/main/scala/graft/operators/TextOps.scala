@@ -135,6 +135,30 @@ object TextOps {
           .as("mean_surprisal"))
   }
 
+  /** Tokenizer-prep vocabulary build: the top-V corpus terms by
+    * frequency with contiguous ids assigned in (freq DESC, term ASC)
+    * order — ties broken lexically so the id assignment is
+    * deterministic across runs and engines.
+    *
+    * Scale shape: the corpus side is one explode + one map-side-combined
+    * aggregate on the term key; `orderBy().limit(V)` plans as
+    * TakeOrderedAndProject (a per-partition top-V heap + driver merge of
+    * V-row slices — never a global sort of the vocabulary); the
+    * row_number window then runs on the V retained rows only (vocab is
+    * metadata-sized: 32k–1M rows, not corpus-sized). */
+  def vocabBuild(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(tokens(F.col(textCol)).as("_toks"))
+      .select(F.explode(F.col("_toks")).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("term"))
+      .limit(size)
+    counts.withColumn("token_id",
+      F.row_number().over(
+        Window.orderBy(F.col("freq").desc, F.col("term"))).cast("long"))
+      .select("token_id", "term", "freq")
+  }
+
   /** Per-document top-k TF-IDF keywords. One explode; document
     * frequencies come from re-aggregating the (doc, term) tf frame (no
     * second corpus scan); the doc count rides a one-row broadcast; the

@@ -177,7 +177,79 @@ object PrepQueries {
                    / greatest(sum(hc), 1), 6) AS leak_frac
       FROM p"""))
 
+  // ---------------------------------------------------------------- E24
+  private val vocabBuild = QueryDef(
+    "vocab_build",
+    (s, d) => TextOps.vocabBuild(t(s, d, "documents"), "text", size = 100)
+      .orderBy("token_id"),
+    Some(s"""
+      WITH counts AS (
+        SELECT term, count(*) AS freq
+        FROM (SELECT unnest($toksSql) AS term FROM documents)
+        GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS token_id,
+             term, freq
+      FROM counts
+      ORDER BY freq DESC, term LIMIT 100"""))
+
+  // ---------------------------------------------------------------- E25
+  private val srcPriorities: Map[String, Int] =
+    Map("src0" -> 9, "src1" -> 8, "src2" -> 7, "src3" -> 6)
+
+  private val dedupPriority = QueryDef(
+    "dedup_priority",
+    (s, d) => Dedup.priorityDedup(t(s, d, "documents"), "doc_id", "text",
+      "source", srcPriorities)
+      .orderBy("fingerprint"),
+    Some {
+      val cases = srcPriorities.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH f AS (
+         |  SELECT doc_id, source, $fpSql AS fingerprint,
+         |         CASE source $cases ELSE 0 END AS prio
+         |  FROM documents),
+         |r AS (
+         |  SELECT fingerprint, doc_id, source,
+         |         row_number() OVER (PARTITION BY fingerprint
+         |                            ORDER BY prio DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY fingerprint) AS n_members
+         |  FROM f)
+         |SELECT fingerprint, doc_id AS keep_id, source AS keep_source,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- E26
+  private val epochTargets: Seq[(String, Double)] =
+    Seq("en" -> 2.5, "fr" -> 1.0, "de" -> 0.5, "es" -> 1.5, "zh" -> 0.25)
+
+  private val domainUpsample = QueryDef(
+    "domain_upsample",
+    (s, d) => Curation.domainUpsample(t(s, d, "documents"), "doc_id", "lang",
+      epochTargets.toMap)
+      .orderBy("doc_id", "copy_idx"),
+    Some {
+      val cases = epochTargets.map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CASE lang $cases ELSE 1.0 END AS e
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |         CAST(floor(e) AS BIGINT)
+         |         + CASE WHEN ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")}
+         |                     % 1000000
+         |                     < CAST(floor((e - floor(e)) * 1e6) AS BIGINT)
+         |                THEN 1 ELSE 0 END AS n_copies
+         |  FROM d)
+         |SELECT doc_id, lang, n_copies,
+         |       unnest(generate_series(1, n_copies)) AS copy_idx
+         |FROM c WHERE n_copies > 0
+         |ORDER BY doc_id, copy_idx""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     piiRedact, chunkDocs, approxDistinctKmv, dedupIncremental,
-    surprisalProxy, splitLeakage)
+    surprisalProxy, splitLeakage, vocabBuild, dedupPriority, domainUpsample)
 }

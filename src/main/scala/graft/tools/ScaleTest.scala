@@ -125,6 +125,15 @@ object ScaleTest {
     }
     time("split_leakage")(graft.operators.Dedup.splitLeakage(
       d, "doc_id", "text").count())
+    time("vocab_build")(graft.operators.TextOps.vocabBuild(
+      d, "text", size = 100).count())
+    time("dedup_priority")(graft.operators.Dedup.priorityDedup(
+      d, "doc_id", "text", "source",
+      Map("src0" -> 9, "src1" -> 8, "src2" -> 7, "src3" -> 6)).count())
+    time("domain_upsample")(graft.operators.Curation.domainUpsample(
+      d, "doc_id", "lang",
+      Map("en" -> 2.5, "fr" -> 1.0, "de" -> 0.5, "es" -> 1.5, "zh" -> 0.25))
+      .count())
 
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")

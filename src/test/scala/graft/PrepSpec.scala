@@ -145,6 +145,69 @@ class PrepSpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaked") == 1L)
   }
 
+  // --------------------------------------------------------- vocab build
+  test("vocab build: ids follow (freq desc, term asc) with lexical ties") {
+    import spark.implicits._
+    val d = Seq((1L, "b b b a a c c z"), (2L, "a")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=2, z=1 → ids: a=1 (tie with b, lexical), b=2, c=3, z=4
+    val r = TextOps.vocabBuild(d, "text", size = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 2L)))
+  }
+
+  test("vocab build plans the top-V as TakeOrdered, not a global sort") {
+    val plan = TextOps.vocabBuild(docs, "text", size = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-V heap:\n$plan")
+  }
+
+  // ------------------------------------------------------ priority dedup
+  test("priority dedup: highest source priority wins, then min doc_id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z", "crawl"),   // prio 0
+      (2L, "z y x", "curated"), // prio 5 → wins despite higher id
+      (3L, "x z y", "crawl"),
+      (4L, "solo doc", "crawl")).toDF("doc_id", "text", "source")
+    val r = Dedup.priorityDedup(d, "doc_id", "text", "source",
+      Map("curated" -> 5))
+      .select("keep_id", "keep_source", "n_members")
+      .as[(Long, String, Long)].collect().toSet
+    assert(r == Set((2L, "curated", 3L), (4L, "crawl", 1L)))
+  }
+
+  test("priority dedup aggregates with O(1) state (no window over corpus)") {
+    val plan = Dedup.priorityDedup(docs, "doc_id", "text", "source",
+      Map("src0" -> 9)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected window-free agg plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  // ----------------------------------------------------- domain upsample
+  test("domain upsample: whole epochs replicate, fractions hash-select") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, if (i <= 100) "hot" else "cold"))
+      .toDF("doc_id", "lang")
+    val r = Curation.domainUpsample(d, "doc_id", "lang",
+      Map("hot" -> 2.0, "cold" -> 0.5))
+    val byLang = r.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("hot") == 200L) // every hot doc exactly twice
+    // cold: deterministic ~half; exact value fixed by the hash
+    val cold = byLang.getOrElse("cold", 0L)
+    assert(cold > 20L && cold < 80L, s"cold kept $cold of 100")
+    // copy_idx enumerates 1..n_copies
+    val bad = r.where(F.col("copy_idx") < 1 ||
+      F.col("copy_idx") > F.col("n_copies")).count()
+    assert(bad == 0)
+    // rerun is bit-identical (hash selection, not rand())
+    val again = Curation.domainUpsample(d, "doc_id", "lang",
+      Map("hot" -> 2.0, "cold" -> 0.5))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == byLang)
+  }
+
   test("split leakage is a single-shuffle plan (no self-join, one scan)") {
     val plan = Dedup.splitLeakage(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
