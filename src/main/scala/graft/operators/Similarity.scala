@@ -86,4 +86,58 @@ object Similarity {
     corpus.select(F.col(idCol).as("vec_id"),
       hyperplaneBucket(F.col(vecCol), planeSigns(planes, dim)).as("bucket"))
   }
+
+  // ------------------------------------------------------- normalization
+  /** L2-normalize an embedding column to unit vectors (cosine search
+    * over unit vectors degrades to a plain dot product — one multiply
+    * fewer per candidate at query time). Pure narrow map, no shuffle.
+    * Every step is bit-portable IEEE (sequential double dot, correctly-
+    * rounded sqrt, per-element division); components are rounded to 6dp
+    * only so downstream hashes tolerate engines that print doubles
+    * differently. Zero vectors yield null components (try_divide: ANSI
+    * mode would otherwise throw on the 0/0) — kept, so callers can
+    * filter explicitly. */
+  def l2Normalize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val n = norm(F.col(vecCol))
+    corpus.select(
+      F.col(idCol).as("vec_id"),
+      F.round(n, 6).as("l2_norm"),
+      F.transform(F.col(vecCol),
+        x => F.round(F.try_divide(x.cast("double"), n), 6)).as("unit"))
+  }
+
+  // -------------------------------------------------------- quantization
+  /** Int8 scalar quantization against per-dimension corpus min/max —
+    * the classic 4× memory cut before ANN indexing (float32 → int8 per
+    * component): q_i = clamp(floor((x_i − min_i)·255/(max_i − min_i)),
+    * 0, 255) − 128, with constant dimensions mapping to −128.
+    *
+    * Scale shape: pass 1 aggregates per-dimension min/max via posexplode
+    * — ONE shuffle on ≤ dim keys (dim is 64–4096, metadata-sized);
+    * the 2·dim doubles come back as a one-row broadcast; pass 2 is a
+    * narrow map over the corpus. floor (not round) keeps the bucket
+    * function unambiguous across engines. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): DataFrame = {
+    val stats = corpus
+      .select(F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).as("mn"),
+        F.max(F.col("x").cast("double")).as("mx"))
+      .agg(
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+    corpus.crossJoin(F.broadcast(stats))
+      .select(
+        F.col(idCol).as("vec_id"),
+        F.transform(F.col(vecCol), (x, i) => {
+          val mn = F.element_at(F.col("mins"), i + 1)
+          val mx = F.element_at(F.col("maxs"), i + 1)
+          (F.when(mx === mn, F.lit(0L)).otherwise(
+            F.least(F.lit(255L), F.greatest(F.lit(0L),
+              F.floor((x.cast("double") - mn) * 255.0 / (mx - mn))))) - 128L)
+        }).as("q"))
+  }
 }

@@ -249,7 +249,48 @@ object PrepQueries {
          |ORDER BY doc_id, copy_idx""".stripMargin
     })
 
+  // ---------------------------------------------------------------- D11
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val embedNormalize = QueryDef(
+    "embed_normalize",
+    (s, d) => graft.operators.Similarity.l2Normalize(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id"),
+    Some(s"""
+      SELECT vec_id,
+             round(sqrt(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
+             list_transform(generate_series(1, 64), i ->
+               round(CAST(embedding[i] AS DOUBLE)
+                     / sqrt(${dotSql("embedding", "embedding")}), 6)) AS unit
+      FROM embeddings ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- D12
+  private val embedQuantize = QueryDef(
+    "embed_quantize",
+    (s, d) => graft.operators.Similarity.quantizeInt8(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH s AS (
+        SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+      a AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+            FROM s)
+      SELECT vec_id,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN maxs[i] = mins[i] THEN 0
+                    ELSE CAST(least(255, greatest(0,
+                      floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+                            / (maxs[i] - mins[i])))) AS BIGINT)
+               END - 128) AS q
+      FROM embeddings, a ORDER BY vec_id"""))
+
   def all: Seq[QueryDef] = Seq(
     piiRedact, chunkDocs, approxDistinctKmv, dedupIncremental,
-    surprisalProxy, splitLeakage, vocabBuild, dedupPriority, domainUpsample)
+    surprisalProxy, splitLeakage, vocabBuild, dedupPriority, domainUpsample,
+    embedNormalize, embedQuantize)
 }

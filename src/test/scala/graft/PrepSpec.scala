@@ -208,6 +208,48 @@ class PrepSpec extends SparkSpec {
     assert(again == byLang)
   }
 
+  // ------------------------------------------------------ embedding prep
+  test("l2 normalize: unit vectors, norm preserved, zero vector nulls") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.l2Normalize(d, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Double, Seq[Option[Double]])].collect()
+    assert(r(0) == ((1L, 5.0, Seq(Some(0.6), Some(0.8)))))
+    assert(r(1)._2 == 0.0 && r(1)._3.forall(_.isEmpty)) // 0/0 → null kept
+  }
+
+  test("l2 normalize of the corpus: every non-zero vector lands on the sphere") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val unit = graft.operators.Similarity.l2Normalize(emb, "vec_id", "embedding")
+    val offSphere = unit.where(F.col("l2_norm") > 0)
+      .select(F.aggregate(F.col("unit"), F.lit(0.0), (a, x) => a + x * x).as("n2"))
+      .where(F.abs(F.col("n2") - 1.0) > 1e-4)
+    assert(offSphere.count() == 0)
+  }
+
+  test("int8 quantization: extremes hit -128/127, constants collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.0f, 10.0f, 7.0f)),
+      (2L, Array(1.0f, 20.0f, 7.0f)),
+      (3L, Array(0.5f, 15.0f, 7.0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.quantizeInt8(d, "vec_id", "embedding", dim = 3)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    // dim1: min 0 → -128, max 1 → 127; dim3 constant → -128
+    assert(r(0)._2 == Seq(-128L, -128L, -128L))
+    assert(r(1)._2 == Seq(127L, 127L, -128L))
+    // 0.5 → floor(0.5*255)=127 → -1; 15 → floor(127.5)=127 → -1
+    assert(r(2)._2 == Seq(-1L, -1L, -128L))
+    // every component in int8 range
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val out = q.where(F.exists(F.col("q"), x => x < -128L || x > 127L)).count()
+    assert(out == 0)
+  }
+
   test("split leakage is a single-shuffle plan (no self-join, one scan)") {
     val plan = Dedup.splitLeakage(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
