@@ -106,6 +106,32 @@ object Similarity {
         x => F.round(F.try_divide(x.cast("double"), n), 6)).as("unit"))
   }
 
+  /** Integer dot product of two long-array columns (quantized vectors):
+    * zip_with + aggregate fold — exact integer arithmetic, so scores
+    * are engine-portable with no rounding discipline at all. */
+  def intDot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0L), (acc, x) => acc + x)
+
+  /** Exact top-k by int8-quantized dot product vs a broadcast query set
+    * — the cheap first stage of a quantize → shortlist → float-rerank
+    * pipeline. Same scale shape as [[bruteForceTopK]] (corpus streams
+    * once, no corpus shuffle; the per-query top-k is a bounded
+    * WindowGroupLimit) but the scoring inner loop is integer multiply-
+    * adds over 4×-smaller vectors. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qCol: String, k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(qCol).as("qa"))
+    val c = corpus.select(F.col(idCol).as("match_id"), F.col(qCol).as("qb"))
+    val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("match_id"))
+      .select(F.col("query_id"), F.col("match_id"),
+        intDot(F.col("qa"), F.col("qb")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(F.col("score").desc, F.col("match_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "score")
+  }
+
   // -------------------------------------------------------- quantization
   /** Int8 scalar quantization against per-dimension corpus min/max —
     * the classic 4× memory cut before ANN indexing (float32 → int8 per

@@ -289,8 +289,52 @@ object PrepQueries {
                END - 128) AS q
       FROM embeddings, a ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- D13
+  /** Quantize → integer-dot shortlist: the whole pipeline stays in the
+    * plan (no materialized intermediate), and integer scores need no
+    * rounding discipline at all. */
+  private val quantizeSql = s"""
+      WITH qs AS (
+        SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+      qa AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+             FROM qs),
+      qv AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, 64), i ->
+                 CASE WHEN maxs[i] = mins[i] THEN 0
+                      ELSE CAST(least(255, greatest(0,
+                        floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+                              / (maxs[i] - mins[i])))) AS BIGINT)
+                 END - 128) AS q
+        FROM embeddings, qa)"""
+
+  private val embedQuantizedTopk = QueryDef(
+    "embed_quantized_topk",
+    (s, d) => {
+      val q = graft.operators.Similarity.quantizeInt8(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      graft.operators.Similarity.quantizedTopK(
+        q, q.where(F.col("vec_id") < 5), "vec_id", "q", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""$quantizeSql,
+      scored AS (
+        SELECT l.vec_id AS query_id, r.vec_id AS match_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> l.q[i] * r.q[i])) AS BIGINT) AS score
+        FROM qv l JOIN qv r ON l.vec_id < 5 AND r.vec_id <> l.vec_id),
+      ranked AS (
+        SELECT query_id, match_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, match_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, rank, match_id, score
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   def all: Seq[QueryDef] = Seq(
     piiRedact, chunkDocs, approxDistinctKmv, dedupIncremental,
     surprisalProxy, splitLeakage, vocabBuild, dedupPriority, domainUpsample,
-    embedNormalize, embedQuantize)
+    embedNormalize, embedQuantize, embedQuantizedTopk)
 }

@@ -250,6 +250,21 @@ class PrepSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  test("quantized top-k: integer dot ordering with id tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(10L, 0L)),  // query
+      (1L, Seq(5L, 1L)),   // score 50
+      (2L, Seq(7L, -3L)),  // score 70
+      (3L, Seq(5L, 99L))   // score 50 → ties with 1, id breaks
+    ).toDF("vec_id", "q")
+    val r = graft.operators.Similarity.quantizedTopK(
+      d, d.where(F.col("vec_id") === 0), "vec_id", "q", k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Long)].collect()
+    assert(r.map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1, 2L, 70L), (2, 1L, 50L), (3, 3L, 50L)))
+  }
+
   test("split leakage is a single-shuffle plan (no self-join, one scan)") {
     val plan = Dedup.splitLeakage(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
