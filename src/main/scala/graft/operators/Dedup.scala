@@ -354,11 +354,14 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(F.sum(F.lit(1L) - F.col("_h")).as("_train_c"),
         F.sum("_h").as("_holdout_c"))
+    // coalesce: global sums over an EMPTY corpus are null, which would
+    // surface a null audit row instead of zero counts
     perFp.agg(
-      F.sum("_train_c").as("n_train"),
-      F.sum("_holdout_c").as("n_holdout"),
-      F.sum(F.when(F.col("_train_c") > 0, F.col("_holdout_c")).otherwise(0L))
-        .as("n_leaked"))
+      F.coalesce(F.sum("_train_c"), F.lit(0L)).as("n_train"),
+      F.coalesce(F.sum("_holdout_c"), F.lit(0L)).as("n_holdout"),
+      F.coalesce(
+        F.sum(F.when(F.col("_train_c") > 0, F.col("_holdout_c")).otherwise(0L)),
+        F.lit(0L)).as("n_leaked"))
       .select(
         F.col("n_train"), F.col("n_holdout"), F.col("n_leaked"),
         F.round(F.col("n_leaked").cast("double") /

@@ -265,6 +265,35 @@ class PrepSpec extends SparkSpec {
       Seq((1, 2L, 70L), (2, 1L, 50L), (3, 3L, 50L)))
   }
 
+  // --------------------------------------------------------- empty inputs
+  test("every wave-5 operator handles an empty corpus without nulls") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Privacy.redactPii(noDocs, "doc_id", "text").count() == 0)
+    assert(Curation.chunkDocs(noDocs, "doc_id", "text").count() == 0)
+    assert(Sketch.kmvDistinct(noDocs, Seq("source"), "text", 4).count() == 0)
+    assert(Dedup.incrementalDedup(noDocs, noDocs.select(
+      Dedup.fingerprint(F.col("text")).as("fingerprint")),
+      "doc_id", "text", "fingerprint").count() == 0)
+    assert(TextOps.surprisalProxy(noDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.vocabBuild(noDocs, "text", 10).count() == 0)
+    assert(Dedup.priorityDedup(noDocs, "doc_id", "text", "source",
+      Map("a" -> 1)).count() == 0)
+    assert(Curation.domainUpsample(noDocs, "doc_id", "source",
+      Map("a" -> 2.0)).count() == 0)
+    assert(graft.operators.Similarity.l2Normalize(
+      noVecs, "vec_id", "embedding").count() == 0)
+    assert(graft.operators.Similarity.quantizeInt8(
+      noVecs, "vec_id", "embedding").count() == 0)
+    // the leakage audit is a global aggregate: one row, ZERO counts
+    val audit = Dedup.splitLeakage(noDocs, "doc_id", "text").head()
+    assert(audit.getAs[Long]("n_train") == 0L &&
+      audit.getAs[Long]("n_holdout") == 0L &&
+      audit.getAs[Long]("n_leaked") == 0L &&
+      audit.getAs[Double]("leak_frac") == 0.0)
+  }
+
   test("split leakage is a single-shuffle plan (no self-join, one scan)") {
     val plan = Dedup.splitLeakage(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
