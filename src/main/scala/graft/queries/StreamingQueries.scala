@@ -210,6 +210,46 @@ object StreamingQueries {
     },
     Some(PrepQueries.piiRedactSql))
 
+  // ------------------------------------------------------------------ G7
+  /** Dedup-on-ingest EXECUTED as a stream-static anti-join: streamed
+    * document shards drop everything whose fingerprint already exists
+    * in a STATIC store frame (the hash60(id)%10!=0 slice, as in the
+    * batch `dedup_incremental`). Stateless per micro-batch — the store
+    * side is a static relation the planner broadcasts or rebuilds per
+    * batch; no stream state grows. Emits the store-absent docs
+    * (within-batch winners and their duplicates alike — the stateful
+    * winner election is `stream_dedup`'s dropDuplicates territory). */
+  private val streamDedupIncr = QueryDef(
+    "stream_dedup_incremental",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val static = s.read.parquet(dir)
+      val isBatch = F.pmod(graft.operators.Hashing.hash60(
+        F.col("doc_id").cast("string")), F.lit(10L)) === 0L
+      val store = static.where(!isBatch)
+        .select(graft.operators.Dedup.fingerprint(F.col("text")).as("fingerprint"))
+        .distinct()
+      val stream = s.readStream.schema(static.schema).parquet(dir)
+      val incoming = stream.where(isBatch)
+        .select(F.col("doc_id"),
+          graft.operators.Dedup.fingerprint(F.col("text")).as("fingerprint"))
+      val fresh = incoming.join(store, Seq("fingerprint"), "left_anti")
+      drain(fresh, "append")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(lower(text), ' +'))), ' ')) AS fingerprint,
+               ${graft.operators.Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")}
+                 % 10 = 0 AS is_batch
+        FROM documents)
+      SELECT doc_id, fingerprint FROM f
+      WHERE is_batch AND fingerprint NOT IN (
+        SELECT fingerprint FROM f WHERE NOT is_batch)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
-    streamSession, streamQuality, streamPii)
+    streamSession, streamQuality, streamPii, streamDedupIncr)
 }
