@@ -42,7 +42,7 @@ object StreamingQueries {
   /** Pre-stage the streaming inputs (used by Bench's untimed warmup so
     * the timed region measures the stream execution, not scaffolding). */
   def prewarm(s: SparkSession, d: String): Unit = {
-    stage(s, d, "events"); stage(s, d, "lineitem")
+    stage(s, d, "events"); stage(s, d, "lineitem"); stage(s, d, "documents")
   }
 
   /** Run a bounded stream into a memory sink and return its content. */
