@@ -106,11 +106,13 @@ object Similarity {
         x => F.round(F.try_divide(x.cast("double"), n), 6)).as("unit"))
   }
 
-  /** Integer dot product of two long-array columns (quantized vectors):
-    * zip_with + aggregate fold — exact integer arithmetic, so scores
-    * are engine-portable with no rounding discipline at all. */
+  /** Integer dot product of two long-array columns (quantized vectors)
+    * — exact integer arithmetic, so scores are engine-portable with no
+    * rounding discipline at all. Backed by the native codegen'd
+    * [[graft.functions.LongDotProduct]] (primitive loop in whole-stage
+    * codegen; the zip_with/aggregate fold boxes every element). */
   def intDot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.longDot(a, b)
 
   /** Exact top-k by int8-quantized dot product vs a broadcast query set
     * — the cheap first stage of a quantize → shortlist → float-rerank

@@ -88,6 +88,29 @@ class Md5Prefix60Spec extends SparkSpec {
       .select(col.as("h")).head().getLong(0)
     assert(got == graft.operators.Hashing.hash60("abc"))
   }
+
+  test("long_dot: exact integer scores, fold agreement, SQL + codegen") {
+    val d = Seq(
+      (Seq(127L, -128L, 1L), Seq(2L, 3L, 100L)),
+      (Seq(0L, 0L, 0L), Seq(1L, 1L, 1L))).toDF("a", "b")
+    val v = d.select(VectorFunctions.longDot($"a", $"b")).collect().map(_.getLong(0))
+    assert(v.toSeq == Seq(127L * 2 - 128L * 3 + 100L, 0L))
+    // agreement with the higher-order fold on quantized corpus vectors
+    val q = graft.operators.Similarity.quantizeInt8(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding")
+    val fold = F.aggregate(F.zip_with($"q", $"q", (x, y) => x * y),
+      F.lit(0L), (acc, x) => acc + x)
+    q.select(VectorFunctions.longDot($"q", $"q").as("native"), fold.as("fold"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // SQL registration
+    VectorFunctions.register(spark)
+    d.createOrReplaceTempView("lvecs")
+    assert(spark.sql("SELECT long_dot(a, b) FROM lvecs").head().getLong(0) ==
+      127L * 2 - 128L * 3 + 100L)
+    // null propagation
+    val dn = Seq((Seq(1L), null.asInstanceOf[Seq[Long]])).toDF("a", "b")
+    assert(dn.select(VectorFunctions.longDot($"a", $"b")).head().isNullAt(0))
+  }
 }
 
 class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
