@@ -89,6 +89,29 @@ object TextOps {
       .orderBy(F.col("freq").desc, F.col("gram"))
       .limit(k)
 
+  /** GPT-2-style pretokenizer regex, restricted to the Java∩RE2
+    * dialect: a pretoken is an optional leading space followed by a
+    * letter run, a digit run, or a punctuation run. This is the
+    * deterministic "BPE-ish" token count — real BPE merges only ever
+    * split WITHIN pretokens, so the pretoken count upper-bounds and
+    * tracks the trained-tokenizer count far better than chars/4. */
+  val pretokenPattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Per-document pretokenization stats: BPE-ish pretoken count, the
+    * whitespace count for comparison, and the first `headK` pretokens
+    * (bounded slice, not the whole doc re-materialized). Pure narrow
+    * map — one scan, no shuffle. */
+  def pretokenize(docs: DataFrame, idCol: String, textCol: String,
+      headK: Int = 10): DataFrame = {
+    val text = F.col(textCol)
+    docs.select(
+      F.col(idCol),
+      F.regexp_count(text, F.lit(pretokenPattern)).cast("long").as("n_pretokens"),
+      F.size(tokens(text)).cast("long").as("n_ws_tokens"),
+      F.slice(F.regexp_extract_all(text, F.lit(pretokenPattern), F.lit(0)),
+        1, headK).as("head_pretokens"))
+  }
+
   /** Floor of log2 of a positive LONG, computed EXACTLY as
     * `length(bin(x)) − 1` (number of binary digits minus one) — integer
     * string ops, no floating-point log, so the value is bit-identical

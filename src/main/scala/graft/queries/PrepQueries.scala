@@ -333,8 +333,23 @@ object PrepQueries {
       SELECT query_id, rank, match_id, score
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------------- E27
+  private val textPretokenize = QueryDef(
+    "text_pretokenize",
+    (s, d) => TextOps.pretokenize(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val p = TextOps.pretokenPattern
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)
+         |         AS n_pretokens,
+         |       len(regexp_split_to_array(lower(text), ' +')) AS n_ws_tokens,
+         |       regexp_extract_all(text, '$p')[1:10] AS head_pretokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     piiRedact, chunkDocs, approxDistinctKmv, dedupIncremental,
     surprisalProxy, splitLeakage, vocabBuild, dedupPriority, domainUpsample,
-    embedNormalize, embedQuantize, embedQuantizedTopk)
+    embedNormalize, embedQuantize, embedQuantizedTopk, textPretokenize)
 }

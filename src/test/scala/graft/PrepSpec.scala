@@ -265,6 +265,17 @@ class PrepSpec extends SparkSpec {
       Seq((1, 2L, 70L), (2, 1L, 50L), (3, 3L, 50L)))
   }
 
+  test("pretokenize: letter/digit/punct runs split like a BPE pretokenizer") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world42 v2.0-beta!")).toDF("doc_id", "text")
+    val r = TextOps.pretokenize(d, "doc_id", "text")
+      .as[(Long, Long, Long, Seq[String])].head()
+    // "hello"," world","42"," v","2",".","0","-","beta","!"
+    assert(r._4 == Seq("hello", " world", "42", " v", "2", ".", "0", "-",
+      "beta", "!"))
+    assert(r._2 == 10L && r._3 == 3L)
+  }
+
   // --------------------------------------------------------- empty inputs
   test("every wave-5 operator handles an empty corpus without nulls") {
     import spark.implicits._
