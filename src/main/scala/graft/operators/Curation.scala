@@ -137,6 +137,90 @@ object Curation {
           .otherwise(0L).as("contaminated"))
   }
 
+  // ---------------------------------------------------- fuzzy contamination
+  /** Fuzzy benchmark-contamination screen: MinHash the corpus and the
+    * benchmark with the SAME signature family ([[Dedup.minhashSignatures]]),
+    * LSH-band both sides, and flag corpus docs whose estimated Jaccard
+    * against any benchmark doc crosses `flagAt`. This is the
+    * paraphrase-tolerant complement of the exact n-gram screen
+    * ([[contamination]]): an eval question lightly reworded into the
+    * corpus shares most minhash components even when few whole n-grams
+    * survive verbatim.
+    *
+    * Scale shape: the benchmark side (eval suites are MBs against a
+    * corpus of TBs) is BROADCAST twice — its banded keys into the
+    * candidate join and its signatures into the agreement join — so the
+    * corpus is never shuffled on a pair key; corpus signatures are
+    * persisted (the band projection and the agreement join both consume
+    * them). Estimated Jaccard = matching signature components / k (the
+    * standard unbiased minhash estimate); the per-doc winner is an
+    * O(1)-state max(struct) aggregate, not a window. */
+  def contaminationFuzzy(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      flagAt: Double = 0.5): DataFrame = {
+    val sigC = CacheScope.persist(
+      Dedup.minhashSignatures(corpus, idCol, textCol, k, shingleN))
+    val sigB = Dedup.minhashSignatures(benchmark, idCol, textCol, k, shingleN)
+    val bandsC = Dedup.minhashBands(sigC, k, bands)
+    val bandsB = Dedup.minhashBands(sigB, k, bands)
+      .withColumnRenamed("doc_id", "bench_id")
+    val cand = bandsC.join(F.broadcast(bandsB), Seq("band_idx", "band_hash"))
+      .select("doc_id", "bench_id").distinct()
+    val sigBRenamed = sigB.select(
+      F.col("doc_id").as("bench_id") +:
+        (0 until k).map(i => F.col(s"h$i").as(s"b$i")): _*)
+    val nMatch = (0 until k)
+      .map(i => F.when(F.col(s"h$i") === F.col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigC, "doc_id")
+      .join(F.broadcast(sigBRenamed), "bench_id")
+      .select(F.col("doc_id"),
+        F.struct(
+          F.round(nMatch.cast("double") / k, 6).as("est"),
+          (-F.col("bench_id")).as("_nb")).as("_m"))
+      .groupBy("doc_id")
+      .agg(F.max("_m").as("_best"))
+      .select(
+        F.col("doc_id"),
+        (-F.col("_best._nb")).as("bench_id"),
+        F.col("_best.est").as("est_jaccard"),
+        F.when(F.col("_best.est") >= flagAt, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  // ----------------------------------------------------------- sampling
+  /** Deterministic fixed-size per-group sample: the k documents with the
+    * smallest portable hash of their id within each group — "give me
+    * 1000 inspection docs per source", stable across runs, engines and
+    * cluster sizes (a rand()-ranked sample resamples on every retry;
+    * per-partition reservoirs depend on the split layout).
+    *
+    * Scale shape: ONE aggregate on the group key whose state is the
+    * bounded top-k heap ([[graft.functions.TopKStruct]] on the negated
+    * key) — k rows per group per map task cross the shuffle, never the
+    * group's membership sorted (the row_number window form would). Ties
+    * (hash collisions) break to the smaller doc id. */
+  def sampleGroup(
+      docs: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    val h = Hashing.hash60(F.col(idCol).cast("string"))
+    docs
+      .select(F.col(groupCol), F.col(idCol).cast("long").as("_id"), h.as("_h"))
+      .groupBy(groupCol)
+      .agg(
+        F.count(F.lit(1)).as("n_total"),
+        graft.functions.TopKFunctions.topK(
+          F.struct((-F.col("_h")).as("_nh"), (-F.col("_id")).as("_nid")), k)
+          .as("_top"))
+      .select(F.col(groupCol), F.col("n_total"),
+        F.posexplode(F.col("_top")).as(Seq("_pos", "_s")))
+      .select(F.col(groupCol), F.col("n_total"),
+        (F.col("_pos") + 1).cast("long").as("sample_rank"),
+        (-F.col("_s._nid")).as("doc_id"),
+        (-F.col("_s._nh")).as("h"))
+  }
+
   // ------------------------------------------------------------ packing
   /** Token-budget sequence packing: assign documents to fixed-budget
     * bins (the "fill a 2k-token training sequence" move) via a running

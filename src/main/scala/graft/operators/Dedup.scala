@@ -298,6 +298,101 @@ object Dedup {
           .otherwise("new").as("status"))
   }
 
+  // --------------------------------------------------------- line dedup
+  /** CCNet-style line-level dedup (Wenzek et al. 2020): drop every LINE
+    * that occurs in more than `maxDocFreq` distinct documents — the
+    * standard boilerplate-removal move (navigation bars, cookie
+    * banners, legal footers repeat across a crawl; prose does not) —
+    * and reassemble each document from its surviving lines in order.
+    *
+    * Scale shape: one Generate (posexplode on the separator split),
+    * line doc-frequencies from a distinct + count pair of
+    * map-side-combined shuffles keyed on the 8-byte line hash, one
+    * join back on that hash, and a final doc-keyed aggregate. The
+    * reassembly buffer holds ONE DOCUMENT's own lines (bounded by the
+    * input row, the same state any per-doc transform carries), never a
+    * cross-document group. The exploded line frame is persisted — the
+    * df aggregate and the join-back both consume it.
+    *
+    * Line identity is the 60-bit md5 hash ([[Hashing.hash60]]) so the
+    * df join moves 8-byte keys, not line strings. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Int = 5): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = CacheScope.persist(
+      docs.select(F.col(idCol).as("doc_id"),
+          F.posexplode(F.split(F.col(textCol), java.util.regex.Pattern.quote(sep)))
+            .as(Seq("line_idx", "line")))
+        .withColumn("_lh", Hashing.hash60(F.col("line"))))
+    val df = lines.select("doc_id", "_lh").distinct()
+      .groupBy("_lh").agg(F.count(F.lit(1)).as("_df"))
+    val keep = F.col("_df") <= maxDocFreq
+    lines.join(df, "_lh")
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).as("n_lines"),
+        F.sum(F.when(keep, 1L).otherwise(0L)).as("n_kept"),
+        F.concat_ws(sep,
+          F.transform(
+            F.array_sort(F.collect_list(
+              F.when(keep, F.struct(F.col("line_idx"), F.col("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+      .withColumn("removed_frac",
+        F.round((F.col("n_lines") - F.col("n_kept")).cast("double") /
+          F.col("n_lines"), 6))
+  }
+
+  // ---------------------------------------------------- tf-idf cosine
+  /** Sparse TF-IDF cosine near-dup pairs over the shared-term inverted
+    * index — the lexical-similarity step between exact fingerprints
+    * (order-sensitive) and embeddings (model-dependent). Pairs are
+    * generated by a self-join keyed on the TERM (never a cross join);
+    * `maxDocFreq` caps the index before the join, so a stopword shared
+    * by d documents can never contribute d² join rows (same quadratic
+    * guard as [[ngramJaccardPairs]], default ON).
+    *
+    * Weights are INTEGER surprisal TF-IDF: w = tf · (⌊log₂ N⌋ −
+    * ⌊log₂ df⌋) via [[TextOps.floorLog2]] — dot products and norms are
+    * exact long arithmetic, so the only floating-point ops are the
+    * final sqrt and divide (both correctly-rounded IEEE, bit-portable
+    * across engines; a float idf would drift by ULPs in the sums).
+    *
+    * The weighted index is persisted: norms and both join sides consume
+    * it. Zero-norm docs (every term capped out or at idf 0) are
+    * excluded — their cosine is 0/0. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      minCosine: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    val tf = docs
+      .select(F.col(idCol).as("doc_id"), TextOps.tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.explode(F.col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("_df"))
+      .filter(F.col("_df") <= maxDocFreq)
+    val nDocs = docs.agg(F.count(F.lit(1)).as("_n"))
+    val w = CacheScope.persist(
+      tf.join(df, "term").crossJoin(F.broadcast(nDocs))
+        .select(F.col("doc_id"), F.col("term"),
+          (F.col("tf") *
+            (TextOps.floorLog2(F.col("_n")) - TextOps.floorLog2(F.col("_df"))))
+            .as("w")))
+    val norms = w.groupBy("doc_id")
+      .agg(F.sum(F.col("w") * F.col("w")).as("_n2"))
+      .filter(F.col("_n2") > 0)
+    val num = w.select(F.col("doc_id").as("doc_a"), F.col("term"), F.col("w").as("_wa"))
+      .join(w.select(F.col("doc_id").as("doc_b"), F.col("term"), F.col("w").as("_wb")),
+        "term")
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(F.sum(F.col("_wa") * F.col("_wb")).as("_num"))
+    num
+      .join(norms.select(F.col("doc_id").as("doc_a"), F.col("_n2").as("_n2a")), "doc_a")
+      .join(norms.select(F.col("doc_id").as("doc_b"), F.col("_n2").as("_n2b")), "doc_b")
+      .withColumn("cosine",
+        F.round(F.col("_num").cast("double") /
+          F.sqrt(F.col("_n2a").cast("double") * F.col("_n2b")), 6))
+      .filter(F.col("cosine") >= minCosine)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   // ------------------------------------------------------ priority dedup
   /** Source-priority dedup: among documents sharing a fingerprint, keep
     * the one from the highest-priority source ("prefer curated over

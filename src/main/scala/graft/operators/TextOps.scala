@@ -182,6 +182,38 @@ object TextOps {
       .select("token_id", "term", "freq")
   }
 
+  /** Zipf rank-frequency slope over the top-V vocabulary — the classic
+    * one-number naturalness check for a corpus (natural language sits
+    * near −1 on the log-log rank/frequency line; machine-generated or
+    * template-heavy corpora flatten or step). Slope = the least-squares
+    * fit of ⌊log₂ freq⌋ against ⌊log₂ rank⌋: with the integer floors
+    * ([[floorLog2]]) every regression sum is EXACT long arithmetic and
+    * the single closing division is one double op — bit-portable where
+    * a float log would drift by ULPs.
+    *
+    * Scale shape: rides [[vocabBuild]] (one map-side-combined term
+    * aggregate + a per-partition top-V heap); the regression runs over
+    * the V retained rows only — metadata-sized, never the corpus. */
+  def zipfSlope(docs: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
+    val vocab = vocabBuild(docs, textCol, topV)
+    val x = floorLog2(F.col("token_id"))
+    val y = floorLog2(F.col("freq"))
+    vocab.agg(
+      F.count(F.lit(1)).as("n_terms"),
+      F.sum("freq").as("top_tokens"),
+      F.sum(x).as("_sx"), F.sum(y).as("_sy"),
+      F.sum(x * y).as("_sxy"), F.sum(x * x).as("_sxx"))
+      .select(
+        F.col("n_terms"), F.col("top_tokens"),
+        F.when(
+          F.col("n_terms") * F.col("_sxx") - F.col("_sx") * F.col("_sx") =!= 0L,
+          F.round(
+            (F.col("n_terms") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+              .cast("double") /
+              (F.col("n_terms") * F.col("_sxx") - F.col("_sx") * F.col("_sx")), 6))
+          .as("zipf_slope"))
+  }
+
   /** Per-document top-k TF-IDF keywords. One explode; document
     * frequencies come from re-aggregating the (doc, term) tf frame (no
     * second corpus scan); the doc count rides a one-row broadcast; the

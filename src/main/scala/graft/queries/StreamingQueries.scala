@@ -250,6 +250,46 @@ object StreamingQueries {
         SELECT fingerprint FROM f WHERE NOT is_batch)
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------ G8
+  /** Stream-STREAM inner join with an event-time range condition: the
+    * click stream joins the purchase stream on user within a 30-minute
+    * attribution window. Both sides are watermarked, so Spark's
+    * stream-stream join STATE IS BOUNDED — buffered rows are evicted
+    * once the watermark passes the range condition's reach (without the
+    * range bound + watermarks, each side's state grows forever). The
+    * batch oracle is the same interval join over the static table. */
+  private val streamJoin = QueryDef(
+    "stream_join",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val schema = s.read.parquet(dir).schema
+      val clicks = s.readStream.schema(schema).parquet(dir)
+        .where(F.col("event_type") === "click")
+        .select(F.col("event_id").as("click_id"), F.col("user_id"),
+          F.col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = s.readStream.schema(schema).parquet(dir)
+        .where(F.col("event_type") === "purchase")
+        .select(F.col("event_id").as("purchase_id"),
+          F.col("user_id").as("_p_user"), F.col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        F.col("user_id") === F.col("_p_user") &&
+          F.col("purchase_ts") >= F.col("click_ts") &&
+          F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+      drain(joined, "append")
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
-    streamSession, streamQuality, streamPii, streamDedupIncr)
+    streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin)
 }

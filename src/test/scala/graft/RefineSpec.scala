@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{Curation, Dedup, TextOps}
+import org.apache.spark.sql.{functions => F}
+
+/** Wave-6 corpus-refinement operators (SURVEY §2 E28–E32) on
+  * constructed frames with hand-computable answers. */
+class RefineSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  // ------------------------------------------------------------ lineDedup
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("lineDedup: boilerplate line removed, unique lines kept in order") {
+    val footer = "shared footer"
+    val d = docsOf(
+      1L -> s"alpha one\nbeta two\n$footer",
+      2L -> s"gamma three\n$footer",
+      3L -> s"delta four\n$footer",
+      4L -> "unique only")
+    val r = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    // footer df=3 > 2 → removed everywhere; order of survivors preserved
+    assert(r(0).getAs[String]("clean_text") == "alpha one\nbeta two")
+    assert(r(0).getAs[Long]("n_lines") == 3 && r(0).getAs[Long]("n_kept") == 2)
+    assert(r(1).getAs[String]("clean_text") == "gamma three")
+    assert(r(3).getAs[String]("clean_text") == "unique only")
+    assert(r(3).getAs[Double]("removed_frac") == 0.0)
+  }
+
+  test("lineDedup: doc whose every line is boilerplate survives as empty") {
+    val d = docsOf(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x\ny")
+    val r = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // "x" df=4 > 3 → removed; doc 1 keeps its ROW with empty clean text
+    assert(r.length == 4)
+    assert(r(0).getAs[String]("clean_text") == "" &&
+      r(0).getAs[Long]("n_kept") == 0L &&
+      r(0).getAs[Double]("removed_frac") == 1.0)
+    assert(r(3).getAs[String]("clean_text") == "y")
+  }
+
+  test("lineDedup: repeats WITHIN one doc count that doc once toward df") {
+    val d = docsOf(1L -> "x\nx\nx", 2L -> "y")
+    val r = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 1)
+      .orderBy("doc_id").collect()
+    // x appears in ONE distinct doc → df=1 ≤ 1 → kept (all three copies)
+    assert(r(0).getAs[String]("clean_text") == "x\nx\nx")
+  }
+
+  // ------------------------------------------------------ tfidfCosinePairs
+  test("tfidfCosinePairs: identical docs score 1.0; disjoint docs absent") {
+    // filler docs push N to 8 so df=2 terms get idf ⌊log₂8⌋−⌊log₂2⌋ = 2
+    // (at N=3 the integer idf of a df=2 term is 1−1=0 — weightless)
+    val filler = (4L to 8L).map(i => i -> s"filler${i}a filler${i}b filler${i}c")
+    val d = docsOf(Seq(
+      1L -> "apple banana cherry",
+      2L -> "apple banana cherry",
+      3L -> "dog elephant fox") ++ filler: _*)
+    val r = Dedup.tfidfCosinePairs(d, "doc_id", "text", minCosine = 0.1)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_a") == 1L && r(0).getAs[Long]("doc_b") == 2L)
+    assert(r(0).getAs[Double]("cosine") == 1.0)
+  }
+
+  test("tfidfCosinePairs: df cap drops corpus-wide terms from the index") {
+    // "common" is in all 4 docs; with cap=3 it can't pair anything
+    val d = docsOf(
+      1L -> "common alpha", 2L -> "common beta",
+      3L -> "common gamma", 4L -> "common delta")
+    val capped = Dedup.tfidfCosinePairs(d, "doc_id", "text",
+      minCosine = 0.01, maxDocFreq = 3)
+    assert(capped.count() == 0)
+  }
+
+  // ------------------------------------------------------------ sampleGroup
+  test("sampleGroup: k per group, rank ascending in hash, deterministic") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "source")
+    val r1 = Curation.sampleGroup(d, "doc_id", "source", k = 5)
+      .orderBy("source", "sample_rank").collect()
+    val r2 = Curation.sampleGroup(d, "doc_id", "source", k = 5)
+      .orderBy("source", "sample_rank").collect()
+    assert(r1.toSeq == r2.toSeq) // rerun-stable
+    assert(r1.length == 10)
+    val even = r1.filter(_.getAs[String]("source") == "even")
+    assert(even.forall(_.getAs[Long]("n_total") == 20L))
+    val hs = even.map(_.getAs[Long]("h")).toSeq
+    assert(hs == hs.sorted) // rank order == hash order
+  }
+
+  test("sampleGroup: group smaller than k returns the whole group") {
+    import spark.implicits._
+    val d = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "source")
+    val r = Curation.sampleGroup(d, "doc_id", "source", k = 10)
+    assert(r.count() == 2)
+  }
+
+  // ---------------------------------------------------- contaminationFuzzy
+  test("contaminationFuzzy: verbatim copy flagged at 1.0, unrelated not hit") {
+    val evalDoc = "which planet is largest in the solar system today " * 2
+    val corpus = docsOf(
+      1L -> evalDoc,                    // verbatim leak
+      2L -> ("totally different words about cooking pasta dinner " * 2))
+    val bench = docsOf(100L -> evalDoc)
+    val r = Curation.contaminationFuzzy(corpus, bench, "doc_id", "text")
+      .collect()
+    assert(r.length == 1) // doc 2 never shares a band bucket
+    assert(r(0).getAs[Long]("doc_id") == 1L &&
+      r(0).getAs[Long]("bench_id") == 100L &&
+      r(0).getAs[Double]("est_jaccard") == 1.0 &&
+      r(0).getAs[Long]("contaminated") == 1L)
+  }
+
+  test("contaminationFuzzy: near-copy estimates high jaccard") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearCopy = base + " extra tail words"
+    val corpus = docsOf(1L -> nearCopy)
+    val bench = docsOf(100L -> base)
+    val r = Curation.contaminationFuzzy(corpus, bench, "doc_id", "text")
+      .collect()
+    assert(r.length == 1 && r(0).getAs[Double]("est_jaccard") >= 0.5)
+  }
+
+  // -------------------------------------------------------------- zipfSlope
+  test("zipfSlope: geometric frequencies give slope −1 exactly") {
+    import spark.implicits._
+    // term i repeated 2^(8−i) times → floor-log2 freq falls 1 per rank
+    // doubling; over ranks 1,2,4 with x=0,1,2 the fit is exact
+    val words = Seq("a" -> 256, "b" -> 128, "c" -> 64, "d" -> 32)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.zipfSlope(d, "text", topV = 4).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[Double]("zipf_slope") < 0) // decreasing
+  }
+
+  test("zipfSlope: single-term corpus yields null slope (degenerate fit)") {
+    import spark.implicits._
+    val d = Seq((1L, "same same same")).toDF("doc_id", "text")
+    val r = TextOps.zipfSlope(d, "text", topV = 10).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 1L && r.isNullAt(r.fieldIndex("zipf_slope")))
+  }
+
+  // ------------------------------------------------------------ plan shape
+  test("tfidfCosinePairs plan: no cartesian product, join keyed on term") {
+    val d = docsOf(1L -> "a b c", 2L -> "b c d")
+    val plan = Dedup.tfidfCosinePairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sampleGroup plan: bounded heap aggregate, no window sort") {
+    val plan = Curation.sampleGroup(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "source", 10)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("top_k") && !plan.contains("row_number"))
+  }
+}
