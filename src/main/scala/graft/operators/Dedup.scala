@@ -153,31 +153,74 @@ object Dedup {
     * [[ngramJaccardPairsUnique]] to collapse exact duplicates first. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
-    val raw = TextOps.shingleDocs(docs, idCol, textCol, shingleN)
-      .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("shingle_h"))
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame =
+    hashJaccardPairs(
+      TextOps.shingleDocs(docs, idCol, textCol, shingleN)
+        .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("key_h")),
+      minJaccard, maxDocFreq)
+
+  /** Shared tail of the set-Jaccard pair operators: given distinct
+    * (doc_id, key_h) memberships, emit pairs with Jaccard ≥ threshold —
+    * shuffle keyed on the 8-byte key hash (the inverted index), df-cap
+    * applied BEFORE the self-join (sizes computed on the capped set so
+    * the Jaccard stays self-consistent), index persisted because the
+    * self-join and the size aggregate both consume it. */
+  private def hashJaccardPairs(keyed: DataFrame, minJaccard: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
     val capped = maxDocFreq match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle_h")
-        raw.withColumn("_df", F.count(F.lit(1)).over(w))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("key_h")
+        keyed.withColumn("_df", F.count(F.lit(1)).over(w))
           .filter(F.col("_df") <= cap).drop("_df")
-      case None => raw
+      case None => keyed
     }
     val sh = CacheScope.persist(capped)
-    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
-    val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("shingle_h"))
-      .join(sh.select(F.col("doc_id").as("doc_b"), F.col("shingle_h")), "shingle_h")
+    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_keys"))
+    val inter = sh.select(F.col("doc_id").as("doc_a"), F.col("key_h"))
+      .join(sh.select(F.col("doc_id").as("doc_b"), F.col("key_h")), "key_h")
       .filter(F.col("doc_a") < F.col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).as("n_common"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_keys", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_keys", "n_b"), "doc_b")
       .withColumn("jaccard",
         F.round(F.col("n_common").cast("double") /
           (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
       .filter(F.col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  // --------------------------------------------- content-defined chunking
+  /** Content-defined chunk segments of a text column (the CDC/rolling-
+    * hash move from dedup storage systems, applied to tokens): a
+    * segment boundary falls after every token whose hash ≡ 0 (mod p),
+    * so boundaries are a property of the CONTENT — inserting or
+    * deleting a sentence shifts fixed windows everywhere but disturbs
+    * only the segments it touches. Expected segment length is p tokens:
+    * the segment inverted index is ~p× smaller than an n-gram shingle
+    * index carrying the same near-dup signal. Pure narrow expression
+    * (transform → join → split): no shuffle, no UDF. */
+  def cdcSegments(text: Column, p: Int = 8): Column = {
+    val sep = "\u0001"
+    val marked = F.transform(TextOps.tokens(text), t =>
+      F.concat(t, F.when(Hashing.hash60(t) % p === 0, F.lit(sep))
+        .otherwise(F.lit(""))))
+    val segs = F.split(F.array_join(marked, " "),
+      java.util.regex.Pattern.quote(sep))
+    F.filter(F.transform(segs, s => F.trim(s)), s => s =!= "")
+  }
+
+  /** Set-Jaccard near-dup pairs over DISTINCT CDC segments — the same
+    * bucketed inverted-index shape as [[ngramJaccardPairs]] (shared
+    * tail, same df cap semantics) at ~p× fewer index rows. */
+  def cdcJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      p: Int = 8, minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame =
+    hashJaccardPairs(
+      docs.select(F.col(idCol).as("doc_id"),
+          F.explode(F.array_distinct(cdcSegments(F.col(textCol), p))).as("seg"))
+        .select(F.col("doc_id"), Hashing.hash60(F.col("seg")).as("key_h")),
+      minJaccard, maxDocFreq)
 
   /** Scale composition for duplicate-heavy corpora: collapse exact
     * duplicates to one representative (min id) FIRST, then run n-gram

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Graph analytics over near-dup pair graphs (the undirected graphs the
+  * dedup operators produce). [[Dedup.connectedComponents]] answers
+  * "which docs are the same"; [[pageRank]] answers "which doc is the
+  * HUB" — a vertex's centrality in the duplication graph is the
+  * standard canonical-representative / spam-nexus signal (a page whose
+  * near-dups span many clusters is template spam; a high-centrality
+  * member is the natural keeper).
+  */
+object Graph {
+
+  /** Fixed-point for pagerank mass: ranks are integer multiples of
+    * 1/SCALE. 1e9 keeps 9 decimal digits of rank precision while
+    * n·SCALE stays far from long overflow for any per-vertex aggregate
+    * a dedup-pair graph produces. */
+  val SCALE: Long = 1000000000L
+
+  /** PageRank over an undirected pair graph, in INTEGER fixed-point:
+    * every operation is exact long arithmetic (floor division for the
+    * per-neighbor share and the damping ratio), so the result is
+    * bit-identical across engines, run orders and cluster sizes —
+    * float PageRank sums contributions in nondeterministic order and
+    * drifts by ULPs per round.
+    *
+    * rank'(v) = (den−num)·SCALE/den + num·Σ_{u→v} (rank(u) div deg(u)) div den
+    * with damping num/den (default 85/100), run `iters` rounds from
+    * rank(v) = SCALE.
+    *
+    * Scale shape: one shuffle per round (edges ⋈ ranks, map-side
+    * combined sum per dst); edges and degrees are persisted once; each
+    * round's ranks are LAZILY checkpointed exactly like
+    * [[Dedup.connectedComponents]] — iterative self-join lineage
+    * otherwise grows linearly in rounds. Rounds are a fixed count (no
+    * convergence action needed — fixed-point iterates are deterministic,
+    * so callers pick iters once and results are reproducible). */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      s"need iters >= 1 and 0 <= dampNum <= dampDen, got $iters, $dampNum/$dampDen")
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    val degrees = CacheScope.persist(
+      edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("deg")))
+    val teleport = (dampDen - dampNum) * SCALE / dampDen
+    var ranks = degrees.select(F.col("v"), F.lit(SCALE).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(degrees.withColumnRenamed("v", "src"), "src")
+        .select(F.col("dst").as("v"),
+          F.expr("rank div deg").as("_share"))
+        .groupBy("v").agg(F.sum("_share").as("_in"))
+      // every vertex of an undirected pair graph has deg >= 1, but keep
+      // the left join + coalesce so a directed caller can't lose vertices
+      val nextPlan = degrees.select("v").join(contrib, Seq("v"), "left")
+        .select(F.col("v"),
+          (F.lit(teleport) +
+            F.expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("rank"))
+      val next =
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          nextPlan.checkpoint(eager = false)
+        else nextPlan.localCheckpoint(eager = false)
+      ranks = next
+    }
+    ranks.select(F.col("v").as("doc_id"), F.col("rank").as("rank_fp"),
+      F.round(F.col("rank").cast("double") / SCALE, 6).as("rank"))
+  }
+}

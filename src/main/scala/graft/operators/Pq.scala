@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * MIPS search [Jégou et al. 2011, "Product Quantization for Nearest
+  * Neighbor Search"]: split each vector into `m` subvectors, learn a
+  * tiny codebook per subspace, and store each vector as `m` small codes
+  * — the memory step BEYOND int8 scalar quantization (64 float dims →
+  * m=4 bytes is 64×), which is what makes a 100 TB embedding corpus
+  * index fit a cluster's RAM.
+  *
+  * Scale shape:
+  *  - [[codebooks]] — m runs of the deterministic Lloyd quantizer
+  *    ([[Ivf.kmeansCentroids]]) over sliced subvectors; each iteration
+  *    is a narrow broadcast-literal assignment + one mean shuffle. (At
+  *    100 TB you'd train on a hash-sampled slice — compose with
+  *    [[Curation.sampleGroup]]; codebook quality needs ~100k vectors,
+  *    not the corpus.)
+  *  - [[encode]] — one Generate (m subvectors per row) + a broadcast
+  *    join against the m·k codebook rows; the per-(vector, subspace)
+  *    winner is an O(1)-state max(struct) aggregate, never a window
+  *    sort; codes reassemble per vector (m elements — bounded).
+  *  - [[adcTopK]] — asymmetric distance computation: the query-side
+  *    lookup table (m·k partial dot products per query) is computed
+  *    once and BROADCAST; scoring the corpus is then a pure lookup
+  *    join + sum — no per-candidate dot products at all, the whole
+  *    point of ADC.
+  *
+  * Determinism: partial dots are floored into integer MICRO-units
+  * (floor(dot·1e6) — floor of an identical double is engine-unambiguous
+  * where rounding a decimal cast is not), so ADC scores are exact long
+  * sums needing no cross-engine float discipline; codebooks inherit the
+  * float32-cast means and (cos, min-key) tie-breaks of the k-means
+  * quantizer. */
+object Pq {
+
+  /** Per-subspace codebooks: (sub, ckey, centroid float[subDim]). */
+  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, subDim: Int = 16, k: Int = 4, iters: Int = 2): DataFrame = {
+    val subs = (0 until m).map { s =>
+      val sliced = corpus.select(F.col(idCol),
+        F.slice(F.col(vecCol), s * subDim + 1, subDim).as("_sub"))
+      Ivf.kmeansCentroids(sliced, idCol, "_sub", k, iters)
+        .withColumn("sub", F.lit(s))
+    }
+    subs.reduce(_ unionByName _).select("sub", "ckey", "centroid")
+  }
+
+  /** PQ-encode the corpus: (vec_id, codes array<long>[m]). */
+  def encode(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val exploded = corpus.select(F.col(idCol).as("vec_id"),
+      F.posexplode(F.array((0 until m).map(s =>
+        F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "_sv")))
+    exploded.join(F.broadcast(codebooks), "sub")
+      .select(F.col("vec_id"), F.col("sub"),
+        F.struct(
+          Similarity.cosine(F.col("_sv"), F.col("centroid")).as("cos"),
+          (-F.col("ckey")).cast("long").as("_nk")).as("_s"))
+      .groupBy("vec_id", "sub").agg(F.max("_s").as("_b"))
+      .groupBy("vec_id")
+      .agg(F.transform(
+        F.array_sort(F.collect_list(
+          F.struct(F.col("sub"), (-F.col("_b._nk")).as("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: approximate dot(query, vector) ≈ Σ_sub table lookup,
+    * in integer micro-units. Queries must be small (the lookup table
+    * broadcasts); the corpus side is one code explode + one
+    * (query, match) aggregate — never a per-candidate dot product. */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(codes.sparkSession)
+    val qsub = queries.select(F.col(idCol).as("query_id"),
+      F.posexplode(F.array((0 until m).map(s =>
+        F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "_qv")))
+    val table = qsub.join(codebooks, "sub")
+      .select(F.col("query_id"), F.col("sub"),
+        F.col("ckey").cast("long").as("code"),
+        F.floor(Similarity.dot(F.col("_qv"), F.col("centroid")) * 1e6)
+          .cast("long").as("_p"))
+    val ccodes = codes.select(F.col("vec_id").as("match_id"),
+      F.posexplode(F.col("codes")).as(Seq("sub", "code")))
+    val scored = ccodes.join(F.broadcast(table), Seq("sub", "code"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .groupBy("query_id", "match_id")
+      .agg(F.sum("_p").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("score_micro").desc, F.col("match_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "score_micro")
+  }
+}

@@ -923,6 +923,43 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  // --------------------------------------------------------------- D15
+  /** PageRank centrality over the minhash near-dup graph (which doc is
+    * the duplication HUB — the canonical-representative / template-spam
+    * signal), in INTEGER fixed-point so 5 rounds of iterative joins are
+    * bit-identical across engines ([[graft.operators.Graph.pageRank]]).
+    * Oracle = the same 5 rounds unrolled over the identical pair SQL. */
+  private val pagerank = QueryDef(
+    "pagerank",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
+        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iters = 5)
+        .orderBy("doc_id")
+    },
+    Some {
+      val scale = graft.operators.Graph.SCALE
+      val teleport = 15L * scale / 100L
+      val rounds = (1 to 5).map { r =>
+        s"""r$r AS (SELECT d.v,
+           |  CAST($teleport + (85 * coalesce(c.inr, 0)) // 100 AS BIGINT) AS rank
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst AS v, sum(r.rank // g.deg) AS inr
+           |    FROM edges e JOIN r${r - 1} r ON r.v = e.src
+           |                 JOIN deg g ON g.v = e.src
+           |    GROUP BY 1) c ON c.v = d.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashCtesSql,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT v, CAST($scale AS BIGINT) AS rank FROM deg),
+         |$rounds
+         |SELECT v AS doc_id, rank AS rank_fp,
+         |       round(CAST(rank AS DOUBLE) / $scale, 6) AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
@@ -932,5 +969,5 @@ object PipelineQueries {
     multimodalMeta, sampleHash, sampleStratified, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
-    dedupClustersApply)
+    dedupClustersApply, pagerank)
 }

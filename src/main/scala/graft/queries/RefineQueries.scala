@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Hashing, TextOps}
+import graft.operators.{Curation, Dedup, Hashing, Pq, TextOps}
 import org.apache.spark.sql.{Column, functions => F}
 import Tables.t
 
@@ -196,6 +196,170 @@ object RefineQueries {
              END AS zipf_slope
       FROM s"""))
 
+  // ---------------------------------------------------------------- D16
+  /** Content-defined chunking near-dup pairs: set Jaccard over CDC
+    * segments (boundary after every token with hash ≡ 0 mod 8) — the
+    * shift-robust, ~8×-smaller-index alternative to shingle Jaccard.
+    * The oracle reproduces the segmentation with the same separator
+    * trick (mark boundary tokens, join, split). */
+  private val cdcPairs = QueryDef(
+    "cdc_pairs",
+    (s, d) => Dedup.cdcJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      p = 8, minJaccard = 0.5, maxDocFreq = Some(1000))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, array_to_string(list_transform($toksSql,
+                 x -> x || CASE WHEN ${Hashing.hash60Sql("x")} % 8 = 0
+                           THEN chr(1) ELSE '' END), ' ') AS j
+        FROM documents),
+      segs AS (
+        SELECT DISTINCT doc_id, trim(s) AS seg
+        FROM (SELECT doc_id, unnest(string_split(j, chr(1))) AS s FROM m)
+        WHERE trim(s) <> ''),
+      df AS (SELECT seg, count(*) AS c FROM segs GROUP BY 1),
+      capped AS (SELECT segs.* FROM segs JOIN df USING (seg) WHERE c <= 1000),
+      sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM capped a JOIN capped b
+                  ON a.seg = b.seg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / (x.n + y.n - n_common), 6) AS jaccard
+            FROM inter JOIN sizes x ON doc_a = x.doc_id
+                       JOIN sizes y ON doc_b = y.doc_id)
+      SELECT doc_a, doc_b, n_common, jaccard FROM j
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
+
+  // ----------------------------------------------------------- D14/D14b
+  private val PQ_M = 4; private val PQ_SUBDIM = 16
+  private val PQ_K = 4; private val PQ_ITERS = 2
+
+  private def dot16Sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $PQ_SUBDIM), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cos16Sql(a: String, b: String): String =
+    s"round(${dot16Sql(a, b)} / (sqrt(${dot16Sql(a, a)}) * sqrt(${dot16Sql(b, b)})), 6)"
+
+  /** CTE block reproducing [[Pq.codebooks]] + [[Pq.encode]]: the shared
+    * seed ranking, then per subspace two unrolled Lloyd iterations
+    * (assign → float32-cast means → empty-cluster fallback) and the
+    * final code assignment `a3_s`. Shared by both PQ oracles. */
+  private def pqCtes: String = {
+    def slice(s: Int, col: String = "embedding") =
+      s"list_slice($col, ${s * PQ_SUBDIM + 1}, ${(s + 1) * PQ_SUBDIM})"
+    def assignCte(s: Int, from: String): String = {
+      val cos = cos16Sql("e.sv", "c.centroid")
+      s"""(SELECT vec_id, ck, cos FROM (
+         |    SELECT e.vec_id, c.ck, $cos AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cos DESC, c.ck) AS rn
+         |    FROM es$s e, $from c) WHERE rn = 1)""".stripMargin
+    }
+    def meansCte(s: Int, assign: String): String =
+      s"""(SELECT ck, list_transform(list(cv ORDER BY i),
+         |                           x -> CAST(x AS REAL)) AS centroid
+         |  FROM (SELECT a.ck, i, avg(CAST(e.sv[i] AS DOUBLE)) AS cv
+         |        FROM $assign a JOIN es$s e USING (vec_id),
+         |             generate_series(1, $PQ_SUBDIM) AS t(i)
+         |        GROUP BY 1, 2) GROUP BY ck)""".stripMargin
+    val seedv =
+      s"""seedv AS (
+         |  SELECT ck, embedding FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+         |             AS ck, embedding
+         |    FROM (SELECT vec_id,
+         |                 ${Hashing.hash60Sql("CAST(vec_id AS VARCHAR)")} AS h,
+         |                 embedding FROM embeddings)) WHERE ck < $PQ_K)"""
+        .stripMargin
+    val perSub = (0 until PQ_M).map { s =>
+      s"""es$s AS (SELECT vec_id, ${slice(s)} AS sv FROM embeddings),
+         |sd$s AS (SELECT ck, ${slice(s)} AS centroid FROM seedv),
+         |a1_$s AS ${assignCte(s, s"sd$s")},
+         |c1_$s AS ${meansCte(s, s"a1_$s")},
+         |c1f_$s AS (SELECT * FROM c1_$s UNION ALL
+         |           SELECT d.ck, d.centroid FROM sd$s d
+         |           WHERE d.ck NOT IN (SELECT ck FROM c1_$s)),
+         |a2_$s AS ${assignCte(s, s"c1f_$s")},
+         |c2_$s AS ${meansCte(s, s"a2_$s")},
+         |c2f_$s AS (SELECT * FROM c2_$s UNION ALL
+         |           SELECT d.ck, d.centroid FROM sd$s d
+         |           WHERE d.ck NOT IN (SELECT ck FROM c2_$s)),
+         |a3_$s AS ${assignCte(s, s"c2f_$s")}""".stripMargin
+    }.mkString(",\n")
+    s"$seedv,\n$perSub"
+  }
+
+  private def pqPipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = t(s, d, "embeddings")
+    val cb = graft.operators.CacheScope.persist(Pq.codebooks(
+      emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS))
+    (emb, cb)
+  }
+
+  private val embedPq = QueryDef(
+    "embed_pq",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM)
+        .orderBy("vec_id")
+    },
+    Some {
+      val cols = (0 until PQ_M)
+        .map(s => s"CAST(a3_$s.ck AS BIGINT)").mkString(", ")
+      val joins = (1 until PQ_M)
+        .map(s => s"JOIN a3_$s USING (vec_id)").mkString(" ")
+      s"""WITH $pqCtes
+         |SELECT a3_0.vec_id, [$cols] AS codes
+         |FROM a3_0 $joins ORDER BY vec_id""".stripMargin
+    })
+
+  private val embedPqTopk = QueryDef(
+    "embed_pq_topk",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      val codes = Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM)
+      Pq.adcTopK(codes, cb, emb.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val cbs = (0 until PQ_M)
+        .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
+        .mkString(" UNION ALL ")
+      val ccodes = (0 until PQ_M)
+        .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
+        .mkString(" UNION ALL ")
+      s"""WITH $pqCtes,
+         |cbs AS ($cbs),
+         |qsub AS (SELECT vec_id AS query_id, sub,
+         |                list_slice(embedding, sub * $PQ_SUBDIM + 1,
+         |                           (sub + 1) * $PQ_SUBDIM) AS qv
+         |         FROM embeddings,
+         |              (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub)
+         |         WHERE vec_id < 5),
+         |tbl AS (SELECT query_id, sub, ck AS code,
+         |               CAST(floor(${dot16Sql("qv", "centroid")} * 1e6) AS BIGINT)
+         |                 AS p
+         |        FROM qsub JOIN cbs USING (sub)),
+         |ccodes AS ($ccodes),
+         |scored AS (SELECT t.query_id, c.vec_id AS match_id,
+         |                  CAST(sum(t.p) AS BIGINT) AS score_micro
+         |           FROM ccodes c JOIN tbl t
+         |             ON c.sub = t.sub AND c.code = t.code
+         |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, match_id, score_micro,
+         |                  CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score_micro DESC, match_id) AS INTEGER)
+         |                    AS rank
+         |           FROM scored)
+         |SELECT query_id, rank, match_id, score_micro
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
-    lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope)
+    lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
+    cdcPairs, embedPq, embedPqTopk)
 }

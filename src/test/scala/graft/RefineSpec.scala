@@ -148,6 +148,39 @@ class RefineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_terms") == 1L && r.isNullAt(r.fieldIndex("zipf_slope")))
   }
 
+  // ------------------------------------------------------------------ CDC
+  test("cdcSegments: boundaries are content-defined and partition the doc") {
+    val d = docsOf(1L -> "alpha beta gamma delta epsilon zeta")
+    val segs = d.select(F.explode(
+      Dedup.cdcSegments(F.col("text"), p = 2)).as("seg"))
+      .collect().map(_.getString(0))
+    // segments reassemble to the original token stream
+    assert(segs.mkString(" ") == "alpha beta gamma delta epsilon zeta")
+    assert(segs.forall(_.nonEmpty))
+  }
+
+  test("cdcJaccardPairs: insertion-shifted near-dup still pairs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted preamble words " + base
+    val d = docsOf(1L -> base, 2L -> shifted,
+      3L -> (1 to 60).map(i => s"other$i").mkString(" "))
+    val r = Dedup.cdcJaccardPairs(d, "doc_id", "text", p = 4,
+      minJaccard = 0.5).collect()
+    // the insertion only disturbs the first segment — the rest of the
+    // boundaries are content-defined, so most segments survive verbatim
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_a") == 1L && r(0).getAs[Long]("doc_b") == 2L)
+    assert(r(0).getAs[Double]("jaccard") >= 0.5)
+  }
+
+  test("cdcJaccardPairs: identical docs reach jaccard 1.0") {
+    val txt = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docsOf(1L -> txt, 2L -> txt)
+    val r = Dedup.cdcJaccardPairs(d, "doc_id", "text", p = 4,
+      minJaccard = 0.9).collect()
+    assert(r.length == 1 && r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
   // ------------------------------------------------------------ plan shape
   test("tfidfCosinePairs plan: no cartesian product, join keyed on term") {
     val d = docsOf(1L -> "a b c", 2L -> "b c d")
