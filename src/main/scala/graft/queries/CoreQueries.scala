@@ -988,6 +988,94 @@ object CoreQueries {
              CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // ---------------------------------------------------------------- C26
+  /** Cohort retention matrix — the standard product-analytics query:
+    * users are bucketed by the week of their FIRST event, and each cell
+    * (cohort_week, week_offset) counts how many of that cohort were
+    * active `offset` weeks later. Weeks are integer day-diffs div 7
+    * from a fixed epoch — exact integer arithmetic on both engines.
+    *
+    * Scale shape: two user-keyed aggregates (first-event and distinct
+    * active weeks — both map-side combined) joined on the user key
+    * (one co-partitioned shuffle), then a metadata-sized cell
+    * aggregate. No window over the event stream, no self-join. */
+  private val cohortRetention = QueryDef(
+    "cohort_retention",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def week(c: Column): Column =
+        F.floor(F.datediff(F.to_date(c), F.lit("2024-01-01")) / 7).cast("long")
+      val first = ev.groupBy("user_id").agg(week(F.min("ts")).as("cohort_week"))
+      val active = ev.select(F.col("user_id"), week(F.col("ts")).as("active_week"))
+        .distinct()
+      first.join(active, "user_id")
+        .groupBy(F.col("cohort_week"),
+          (F.col("active_week") - F.col("cohort_week")).as("week_offset"))
+        .agg(F.count(F.lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(min(ts) AS DATE)) // 7 AS BIGINT)
+                 AS cohort_week
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) // 7 AS BIGINT) AS active_week
+        FROM events)
+      SELECT cohort_week, active_week - cohort_week AS week_offset,
+             count(*) AS n_users
+      FROM f JOIN a USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+
+  // ---------------------------------------------------------------- C27
+  /** Histogram-sketch approximate percentiles — the O(buckets)-state
+    * scale path next to the exact interpolated C14 (whose sort touches
+    * every group row): ONE map-side-combined aggregate builds an
+    * integer-bucket histogram per group, and the quantiles read off the
+    * bucket cumsum — the window runs over ≤ #buckets rows per group,
+    * never the event stream. All-integer (2·cum ≥ n / 10·cum ≥ 9·n
+    * avoids any float quantile rank), so the sketch is bit-portable —
+    * the ESTIMATE itself is oracle-checked, where t-digest/KLL layouts
+    * never could be. */
+  private val approxPercentileHist = QueryDef(
+    "approx_percentile_hist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, d, "events")
+        .groupBy(F.col("event_type"), F.floor(F.col("value")).as("bucket"))
+        .agg(F.count(F.lit(1)).as("c"))
+      hist
+        .withColumn("cum",
+          F.sum("c").over(Window.partitionBy("event_type").orderBy("bucket")))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          F.max("n").as("n"),
+          F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bucket")))
+            .as("p50_bucket"),
+          F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("bucket")))
+            .as("p90_bucket"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      cums AS (
+        SELECT event_type, bucket, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hist)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum * 2 >= n THEN bucket END) AS p50_bucket,
+             min(CASE WHEN cum * 10 >= n * 9 THEN bucket END) AS p90_bucket
+      FROM cums GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     validateFilter, violationReport, fillDefaults, castCoerce, uniqueCheck,
     dslCompareArith, dslMath, dslString, dslDatetime, dslMembership,
@@ -998,5 +1086,5 @@ object CoreQueries {
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile,
     windowRange, windowSliding, unpivotCounts,
-    aggCube, windowLead)
+    aggCube, windowLead, cohortRetention, approxPercentileHist)
 }

@@ -263,23 +263,33 @@ object StreamingQueries {
     (s, d) => {
       val dir = stage(s, d, "events")
       val schema = s.read.parquet(dir).schema
-      val clicks = s.readStream.schema(schema).parquet(dir)
-        .where(F.col("event_type") === "click")
-        .select(F.col("event_id").as("click_id"), F.col("user_id"),
-          F.col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = s.readStream.schema(schema).parquet(dir)
-        .where(F.col("event_type") === "purchase")
-        .select(F.col("event_id").as("purchase_id"),
-          F.col("user_id").as("_p_user"), F.col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        F.col("user_id") === F.col("_p_user") &&
-          F.col("purchase_ts") >= F.col("click_ts") &&
-          F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
-      drain(joined, "append")
-        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
-        .orderBy("user_id", "click_id", "purchase_id")
+      // A stream-stream join maintains FOUR state stores per partition;
+      // state partitioning is fixed at the query's first run, and the
+      // per-partition store overhead dominates when state is modest —
+      // size it to the state volume, not the session's scan parallelism
+      // (measured 8.2 s → ~3 s at sf0.1 going 32 → 8; see
+      // tools/StreamJoinProf). Restored after the drain.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val clicks = s.readStream.schema(schema).parquet(dir)
+          .where(F.col("event_type") === "click")
+          .select(F.col("event_id").as("click_id"), F.col("user_id"),
+            F.col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = s.readStream.schema(schema).parquet(dir)
+          .where(F.col("event_type") === "purchase")
+          .select(F.col("event_id").as("purchase_id"),
+            F.col("user_id").as("_p_user"), F.col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          F.col("user_id") === F.col("_p_user") &&
+            F.col("purchase_ts") >= F.col("click_ts") &&
+            F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+        drain(joined, "append")
+          .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+          .orderBy("user_id", "click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     },
     Some("""
       SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
