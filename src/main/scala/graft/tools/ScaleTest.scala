@@ -135,6 +135,42 @@ object ScaleTest {
       Map("en" -> 2.5, "fr" -> 1.0, "de" -> 0.5, "es" -> 1.5, "zh" -> 0.25))
       .count())
 
+    // r4 wave-6/7/8 on the duplicated corpus: line dedup's df shuffles
+    // carry 8-byte hashes; tfidf/cdc pairs go through the shared
+    // df-capped inverted-index tail (caps sized ABOVE the replication
+    // factor — replication inflates every df by mult, which is exactly
+    // the documented dedup-first caveat); pagerank is one shuffle per
+    // round over the replication-inflated minhash clique graph; PQ
+    // training is mult-independent driver jobs, encode/ADC corpus-linear
+    time("line_dedup_cap15")(graft.operators.Dedup.lineDedup(
+      d, "doc_id", "text", maxDocFreq = mult + 5).count())
+    time("tfidf_cosine_cap1k")(graft.operators.Dedup.tfidfCosinePairs(
+      d, "doc_id", "text", minCosine = 0.9, maxDocFreq = 1000).count())
+    time("cdc_pairs_cap20")(graft.operators.Dedup.cdcJaccardPairs(
+      d, "doc_id", "text", p = 8, minJaccard = 0.5,
+      maxDocFreq = Some(20)).count())
+    time("sample_group_k100")(graft.operators.Curation.sampleGroup(
+      d, "doc_id", "source", k = 100).count())
+    time("zipf_slope")(graft.operators.TextOps.zipfSlope(
+      d, "text", topV = 100).count())
+    time("contamination_fuzzy") {
+      // modulus coprime to the replication stride, so a doc's copies
+      // land on BOTH sides of the bench/corpus split
+      val isBench = F.pmod(F.col("doc_id"), F.lit(733L)) === 0L
+      graft.operators.Curation.contaminationFuzzy(
+        d.where(!isBench), d.where(isBench), "doc_id", "text").count()
+    }
+    time("pagerank_5r") {
+      val pairs = graft.operators.Dedup.minhashCandidatePairs(d, "doc_id", "text")
+      graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iters = 5).count()
+    }
+    time("pq_train_encode_adc") {
+      val cb = graft.operators.Pq.codebooks(e, "vec_id", "embedding")
+      val codes = graft.operators.Pq.encode(e, cb, "vec_id", "embedding")
+      graft.operators.Pq.adcTopK(codes, cb,
+        e.where(F.col("vec_id") < 5), "vec_id", "embedding", k = 5).count()
+    }
+
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
     val nLi = li0.count()
