@@ -235,7 +235,7 @@ object RefineQueries {
 
   // ----------------------------------------------------------- D14/D14b
   private val PQ_M = 4; private val PQ_SUBDIM = 16
-  private val PQ_K = 4; private val PQ_ITERS = 2
+  private val PQ_K = 8; private val PQ_ITERS = 2
 
   private def dot16Sql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $PQ_SUBDIM), " +
@@ -359,7 +359,97 @@ object RefineQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  // --------------------------------------------------------------- D14c
+  /** Recall@k of the PQ/ADC index against exact brute force — the
+    * standard ANN index-quality audit (an approximate index you can't
+    * measure is an index you can't trust). Both sides are existing
+    * operators; the audit itself is a metadata-sized join (n_queries·k
+    * rows per side). Ground truth ranks by exact cosine, the index by
+    * approximate dot — recall tolerates that norm mismatch by counting
+    * set overlap, which is how ANN benchmarks define it.
+    *
+    * On this synthetic corpus recall is LOW (~0.2): near-uniform random
+    * vectors have no neighborhood structure for 4 subspace codebooks to
+    * preserve, which is exactly the degradation this audit exists to
+    * expose before an index ships — real embedding manifolds quantize
+    * far better, and the measured number is the go/no-go. */
+  private val embedPqRecall = QueryDef(
+    "embed_pq_recall",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      val queries = emb.where(F.col("vec_id") < 5)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id"), F.col("match_id"))
+      val approx = Pq.adcTopK(
+        Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM),
+        cb, queries, "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(F.col("query_id"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      def dot64(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val cos64 =
+        s"round(${dot64("e.embedding", "q.embedding")} / " +
+          s"(sqrt(${dot64("e.embedding", "e.embedding")}) * " +
+          s"sqrt(${dot64("q.embedding", "q.embedding")})), 6)"
+      val cbs = (0 until PQ_M)
+        .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
+        .mkString(" UNION ALL ")
+      val ccodes = (0 until PQ_M)
+        .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
+        .mkString(" UNION ALL ")
+      s"""WITH $pqCtes,
+         |exact AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cos64 DESC, e.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings q
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
+         |cbs AS ($cbs),
+         |qsub AS (SELECT vec_id AS query_id, sub,
+         |                list_slice(embedding, sub * $PQ_SUBDIM + 1,
+         |                           (sub + 1) * $PQ_SUBDIM) AS qv
+         |         FROM embeddings,
+         |              (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub)
+         |         WHERE vec_id < 5),
+         |tbl AS (SELECT query_id, sub, ck AS code,
+         |               CAST(floor(${dot16Sql("qv", "centroid")} * 1e6) AS BIGINT)
+         |                 AS p
+         |        FROM qsub JOIN cbs USING (sub)),
+         |ccodes AS ($ccodes),
+         |scored AS (SELECT t.query_id, c.vec_id AS match_id,
+         |                  CAST(sum(t.p) AS BIGINT) AS score_micro
+         |           FROM ccodes c JOIN tbl t
+         |             ON c.sub = t.sub AND c.code = t.code
+         |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+         |approx AS (SELECT query_id, match_id FROM (
+         |             SELECT query_id, match_id,
+         |                    row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY score_micro DESC, match_id) AS rank
+         |             FROM scored) WHERE rank <= 5)
+         |SELECT e.query_id,
+         |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             / 5.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.match_id = a.match_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
-    cdcPairs, embedPq, embedPqTopk)
+    cdcPairs, embedPq, embedPqTopk, embedPqRecall)
 }
