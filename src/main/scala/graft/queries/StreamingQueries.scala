@@ -300,6 +300,70 @@ object StreamingQueries {
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  // ------------------------------------------------------------------ G9
+  /** Stream-stream LEFT OUTER join: unmatched clicks emit their null
+    * row only when the watermark passes the point where a purchase
+    * could still arrive — the state-EVICTION semantics inner joins
+    * never exercise (probe in tools/StreamJoinProf confirms the
+    * AvailableNow finalizing batch emits them).
+    *
+    * Null emission near the stream's end depends on where the final
+    * watermark stops — and with two watermarked sources that is the
+    * MIN of the per-source watermarks (multipleWatermarkPolicy=min):
+    * min(max click_ts, max purchase_ts) − 1 h. Both sides therefore
+    * filter to clicks > 2 h before that min-max (1 h delay + 30 min
+    * window + margin — the same micro-exactness discipline as
+    * `stream_session`): every retained click's eviction point is
+    * safely behind the final watermark, making the stream == the batch
+    * LEFT JOIN exactly. */
+  private val streamJoinOuter = QueryDef(
+    "stream_join_outer",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val batch = s.read.parquet(dir)
+      val maxUs = batch
+        .where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(F.max(F.unix_micros(F.col("ts"))).as("m"))
+        .agg(F.min("m")).head().getLong(0)
+      val cutoffUs = maxUs - 7200L * 1000000L // min-max(ts) − 2 h
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // see stream_join
+      try {
+        val clicks = s.readStream.schema(batch.schema).parquet(dir)
+          .where(F.col("event_type") === "click")
+          .select(F.col("event_id").as("click_id"), F.col("user_id"),
+            F.col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = s.readStream.schema(batch.schema).parquet(dir)
+          .where(F.col("event_type") === "purchase")
+          .select(F.col("event_id").as("purchase_id"),
+            F.col("user_id").as("_p_user"), F.col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          F.col("user_id") === F.col("_p_user") &&
+            F.col("purchase_ts") >= F.col("click_ts") &&
+            F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        drain(joined, "append")
+          .where(F.unix_micros(F.col("click_ts")) < cutoffUs)
+          .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+          .orderBy("user_id", "click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events c LEFT JOIN events p
+        ON c.user_id = p.user_id AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click'
+        AND c.ts < least(
+              (SELECT max(ts) FROM events WHERE event_type = 'click'),
+              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 2 HOUR
+      ORDER BY c.user_id, click_id, purchase_id NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
-    streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin)
+    streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
+    streamJoinOuter)
 }
