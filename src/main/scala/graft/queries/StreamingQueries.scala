@@ -363,7 +363,74 @@ object StreamingQueries {
             - INTERVAL 2 HOUR
       ORDER BY c.user_id, click_id, purchase_id NULLS FIRST"""))
 
+  // ----------------------------------------------------------------- G10
+  /** Incremental store maintenance via foreachBatch — the upsert-sink
+    * pattern (vanilla Spark has no MERGE-capable sink; foreachBatch IS
+    * the production answer): each micro-batch's per-user partial
+    * aggregate merges into a versioned parquet store, so the store
+    * always holds exact running totals + the latest event per user.
+    * `maxFilesPerTrigger` forces SEVERAL micro-batches over the staged
+    * input — the merge really runs incrementally, not as one batch in
+    * disguise. Running sums stay exact DECIMAL across merges (double
+    * accumulation would drift with batch boundaries); the final
+    * store == the batch aggregate, hash-checked. */
+  private val streamUpsert = QueryDef(
+    "stream_upsert",
+    (s, d) => {
+      val store = s"/tmp/graft_upsert_${Harness.runId}_${new java.io.File(d).getName}"
+      // dedicated MULTI-FILE staging (the shared staged dir is one file,
+      // which collapses AvailableNow into a single batch): 12 files at
+      // 3 per trigger → 4 real micro-batches, 3 real merges
+      val dir = s"$store/_input"
+      if (staged.add(dir))
+        t(s, d, "events").repartition(12).write.mode("overwrite").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3").parquet(dir)
+      var prev: Option[String] = None
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).as("n_events"),
+            F.sum(dec(F.col("value"))).as("sum_value"),
+            F.max(F.struct(F.col("ts"), F.col("event_id"))).as("_last"))
+          val merged = prev match {
+            case Some(p) =>
+              batch.sparkSession.read.parquet(p).unionByName(agg)
+                .groupBy("user_id").agg(
+                  F.sum("n_events").as("n_events"),
+                  F.sum("sum_value").as("sum_value"),
+                  F.max("_last").as("_last"))
+            case None => agg
+          }
+          val out = s"$store/v$id"
+          merged.write.mode("overwrite").parquet(out)
+          prev = Some(out)
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(prev.get)
+        .select(F.col("user_id"), F.col("n_events"),
+          pd(F.col("sum_value")).as("sum_value"),
+          F.col("_last.event_id").as("last_event_id"),
+          F.col("_last.ts").as("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT user_id, count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1),
+      l AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)
+      SELECT user_id, n_events, sum_value, last_event_id, last_ts
+      FROM agg JOIN l USING (user_id) ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
-    streamJoinOuter)
+    streamJoinOuter, streamUpsert)
 }
