@@ -292,10 +292,29 @@ object RefineQueries {
     s"$seedv,\n$perSub"
   }
 
+  /** Codebooks memoized per (session, sf dir): training collects the
+    * m·k centroids to the driver, so the returned frame is a LOCAL
+    * relation — reusable across the three PQ queries with no lifecycle
+    * to manage (train once, encode/search many — the production shape;
+    * retraining per query tripled the Lloyd jobs in the bench).
+    * Weak-keyed on the session like Tables.registered. */
+  private val cbCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]())
+
   private def pqPipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = t(s, d, "embeddings")
-    val cb = graft.operators.CacheScope.persist(Pq.codebooks(
-      emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS))
+    val perSession = cbCache.synchronized {
+      var m = cbCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+        cbCache.put(s, m)
+      }
+      m
+    }
+    val cb = perSession.computeIfAbsent(d, _ =>
+      Pq.codebooks(emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS))
     (emb, cb)
   }
 
