@@ -37,8 +37,11 @@ object Bench {
       name -> times.sorted.apply(1)
     }
     // 3-decimal (ms) precision: full doubles made the 85-query JSON line
-    // long enough that the driver's log capture truncated the tail
-    def fmt(v: Double): String = f"$v%.3f"
+    // long enough that the driver's log capture truncated the tail.
+    // Locale.ROOT: the f-interpolator is locale-dependent — a
+    // comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.lang.ref.WeakReference
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -13,26 +11,28 @@ import org.apache.spark.storage.StorageLevel
   * Operators call [[persist]]; a pipeline driver calls [[release]]
   * after the consuming action (Verify/Bench do, per query).
   *
-  * Reference discipline: the registry must never be the thing keeping
-  * a session (or its cached frames) alive. Sessions are WEAK keys and
-  * frames are WEAK values — a caller that drops every reference to a
-  * session/frame without releasing lets the GC reclaim them (the
-  * session's cached blocks die with its CacheManager); a caller that
-  * keeps them is the one pinning them, not this map.
+  * Reference discipline: frames are held STRONGLY between persist and
+  * release — deliberately. GC'ing the Dataset wrapper does NOT free
+  * its cached blocks (the CacheManager lives in SharedState for the
+  * SparkContext lifetime and holds the cached plan itself), so a weak
+  * reference here would only lose the unpersist handle: after any GC,
+  * release() would silently no-op and the MEMORY_AND_DISK blocks would
+  * stay pinned forever — worst exactly under memory pressure, which is
+  * what triggers GC. The weak SESSION keying still applies once
+  * release() empties a session's entry; a caller that persists and
+  * never releases is pinning its own cache, the same as calling
+  * `.persist` directly.
   */
 object CacheScope {
   private val tracked =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.ArrayList[WeakReference[DataFrame]]]()
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
   /** Persist MEMORY_AND_DISK and track for later [[release]]. */
   private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.synchronized {
-      val list = tracked.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[WeakReference[DataFrame]]())
-      list.removeIf(_.get() == null) // purge entries whose frame was GC'd
-      list.add(new WeakReference(p))
+      tracked.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayList[DataFrame]()).add(p)
     }
     p
   }
@@ -41,17 +41,11 @@ object CacheScope {
   private[graft] def trackedSessions: Int =
     tracked.synchronized(tracked.size())
 
-  /** Number of still-reachable frames tracked on a session (test
-    * observability — counts live WeakReferences only). */
+  /** Number of frames tracked on a session (test observability). */
   private[graft] def trackedFrames(spark: SparkSession): Int =
     tracked.synchronized {
       val list = tracked.get(spark)
-      if (list == null) 0
-      else {
-        var n = 0
-        list.forEach(r => if (r.get() != null) n += 1)
-        n
-      }
+      if (list == null) 0 else list.size()
     }
 
   /** Unpersist (non-blocking) everything tracked on this session since
@@ -59,10 +53,8 @@ object CacheScope {
     * an in-flight plan recompute instead of failing. */
   def release(spark: SparkSession): Unit = {
     val list = tracked.synchronized(tracked.remove(spark))
-    if (list != null) list.forEach { ref =>
-      val df = ref.get()
-      if (df != null)
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    if (list != null) list.forEach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
   }
 }

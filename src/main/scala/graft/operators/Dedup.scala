@@ -301,6 +301,15 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a silent cut-off would split one true component into several
+    // "clusters" with no signal (a 30-hop drift chain at maxRounds=25
+    // reports two representatives of one duplicate family) — fail loud,
+    // the caller raises maxRounds or switches to pointer-jumping
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "a component's diameter exceeds maxRounds; raise maxRounds " +
+          "(rounds are cheap: one shuffle each) for this graph")
     labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
 

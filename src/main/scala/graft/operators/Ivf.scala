@@ -54,6 +54,12 @@ object Ivf {
       corpus.orderBy(Hashing.hash60(F.col(idCol).cast("string")), F.col(idCol))
         .limit(k), vecCol)
 
+    // empty corpus → zero seeds; the assignment expression below would
+    // otherwise build an untyped empty array and fail analysis
+    if (centroids.isEmpty)
+      return Seq.empty[(Int, Seq[Float])].toDF("ckey", "centroid")
+        .select(F.col("ckey"), F.col("centroid").cast("array<float>"))
+
     for (_ <- 1 to iters) {
       val scored = (0 until centroids.length).map { i =>
         val c = F.array(centroids(i).map(F.lit): _*)

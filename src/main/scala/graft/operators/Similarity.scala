@@ -97,14 +97,20 @@ object Similarity {
     * differently. Zero vectors yield null components (try_divide: ANSI
     * mode would otherwise throw on the 0/0) — kept, so callers can
     * filter explicitly. */
-  def l2Normalize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val n = norm(F.col(vecCol))
-    corpus.select(
-      F.col(idCol).as("vec_id"),
-      F.round(n, 6).as("l2_norm"),
-      F.transform(F.col(vecCol),
-        x => F.round(F.try_divide(x.cast("double"), n), 6)).as("unit"))
-  }
+  def l2Normalize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // materialize the norm BEFORE the transform: ArrayTransform
+    // re-evaluates its lambda body per element, so an inlined norm would
+    // cost a full dot product + sqrt per COMPONENT (O(dim²) per row —
+    // the same per-element re-evaluation trap TextOps.shinglesOf
+    // documents); a column reference is evaluated once per row
+    corpus
+      .select(F.col(idCol).as("vec_id"), F.col(vecCol).as("_v"),
+        norm(F.col(vecCol)).as("_n"))
+      .select(
+        F.col("vec_id"),
+        F.round(F.col("_n"), 6).as("l2_norm"),
+        F.transform(F.col("_v"),
+          x => F.round(F.try_divide(x.cast("double"), F.col("_n")), 6)).as("unit"))
 
   /** Integer dot product of two long-array columns (quantized vectors)
     * — exact integer arithmetic, so scores are engine-portable with no
@@ -145,8 +151,7 @@ object Similarity {
     * the 2·dim doubles come back as a one-row broadcast; pass 2 is a
     * narrow map over the corpus. floor (not round) keeps the bucket
     * function unambiguous across engines. */
-  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int = 64): DataFrame = {
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val stats = corpus
       .select(F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos").agg(

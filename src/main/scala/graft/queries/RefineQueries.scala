@@ -292,29 +292,28 @@ object RefineQueries {
     s"$seedv,\n$perSub"
   }
 
-  /** Codebooks memoized per (session, sf dir): training collects the
-    * m·k centroids to the driver, so the returned frame is a LOCAL
-    * relation — reusable across the three PQ queries with no lifecycle
-    * to manage (train once, encode/search many — the production shape;
-    * retraining per query tripled the Lloyd jobs in the bench).
-    * Weak-keyed on the session like Tables.registered. */
+  /** Codebooks memoized per sf dir AS RAW DRIVER DATA (the trained
+    * centroids are m·k tiny vectors the training already collected):
+    * caching the rows rather than a DataFrame keeps the memo free of
+    * any SparkSession reference — a weak-keyed frame cache would be
+    * inert, since the cached Dataset strongly references its session
+    * through its own map entry. Each call rebuilds the local-relation
+    * frame on the CALLING session (cheap: m·k rows). Train once,
+    * encode/search many — retraining per query tripled the Lloyd jobs
+    * in the bench. */
   private val cbCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]())
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Float])]]()
 
   private def pqPipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = t(s, d, "embeddings")
-    val perSession = cbCache.synchronized {
-      var m = cbCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-        cbCache.put(s, m)
-      }
-      m
-    }
-    val cb = perSession.computeIfAbsent(d, _ =>
-      Pq.codebooks(emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS))
+    val rows = cbCache.computeIfAbsent(d, _ =>
+      Pq.codebooks(emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+        .collect().toSeq.map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
+    import s.implicits._
+    val cb = rows.toDF("sub", "ckey", "centroid")
+      .select(F.col("sub"), F.col("ckey"),
+        F.col("centroid").cast("array<float>"))
     (emb, cb)
   }
 

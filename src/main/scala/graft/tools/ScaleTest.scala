@@ -33,6 +33,10 @@ object ScaleTest {
     def time(n: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val c = f
       println(f"$n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+      // release this probe's persisted intermediates OUTSIDE the timed
+      // region: accumulated caches would otherwise contend for executor
+      // memory and skew every LATER probe's measurement
+      graft.operators.CacheScope.release(spark)
     }
     time("dedup_exact")(graft.operators.Dedup.exactGroups(d, "doc_id", "text").count())
     time("dedup_fingerprint")(graft.operators.Dedup.fingerprintGroups(d, "doc_id", "text").count())
@@ -119,10 +123,8 @@ object ScaleTest {
           graft.operators.Dedup.fingerprint(F.col("text")).as("fingerprint")),
         "doc_id", "text", "fingerprint").count()
     }
-    time("surprisal_proxy") {
-      val c = graft.operators.TextOps.surprisalProxy(d, "doc_id", "text").count()
-      graft.operators.CacheScope.release(spark); c
-    }
+    time("surprisal_proxy")(
+      graft.operators.TextOps.surprisalProxy(d, "doc_id", "text").count())
     time("split_leakage")(graft.operators.Dedup.splitLeakage(
       d, "doc_id", "text").count())
     time("vocab_build")(graft.operators.TextOps.vocabBuild(

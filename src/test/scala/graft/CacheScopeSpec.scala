@@ -3,9 +3,10 @@ package graft
 import graft.operators.CacheScope
 import org.apache.spark.sql.{functions => F}
 
-/** CacheScope registry hygiene: per-job release, and the weak-reference
-  * discipline — the registry must never be what keeps a session or a
-  * frame alive. */
+/** CacheScope registry hygiene: per-job release that works even after
+  * GC (frames are held strongly until release — a weak handle would
+  * silently no-op the unpersist while the CacheManager kept the blocks
+  * pinned), and weak session keying once released. */
 class CacheScopeSpec extends SparkSpec {
 
   test("release unpersists and drops the session entry") {
@@ -23,22 +24,21 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
-  test("frames are weakly held: a dropped frame is purged after GC") {
+  test("release still unpersists after the caller dropped its reference + GC") {
+    // the regression scenario: the operator's local Dataset variable is
+    // the only strong reference; a GC mid-job must NOT cost us the
+    // unpersist handle (the CacheManager pins the blocks regardless)
     var df = CacheScope.persist(
       spark.range(50).select(F.col("id"), (F.col("id") * 2).as("v")))
     assert(df.count() == 50)
     assert(CacheScope.trackedFrames(spark) >= 1)
-    df = null // drop the only strong reference
-    // weak refs clear on GC; bounded retry since GC timing is advisory
-    var tries = 0
-    while (CacheScope.trackedFrames(spark) > 0 && tries < 50) {
-      System.gc()
-      Thread.sleep(50)
-      tries += 1
-    }
-    assert(CacheScope.trackedFrames(spark) == 0,
-      "registry must not be the thing pinning a dropped frame")
-    CacheScope.release(spark) // leftover entry cleanup
+    df = null // drop the only caller-side strong reference
+    System.gc()
+    Thread.sleep(100)
+    assert(CacheScope.trackedFrames(spark) >= 1,
+      "registry must keep the unpersist handle alive until release")
+    CacheScope.release(spark)
+    assert(CacheScope.trackedFrames(spark) == 0)
   }
 
   test("a derived session's caches release independently") {

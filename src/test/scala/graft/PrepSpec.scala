@@ -236,7 +236,7 @@ class PrepSpec extends SparkSpec {
       (1L, Array(0.0f, 10.0f, 7.0f)),
       (2L, Array(1.0f, 20.0f, 7.0f)),
       (3L, Array(0.5f, 15.0f, 7.0f))).toDF("vec_id", "embedding")
-    val r = graft.operators.Similarity.quantizeInt8(d, "vec_id", "embedding", dim = 3)
+    val r = graft.operators.Similarity.quantizeInt8(d, "vec_id", "embedding")
       .orderBy("vec_id").as[(Long, Seq[Long])].collect()
     // dim1: min 0 → -128, max 1 → 127; dim3 constant → -128
     assert(r(0)._2 == Seq(-128L, -128L, -128L))

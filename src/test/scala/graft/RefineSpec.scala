@@ -181,6 +181,31 @@ class RefineSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  // --------------------------------------------------------- empty inputs
+  test("every refinement operator handles an empty corpus / graph") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.lineDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.tfidfCosinePairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.cdcJaccardPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Curation.sampleGroup(noDocs, "doc_id", "source", 5).count() == 0)
+    assert(Curation.contaminationFuzzy(noDocs, noDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.operators.Graph.pageRank(noPairs, "a", "b").count() == 0)
+    // PQ over an empty corpus: empty codebooks, empty codes
+    val cb = graft.operators.Pq.codebooks(noVecs, "vec_id", "embedding",
+      m = 2, subDim = 4, k = 2, iters = 1)
+    assert(cb.count() == 0)
+    assert(graft.operators.Pq.encode(noVecs, cb, "vec_id", "embedding",
+      m = 2, subDim = 4).count() == 0)
+    // zipf over an empty corpus: one degenerate row, null slope
+    val z = TextOps.zipfSlope(noDocs, "text").head()
+    assert(z.getAs[Long]("n_terms") == 0L &&
+      z.isNullAt(z.fieldIndex("zipf_slope")))
+  }
+
   // ------------------------------------------------------------ plan shape
   test("tfidfCosinePairs plan: no cartesian product, join keyed on term") {
     val d = docsOf(1L -> "a b c", 2L -> "b c d")
