@@ -240,6 +240,40 @@ object RefineQueries {
   private def dot16Sql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $PQ_SUBDIM), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def dot64Sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cos64Sql(a: String, b: String): String =
+    s"round(${dot64Sql(a, b)} / (sqrt(${dot64Sql(a, a)}) * sqrt(${dot64Sql(b, b)})), 6)"
+
+  /** Shared oracle fragment: the ADC-scored shortlist CTEs (`cbs`,
+    * `qsub`, `tbl`, `ccodes`, `scored`) over the `a3_s`/`c2f_s` blocks
+    * of [[pqCtes]], for queries vec_id < 5. */
+  private def adcScoredCtes: String = {
+    val cbs = (0 until PQ_M)
+      .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
+      .mkString(" UNION ALL ")
+    val ccodes = (0 until PQ_M)
+      .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
+      .mkString(" UNION ALL ")
+    s"""cbs AS ($cbs),
+       |qsub AS (SELECT vec_id AS query_id, sub,
+       |                list_slice(embedding, sub * $PQ_SUBDIM + 1,
+       |                           (sub + 1) * $PQ_SUBDIM) AS qv
+       |         FROM embeddings,
+       |              (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub)
+       |         WHERE vec_id < 5),
+       |tbl AS (SELECT query_id, sub, ck AS code,
+       |               CAST(floor(${dot16Sql("qv", "centroid")} * 1e6) AS BIGINT)
+       |                 AS p
+       |        FROM qsub JOIN cbs USING (sub)),
+       |ccodes AS ($ccodes),
+       |scored AS (SELECT t.query_id, c.vec_id AS match_id,
+       |                  CAST(sum(t.p) AS BIGINT) AS score_micro
+       |           FROM ccodes c JOIN tbl t
+       |             ON c.sub = t.sub AND c.code = t.code
+       |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2)""".stripMargin
+  }
   private def cos16Sql(a: String, b: String): String =
     s"round(${dot16Sql(a, b)} / (sqrt(${dot16Sql(a, a)}) * sqrt(${dot16Sql(b, b)})), 6)"
 
@@ -344,30 +378,8 @@ object RefineQueries {
         .orderBy("query_id", "rank")
     },
     Some {
-      val cbs = (0 until PQ_M)
-        .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
-        .mkString(" UNION ALL ")
-      val ccodes = (0 until PQ_M)
-        .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
-        .mkString(" UNION ALL ")
       s"""WITH $pqCtes,
-         |cbs AS ($cbs),
-         |qsub AS (SELECT vec_id AS query_id, sub,
-         |                list_slice(embedding, sub * $PQ_SUBDIM + 1,
-         |                           (sub + 1) * $PQ_SUBDIM) AS qv
-         |         FROM embeddings,
-         |              (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub)
-         |         WHERE vec_id < 5),
-         |tbl AS (SELECT query_id, sub, ck AS code,
-         |               CAST(floor(${dot16Sql("qv", "centroid")} * 1e6) AS BIGINT)
-         |                 AS p
-         |        FROM qsub JOIN cbs USING (sub)),
-         |ccodes AS ($ccodes),
-         |scored AS (SELECT t.query_id, c.vec_id AS match_id,
-         |                  CAST(sum(t.p) AS BIGINT) AS score_micro
-         |           FROM ccodes c JOIN tbl t
-         |             ON c.sub = t.sub AND c.code = t.code
-         |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+         |$adcScoredCtes,
          |ranked AS (SELECT query_id, match_id, score_micro,
          |                  CAST(row_number() OVER (PARTITION BY query_id
          |                    ORDER BY score_micro DESC, match_id) AS INTEGER)
@@ -414,19 +426,7 @@ object RefineQueries {
         .orderBy("query_id")
     },
     Some {
-      def dot64(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, 64), " +
-          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      val cos64 =
-        s"round(${dot64("e.embedding", "q.embedding")} / " +
-          s"(sqrt(${dot64("e.embedding", "e.embedding")}) * " +
-          s"sqrt(${dot64("q.embedding", "q.embedding")})), 6)"
-      val cbs = (0 until PQ_M)
-        .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
-        .mkString(" UNION ALL ")
-      val ccodes = (0 until PQ_M)
-        .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
-        .mkString(" UNION ALL ")
+      val cos64 = cos64Sql("e.embedding", "q.embedding")
       s"""WITH $pqCtes,
          |exact AS (
          |  SELECT query_id, match_id FROM (
@@ -435,23 +435,7 @@ object RefineQueries {
          |             ORDER BY $cos64 DESC, e.vec_id) AS rn
          |    FROM embeddings e JOIN embeddings q
          |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
-         |cbs AS ($cbs),
-         |qsub AS (SELECT vec_id AS query_id, sub,
-         |                list_slice(embedding, sub * $PQ_SUBDIM + 1,
-         |                           (sub + 1) * $PQ_SUBDIM) AS qv
-         |         FROM embeddings,
-         |              (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub)
-         |         WHERE vec_id < 5),
-         |tbl AS (SELECT query_id, sub, ck AS code,
-         |               CAST(floor(${dot16Sql("qv", "centroid")} * 1e6) AS BIGINT)
-         |                 AS p
-         |        FROM qsub JOIN cbs USING (sub)),
-         |ccodes AS ($ccodes),
-         |scored AS (SELECT t.query_id, c.vec_id AS match_id,
-         |                  CAST(sum(t.p) AS BIGINT) AS score_micro
-         |           FROM ccodes c JOIN tbl t
-         |             ON c.sub = t.sub AND c.code = t.code
-         |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+         |$adcScoredCtes,
          |approx AS (SELECT query_id, match_id FROM (
          |             SELECT query_id, match_id,
          |                    row_number() OVER (PARTITION BY query_id
@@ -467,7 +451,64 @@ object RefineQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
     })
 
+  // --------------------------------------------------------------- D14d
+  /** The full production ANN pattern: ADC shortlist (cheap, approximate,
+    * corpus-linear) → EXACT cosine rerank of the shortlist only. The
+    * expensive float scoring touches shortlistK candidates per query
+    * instead of the corpus — at 100 TB the rerank cost is independent of
+    * corpus size (shortlist ⋈ corpus vectors is a broadcast join keyed
+    * on the candidate ids; the corpus streams once). Recovers most of
+    * the recall PQ quantization loses (the shortlist just has to CONTAIN
+    * the true neighbors; exact scoring reorders them). */
+  private val embedPqRerank = QueryDef(
+    "embed_pq_rerank",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      val queries = emb.where(F.col("vec_id") < 5)
+      val shortlist = Pq.adcTopK(
+        Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM),
+        cb, queries, "vec_id", "embedding", k = 20, PQ_M, PQ_SUBDIM)
+        .select(F.col("query_id"), F.col("match_id"))
+      val qv = queries.select(F.col("vec_id").as("query_id"),
+        F.col("embedding").as("_qv"))
+      val cv = emb.select(F.col("vec_id").as("match_id"),
+        F.col("embedding").as("_cv"))
+      val rescored = F.broadcast(shortlist.join(qv, "query_id"))
+        .join(cv, "match_id")
+        .select(F.col("query_id"), F.col("match_id"),
+          graft.operators.Similarity.cosine(F.col("_qv"), F.col("_cv"))
+            .as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(F.col("cos").desc, F.col("match_id"))
+      rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "match_id", "cos")
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      s"""WITH $pqCtes,
+         |$adcScoredCtes,
+         |shortlist AS (SELECT query_id, match_id FROM (
+         |               SELECT query_id, match_id,
+         |                      row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY score_micro DESC, match_id) AS rank
+         |               FROM scored) WHERE rank <= 20),
+         |rescored AS (
+         |  SELECT s.query_id, s.match_id,
+         |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings m ON m.vec_id = s.match_id),
+         |reranked AS (SELECT query_id, match_id, cos,
+         |                    CAST(row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, match_id) AS INTEGER) AS rank
+         |             FROM rescored)
+         |SELECT query_id, rank, match_id, cos
+         |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
-    cdcPairs, embedPq, embedPqTopk, embedPqRecall)
+    cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank)
 }
