@@ -988,6 +988,26 @@ object CoreQueries {
              CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // ---------------------------------------------------------------- A11
+  /** Schema EVOLUTION applied to data: migrate v1-shaped lineitem rows
+    * to [[Schemas.lineitemV2]] (drop l_linestatus, widen l_linenumber,
+    * add the defaulted l_audit). Migration IS coercion against the new
+    * version — one narrow codegen'd projection, no shuffle at any
+    * scale. The diff/DDL halves (alterStatements, breaking report) are
+    * spec-covered in `EvolutionSpec`. */
+  private val schemaMigrate = QueryDef(
+    "schema_migrate",
+    (s, d) => graft.schema.Evolution.migrate(
+      t(s, d, "lineitem"), Schemas.lineitemV2)
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_shipdate,
+             CAST(0 AS BIGINT) AS l_audit
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   // ---------------------------------------------------------------- C26
   /** Cohort retention matrix — the standard product-analytics query:
     * users are bucketed by the week of their FIRST event, and each cell
@@ -1086,5 +1106,6 @@ object CoreQueries {
     aggRollup, pivotEvents,
     aggDistinct, windowTumbling, asofJoin, asofForward, aggPercentile,
     windowRange, windowSliding, unpivotCounts,
-    aggCube, windowLead, cohortRetention, approxPercentileHist)
+    aggCube, windowLead, cohortRetention, approxPercentileHist,
+    schemaMigrate)
 }

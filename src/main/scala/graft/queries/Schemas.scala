@@ -46,6 +46,18 @@ object Schemas {
     .field(GLong("user_id"))
     .field(GString("event_type"))
 
+  /** Evolution target — lineitem v2: DROPS l_linestatus, WIDENS
+    * l_linenumber to 64-bit, ADDS a defaulted audit column. Exercises
+    * all three diff classes (removed / changed / added-with-default). */
+  val lineitemV2: GSchema = GSchema("LineitemV2Schema",
+    fields = lineitem.fields.flatMap {
+      case f: GLong if f.name == "l_linenumber" => Seq(f.copy(width = 64))
+      case f if f.name == "l_linestatus" => Nil
+      case f => Seq(f)
+    } :+ GLong("l_audit", default = Some(0L),
+      description = Some("v2 audit flag")),
+    modelChecks = lineitem.modelChecks)
+
   /** Documents with uniqueness declarations (doc_id pk is unique; lang is
     * deliberately non-unique so uniqueViolations finds real offenders). */
   val documents: GSchema = GSchema("DocumentSchema")

@@ -1,0 +1,122 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** One field's change between two schema versions. */
+final case class FieldChange(
+    name: String, from: GField, to: GField, changes: Seq[String])
+
+/** Structural diff between two [[GSchema]] versions — the schema-
+  * EVOLUTION half of the schema layer (the reference stops at
+  * definition; any long-lived table needs v1 → v2 some day).
+  *
+  * Drives three things:
+  *  - [[alterStatements]] — the Spark SQL DDL to evolve the TABLE,
+  *  - [[breaking]] — the changes that can LOSE information and need an
+  *    explicit backfill decision (dropped columns, type narrowings,
+  *    nullable→required),
+  *  - [[Evolution.migrate]] — the DataFrame rewrite for the DATA.
+  */
+final case class SchemaDiff(
+    added: Seq[GField],
+    removed: Seq[GField],
+    changed: Seq[FieldChange]) {
+
+  def isEmpty: Boolean = added.isEmpty && removed.isEmpty && changed.isEmpty
+
+  /** Spark SQL (v2 table) ALTER statements realizing this diff. */
+  def alterStatements(table: String): Seq[String] = {
+    val adds =
+      if (added.isEmpty) Nil
+      else Seq("ALTER TABLE " + table + " ADD COLUMNS (" +
+        added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+    val drops = removed.map(f => s"ALTER TABLE $table DROP COLUMN ${f.name}")
+    val alters = changed.flatMap { c =>
+      val tpe =
+        if (c.from.dataType != c.to.dataType)
+          Seq(s"ALTER TABLE $table ALTER COLUMN ${c.name} TYPE ${c.to.dataType.sql}")
+        else Nil
+      val nullability =
+        if (c.from.nullable != c.to.nullable)
+          Seq(s"ALTER TABLE $table ALTER COLUMN ${c.name} " +
+            (if (c.to.nullable) "DROP NOT NULL" else "SET NOT NULL"))
+        else Nil
+      tpe ++ nullability
+    }
+    adds ++ drops ++ alters
+  }
+
+  /** Information-losing changes that need an explicit decision before
+    * the migration runs (the reviewable "this will destroy data"
+    * checklist, not an exception — some are intended). */
+  def breaking: Seq[String] = {
+    val drops = removed.map(f => s"drop column ${f.name}")
+    val narrows = changed.collect {
+      case c if Evolution.narrows(c.from.dataType, c.to.dataType) =>
+        s"narrow ${c.name}: ${c.from.dataType.sql} -> ${c.to.dataType.sql}"
+    }
+    val required = changed.collect {
+      case c if c.from.nullable && !c.to.nullable =>
+        s"require ${c.name}: nullable -> NOT NULL"
+    }
+    val requiredAdds = added.collect {
+      case f if !f.nullable && f.default.isEmpty =>
+        s"add required column ${f.name} with no default"
+    }
+    drops ++ narrows ++ required ++ requiredAdds
+  }
+}
+
+object Evolution {
+
+  /** Widening order for the scalar lattice: casting to a LOWER rank
+    * can lose information. Strings absorb everything (rank max). */
+  private def rank(dt: DataType): Int = dt match {
+    case BooleanType => 0
+    case IntegerType => 1
+    case LongType => 2
+    case DoubleType => 3
+    case DateType => 1
+    case TimestampType => 2
+    case StringType => 9
+    case _ => 5
+  }
+
+  private[schema] def narrows(from: DataType, to: DataType): Boolean =
+    from != to && rank(to) < rank(from)
+
+  /** Structural diff `from` → `to`. A field counts as changed when its
+    * data type, nullability or default differs; constraint-only changes
+    * (ge/le/pattern/…) are listed too — they don't alter storage but do
+    * alter what validates. */
+  def diff(from: GSchema, to: GSchema): SchemaDiff = {
+    val fromMap = from.fieldMap
+    val toMap = to.fieldMap
+    val added = to.fields.filterNot(f => fromMap.contains(f.name))
+    val removed = from.fields.filterNot(f => toMap.contains(f.name))
+    val changed = to.fields.flatMap { t =>
+      fromMap.get(t.name).flatMap { f =>
+        val deltas = Seq(
+          if (f.dataType != t.dataType)
+            Some(s"type ${f.dataType.sql} -> ${t.dataType.sql}") else None,
+          if (f.nullable != t.nullable)
+            Some(s"nullable ${f.nullable} -> ${t.nullable}") else None,
+          if (f.default != t.default)
+            Some(s"default ${f.default} -> ${t.default}") else None,
+          if (f.checks.map(_.message) != t.checks.map(_.message))
+            Some("constraints changed") else None).flatten
+        if (deltas.isEmpty) None else Some(FieldChange(t.name, f, t, deltas))
+      }
+    }
+    SchemaDiff(added, removed, changed)
+  }
+
+  /** Migrate v1-shaped DATA to the v2 schema: drop removed columns, add
+    * added columns from their defaults, try_cast changed types, emit in
+    * v2 field order — exactly the target schema's coercion, which is the
+    * point: migration IS coercion against the new version (single narrow
+    * projection, codegen'd, no shuffle at any scale). */
+  def migrate(df: DataFrame, to: GSchema, fillNulls: Boolean = false): DataFrame =
+    to.validator.coerce(df, fillNulls)
+}

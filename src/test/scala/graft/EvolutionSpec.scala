@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Schemas
+import graft.schema.{Evolution, GDouble, GLong, GSchema, GString}
+
+/** Schema evolution (SURVEY §2 A11): structural diff, ALTER DDL,
+  * breaking-change report, and data migration. */
+class EvolutionSpec extends SparkSpec {
+
+  private val v1 = GSchema("VSchema")
+    .field(GLong("id", primaryKey = true))
+    .field(GLong("count", width = 32))
+    .field(GString("note", nullable = true))
+    .field(GDouble("score"))
+
+  private val v2 = GSchema("VSchema")
+    .field(GLong("id", primaryKey = true))
+    .field(GLong("count")) // widened 32 → 64
+    .field(GDouble("score", nullable = true)) // relaxed
+    .field(GString("tag", default = Some("none"))) // added w/ default
+    .field(GLong("rev")) // added REQUIRED, no default
+  // note: removed
+
+  test("diff classifies added / removed / changed") {
+    val d = Evolution.diff(v1, v2)
+    assert(d.added.map(_.name) == Seq("tag", "rev"))
+    assert(d.removed.map(_.name) == Seq("note"))
+    assert(d.changed.map(_.name) == Seq("count", "score"))
+    assert(d.changed.find(_.name == "count").get.changes
+      .exists(_.startsWith("type ")))
+    assert(d.changed.find(_.name == "score").get.changes
+      .exists(_.startsWith("nullable")))
+    assert(Evolution.diff(v1, v1).isEmpty)
+  }
+
+  test("alterStatements emit Spark SQL DDL for every diff class") {
+    val stmts = Evolution.diff(v1, v2).alterStatements("t")
+    assert(stmts.contains(
+      "ALTER TABLE t ADD COLUMNS (tag STRING, rev BIGINT)"))
+    assert(stmts.contains("ALTER TABLE t DROP COLUMN note"))
+    assert(stmts.contains("ALTER TABLE t ALTER COLUMN count TYPE BIGINT"))
+    assert(stmts.contains("ALTER TABLE t ALTER COLUMN score DROP NOT NULL"))
+  }
+
+  test("breaking report: drops, narrowings, new requirements — not widenings") {
+    val b = Evolution.diff(v1, v2).breaking
+    assert(b.contains("drop column note"))
+    assert(b.contains("add required column rev with no default"))
+    assert(!b.exists(_.startsWith("narrow count"))) // int→long widens
+    // the reverse direction narrows
+    val back = Evolution.diff(v2, v1).breaking
+    assert(back.exists(_.startsWith("narrow count: BIGINT -> INT")))
+    assert(back.contains("require score: nullable -> NOT NULL"))
+  }
+
+  test("migrate: drops, defaults, casts and reorders; missing required throws") {
+    import spark.implicits._
+    val df = Seq((1L, 7, "x", 0.5)).toDF("id", "count", "note", "score")
+    // v2 minus the no-default 'rev' (which must throw)
+    val v2ok = GSchema("VSchema", v2.fields.filterNot(_.name == "rev"))
+    val out = Evolution.migrate(df, v2ok)
+    assert(out.columns.toSeq == Seq("id", "count", "score", "tag"))
+    val row = out.head()
+    assert(row.getLong(1) == 7L) // int widened to long
+    assert(row.getString(3) == "none") // added from default
+    intercept[IllegalArgumentException] {
+      Evolution.migrate(df, v2)
+    }
+  }
+
+  test("lineitem v1 -> v2 diff matches the declared evolution") {
+    val d = Evolution.diff(Schemas.lineitem, Schemas.lineitemV2)
+    assert(d.added.map(_.name) == Seq("l_audit"))
+    assert(d.removed.map(_.name) == Seq("l_linestatus"))
+    assert(d.changed.map(_.name) == Seq("l_linenumber"))
+    assert(d.breaking == Seq("drop column l_linestatus"))
+  }
+}
