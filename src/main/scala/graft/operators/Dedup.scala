@@ -274,7 +274,11 @@ object Dedup {
         .withColumn("lbl", F.col("v")))
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged) {
+    // maxRounds + 1: convergence is only OBSERVABLE via a round with no
+    // improvement, so a graph whose last improvement lands exactly in
+    // round maxRounds needs one confirming round — without it a
+    // provably-final labelling would be reported as unconverged
+    while (round < maxRounds + 1 && !converged) {
       // min over {own label} ∪ {neighbor labels}
       val neighborMin = edges
         .join(labels.withColumnRenamed("v", "src"), "src")

@@ -237,14 +237,14 @@ object RefineQueries {
   private val PQ_M = 4; private val PQ_SUBDIM = 16
   private val PQ_K = 8; private val PQ_ITERS = 2
 
-  private def dot16Sql(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, $PQ_SUBDIM), " +
+  private def dotSql(dim: Int, a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def dot64Sql(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, 64), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cos64Sql(a: String, b: String): String =
-    s"round(${dot64Sql(a, b)} / (sqrt(${dot64Sql(a, a)}) * sqrt(${dot64Sql(b, b)})), 6)"
+  private def cosSql(dim: Int, a: String, b: String): String =
+    s"round(${dotSql(dim, a, b)} / " +
+      s"(sqrt(${dotSql(dim, a, a)}) * sqrt(${dotSql(dim, b, b)})), 6)"
+  private def dot16Sql(a: String, b: String): String = dotSql(PQ_SUBDIM, a, b)
+  private def cos64Sql(a: String, b: String): String = cosSql(64, a, b)
 
   /** Shared oracle fragment: the ADC-scored shortlist CTEs (`cbs`,
     * `qsub`, `tbl`, `ccodes`, `scored`) over the `a3_s`/`c2f_s` blocks
@@ -274,8 +274,7 @@ object RefineQueries {
        |             ON c.sub = t.sub AND c.code = t.code
        |           WHERE c.vec_id <> t.query_id GROUP BY 1, 2)""".stripMargin
   }
-  private def cos16Sql(a: String, b: String): String =
-    s"round(${dot16Sql(a, b)} / (sqrt(${dot16Sql(a, a)}) * sqrt(${dot16Sql(b, b)})), 6)"
+  private def cos16Sql(a: String, b: String): String = cosSql(PQ_SUBDIM, a, b)
 
   /** CTE block reproducing [[Pq.codebooks]] + [[Pq.encode]]: the shared
     * seed ranking, then per subspace two unrolled Lloyd iterations

@@ -321,11 +321,17 @@ object StreamingQueries {
     (s, d) => {
       val dir = stage(s, d, "events")
       val batch = s.read.parquet(dir)
-      val maxUs = batch
+      // one max per side; if EITHER side is absent the global watermark
+      // never advances (no eviction, no null rows), so both engines must
+      // emit zero rows — cutoff below every timestamp here, NULL cutoff
+      // in the oracle (comparison with NULL selects nothing)
+      val maxRows = batch
         .where(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type").agg(F.max(F.unix_micros(F.col("ts"))).as("m"))
-        .agg(F.min("m")).head().getLong(0)
-      val cutoffUs = maxUs - 7200L * 1000000L // min-max(ts) − 2 h
+        .collect()
+      val cutoffUs =
+        if (maxRows.length < 2) Long.MinValue
+        else maxRows.map(_.getLong(1)).min - 7200L * 1000000L // min-max − 2 h
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8") // see stream_join
       try {
@@ -357,9 +363,13 @@ object StreamingQueries {
         ON c.user_id = p.user_id AND p.event_type = 'purchase'
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       WHERE c.event_type = 'click'
-        AND c.ts < least(
-              (SELECT max(ts) FROM events WHERE event_type = 'click'),
-              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        AND c.ts < (SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                                ELSE least(mc, mp) END
+                    FROM (SELECT
+                      (SELECT max(ts) FROM events
+                       WHERE event_type = 'click') AS mc,
+                      (SELECT max(ts) FROM events
+                       WHERE event_type = 'purchase') AS mp))
             - INTERVAL 2 HOUR
       ORDER BY c.user_id, click_id, purchase_id NULLS FIRST"""))
 

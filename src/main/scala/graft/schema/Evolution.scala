@@ -25,12 +25,24 @@ final case class SchemaDiff(
 
   def isEmpty: Boolean = added.isEmpty && removed.isEmpty && changed.isEmpty
 
-  /** Spark SQL (v2 table) ALTER statements realizing this diff. */
+  /** Spark SQL (v2 table) ALTER statements realizing this diff. Added
+    * columns carry their DEFAULT, and NOT NULL only when a default
+    * exists (a required no-default add can't be satisfied on existing
+    * rows — it appears in [[breaking]] instead). */
   def alterStatements(table: String): Seq[String] = {
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other     => String.valueOf(other)
+    }
     val adds =
       if (added.isEmpty) Nil
       else Seq("ALTER TABLE " + table + " ADD COLUMNS (" +
-        added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+        added.map { f =>
+          val default = f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("")
+          val notNull =
+            if (!f.nullable && f.default.isDefined) " NOT NULL" else ""
+          s"${f.name} ${f.dataType.sql}$notNull$default"
+        }.mkString(", ") + ")")
     val drops = removed.map(f => s"ALTER TABLE $table DROP COLUMN ${f.name}")
     val alters = changed.flatMap { c =>
       val tpe =
@@ -70,21 +82,38 @@ final case class SchemaDiff(
 
 object Evolution {
 
-  /** Widening order for the scalar lattice: casting to a LOWER rank
-    * can lose information. Strings absorb everything (rank max). */
-  private def rank(dt: DataType): Int = dt match {
-    case BooleanType => 0
-    case IntegerType => 1
-    case LongType => 2
-    case DoubleType => 3
-    case DateType => 1
-    case TimestampType => 2
-    case StringType => 9
-    case _ => 5
+  /** Does casting `from` → `to` potentially lose information?
+    * Widening within a family (numeric, temporal, decimal) is safe;
+    * strings absorb everything; every OTHER cross-type conversion is
+    * conservatively flagged (unknown ≠ safe — the report exists to make
+    * a human decide). */
+  private[graft] def narrows(from: DataType, to: DataType): Boolean = {
+    def numRank(dt: DataType): Option[Int] = dt match {
+      case BooleanType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case FloatType => Some(4)
+      case DoubleType => Some(5)
+      case _ => None
+    }
+    def timeRank(dt: DataType): Option[Int] = dt match {
+      case DateType => Some(0)
+      case TimestampType => Some(1)
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (_, StringType) => false // strings absorb everything
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision < f.precision || t.scale < f.scale
+      case (f, t) if numRank(f).isDefined && numRank(t).isDefined =>
+        numRank(t).get < numRank(f).get
+      case (f, t) if timeRank(f).isDefined && timeRank(t).isDefined =>
+        timeRank(t).get < timeRank(f).get
+      case _ => true // cross-family conversion: flag for review
+    }
   }
-
-  private[schema] def narrows(from: DataType, to: DataType): Boolean =
-    from != to && rank(to) < rank(from)
 
   /** Structural diff `from` → `to`. A field counts as changed when its
     * data type, nullability or default differs; constraint-only changes

@@ -35,11 +35,26 @@ class EvolutionSpec extends SparkSpec {
 
   test("alterStatements emit Spark SQL DDL for every diff class") {
     val stmts = Evolution.diff(v1, v2).alterStatements("t")
+    // defaulted adds carry NOT NULL + DEFAULT; the required no-default
+    // add is emitted nullable (it can't be satisfied on existing rows —
+    // it shows up in breaking instead)
     assert(stmts.contains(
-      "ALTER TABLE t ADD COLUMNS (tag STRING, rev BIGINT)"))
+      "ALTER TABLE t ADD COLUMNS (tag STRING NOT NULL DEFAULT 'none', rev BIGINT)"))
     assert(stmts.contains("ALTER TABLE t DROP COLUMN note"))
     assert(stmts.contains("ALTER TABLE t ALTER COLUMN count TYPE BIGINT"))
     assert(stmts.contains("ALTER TABLE t ALTER COLUMN score DROP NOT NULL"))
+  }
+
+  test("narrows: family-aware — cross-family flagged, string absorbs, decimals by precision") {
+    import org.apache.spark.sql.types._
+    assert(Evolution.narrows(LongType, ShortType)) // 64 -> 16 bit
+    assert(!Evolution.narrows(ShortType, LongType)) // pure widening
+    assert(!Evolution.narrows(LongType, StringType)) // string absorbs
+    assert(Evolution.narrows(TimestampType, DateType)) // drops time
+    assert(!Evolution.narrows(DateType, TimestampType))
+    assert(Evolution.narrows(TimestampType, LongType)) // cross-family
+    assert(Evolution.narrows(DecimalType(38, 4), DecimalType(9, 2)))
+    assert(!Evolution.narrows(DecimalType(9, 2), DecimalType(38, 4)))
   }
 
   test("breaking report: drops, narrowings, new requirements — not widenings") {
