@@ -372,6 +372,22 @@ final case class InOp(operand: Expr, values: Seq[Any], nullsEqual: Boolean = fal
 final case class BetweenOp(operand: Expr, lo: Expr, hi: Expr, closed: String) extends Expr {
   require(Set("both", "left", "right", "none")(closed),
     s"Invalid closed value '$closed'. Expected one of both|left|right|none.")
+
+  /** True when both bounds are literals and lower > upper — the interval
+    * is empty, which is almost always a typo'd bound. Mirrors the
+    * reference's construction-time warning (flycatcher
+    * validators/membership.py:166 `_warn_if_inverted_raw`): expression
+    * bounds and nulls are skipped (not comparable until evaluation). The
+    * predicate still constructs and evaluates (to an always-false
+    * interval), matching the reference; the warning is the signal. */
+  val invertedBounds: Boolean = (lo, hi) match {
+    case (Lit(l), Lit(h)) if l != null && h != null =>
+      try Expr.cmp(l, h) > 0 catch { case _: Exception => false }
+    case _ => false
+  }
+  if (invertedBounds)
+    org.slf4j.LoggerFactory.getLogger(classOf[BetweenOp]).warn(
+      s"isBetween called with lower_bound > upper_bound; interval is empty (lower=$lo, upper=$hi)")
   def toColumn: Column = {
     val c = operand.toColumn; val l = lo.toColumn; val h = hi.toColumn
     closed match {

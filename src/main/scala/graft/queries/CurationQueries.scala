@@ -173,8 +173,15 @@ object CurationQueries {
   // ---------------------------------------------------------------- E17
   private val keywordTfidf = QueryDef(
     "keyword_tfidf",
+    // Keywords joined on the unit-separator control char U+001F (the
+    // tokenizer strips whitespace/control chars, so the delimiter cannot
+    // collide) — the driver's pandas comparison cannot sort/hash array
+    // cells (r4 verdict #1).
     (s, d) => graft.operators.TextOps.keywordsTfIdf(
       t(s, d, "documents"), "doc_id", "text", k = 5)
+      .select(F.col("doc_id"),
+        F.array_join(F.col("keywords"), "\u001f").as("keywords_str"),
+        F.col("top_score"))
       .orderBy("doc_id"),
     Some(s"""
       WITH toks AS (
@@ -192,7 +199,8 @@ object CurationQueries {
                                   ORDER BY score DESC, term DESC) AS rn
         FROM scored)
       SELECT doc_id,
-             list(term ORDER BY rn) FILTER (WHERE rn <= 5) AS keywords,
+             array_to_string(list(term ORDER BY rn) FILTER (WHERE rn <= 5),
+                             chr(31)) AS keywords_str,
              max(score) AS top_score
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 

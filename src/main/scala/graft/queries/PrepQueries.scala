@@ -256,22 +256,40 @@ object PrepQueries {
 
   private val embedNormalize = QueryDef(
     "embed_normalize",
+    // The operator returns the unit vector as a float array; the oracle
+    // projection serializes it through a portable scalar image — each
+    // 6dp component scaled to an exact micro-integer and comma-joined —
+    // because the driver's pandas comparison cannot sort/hash ndarray
+    // cells (r4 verdict #1). Integer strings are bit-portable; raw
+    // double-to-string formatting is not.
     (s, d) => graft.operators.Similarity.l2Normalize(
       t(s, d, "embeddings"), "vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("l2_norm"),
+        F.array_join(
+          F.transform(F.col("unit"),
+            x => F.coalesce(F.round(x * 1e6).cast("long").cast("string"),
+              F.lit("null"))), ",").as("unit_micro"))
       .orderBy("vec_id"),
     Some(s"""
       SELECT vec_id,
              round(sqrt(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
-             list_transform(generate_series(1, 64), i ->
-               round(CAST(embedding[i] AS DOUBLE)
-                     / sqrt(${dotSql("embedding", "embedding")}), 6)) AS unit
+             array_to_string(list_transform(generate_series(1, 64), i ->
+               coalesce(CAST(CAST(round(
+                 round(CAST(embedding[i] AS DOUBLE)
+                       / sqrt(${dotSql("embedding", "embedding")}), 6)
+                 * 1e6) AS BIGINT) AS VARCHAR), 'null')), ',') AS unit_micro
       FROM embeddings ORDER BY vec_id"""))
 
   // ---------------------------------------------------------------- D12
   private val embedQuantize = QueryDef(
     "embed_quantize",
+    // int8 codes are exact integers — comma-joined they compare
+    // byte-identically in any engine (driver cannot hash array cells).
     (s, d) => graft.operators.Similarity.quantizeInt8(
       t(s, d, "embeddings"), "vec_id", "embedding")
+      .select(F.col("vec_id"),
+        F.array_join(F.transform(F.col("q"), _.cast("string")), ",")
+          .as("q_codes"))
       .orderBy("vec_id"),
     Some(s"""
       WITH s AS (
@@ -281,12 +299,12 @@ object PrepQueries {
       a AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
             FROM s)
       SELECT vec_id,
-             list_transform(generate_series(1, 64), i ->
-               CASE WHEN maxs[i] = mins[i] THEN 0
+             array_to_string(list_transform(generate_series(1, 64), i ->
+               CAST(CASE WHEN maxs[i] = mins[i] THEN 0
                     ELSE CAST(least(255, greatest(0,
                       floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
                             / (maxs[i] - mins[i])))) AS BIGINT)
-               END - 128) AS q
+               END - 128 AS VARCHAR)), ',') AS q_codes
       FROM embeddings, a ORDER BY vec_id"""))
 
   // ---------------------------------------------------------------- D13
@@ -336,7 +354,13 @@ object PrepQueries {
   // ---------------------------------------------------------------- E27
   private val textPretokenize = QueryDef(
     "text_pretokenize",
+    // Head pretokens joined on the unit-separator control char U+001F
+    // (the synthetic corpus is printable ASCII, so the delimiter cannot
+    // collide) — the driver's pandas comparison needs scalar cells,
+    // not arrays (r4 verdict #1).
     (s, d) => TextOps.pretokenize(t(s, d, "documents"), "doc_id", "text")
+      .select(F.col("doc_id"), F.col("n_pretokens"), F.col("n_ws_tokens"),
+        F.array_join(F.col("head_pretokens"), "\u001f").as("head_joined"))
       .orderBy("doc_id"),
     Some {
       val p = TextOps.pretokenPattern
@@ -344,7 +368,8 @@ object PrepQueries {
          |       CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)
          |         AS n_pretokens,
          |       len(regexp_split_to_array(lower(text), ' +')) AS n_ws_tokens,
-         |       regexp_extract_all(text, '$p')[1:10] AS head_pretokens
+         |       array_to_string(regexp_extract_all(text, '$p')[1:10], chr(31))
+         |         AS head_joined
          |FROM documents ORDER BY doc_id""".stripMargin
     })
 

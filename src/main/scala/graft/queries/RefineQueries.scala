@@ -352,18 +352,24 @@ object RefineQueries {
 
   private val embedPq = QueryDef(
     "embed_pq",
+    // PQ codes are small exact integers; comma-joined they compare
+    // byte-identically in any engine (the driver's pandas comparison
+    // cannot sort/hash array cells — r4 verdict #1).
     (s, d) => {
       val (emb, cb) = pqPipeline(s, d)
       Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM)
+        .select(F.col("vec_id"),
+          F.array_join(F.transform(F.col("codes"), _.cast("string")), ",")
+            .as("codes_str"))
         .orderBy("vec_id")
     },
     Some {
       val cols = (0 until PQ_M)
-        .map(s => s"CAST(a3_$s.ck AS BIGINT)").mkString(", ")
+        .map(s => s"CAST(CAST(a3_$s.ck AS BIGINT) AS VARCHAR)").mkString(", ")
       val joins = (1 until PQ_M)
         .map(s => s"JOIN a3_$s USING (vec_id)").mkString(" ")
       s"""WITH $pqCtes
-         |SELECT a3_0.vec_id, [$cols] AS codes
+         |SELECT a3_0.vec_id, concat_ws(',', $cols) AS codes_str
          |FROM a3_0 $joins ORDER BY vec_id""".stripMargin
     })
 

@@ -4,13 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Raised by strict-mode validation (analog of the reference's
-  * `ValueError` in PolarsValidator.validate). */
+  * `ValueError` in PolarsValidator.validate).
+  *
+  * `samplesByCheck` carries up to N sample rows for EVERY violated
+  * constraint (reference parity: generators/polars.py:237-253 records
+  * `head(10)` per constraint); `sample` remains the first violated
+  * constraint's rows for callers of the r4 shape. */
 final class SchemaViolationException(
     val violations: Seq[(String, Long)],
-    val sample: Seq[String])
+    val samplesByCheck: Seq[(String, Seq[String])])
   extends RuntimeException(
     s"Constraint violations: ${violations.map { case (m, n) => s"$m ($n rows)" }.mkString("; ")}" +
-      (if (sample.nonEmpty) s"\nSample violations:\n${sample.mkString("\n")}" else ""))
+      samplesByCheck.map { case (m, rows) =>
+        s"\nSample violations for '$m':\n${rows.mkString("\n")}"
+      }.mkString) {
+  def sample: Seq[String] = samplesByCheck.headOption.map(_._2).getOrElse(Nil)
+}
 
 /** Distributed DataFrame validator — Spark-first re-design of flycatcher's
   * `PolarsValidator` (src/flycatcher/generators/polars.py:16; validate
@@ -118,8 +127,43 @@ final class Validator(val schema: GSchema) {
       .select(F.col("r.check_name"), F.col("r.violations"))
   }
 
-  /** Strict mode: throw on any violation, with counts + sample rows.
-    * One aggregate job; a second tiny job only on the failure path. */
+  /** Up to `n` sample rows PER violated constraint in ONE extra pass
+    * (the reference rescans per constraint for its `head(10)` —
+    * generators/polars.py:237-253): rows violating ANY constraint are
+    * tagged with each constraint they violate, exploded, and reduced
+    * through the bounded top-k heap aggregate — ≤ n rows per constraint
+    * cross the shuffle, never the violating set itself.
+    * Output: (check_name string, sample_row json-string). */
+  def violationSamples(
+      df: DataFrame, n: Int = 5, fillNulls: Boolean = false): DataFrame = {
+    val coerced = coerce(df, fillNulls)
+    val checks = compiledChecks
+    val spark = df.sparkSession
+    checks.map(c => !c._2).reduceOption(_ || _) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(F.lit("").as("check_name"), F.lit("").as("sample_row"))
+          .limit(0)
+      case Some(anyBad) =>
+        val rowJson = F.to_json(F.struct(coerced.columns.map(F.col): _*))
+        coerced.filter(anyBad)
+          .select(F.explode(F.filter(F.array(checks.map { case (msg, ok) =>
+            F.when(!ok,
+              F.struct(F.lit(msg).as("check_name"), rowJson.as("row_json")))
+          }: _*), _.isNotNull)).as("v"))
+          .groupBy(F.col("v.check_name").as("check_name"))
+          .agg(F.transform(
+            graft.functions.TopKFunctions.topK(
+              F.struct(F.col("v.row_json").as("row_json")), n),
+            x => x.getField("row_json")).as("_rows"))
+          .select(F.col("check_name"), F.explode(F.col("_rows")).as("sample_row"))
+    }
+  }
+
+  /** Strict mode: throw on any violation, with counts + per-constraint
+    * sample rows. One aggregate job; two tiny jobs only on the failure
+    * path (counts, then one bounded samples pass over the violating
+    * rows — NOT one scan per constraint like the reference). */
   def validate(
       df: DataFrame,
       strict: Boolean = true,
@@ -127,7 +171,10 @@ final class Validator(val schema: GSchema) {
       showViolations: Boolean = false): DataFrame = {
     if (!strict) {
       val out = filterValid(df, fillNulls)
-      if (showViolations) report(df, fillNulls).show(100, truncate = false)
+      if (showViolations) {
+        report(df, fillNulls).show(100, truncate = false)
+        violationSamples(df, n = 10, fillNulls).show(100, truncate = false)
+      }
       return out
     }
     val coerced = coerce(df, fillNulls)
@@ -135,10 +182,14 @@ final class Validator(val schema: GSchema) {
       .map(r => r.getString(0) -> r.getLong(1))
     val bad = counts.filter(_._2 > 0)
     if (bad.nonEmpty) {
-      val firstMsg = bad.head._1
-      val firstCol = compiledChecks.find(_._1 == firstMsg).get._2
-      val sample = coerced.filter(!firstCol).limit(5).collect().map(_.toString).toSeq
-      throw new SchemaViolationException(bad.toSeq, sample)
+      val sampleRows = violationSamples(df, n = 5, fillNulls).collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      val byCheck = sampleRows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      // constraint order, so the message lists samples deterministically
+      val ordered = bad.toSeq.map { case (msg, _) =>
+        msg -> byCheck.getOrElse(msg, Nil)
+      }
+      throw new SchemaViolationException(bad.toSeq, ordered)
     }
     coerced
   }

@@ -113,6 +113,18 @@ class DslSpec extends SparkSpec {
     intercept[IllegalArgumentException](col("a").isBetween(1, 2, "sideways"))
   }
 
+  test("inverted literal bounds warn but still evaluate (reference membership.py:166)") {
+    val inv = col("a").isBetween(20.0, 10.0).asInstanceOf[BetweenOp]
+    assert(inv.invertedBounds) // the warning fired at construction
+    // the predicate still constructs and evaluates — to the empty interval
+    assert(inv.eval(Map("a" -> 15.0)) == false)
+    import spark.implicits._
+    assert(Seq(15.0).toDF("a").select(inv.toColumn).head().getBoolean(0) == false)
+    // expression bounds and proper bounds are not flagged
+    assert(!col("a").isBetween(10.0, 20.0).asInstanceOf[BetweenOp].invertedBounds)
+    assert(!col("a").isBetween(col("b") - 20.0, col("b")).asInstanceOf[BetweenOp].invertedBounds)
+  }
+
   test("chained expression example from reference README") {
     // cleaned = col('phone').str.replace(r'[^\d]',''); cleaned.str.len_chars() == 10
     val phone = col("s").str.replace("[^0-9]", "").str.lenChars === 0L

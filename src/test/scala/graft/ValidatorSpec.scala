@@ -44,6 +44,33 @@ class ValidatorSpec extends SparkSpec {
     assert(e.sample.nonEmpty)
   }
 
+  test("strict mode carries sample rows for EVERY violated constraint") {
+    // reference parity (generators/polars.py:237-253): each violated
+    // constraint records its own sample rows, not just the first
+    val e = intercept[SchemaViolationException] {
+      schema.validator.validate(df(Seq(good, badName, badPrice, badDiscount)), strict = true)
+    }
+    val byCheck = e.samplesByCheck.toMap
+    assert(byCheck.size >= 3)
+    val nameSamples = byCheck("name must have at least 3 characters")
+    assert(nameSamples.nonEmpty && nameSamples.forall(_.contains("\"ab\"")))
+    val priceSamples = byCheck("price must be > 0.0")
+    assert(priceSamples.nonEmpty && priceSamples.forall(_.contains("-1.0")))
+    val discSamples = byCheck("Discount price must be less than regular price")
+    assert(discSamples.nonEmpty && discSamples.forall(_.contains("Gizmo")))
+    // the message surfaces each constraint's section
+    assert(e.getMessage.contains("Sample violations for 'price must be > 0.0'"))
+  }
+
+  test("violationSamples caps at n per constraint, one bounded pass") {
+    val manyBad = (1 to 20).map(i => Row(100L + i, "xy", 5.0, null))
+    val rows = schema.validator.violationSamples(df(manyBad), n = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val grouped = rows.groupBy(_._1)
+    assert(grouped.keySet == Set("name must have at least 3 characters"))
+    assert(grouped.values.head.length == 3)
+  }
+
   test("filter mode drops only invalid rows") {
     val out = schema.validator.validate(
       df(Seq(good, badName, badPrice, badDiscount)), strict = false)
