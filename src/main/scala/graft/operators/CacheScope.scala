@@ -18,14 +18,20 @@ import org.apache.spark.storage.StorageLevel
   * reference here would only lose the unpersist handle: after any GC,
   * release() would silently no-op and the MEMORY_AND_DISK blocks would
   * stay pinned forever — worst exactly under memory pressure, which is
-  * what triggers GC. The weak SESSION keying still applies once
-  * release() empties a session's entry; a caller that persists and
-  * never releases is pinning its own cache, the same as calling
-  * `.persist` directly.
+  * what triggers GC.
+  *
+  * The map is therefore a PLAIN HashMap, keyed by session: a tracked
+  * DataFrame strongly references its session (`df.sparkSession`), so a
+  * WeakHashMap entry would pin its own key anyway and provide no
+  * protection — the previous weak keying was decorative, not
+  * functional. The contract is explicit instead: a caller that
+  * persists and never calls release() pins its session AND its cached
+  * blocks, exactly as if it had called `.persist` directly; release()
+  * is the only exit.
   */
 object CacheScope {
   private val tracked =
-    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
   /** Persist MEMORY_AND_DISK and track for later [[release]]. */
   private[graft] def persist(df: DataFrame): DataFrame = {

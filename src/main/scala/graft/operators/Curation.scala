@@ -201,9 +201,22 @@ object Curation {
     * bounded top-k heap ([[graft.functions.TopKStruct]] on the negated
     * key) — k rows per group per map task cross the shuffle, never the
     * group's membership sorted (the row_number window form would). Ties
-    * (hash collisions) break to the smaller doc id. */
+    * (hash collisions) break to the smaller doc id.
+    *
+    * The id column must be integral: the heap ranks by the NEGATED id
+    * for its ascending tie-break, and a silent `cast("long")` on a
+    * string id would null every doc_id in the sample under non-ANSI
+    * casting (the hash is computed on the string form, so the sample
+    * would look plausible while being garbage). Fail loudly instead —
+    * callers with string ids hash them to a surrogate long first. */
   def sampleGroup(
       docs: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"sampleGroup requires an integral id column (tie-break negates it); " +
+        s"'$idCol' is ${idType.simpleString} — derive a surrogate long id first " +
+        s"(e.g. Hashing.hash60 of the id)")
     val h = Hashing.hash60(F.col(idCol).cast("string"))
     docs
       .select(F.col(groupCol), F.col(idCol).cast("long").as("_id"), h.as("_h"))

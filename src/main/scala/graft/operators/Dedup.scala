@@ -226,12 +226,22 @@ object Dedup {
     * duplicates to one representative (min id) FIRST, then run n-gram
     * Jaccard among unique texts only. A corpus with d copies per doc
     * costs d² in the naive shingle join but 1× here — pair results are
-    * between representatives; join back to [[exactGroups]] to expand. */
+    * between representatives; join back to [[exactGroups]] to expand.
+    *
+    * Collapse shape (one pass, the 100 TB-right one): groupBy on the
+    * 16-byte BINARY md5 (`unhex` — half the key bytes of the hex
+    * string), map-side partial agg keeps ONE text per group per task,
+    * so the shuffle carries each distinct text once. The two-pass
+    * alternative (hash→min-id winners, then a semi-join back on id)
+    * was profiled and rejected: the semi-join shuffles the text column
+    * anyway PLUS a second corpus scan. (r5 profile at sf0.1: this
+    * variant runs at ~1× `ngram_jaccard_capped` in isolation — the
+    * 7.3 s r4 full-suite outlier was JVM-context noise, not plan cost.) */
   def ngramJaccardPairsUnique(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val uniq = docs
-      .groupBy(F.md5(F.col(textCol)).as("_th"))
+      .groupBy(F.unhex(F.md5(F.col(textCol))).as("_th"))
       .agg(F.min(F.col(idCol)).as(idCol), F.first(F.col(textCol)).as(textCol))
       .drop("_th")
     ngramJaccardPairs(uniq, idCol, textCol, shingleN, minJaccard, maxDocFreq)
@@ -262,7 +272,17 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id) for every vertex that appears in ≥ 1
     * pair. Isolated docs are absent — join back against the corpus with
-    * a coalesce(cluster_id, doc_id) for the full assignment. */
+    * a coalesce(cluster_id, doc_id) for the full assignment.
+    *
+    * BEHAVIOR CHANGE (r4): non-convergence now THROWS
+    * `IllegalStateException` instead of returning the best-effort
+    * labelling — a silent cut-off splits one true component into
+    * several "clusters" with no signal. Callers on graphs whose
+    * diameter may exceed `maxRounds` must either raise it (rounds are
+    * cheap: one shuffle each) or use [[connectedComponentsStarContract]]
+    * (O(log n) rounds on any topology). Note the loop runs up to
+    * `maxRounds + 1` rounds: convergence is only observable via a
+    * confirming no-change round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25): DataFrame = {
     val edges = CacheScope.persist(
@@ -311,9 +331,83 @@ object Dedup {
     // the caller raises maxRounds or switches to pointer-jumping
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds — " +
-          "a component's diameter exceeds maxRounds; raise maxRounds " +
-          "(rounds are cheap: one shuffle each) for this graph")
+        s"connectedComponents did not converge after ${maxRounds + 1} rounds " +
+          s"(maxRounds=$maxRounds + 1 confirming round) — a component's " +
+          "diameter exceeds maxRounds; raise maxRounds (rounds are cheap: " +
+          "one shuffle each) or use connectedComponentsStarContract " +
+          "(O(log n) rounds) for this graph")
+    labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by min-label propagation + POINTER JUMPING —
+    * the O(log n)-round variant for adversarial-diameter graphs (long
+    * drift chains), same signature and output as
+    * [[connectedComponents]] (which stays the default: dedup graphs are
+    * low-diameter band cliques where plain propagation needs fewer
+    * shuffles per round).
+    *
+    * Each round is two steps:
+    *   1. propagate — `lbl(v) := min(lbl(v), min_{u∈N(v)} lbl(u))`
+    *      (the hooking step: one edges⋈labels shuffle);
+    *   2. jump — `lbl(v) := lbl(lbl(v))` (the Shiloach–Vishkin
+    *      shortcut: one labels⋈labels shuffle).
+    * Propagation moves a label one hop; jumping re-points v at where
+    * its label has ALREADY moved, so label reach doubles per round —
+    * a D-hop path converges in O(log D) rounds instead of D.
+    * Correctness invariants: labels are ids of same-component vertices,
+    * non-increasing, bounded below by the component min (which labels
+    * itself forever), so the fixpoint — no neighbor smaller, jump a
+    * no-op — is exactly "every vertex labelled its component min".
+    * Same lazy per-round checkpointing and loud non-convergence as the
+    * propagation variant. */
+  def connectedComponentsStarContract(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 40): DataFrame = {
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    var labels = CacheScope.persist(
+      edges.select(F.col("src").as("v")).distinct()
+        .withColumn("lbl", F.col("v")))
+    var round = 0
+    var converged = false
+    while (round < maxRounds + 1 && !converged) {
+      // 1. jump: follow the label's own label — a self-join of the
+      // MATERIALIZED previous round (checkpointed partitions, so the
+      // two branches re-read, never recompute). A label always names a
+      // tracked vertex (ids only ever come from the label column), so
+      // the inner join cannot drop rows.
+      val jumpTo = labels.select(F.col("v").as("_jv"), F.col("lbl").as("_jlbl"))
+      val jumped = labels.join(jumpTo, F.col("lbl") === F.col("_jv"))
+        .select(F.col("v"),
+          F.col("_jlbl").as("lbl"),
+          (F.col("_jlbl") < F.col("lbl")).as("_c1"))
+      // 2. propagate: min over {own label} ∪ {neighbor labels}. `jumped`
+      // feeds both branches — one edges⋈jumped shuffle plus the merge.
+      val neighborMin = edges
+        .join(jumped.select(F.col("v").as("src"), F.col("lbl")), "src")
+        .groupBy(F.col("dst").as("v"))
+        .agg(F.min(F.col("lbl")).as("_nlbl"))
+      val nextPlan = jumped.join(neighborMin, Seq("v"), "left")
+        .select(F.col("v"),
+          F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
+          (F.col("_c1") || (F.col("_nlbl") < F.col("lbl"))).as("_changed"))
+      val next =
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          nextPlan.checkpoint(eager = false)
+        else nextPlan.localCheckpoint(eager = false)
+      converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
+        .head().getBoolean(0) == false
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStarContract did not converge after " +
+          s"${maxRounds + 1} rounds (maxRounds=$maxRounds + 1 confirming " +
+          "round) — rounds double label reach, so this indicates a " +
+          "component of diameter > 2^maxRounds or a bug; raise maxRounds")
     labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
 

@@ -40,18 +40,35 @@ object Ivf {
     * (hash60(id), id); each iteration assigns by cosine against
     * DRIVER-COLLECTED centroid literals (k·dim doubles — tiny), so
     * assignment is a narrow map with no join, then recomputes means in
-    * one shuffle. iters·2 jobs total; corpus is never collected. */
+    * one shuffle. iters·2 jobs total; corpus is never collected.
+    *
+    * `trainFraction` < 1 trains on a DETERMINISTIC hash-sample of the
+    * corpus (hash60(id) mod 1e6 < frac·1e6 — the same portable sampler
+    * as `sample_hash`): codebook quality needs ~100k vectors, not the
+    * corpus, so at 100 TB every Lloyd iteration scanning the full data
+    * is pure waste. The sample is persisted across iterations (iters
+    * scans of the sample, ONE of the corpus). Seeds come from the same
+    * sample, so the result is identical to running on the pre-filtered
+    * corpus. Default 1.0 preserves the exact-oracle configuration. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5, trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
+
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else CacheScope.persist(corpus.filter(
+        Hashing.hash60(F.col(idCol).cast("string")) % 1000000L <
+          F.lit(math.floor(trainFraction * 1e6).toLong)))
 
     def collectVecs(df: DataFrame, col: String): Array[Array[Float]] =
       df.select(col).collect().map(_.getSeq[Float](0).toArray)
 
     var centroids: Array[Array[Float]] = collectVecs(
-      corpus.orderBy(Hashing.hash60(F.col(idCol).cast("string")), F.col(idCol))
+      train.orderBy(Hashing.hash60(F.col(idCol).cast("string")), F.col(idCol))
         .limit(k), vecCol)
 
     // empty corpus → zero seeds; the assignment expression below would
@@ -68,7 +85,7 @@ object Ivf {
           F.lit(-i).as("negIdx"))
       }
       val best = F.array_max(F.array(scored: _*))
-      val assigned = corpus.select(F.col(vecCol).as("v"),
+      val assigned = train.select(F.col(vecCol).as("v"),
         (-best.getField("negIdx")).as("ck"))
       val means = assigned
         .select(F.col("ck"), F.posexplode(F.col("v")).as(Seq("pos", "x")))

@@ -14,10 +14,9 @@ import org.apache.spark.sql.{functions => F}
   * Scale shape:
   *  - [[codebooks]] — m runs of the deterministic Lloyd quantizer
   *    ([[Ivf.kmeansCentroids]]) over sliced subvectors; each iteration
-  *    is a narrow broadcast-literal assignment + one mean shuffle. (At
-  *    100 TB you'd train on a hash-sampled slice — compose with
-  *    [[Curation.sampleGroup]]; codebook quality needs ~100k vectors,
-  *    not the corpus.)
+  *    is a narrow broadcast-literal assignment + one mean shuffle. At
+  *    100 TB pass `trainFraction` so codebooks train on a hash-sampled
+  *    slice (codebook quality needs ~100k vectors, not the corpus).
   *  - [[encode]] — one Generate (m subvectors per row) + a broadcast
   *    join against the m·k codebook rows; the per-(vector, subspace)
   *    winner is an O(1)-state max(struct) aggregate, never a window
@@ -36,13 +35,18 @@ import org.apache.spark.sql.{functions => F}
   * quantizer. */
 object Pq {
 
-  /** Per-subspace codebooks: (sub, ckey, centroid float[subDim]). */
+  /** Per-subspace codebooks: (sub, ckey, centroid float[subDim]).
+    * `trainFraction` < 1 trains every subspace quantizer on the same
+    * deterministic hash-sample (see [[Ivf.kmeansCentroids]]) — the
+    * 100 TB configuration promised in the scale notes above; default
+    * 1.0 keeps the exact-oracle behavior. */
   def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 4, subDim: Int = 16, k: Int = 4, iters: Int = 2): DataFrame = {
+      m: Int = 4, subDim: Int = 16, k: Int = 4, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val subs = (0 until m).map { s =>
       val sliced = corpus.select(F.col(idCol),
         F.slice(F.col(vecCol), s * subDim + 1, subDim).as("_sub"))
-      Ivf.kmeansCentroids(sliced, idCol, "_sub", k, iters)
+      Ivf.kmeansCentroids(sliced, idCol, "_sub", k, iters, trainFraction)
         .withColumn("sub", F.lit(s))
     }
     subs.reduce(_ unionByName _).select("sub", "ckey", "centroid")

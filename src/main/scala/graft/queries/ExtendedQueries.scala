@@ -468,7 +468,7 @@ object ExtendedQueries {
          |a2 AS ${assignCte(cos, "c1f")},
          |c2 AS ${meansCte("a2")},
          |c2f AS (SELECT * FROM c2 UNION ALL
-         |        SELECT s.ck, s.centroid FROM seeds s
+         |        SELECT s.ck, s.centroid FROM c1f s
          |        WHERE s.ck NOT IN (SELECT ck FROM c2)),
          |a3 AS ${assignCte(cos, "c2f")}
          |SELECT CAST(ck AS INTEGER) AS centroid_label, count(*) AS n_members,

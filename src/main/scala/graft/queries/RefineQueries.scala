@@ -279,7 +279,11 @@ object RefineQueries {
   /** CTE block reproducing [[Pq.codebooks]] + [[Pq.encode]]: the shared
     * seed ranking, then per subspace two unrolled Lloyd iterations
     * (assign → float32-cast means → empty-cluster fallback) and the
-    * final code assignment `a3_s`. Shared by both PQ oracles. */
+    * final code assignment `a3_s`. Shared by both PQ oracles.
+    * Empty-cluster fallback chains to the PREVIOUS iterate (`c1f_s` for
+    * round 2, the seed only for round 1) — matching
+    * `Ivf.kmeansCentroids`' "empty clusters keep their previous
+    * centroid", for any data, not just data where no cluster empties. */
   private def pqCtes: String = {
     def slice(s: Int, col: String = "embedding") =
       s"list_slice($col, ${s * PQ_SUBDIM + 1}, ${(s + 1) * PQ_SUBDIM})"
@@ -318,7 +322,7 @@ object RefineQueries {
          |a2_$s AS ${assignCte(s, s"c1f_$s")},
          |c2_$s AS ${meansCte(s, s"a2_$s")},
          |c2f_$s AS (SELECT * FROM c2_$s UNION ALL
-         |           SELECT d.ck, d.centroid FROM sd$s d
+         |           SELECT d.ck, d.centroid FROM c1f_$s d
          |           WHERE d.ck NOT IN (SELECT ck FROM c2_$s)),
          |a3_$s AS ${assignCte(s, s"c2f_$s")}""".stripMargin
     }.mkString(",\n")

@@ -86,8 +86,28 @@ object Evolution {
     * Widening within a family (numeric, temporal, decimal) is safe;
     * strings absorb everything; every OTHER cross-type conversion is
     * conservatively flagged (unknown ≠ safe — the report exists to make
-    * a human decide). */
+    * a human decide).
+    *
+    * Integral → floating counts as narrowing when the float's MANTISSA
+    * is smaller than the integer's width: int/long → float (24-bit
+    * mantissa) and long → double (53-bit) silently lose precision on
+    * large values even though a naive "float is wider" rank says safe.
+    * short → float/double and int → double are exact, hence safe. */
   private[graft] def narrows(from: DataType, to: DataType): Boolean = {
+    // significant bits a value of the type can carry (integral: value
+    // bits; floating: mantissa incl. the implicit leading 1)
+    def intBits(dt: DataType): Option[Int] = dt match {
+      case BooleanType => Some(1)
+      case ShortType => Some(15)
+      case IntegerType => Some(31)
+      case LongType => Some(63)
+      case _ => None
+    }
+    def mantissaBits(dt: DataType): Option[Int] = dt match {
+      case FloatType => Some(24)
+      case DoubleType => Some(53)
+      case _ => None
+    }
     def numRank(dt: DataType): Option[Int] = dt match {
       case BooleanType => Some(0)
       case ShortType => Some(1)
@@ -107,6 +127,8 @@ object Evolution {
       case (_, StringType) => false // strings absorb everything
       case (f: DecimalType, t: DecimalType) =>
         t.precision < f.precision || t.scale < f.scale
+      case (f, t) if intBits(f).isDefined && mantissaBits(t).isDefined =>
+        mantissaBits(t).get < intBits(f).get // integral → floating
       case (f, t) if numRank(f).isDefined && numRank(t).isDefined =>
         numRank(t).get < numRank(f).get
       case (f, t) if timeRank(f).isDefined && timeRank(t).isDefined =>

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{functions => F}
 /** CacheScope registry hygiene: per-job release that works even after
   * GC (frames are held strongly until release — a weak handle would
   * silently no-op the unpersist while the CacheManager kept the blocks
-  * pinned), and weak session keying once released. */
+  * pinned). The registry is a plain strong map: release() is the only
+  * exit, and an unreleased session stays pinned by contract. */
 class CacheScopeSpec extends SparkSpec {
 
   test("release unpersists and drops the session entry") {

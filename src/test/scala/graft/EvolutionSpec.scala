@@ -57,6 +57,21 @@ class EvolutionSpec extends SparkSpec {
     assert(!Evolution.narrows(DecimalType(9, 2), DecimalType(38, 4)))
   }
 
+  test("narrows: integral -> floating flagged when the mantissa is smaller") {
+    import org.apache.spark.sql.types._
+    // float carries 24 mantissa bits, double 53 — int/long -> float and
+    // long -> double silently round large values
+    assert(Evolution.narrows(IntegerType, FloatType))
+    assert(Evolution.narrows(LongType, FloatType))
+    assert(Evolution.narrows(LongType, DoubleType))
+    // exact embeddings stay safe
+    assert(!Evolution.narrows(ShortType, FloatType))
+    assert(!Evolution.narrows(IntegerType, DoubleType))
+    assert(!Evolution.narrows(BooleanType, DoubleType))
+    // floating -> integral is still narrowing (fraction loss)
+    assert(Evolution.narrows(FloatType, LongType))
+  }
+
   test("breaking report: drops, narrowings, new requirements — not widenings") {
     val b = Evolution.diff(v1, v2).breaking
     assert(b.contains("drop column note"))

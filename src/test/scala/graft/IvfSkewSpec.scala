@@ -57,6 +57,36 @@ class IvfSkewSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("trainFraction trains on the deterministic hash-sample only") {
+    import graft.operators.Hashing
+    val frac = 0.5
+    // the sampled run must equal a full run over the PRE-FILTERED corpus:
+    // proof that seeds AND every Lloyd iteration read the sample, nothing else
+    val sampled = Ivf.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 3, trainFraction = frac)
+      .orderBy("ckey").collect().map(_.getSeq[Float](1))
+    val manual = emb.filter(
+      Hashing.hash60(F.col("vec_id").cast("string")) % 1000000L <
+        math.floor(frac * 1e6).toLong)
+    assert(manual.count() > 0 && manual.count() < emb.count()) // the sample bites
+    val expected = Ivf.kmeansCentroids(manual, "vec_id", "embedding",
+      k = 4, iters = 3)
+      .orderBy("ckey").collect().map(_.getSeq[Float](1))
+    assert(sampled.toSeq == expected.toSeq)
+    // and differs from full-corpus training (the parameter has effect)
+    val full = Ivf.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .orderBy("ckey").collect().map(_.getSeq[Float](1))
+    assert(sampled.toSeq != full.toSeq)
+    // PQ passes the fraction through to every subspace quantizer
+    val cbS = graft.operators.Pq.codebooks(emb, "vec_id", "embedding",
+      m = 2, subDim = 32, k = 4, iters = 2, trainFraction = frac)
+      .orderBy("sub", "ckey").collect().map(_.getSeq[Float](2))
+    val cbE = graft.operators.Pq.codebooks(manual, "vec_id", "embedding",
+      m = 2, subDim = 32, k = 4, iters = 2)
+      .orderBy("sub", "ckey").collect().map(_.getSeq[Float](2))
+    assert(cbS.toSeq == cbE.toSeq)
+  }
+
   test("salted count equals plain count") {
     val plain = li.groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -45,6 +45,37 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("star-contract CC: 500-hop path converges in <= 2*log2(n) rounds") {
+    import spark.implicits._
+    // adversarial diameter: a path 0-1-2-...-500. Plain min-label
+    // propagation needs ~500 rounds; pointer jumping doubles label
+    // reach per round, so 2*ceil(log2(501)) = 18 rounds must suffice —
+    // maxRounds IS the property (non-convergence throws).
+    val n = 500
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val budget = 2 * math.ceil(math.log(n + 1) / math.log(2)).toInt
+    val got = Dedup.connectedComponentsStarContract(
+      pairs, "doc_a", "doc_b", maxRounds = budget)
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 0L), "every vertex labels the path min")
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("star-contract CC equals propagation CC on a mixed graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val prop = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStarContract(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("fingerprint ignores token order and repetition") {
     import spark.implicits._
     val d = Seq((1L, "b a a c"), (2L, "a b c c"), (3L, "x y")).toDF("doc_id", "text")
