@@ -222,6 +222,105 @@ object Dedup {
         .select(F.col("doc_id"), Hashing.hash60(F.col("seg")).as("key_h")),
       minJaccard, maxDocFreq)
 
+  /** Exact substring-window duplication stats — the corpus-level
+    * substring-dedup measure of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * re-expressed relationally: every `w`-token window of every
+    * document at EVERY position (not distinct — intra-document
+    * repetition is duplication too, and the paper's suffix-array match
+    * counts occurrences), keyed by its hash; a window instance is
+    * duplicated when its hash occurs ≥ 2 times corpus-wide. Per
+    * document: total windows, duplicated windows, duplicated fraction.
+    * Documents with fewer than `w` tokens have no windows and are
+    * absent — callers treat them as 0-duplication.
+    *
+    * Scale shape: window instances collapse to (doc, hash, k_local)
+    * FIRST (map-side combined shuffle on the (doc, 8-byte-hash) key —
+    * repeated windows inside a doc never cross twice), the corpus-wide
+    * count is one re-aggregate of that index on the hash, and the
+    * final rejoin + per-doc rollup carry distinct (doc, hash) rows
+    * only. The index is persisted (the global count and the rejoin
+    * both consume it). No suffix array needed: fixed-w windows give
+    * the same "is this span repeated" signal at w-gram resolution,
+    * and W·n window hashes bucket-shuffle where a distributed suffix
+    * array would need global ordering. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val wins = docs
+      .select(F.col(idCol).as("doc_id"), TextOps.tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"),
+        F.explode(TextOps.shinglesOf(F.col("_toks"), w)).as("win"))
+      .select(F.col("doc_id"), Hashing.hash60(F.col("win")).as("wh"))
+    val local = CacheScope.persist(
+      wins.groupBy("doc_id", "wh").agg(F.count(F.lit(1)).as("k_local")))
+    val global = local.groupBy("wh")
+      .agg(F.sum(F.col("k_local")).as("k_global"))
+    local.join(global, "wh")
+      .groupBy("doc_id")
+      .agg(
+        F.sum(F.col("k_local")).as("n_windows"),
+        F.sum(F.when(F.col("k_global") >= 2, F.col("k_local")).otherwise(0L))
+          .as("n_dup_windows"))
+      .select(F.col("doc_id"),
+        F.col("n_windows"), F.col("n_dup_windows"),
+        F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540) as one composition: k-means-cluster the
+    * embeddings ([[Ivf.kmeansCentroids]] — pass `trainFraction` there
+    * when composing by hand at 100 TB), compare cosines only WITHIN a
+    * cluster (the clustering is the blocking key that keeps the pair
+    * space feasible — the whole point of the paper), connect pairs
+    * ≥ `minCosine` transitively ([[connectedComponents]]) and keep the
+    * min-id representative per semantic cluster.
+    *
+    * Output: (vec_id, centroid_label, keep) for every corpus vector —
+    * keep=1 for representatives and semantically-isolated vectors.
+    *
+    * Scale shape: assignment is a narrow broadcast-literal map; the
+    * within-cluster self-join shuffles on the cluster label (k ≫ 4 in
+    * production keeps cluster populations bounded; AQE splits skewed
+    * clusters); the CC rounds are metadata-sized (pairs, not corpus).
+    * Per-vector norms are computed ONCE before the pair join — the
+    * pair stage then costs one dot + one divide per candidate instead
+    * of three dots (norm(a)·norm(b) inline would re-derive both norms
+    * per pair: measured 3× the flops at sf0.1), and
+    * `round(dot/(n_a·n_b), 6)` runs the identical double ops in the
+    * identical order as [[Similarity.cosine]], so results hash-match. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, minCosine: Double = 0.9): DataFrame = {
+    val cents = Ivf.kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    val assigned = CacheScope.persist(
+      Ivf.assign(corpus, cents, idCol, vecCol)
+        .select(F.col("vec_id"), F.col("centroid_label"))
+        .join(corpus.select(F.col(idCol).as("vec_id"), F.col(vecCol).as("_v"),
+          Similarity.norm(F.col(vecCol)).as("_n")), "vec_id"))
+    val a = assigned.select(F.col("vec_id").as("vec_a"),
+      F.col("centroid_label").as("_lbl"), F.col("_v").as("_va"), F.col("_n").as("_na"))
+    val b = assigned.select(F.col("vec_id").as("vec_b"),
+      F.col("centroid_label").as("_lbl"), F.col("_v").as("_vb"), F.col("_n").as("_nb"))
+    val pairs = a.join(b, "_lbl")
+      .filter(F.col("vec_a") < F.col("vec_b"))
+      .select(F.col("vec_a"), F.col("vec_b"),
+        F.round(Similarity.dot(F.col("_va"), F.col("_vb"))
+          / (F.col("_na") * F.col("_nb")), 6).as("cos"))
+      .filter(F.col("cos") >= minCosine)
+    // pointer-jumping CC, not plain propagation: a cosine-threshold
+    // graph over a clustered corpus is a sprawling random graph whose
+    // component diameter grows with cluster population (measured ~7 s
+    // of propagation rounds at sf0.1) — the O(log n)-round variant
+    // converges in a handful of rounds regardless of diameter
+    val cc = connectedComponentsStarContract(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", "vec_id")
+    assigned.select(F.col("vec_id"), F.col("centroid_label"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(F.col("vec_id"), F.col("centroid_label"),
+        F.when(F.col("cluster_id").isNull || F.col("cluster_id") === F.col("vec_id"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** Scale composition for duplicate-heavy corpora: collapse exact
     * duplicates to one representative (min id) FIRST, then run n-gram
     * Jaccard among unique texts only. A corpus with d copies per doc
@@ -282,13 +381,26 @@ object Dedup {
     * cheap: one shuffle each) or use [[connectedComponentsStarContract]]
     * (O(log n) rounds on any topology). Note the loop runs up to
     * `maxRounds + 1` rounds: convergence is only observable via a
-    * confirming no-change round. */
+    * confirming no-change round.
+    *
+    * `localThreshold` (r5): when the DEDUPLICATED edge list is at most
+    * this many rows (and vertex ids are integral), the components are
+    * finished with driver-side union-find instead of iterating — the
+    * hybrid every production CC uses (distributed while big, local
+    * when metadata-sized). A dedup pair graph is the heavily-reduced
+    * OUTPUT of LSH/blocking; when it fits in tens of MB, per-round job
+    * scheduling dominates any distributed loop (measured: 6 s of
+    * rounds for a 1 706-edge graph vs 0.2 s of union-find). The
+    * default cutoff (100k edges ≈ 1.6 MB collected) is deliberately
+    * conservative; pass 0 to force the distributed loop. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, localThreshold: Long = 100000L): DataFrame = {
     val edges = CacheScope.persist(
       pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
         .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
         .distinct())
+    val finishedLocally = localFinish(pairs, edges, aCol, localThreshold)
+    if (finishedLocally.isDefined) return finishedLocally.get
     var labels = CacheScope.persist(
       edges.select(F.col("src").as("v")).distinct()
         .withColumn("lbl", F.col("v")))
@@ -339,6 +451,49 @@ object Dedup {
     labels.select(F.col("v").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
 
+  /** Small-graph finishing layer shared by both CC variants: when the
+    * deduplicated (doubled) edge list is within `localThreshold` rows
+    * and vertex ids are integral, collect it (≤ 2·threshold rows of
+    * two longs — metadata-sized BY CONSTRUCTION of the cutoff) and run
+    * union-find with path compression on the driver; labels are the
+    * component min, identical to the converged distributed loop.
+    * Returns None when the graph is too big or ids aren't integral —
+    * callers fall through to the distributed iteration. */
+  private def localFinish(pairs: DataFrame, edges: DataFrame, aCol: String,
+      localThreshold: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    val aType = pairs.schema(aCol).dataType
+    if (localThreshold <= 0 || !integral.contains(aType)) return None
+    if (edges.count() > 2 * localThreshold) return None
+    val es = edges
+      .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN root: labels stay the component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val vertices = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    val labels = vertices.toSeq.sorted.map(v => (v, find(v)))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Some(labels.toDF("doc_id", "cluster_id")
+      .select(F.col("doc_id").cast(aType), F.col("cluster_id").cast(aType)))
+  }
+
   /** Connected components by min-label propagation + POINTER JUMPING —
     * the O(log n)-round variant for adversarial-diameter graphs (long
     * drift chains), same signature and output as
@@ -358,14 +513,18 @@ object Dedup {
     * non-increasing, bounded below by the component min (which labels
     * itself forever), so the fixpoint — no neighbor smaller, jump a
     * no-op — is exactly "every vertex labelled its component min".
-    * Same lazy per-round checkpointing and loud non-convergence as the
+    * Same lazy per-round checkpointing, loud non-convergence and
+    * small-graph union-find finishing (`localThreshold`) as the
     * propagation variant. */
   def connectedComponentsStarContract(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int = 40): DataFrame = {
+      bCol: String, maxRounds: Int = 40,
+      localThreshold: Long = 100000L): DataFrame = {
     val edges = CacheScope.persist(
       pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
         .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
         .distinct())
+    val finishedLocally = localFinish(pairs, edges, aCol, localThreshold)
+    if (finishedLocally.isDefined) return finishedLocally.get
     var labels = CacheScope.persist(
       edges.select(F.col("src").as("v")).distinct()
         .withColumn("lbl", F.col("v")))

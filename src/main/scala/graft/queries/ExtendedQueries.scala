@@ -419,7 +419,7 @@ object ExtendedQueries {
   // ------------------------------------------------------------ D9c
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
   /** Deterministic Lloyd k-means (k=4, 2 iterations, md5-hash-ordered
@@ -441,40 +441,51 @@ object ExtendedQueries {
         .orderBy("centroid_label")
     },
     Some {
-      def assignCte(score: String, from: String): String =
-        s"""(SELECT vec_id, ck, cos FROM (
-           |    SELECT e.vec_id, c.ck, $score AS cos,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY $score DESC, c.ck) AS rn
-           |    FROM embeddings e, $from c) WHERE rn = 1)""".stripMargin
-      def meansCte(assign: String): String =
-        s"""(SELECT ck, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
-           |  FROM (SELECT a.ck, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS cv
-           |        FROM $assign a JOIN embeddings e USING (vec_id),
-           |             generate_series(1, 64) AS t(i)
-           |        GROUP BY 1, 2) GROUP BY ck)""".stripMargin
-      val cos = cosSql("e.embedding", "c.centroid")
-      s"""WITH seeds AS (
-         |  SELECT ck, centroid FROM (
-         |    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS ck,
-         |           embedding AS centroid
-         |    FROM (SELECT vec_id, ${graft.operators.Hashing.hash60Sql("CAST(vec_id AS VARCHAR)")} AS h,
-         |                 embedding FROM embeddings)) WHERE ck < 4),
-         |a1 AS ${assignCte(cos, "seeds")},
-         |c1 AS ${meansCte("a1")},
-         |c1f AS (SELECT * FROM c1 UNION ALL
-         |        SELECT s.ck, s.centroid FROM seeds s
-         |        WHERE s.ck NOT IN (SELECT ck FROM c1)),
-         |a2 AS ${assignCte(cos, "c1f")},
-         |c2 AS ${meansCte("a2")},
-         |c2f AS (SELECT * FROM c2 UNION ALL
-         |        SELECT s.ck, s.centroid FROM c1f s
-         |        WHERE s.ck NOT IN (SELECT ck FROM c2)),
-         |a3 AS ${assignCte(cos, "c2f")}
+      s"""WITH $kmeansA3Ctes
          |SELECT CAST(ck AS INTEGER) AS centroid_label, count(*) AS n_members,
          |       min(cos) AS min_cos, max(cos) AS max_cos
          |FROM a3 GROUP BY ck ORDER BY centroid_label""".stripMargin
     })
+
+  /** Shared oracle fragment: the deterministic-k-means CTE chain
+    * (`seeds` … `a3`, k=4, 2 unrolled Lloyd iterations over the
+    * `embeddings` table, empty-cluster fallback chaining to the
+    * previous iterate) reproducing [[graft.operators.Ivf.kmeansCentroids]]
+    * + [[graft.operators.Ivf.assign]]. `a3` is the final per-vector
+    * assignment (vec_id, ck, cos). Reused by `embed_kmeans` and
+    * `semantic_dedup`. */
+  private[queries] def kmeansA3Ctes: String = {
+    def assignCte(score: String, from: String): String =
+      s"""(SELECT vec_id, ck, cos FROM (
+         |    SELECT e.vec_id, c.ck, $score AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $score DESC, c.ck) AS rn
+         |    FROM embeddings e, $from c) WHERE rn = 1)""".stripMargin
+    def meansCte(assign: String): String =
+      s"""(SELECT ck, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
+         |  FROM (SELECT a.ck, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS cv
+         |        FROM $assign a JOIN embeddings e USING (vec_id),
+         |             generate_series(1, 64) AS t(i)
+         |        GROUP BY 1, 2) GROUP BY ck)""".stripMargin
+    val cos = cosSql("e.embedding", "c.centroid")
+    s"""seeds AS (
+       |  SELECT ck, centroid FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS ck,
+       |           embedding AS centroid
+       |    FROM (SELECT vec_id, ${graft.operators.Hashing.hash60Sql("CAST(vec_id AS VARCHAR)")} AS h,
+       |                 embedding FROM embeddings)) WHERE ck < 4),
+       |a1 AS ${assignCte(cos, "seeds")},
+       |c1 AS ${meansCte("a1")},
+       |c1f AS (SELECT * FROM c1 UNION ALL
+       |        SELECT s.ck, s.centroid FROM seeds s
+       |        WHERE s.ck NOT IN (SELECT ck FROM c1)),
+       |a2 AS ${assignCte(cos, "c1f")},
+       |c2 AS ${meansCte("a2")},
+       |c2f AS (SELECT * FROM c2 UNION ALL
+       |        SELECT s.ck, s.centroid FROM c1f s
+       |        WHERE s.ck NOT IN (SELECT ck FROM c2)),
+       |a3 AS ${assignCte(cos, "c2f")}""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,

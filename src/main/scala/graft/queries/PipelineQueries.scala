@@ -94,7 +94,11 @@ object PipelineQueries {
     (s, d) => {
       val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
         "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
-      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      // localThreshold = 0: this query deliberately exercises the
+      // DISTRIBUTED propagation loop against the recursive-CTE oracle
+      // (the union-find finishing layer is covered by semantic_dedup
+      // and the operator specs)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0L)
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $minhashCtesSql,
@@ -698,7 +702,9 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
         k = K, bands = BANDS, shingleN = 3)
-      val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      // distributed loop kept here too — see dedup_clusters
+      val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        localThreshold = 0L)
       val kept = docs.join(clusters, Seq("doc_id"), "left")
         .filter(F.col("cluster_id").isNull || F.col("cluster_id") === F.col("doc_id"))
       kept.groupBy("source")

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.operators.{Dedup, Hashing}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-7 inventory (r5): the two corpus-dedup recipes from the
+  * LLM-data literature that were still missing from §2 —
+  * substring-window duplication (Lee et al. 2022, arXiv:2107.06499)
+  * and semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+  * Oracle SQL mirrors the Spark plans step for step (same hashes, same
+  * rounding discipline, same tie-breaks) so the results hash-match. */
+object SemanticQueries {
+
+  private val toksSql = "regexp_split_to_array(lower(text), ' +')"
+
+  /** DuckDB n-gram list over a token-array column `t` (ALL positions). */
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 0)), i -> $parts)"
+  }
+
+  // ---------------------------------------------------------------- D17
+  /** w=5 so the sf0.01 corpus (planted exact + near duplicates) yields
+    * a non-trivial duplicated fraction; the paper uses 50-token spans
+    * on web-scale text. */
+  private val dedupSubstring = QueryDef(
+    "dedup_substring",
+    (s, d) => Dedup.substringDupStats(t(s, d, "documents"), "doc_id", "text",
+      w = 5)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      w AS (SELECT doc_id, unnest(${gramsSql(5)}) AS win FROM tk),
+      h AS (SELECT doc_id, ${Hashing.hash60Sql("win")} AS wh FROM w),
+      l AS (SELECT doc_id, wh, count(*) AS k_local FROM h GROUP BY 1, 2),
+      g AS (SELECT wh, CAST(sum(k_local) AS BIGINT) AS k_global
+            FROM l GROUP BY 1)
+      SELECT doc_id,
+             CAST(sum(k_local) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN k_global >= 2 THEN k_local ELSE 0 END)
+                  AS BIGINT) AS n_dup_windows,
+             round(sum(CASE WHEN k_global >= 2 THEN k_local ELSE 0 END) * 1.0
+                   / sum(k_local), 6) AS dup_frac
+      FROM l JOIN g USING (wh)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- D18
+  /** Same k-means configuration as `embed_kmeans` (k=4, 2 iterations)
+    * and the same cosine threshold as `embed_neardup` (0.35), so the
+    * oracle reuses the shared a3 CTE chain and the planted near-dup
+    * vectors actually produce semantic drops at sf0.01. */
+  private val semanticDedup = QueryDef(
+    "semantic_dedup",
+    (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+      k = 4, iters = 2, minCosine = 0.35)
+      .orderBy("vec_id"),
+    Some {
+      val cos = ExtendedQueries.cosSql("ea.embedding", "eb.embedding")
+      s"""WITH RECURSIVE ${ExtendedQueries.kmeansA3Ctes},
+         |pr AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM a3 a JOIN a3 b ON a.ck = b.ck AND a.vec_id < b.vec_id
+         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE $cos >= 0.35),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pr
+         |          UNION SELECT vec_b, vec_a FROM pr),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |          WHERE e.b <> r.a),
+         |clusters AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |             FROM reach GROUP BY a)
+         |SELECT a3.vec_id, CAST(a3.ck AS INTEGER) AS centroid_label,
+         |       CAST(CASE WHEN c.cluster_id IS NULL
+         |                      OR c.cluster_id = a3.vec_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM a3 LEFT JOIN clusters c ON a3.vec_id = c.vec_id
+         |ORDER BY a3.vec_id""".stripMargin
+    })
+
+  def all: Seq[QueryDef] = Seq(dedupSubstring, semanticDedup)
+}

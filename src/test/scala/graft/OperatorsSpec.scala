@@ -21,10 +21,16 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // distributed propagation loop, forced past the union-find cutoff
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      localThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+    // default hybrid path (small graph → driver union-find) agrees
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(local == expected)
     graft.operators.CacheScope.release(spark)
   }
 
@@ -56,7 +62,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_a", "doc_b")
     val budget = 2 * math.ceil(math.log(n + 1) / math.log(2)).toInt
     val got = Dedup.connectedComponentsStarContract(
-      pairs, "doc_a", "doc_b", maxRounds = budget)
+      pairs, "doc_a", "doc_b", maxRounds = budget, localThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == n + 1)
     assert(got.forall(_._2 == 0L), "every vertex labels the path min")
@@ -68,11 +74,51 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("doc_a", "doc_b")
-    val prop = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    val star = Dedup.connectedComponentsStarContract(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      localThreshold = 0L).as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStarContract(pairs, "doc_a", "doc_b",
+      localThreshold = 0L).as[(Long, Long)].collect().toMap
     assert(star == prop)
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("substring-window dup stats: cross-doc and intra-doc repetition both count") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),      // 4 windows at w=3, all shared with doc 3
+      (2L, "a b c x y"),        // 3 windows; only 'a b c' repeats
+      (3L, "a b c d e f"),      // exact duplicate of doc 1
+      (4L, "p q r p q r p q"),  // every window repeats WITHIN the doc
+      (5L, "z z")               // < w tokens: no windows, absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((4L, 4L, 1.0)))
+    assert(got(4L) == ((6L, 6L, 1.0)), "intra-doc repeats are duplication")
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("semantic dedup keeps one representative per tight embedding cluster") {
+    import spark.implicits._
+    def vec(base: Float, jitter: Float): Seq[Float] =
+      (0 until 64).map(i => if (i % 2 == 0) base + jitter else base - jitter)
+    val corpus = ((1L to 4L).map(i => (i, vec(10f, i * 0.01f))) ++
+      (5L to 8L).map(i => (i, vec(-10f, i * 0.01f))))
+      .toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val got = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got.size == 8)
+    val kept = got.collect { case (id, (_, 1L)) => id }.toSet
+    assert(kept == Set(1L, 5L), s"one min-id representative per cluster, got $kept")
+    // members of one semantic cluster share the kmeans label (tight blobs)
+    assert((1L to 4L).map(got(_)._1).toSet.size == 1)
+    assert((5L to 8L).map(got(_)._1).toSet.size == 1)
     graft.operators.CacheScope.release(spark)
   }
 
