@@ -172,6 +172,23 @@ object ScaleTest {
       graft.operators.Pq.adcTopK(codes, cb,
         e.where(F.col("vec_id") < 5), "vec_id", "embedding", k = 5).count()
     }
+    // r5: PQ training on a 10% hash-sample — the 100 TB configuration;
+    // mult-independent centroid count, mult/10-sized Lloyd scans
+    time("pq_train_sampled_10pct") {
+      graft.operators.Pq.codebooks(e, "vec_id", "embedding",
+        trainFraction = 0.1).count()
+    }
+    // r5: substring-window dedup on the duplicated corpus — replication
+    // makes EVERY window corpus-duplicated, the worst case for the
+    // (doc, hash) index (nothing drops before the global count)
+    time("substring_dup_w8")(graft.operators.Dedup.substringDupStats(
+      d, "doc_id", "text", w = 8).count())
+    // r5: SemDeDup at mult× — k-means cost is mult-linear narrow maps,
+    // the within-cluster pair join is the quadratic-in-cluster-size
+    // step the clustering bounds (k=16 keeps populations ~mult·300),
+    // CC finishes locally when the pair graph is metadata-sized
+    time("semantic_dedup_k16")(graft.operators.Dedup.semanticDedup(
+      e, "vec_id", "embedding", k = 16, iters = 2, minCosine = 0.35).count())
 
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
