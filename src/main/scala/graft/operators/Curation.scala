@@ -363,4 +363,51 @@ object Curation {
         F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
         F.coalesce(F.col("kept_tokens"), F.lit(0L)).as("kept_tokens"))
   }
+
+  /** Temperature-flattened domain mixture — the T-sampling move from
+    * multilingual / multi-domain LM training (sampling share ∝
+    * raw_share^(1/T), T > 1 upsamples the tail): the data-driven
+    * complement of [[domainMix]]'s explicit targets.
+    *
+    * Portability discipline: `temperature` must be a power of two —
+    * share^(1/2^k) computes as k nested `sqrt`s, each CORRECTLY-ROUNDED
+    * IEEE and therefore bit-identical on any engine, where
+    * `pow(x, 1/T)` is libm-dependent. The flattened shares are then
+    * floored into integer MICRO-units before normalizing, so the
+    * normalizer is an order-independent exact long sum (a double sum
+    * over domains would differ by ULPs with aggregation order).
+    *
+    * Output per domain: token count, raw share, flattened micro-share,
+    * normalized weight, and the resulting per-domain sampling rate
+    * (weight·total / domain_tokens, capped at 1).
+    * Scale shape: one map-side-combined aggregate on the domain key +
+    * two metadata-sized passes over the per-domain rows. */
+  def domainTemperature(
+      docs: DataFrame, domainCol: String, tokensCol: String,
+      temperature: Double = 2.0): DataFrame = {
+    val k = math.round(math.log(temperature) / math.log(2.0)).toInt
+    require(k >= 1 && math.pow(2.0, k) == temperature,
+      s"temperature must be a power of two >= 2 (got $temperature) — " +
+        "share^(1/2^k) computes as k correctly-rounded sqrts; arbitrary " +
+        "exponents would be libm-dependent and break engine portability")
+    val domTok = docs.groupBy(domainCol).agg(
+      F.sum(F.col(tokensCol)).cast("long").as("domain_tokens"))
+    val withTotal = domTok.withColumn("_total",
+      F.sum("domain_tokens").over(Window.partitionBy()))
+    val share = F.col("domain_tokens").cast("double") / F.col("_total")
+    val flat = (1 to k).foldLeft(share)((c, _) => F.sqrt(c))
+    val micro = withTotal.withColumn("flat_micro",
+      F.floor(flat * 1e6).cast("long"))
+    val z = micro.withColumn("_z",
+      F.sum("flat_micro").over(Window.partitionBy()))
+    z.select(
+      F.col(domainCol),
+      F.col("domain_tokens"),
+      F.round(share, 6).as("share"),
+      F.col("flat_micro"),
+      F.round(F.col("flat_micro").cast("double") / F.col("_z"), 6).as("weight"),
+      F.round(F.least(F.lit(1.0),
+        F.col("flat_micro").cast("double") / F.col("_z")
+          * F.col("_total") / F.col("domain_tokens")), 6).as("sample_rate"))
+  }
 }

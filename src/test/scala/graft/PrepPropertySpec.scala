@@ -102,4 +102,29 @@ class PrepPropertySpec extends SparkSpec {
       assert(mixed.count() == 0)
     }
   }
+
+  test("substring dup stats: window accounting holds; a doubled corpus is 100% duplicated") {
+    import spark.implicits._
+    val w = 3
+    for (seed <- 1L to 3L) {
+      val d = corpus(40, seed)
+      val got = Dedup.substringDupStats(d, "doc_id", "text", w)
+      // bounds + exact window count per doc: max(0, len - w + 1)
+      assert(got.where(F.col("n_dup_windows") > F.col("n_windows")).count() == 0)
+      val expectedWindows = d
+        .select(F.greatest(F.lit(0L),
+          (F.size(F.split(F.lower(F.col("text")), " +")) - (w - 1)).cast("long"))
+          .as("nw"))
+        .agg(F.sum("nw")).head().getLong(0)
+      assert(got.agg(F.sum("n_windows")).head().getLong(0) == expectedWindows)
+      graft.operators.CacheScope.release(spark)
+      // doubling the corpus makes EVERY window corpus-duplicated
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 1000L))
+      val dd = Dedup.substringDupStats(doubled, "doc_id", "text", w)
+      assert(dd.where(F.col("dup_frac") =!= 1.0).count() == 0,
+        "every window of a doubled corpus occurs >= 2 times")
+      graft.operators.CacheScope.release(spark)
+    }
+  }
 }
