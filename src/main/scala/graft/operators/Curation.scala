@@ -364,6 +364,60 @@ object Curation {
         F.coalesce(F.col("kept_tokens"), F.lit(0L)).as("kept_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every pool document by how target-domain-like its hashed
+    * n-gram feature distribution is. Features are bigrams hashed into
+    * `buckets` counts; a document's log-importance weight is
+    *   Σ_b n_doc(b) · [log p_target(b) − log p_raw(b)]
+    * with add-1 smoothed bucket probabilities estimated from the corpus
+    * itself (rows matching `targetCol` = the target domain, everything
+    * = the raw pool). High weight → resample into training.
+    *
+    * Portability discipline: logs are floorLog2 (integer binary digit
+    * count), so the weight is an exact integer and the oracle
+    * hash-matches; float log ratios would drift by ULPs across libm.
+    *
+    * Scale shape: one corpus scan explodes bigrams into a
+    * (doc, bucket) count aggregate (the one big shuffle, map-side
+    * combined; PERSISTED — it feeds the raw totals, the target totals
+    * and the scoring join). Bucket tables are ≤ `buckets` rows, so both
+    * scoring joins broadcast; totals ride a one-row broadcast. Docs
+    * with < 2 tokens have no features and are absent. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 1024): DataFrame = {
+    import TextOps.floorLog2
+    val feats = CacheScope.persist(docs
+      .select(F.col(idCol).as("doc_id"), targetCol.as("_tgt"),
+        TextOps.tokens(F.col(textCol)).as("_toks"))
+      .select(F.col("doc_id"), F.col("_tgt"),
+        F.explode(TextOps.shinglesOf(F.col("_toks"), 2)).as("gram"))
+      .select(F.col("doc_id"), F.col("_tgt"),
+        F.pmod(Hashing.hash60(F.col("gram")), F.lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "_tgt", "b").agg(F.count(F.lit(1)).as("n")))
+    val raw = feats.groupBy("b").agg(F.sum("n").as("_craw"))
+    val tgt = feats.where(F.col("_tgt"))
+      .groupBy("b").agg(F.sum("n").as("_ctgt"))
+    val tot = raw.agg(F.sum("_craw").as("_traw")).crossJoin(
+      tgt.agg(F.coalesce(F.sum("_ctgt"), F.lit(0L)).as("_ttgt")))
+    val normShift = // per-feature normalizer: log p uses totals + B smoothing mass
+      floorLog2(F.col("_ttgt") + buckets) - floorLog2(F.col("_traw") + buckets)
+    feats
+      .join(F.broadcast(raw), "b")
+      .join(F.broadcast(tgt), Seq("b"), "left")
+      .select(F.col("doc_id"), F.col("n"),
+        (floorLog2(F.coalesce(F.col("_ctgt"), F.lit(0L)) + 1) -
+          floorLog2(F.col("_craw") + 1)).as("_sb"))
+      .groupBy("doc_id")
+      .agg(F.sum("n").as("n_feats"), F.sum(F.col("n") * F.col("_sb")).as("_sw"))
+      .crossJoin(F.broadcast(tot))
+      .select(
+        F.col("doc_id"), F.col("n_feats"),
+        (F.col("_sw") - F.col("n_feats") * normShift).as("log2_weight"),
+        F.round((F.col("_sw") - F.col("n_feats") * normShift).cast("double")
+          / F.col("n_feats"), 6).as("avg_log2"))
+  }
+
   /** Temperature-flattened domain mixture — the T-sampling move from
     * multilingual / multi-domain LM training (sampling share ∝
     * raw_share^(1/T), T > 1 upsamples the tail): the data-driven

@@ -339,6 +339,75 @@ object ExtendedQueries {
              min(o_totalprice) AS min_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ------------------------------------------------------ C28 mode/median
+  /** Exact mode (most frequent value, ties broken by SMALLEST value so
+    * the winner is engine-independent — both Spark's and DuckDB's
+    * native mode() are tie-arbitrary) and exact interpolated median.
+    * Mode = min(struct(-count, value)) over per-(group, value) counts:
+    * two map-side-combined shuffles, O(1) aggregate state. Median uses
+    * exact `percentile` (Spark) == `quantile_cont` (DuckDB) — same
+    * p·(n−1) linear interpolation; quantities are small integers in
+    * doubles, so the (a+b)·fraction arithmetic is bit-portable. */
+  private val aggMode = QueryDef(
+    "agg_mode",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val counts = li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).as("_c"))
+      val mode = counts.groupBy("l_returnflag")
+        .agg(F.min(F.struct((-F.col("_c")).as("_nc"), F.col("l_quantity")))
+          .as("_m"))
+        .select(F.col("l_returnflag"),
+          F.col("_m._nc").as("_negc"), F.col("_m.l_quantity").as("mode_qty"))
+      val med = li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).as("median_qty"))
+      med.join(mode, "l_returnflag")
+        .select(F.col("l_returnflag"), F.col("n"), F.col("mode_qty"),
+          (-F.col("_negc")).as("mode_count"), F.col("median_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                 FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY c DESC, l_quantity ASC) AS rn
+            FROM c),
+      a AS (SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+            FROM lineitem GROUP BY 1)
+      SELECT a.l_returnflag, n, mode_qty, mode_count, median_qty
+      FROM a JOIN m ON a.l_returnflag = m.l_returnflag AND rn = 1
+      ORDER BY a.l_returnflag"""))
+
+  // ----------------------------------------------- C29 percent_rank
+  /** percent_rank + cume_dist per order-priority partition. Both
+    * definitions ((rank−1)/(n−1), peers/n) are identical across
+    * engines and tie-stable (equal prices share a value, so the output
+    * is deterministic even though the sort isn't total). Scale note:
+    * 5 priority partitions would bottleneck a 100 TB sort — at scale,
+    * pre-aggregate to (partition, value, count) and prefix-sum counts
+    * (the C27 histogram shape) instead of ranking raw rows. */
+  private val windowPercent = QueryDef(
+    "window_percent",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("o_totalprice")
+      t(s, d, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority"),
+        F.round(F.percent_rank().over(w), 6).as("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice), 6) AS pct_rank,
+             round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice), 6) AS cume
+      FROM orders ORDER BY o_orderkey"""))
+
   // ------------------------------------------------------- G2b hopping
   /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
     * event lands in two windows. The oracle unnests the two candidate
@@ -490,5 +559,6 @@ object ExtendedQueries {
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
-    scalarSubquery, intervalJoin, aggMaxBy, windowHopping)
+    scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
+    windowPercent)
 }

@@ -135,6 +135,70 @@ object SemanticQueries {
                               / domain_tokens), 6) AS sample_rate
       FROM m, z ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- E35
+  /** Target domain = lang 'en'; 1024 feature buckets (the paper uses
+    * 10k hashed unigram+bigram buckets at web scale — bucket count only
+    * shifts the smoothing mass, the plan shape is identical). */
+  private val dsirWeights = QueryDef(
+    "dsir_weights",
+    (s, d) => graft.operators.Curation.dsirWeights(
+      t(s, d, "documents"), "doc_id", "text",
+      targetCol = F.col("lang") === "en", buckets = 1024)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS t
+                  FROM documents),
+      g AS (SELECT doc_id, tgt, unnest(${gramsSql(2)}) AS gram FROM tk),
+      f AS (SELECT doc_id, tgt, ${Hashing.hash60Sql("gram")} % 1024 AS b,
+                   count(*) AS n
+            FROM g GROUP BY 1, 2, 3),
+      raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS craw FROM f GROUP BY 1),
+      tg AS (SELECT b, CAST(sum(n) AS BIGINT) AS ctgt FROM f WHERE tgt GROUP BY 1),
+      tot AS (SELECT CAST(sum(craw) AS BIGINT) AS traw,
+                     (SELECT CAST(coalesce(sum(ctgt), 0) AS BIGINT) FROM tg)
+                       AS ttgt
+              FROM raw),
+      sc AS (SELECT f.doc_id, f.n,
+                    (length(bin(coalesce(ctgt, 0) + 1)) - 1)
+                      - (length(bin(craw + 1)) - 1) AS sb
+             FROM f JOIN raw USING (b) LEFT JOIN tg USING (b)),
+      agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                     CAST(sum(n * sb) AS BIGINT) AS sw
+              FROM sc GROUP BY 1)
+      SELECT doc_id, n_feats,
+             CAST(sw - n_feats * ((length(bin(ttgt + 1024)) - 1)
+                                  - (length(bin(traw + 1024)) - 1))
+                  AS BIGINT) AS log2_weight,
+             round(CAST(sw - n_feats * ((length(bin(ttgt + 1024)) - 1)
+                                        - (length(bin(traw + 1024)) - 1))
+                        AS DOUBLE) / n_feats, 6) AS avg_log2
+      FROM agg, tot ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- E36
+  /** Round-0 pair counts (the per-round counting step of BPE training;
+    * multi-round merge application is deterministic-tie-break `Bpe.train`,
+    * spec-verified on a hand-computed corpus). Top 20 by (count DESC,
+    * pair ASC) — a bounded TakeOrderedAndProject, never a full sort. */
+  private val bpePairs = QueryDef(
+    "bpe_pairs",
+    (s, d) => graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.wordFreq(t(s, d, "documents"), "text"), Nil)
+      .orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+      .orderBy(F.desc("cnt"), F.asc("pair")),
+    Some(s"""
+      WITH tk AS (SELECT $toksSql AS t FROM documents),
+      w AS (SELECT unnest(t) AS word FROM tk),
+      wf AS (SELECT word, count(*) AS freq FROM w
+             WHERE length(word) > 0 GROUP BY 1),
+      p AS (SELECT freq,
+                   unnest(list_transform(generate_series(1, length(word) - 1),
+                     i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)))
+                     AS pair
+            FROM wf)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"""))
+
   def all: Seq[QueryDef] = Seq(
-    dedupSubstring, semanticDedup, surprisalBigram, domainTemperature)
+    dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
+    dsirWeights, bpePairs)
 }

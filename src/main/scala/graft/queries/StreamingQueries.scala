@@ -440,7 +440,32 @@ object StreamingQueries {
       SELECT user_id, n_events, sum_value, last_event_id, last_ts
       FROM agg JOIN l USING (user_id) ORDER BY user_id"""))
 
+  // ----------------------------------------------------------------- G11
+  /** Watermark-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds each key only until the watermark passes its event time +
+    * delay — the production shape for infinite streams, where G3's
+    * plain dropDuplicates state grows forever. Keys project AFTER the
+    * dedup (the emitted row is the first arrival, whose non-key columns
+    * are order-dependent; the key set is not). The 30-day delay exceeds
+    * the bounded test span so no state evicts mid-drain and the result
+    * is exactly DISTINCT; the eviction path (re-emission of a key whose
+    * state aged out) is exercised in `StreamingSpec2`. */
+  private val streamDedupWatermark = QueryDef(
+    "stream_dedup_watermark",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val dd = stream
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      drain(dd, "append").orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
-    streamJoinOuter, streamUpsert)
+    streamJoinOuter, streamUpsert, streamDedupWatermark)
 }
