@@ -71,4 +71,45 @@ object Graph {
     ranks.select(F.col("v").as("doc_id"), F.col("rank").as("rank_fp"),
       F.round(F.col("rank").cast("double") / SCALE, 6).as("rank"))
   }
+
+  /** Exact triangle count via degree orientation [Cohen 2009 / the
+    * standard MPC formulation]: orient every canonical edge (a < b)
+    * from the (degree, id)-SMALLER endpoint to the larger, join
+    * out-edges on their source to enumerate wedges, and close each
+    * wedge against the canonical edge set. The strict total order
+    * makes the orientation acyclic, so every triangle has exactly ONE
+    * vertex with two out-edges — counted once, no division by 3.
+    *
+    * Scale shape: orientation bounds out-degree by ~√m even on
+    * power-law graphs (a hub's edges all point INTO it), so the wedge
+    * join fans out by the small side — the difference between counting
+    * triangles on a 100 TB web graph and materializing a hub's
+    * deg² wedges. Three shuffles total (degrees, wedge join, closing
+    * join); `pairs` must hold each undirected edge once with
+    * `aCol < bCol`. */
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = CacheScope.persist(
+      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+    val deg = e.select(F.col("a").as("v"))
+      .unionByName(e.select(F.col("b").as("v")))
+      .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("dg", "_da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("dg", "_db"), "b")
+    val aFirst = F.col("_da") < F.col("_db") ||
+      (F.col("_da") === F.col("_db") && F.col("a") < F.col("b"))
+    val o = CacheScope.persist(withDeg.select(
+      F.when(aFirst, F.col("a")).otherwise(F.col("b")).as("src"),
+      F.when(aFirst, F.col("b")).otherwise(F.col("a")).as("dst")))
+    val o2 = o.select(F.col("src"), F.col("dst").as("dst2"))
+    val wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))
+      .select(F.col("dst").as("x"), F.col("dst2").as("y"))
+    // Seq-based keys on a renamed projection: wedges descends from e, so
+    // column-reference equality would be an ambiguous self-join
+    val eClose = e.select(F.col("a").as("x"), F.col("b").as("y"))
+    val tri = wedges.join(eClose, Seq("x", "y"), "left_semi")
+    e.agg(F.count(F.lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(F.count(F.lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(F.count(F.lit(1)).as("n_triangles")))
+  }
 }

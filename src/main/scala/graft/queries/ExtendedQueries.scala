@@ -485,6 +485,359 @@ object ExtendedQueries {
        AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
       ORDER BY err_id, click_id"""))
 
+  // ------------------------------------------------- C24b binned interval
+  /** The same attribution join as C24, but with the shuffle key
+    * (user_id, 10-min time bin): each error probes its own bin and the
+    * previous one (two bins cover the whole trailing window because the
+    * bin width equals the window), so per-key join fan-out is bounded
+    * by time DENSITY, not by a user's total history — the scale fix for
+    * C24's hot-user quadratic blowup. Same result, checked against the
+    * identical oracle. */
+  private val intervalJoinBinned = QueryDef(
+    "interval_join_binned",
+    (s, d) => {
+      val binSec = 600L // == the 10-min window, so 2 bins cover it
+      def bin(ts: Column): Column =
+        F.floor(ts.cast("long").cast("double") / binSec).cast("long")
+      val ev = t(s, d, "events")
+      val errors = ev.filter(F.col("event_type") === "error")
+        .select(F.col("event_id").as("err_id"), F.col("user_id"),
+          F.col("ts").as("err_ts"))
+        .withColumn("bin",
+          F.explode(F.array(bin(F.col("err_ts")) - 1, bin(F.col("err_ts")))))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("event_id").as("click_id"), F.col("user_id"),
+          F.col("ts").as("click_ts"))
+        .withColumn("bin", bin(F.col("click_ts")))
+      errors.join(clicks, Seq("user_id", "bin"))
+        .filter(F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES")
+          && F.col("click_ts") < F.col("err_ts"))
+        .select("user_id", "err_id", "click_id")
+        .orderBy("err_id", "click_id")
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+      FROM events e JOIN events c
+        ON e.user_id = c.user_id
+       AND e.event_type = 'error' AND c.event_type = 'click'
+       AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+      ORDER BY err_id, click_id"""))
+
+  // --------------------------------------------------- C30 bloom prune
+  /** Broadcast Bloom-filter semi-join pruning: at 100 TB the fact side
+    * of `fact SEMI JOIN filtered_dim` should not shuffle — a Bloom
+    * filter built from the (selective) build side broadcasts to the
+    * fact scan and drops most non-matching rows before any exchange,
+    * with an exact join cleaning up the false positives. (Spark injects
+    * exactly this via `runtime.bloomFilter.enabled`; its native filter
+    * is engine-opaque, so this query builds the portable image — k=3
+    * md5-derived bit positions mod m=65536, membership = all 3 present
+    * in the build side's distinct-position set — and AUDITS it: the
+    * measured false-positive rate is the number that decides whether
+    * the prune pays for itself.) No false negatives by construction
+    * (members hit all their own positions); spec-asserted too. */
+  private val bloomPrune = QueryDef(
+    "bloom_prune",
+    (s, d) => {
+      val m = 65536L
+      val k = 3
+      def positions(key: Column): Column = F.array((0 until k).map(i =>
+        F.pmod(graft.operators.Hashing.hash60(
+          F.concat(F.lit(s"bf$i:"), key.cast("string"))), F.lit(m))): _*)
+      val build = t(s, d, "orders")
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .select(F.col("o_orderkey"))
+      val bits = build
+        .select(F.explode(positions(F.col("o_orderkey"))).as("pos"))
+        .distinct()
+      val probe = t(s, d, "lineitem").select(F.col("l_orderkey")).distinct()
+      val probePos = probe.select(F.col("l_orderkey"),
+        F.explode(positions(F.col("l_orderkey"))).as("pos"))
+      val hits = probePos
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1L))), Seq("pos"), "left")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("_nhit"))
+        .select(F.col("l_orderkey"), (F.col("_nhit") === k).as("_might"))
+      val members = build.select(F.col("o_orderkey").as("l_orderkey"),
+        F.lit(true).as("_member"))
+      hits.join(F.broadcast(members), Seq("l_orderkey"), "left")
+        .agg(
+          F.count(F.lit(1)).as("n_probe"),
+          F.sum(F.when(F.col("_might"), 1L).otherwise(0L)).as("n_might"),
+          F.sum(F.when(F.col("_member").isNotNull, 1L).otherwise(0L))
+            .as("n_member"),
+          F.sum(F.when(F.col("_might") && F.col("_member").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .select(F.col("n_probe"), F.col("n_might"), F.col("n_member"),
+          F.col("n_false_pos"),
+          F.round(F.col("n_false_pos").cast("double")
+            / (F.col("n_probe") - F.col("n_member")), 6).as("fpr"))
+    },
+    Some(s"""
+      WITH build AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+      bits AS (SELECT DISTINCT
+                 ${graft.operators.Hashing.hash60Sql(
+                   "'bf' || CAST(i AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}
+                   % 65536 AS pos
+               FROM build, unnest([0, 1, 2]) AS u(i)),
+      probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+      pp AS (SELECT l_orderkey,
+                    ${graft.operators.Hashing.hash60Sql(
+                      "'bf' || CAST(i AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)")}
+                      % 65536 AS pos
+             FROM probe, unnest([0, 1, 2]) AS u(i)),
+      hits AS (SELECT l_orderkey, count(b.pos) AS nhit
+               FROM pp LEFT JOIN bits b USING (pos) GROUP BY 1),
+      j AS (SELECT h.l_orderkey, nhit = 3 AS might,
+                   b.o_orderkey IS NOT NULL AS member
+            FROM hits h LEFT JOIN build b ON h.l_orderkey = b.o_orderkey)
+      SELECT CAST(count(*) AS BIGINT) AS n_probe,
+             CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_might,
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_member,
+             CAST(sum(CASE WHEN might AND NOT member THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos,
+             round(CAST(sum(CASE WHEN might AND NOT member THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                   / (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)), 6)
+               AS fpr
+      FROM j"""))
+
+  // ---------------------------------------------------- H5 z-order layout
+  /** Z-order (Morton) layout audit: interleave (user_id mod 1024,
+    * event-minute mod 1024) into one z-value, bucket by its top 6 bits
+    * (= 64 contiguous z-ranges — the per-file granularity a
+    * `zOrderBy(64)` write would produce) and report each bucket's
+    * min/max extent in BOTH dimensions. Tight per-bucket extents on
+    * both dims are exactly what makes parquet min/max stats prune
+    * two-dimensional predicates — the measurable image of the layout
+    * win, since file boundaries themselves aren't portable to an
+    * oracle. `LayoutSpec` additionally asserts the physical claim:
+    * after [[graft.operators.Layout.zOrderBy]] every partition's
+    * per-dim extent shrinks vs the unordered layout. */
+  private val zorderLayout = QueryDef(
+    "zorder_layout",
+    (s, d) => {
+      import graft.operators.Layout
+      val ev = t(s, d, "events").select(
+        F.pmod(F.col("user_id").cast("long"), F.lit(1024L)).as("da"),
+        F.pmod(F.floor(F.col("ts").cast("long").cast("double") / 60)
+          .cast("long"), F.lit(1024L)).as("db"))
+      ev.select(F.col("da"), F.col("db"),
+        F.shiftright(Layout.zValue(F.col("da"), F.col("db"), 10), 14)
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.min("da").as("min_a"), F.max("da").as("max_a"),
+          F.min("db").as("min_b"), F.max("db").as("max_b"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH dims AS (SELECT user_id % 1024 AS da,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 60) % 1024
+                             AS db
+                    FROM events),
+      z AS (SELECT da, db,
+                   ${graft.operators.Layout.zValueSql("da", "db", 10)} >> 14
+                     AS bucket
+            FROM dims)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             min(da) AS min_a, max(da) AS max_a,
+             min(db) AS min_b, max(db) AS max_b
+      FROM z GROUP BY 1 ORDER BY bucket"""))
+
+  // --------------------------------------------- C31 gaps-and-islands
+  /** Gaps-and-islands state compression (the SCD2/sessionization
+    * sibling): collapse each user's consecutive runs of the same
+    * event_type into one island row. The classic two-window build —
+    * lag() marks state changes, a running sum numbers islands — then
+    * ONE aggregate per island. Windows are per-user ordered (event_id
+    * tiebreak makes ties deterministic); at 100 TB this partitions by
+    * the key exactly like C8 sessionize, no global sort anywhere. */
+  private val stateIslands = QueryDef(
+    "state_islands",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = F.when(F.lag("event_type", 1).over(w).isNull
+        || F.lag("event_type", 1).over(w) =!= F.col("event_type"), 1L)
+        .otherwise(0L)
+      t(s, d, "events")
+        .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+          F.col("ts"))
+        .withColumn("island", F.sum(chg).over(w))
+        .groupBy("user_id", "island")
+        .agg(F.min("event_type").as("state"),
+          F.count(F.lit(1)).as("n_events"),
+          F.min("ts").as("start_ts"), F.max("ts").as("end_ts"))
+        .orderBy("user_id", "island")
+    },
+    Some("""
+      WITH m AS (SELECT user_id, event_id, event_type, ts,
+                        CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      i AS (SELECT user_id, event_type, ts,
+                   CAST(sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                     AS island
+            FROM m)
+      SELECT user_id, island, min(event_type) AS state,
+             count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+      FROM i GROUP BY 1, 2 ORDER BY user_id, island"""))
+
+  // ------------------------------------------------- C32 resample/fill
+  /** Time-series resampling: per-user hourly grid from first to last
+    * event (sequence + explode — grid size bounded by span/granularity,
+    * never by row count), hourly exact-decimal averages joined on, gaps
+    * forward-filled with last_value IGNORE NULLS. The per-key ordered
+    * window is the standard TS-store resample shape; the grid's first
+    * row always holds a real value (it IS the first event's hour), so
+    * the fill never reads an empty history. The user_id % 13 slice
+    * bounds the grid (users × span-hours ≈ 1M rows at sf0.1 unsliced)
+    * — the operator is per-user independent, so the slice loses no
+    * generality. */
+  private val resampleInterp = QueryDef(
+    "resample_interp",
+    (s, d) => {
+      val ev = t(s, d, "events").filter(F.pmod(F.col("user_id"), F.lit(13)) === 0)
+      val hourly = ev
+        .groupBy(F.col("user_id"), F.date_trunc("hour", F.col("ts")).as("hour_ts"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(pd(F.sum(dec(F.col("value")))) / F.count(F.lit(1)), 6)
+            .as("avg_value"))
+      val grid = ev
+        .groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).as("_h0"),
+          F.date_trunc("hour", F.max("ts")).as("_h1"))
+        .select(F.col("user_id"),
+          F.explode(F.sequence(F.col("_h0"), F.col("_h1"),
+            F.expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      val w = Window.partitionBy("user_id").orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour_ts"), "left")
+        .select(F.col("user_id"), F.col("hour_ts"),
+          F.coalesce(F.col("n_events"), F.lit(0L)).as("n_events"),
+          F.last(F.col("avg_value"), ignoreNulls = true).over(w)
+            .as("avg_value"),
+          F.col("avg_value").isNull.as("filled"))
+        .orderBy("user_id", "hour_ts")
+    },
+    Some("""
+      WITH ev AS (SELECT * FROM events WHERE user_id % 13 = 0),
+      hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               count(*) AS n_events,
+               round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                          AS DOUBLE) / count(*), 6) AS avg_value
+        FROM ev GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', min(ts)),
+                                      date_trunc('hour', max(ts)),
+                                      INTERVAL 1 HOUR)) AS hour_ts
+        FROM ev GROUP BY user_id)
+      SELECT g.user_id, g.hour_ts,
+             coalesce(n_events, 0) AS n_events,
+             last_value(avg_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS avg_value,
+             avg_value IS NULL AS filled
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+      ORDER BY 1, 2"""))
+
+  // ------------------------------------------------------ C33 winsorize
+  /** Winsorized (p05/p95-clamped) robust mean per group: exact
+    * percentile bounds broadcast back, values clamped in pure
+    * double comparisons (no arithmetic → bit-exact picks), then
+    * floor-quantized to 0.1-milli units so the mean is an exact long
+    * sum closed by one double division — the robust-statistics
+    * complement of C18's exact moments. */
+  private val winsorize = QueryDef(
+    "winsorize",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val stats = li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.05D)").as("_p05"),
+          F.expr("percentile(l_extendedprice, 0.95D)").as("_p95"))
+      val w = F.least(F.greatest(F.col("l_extendedprice"), F.col("_p05")),
+        F.col("_p95"))
+      li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.sum(F.when(F.col("l_extendedprice") < F.col("_p05"), 1L)
+            .otherwise(0L)).as("n_low"),
+          F.sum(F.when(F.col("l_extendedprice") > F.col("_p95"), 1L)
+            .otherwise(0L)).as("n_high"),
+          F.round(F.first("_p05"), 6).as("p05"),
+          F.round(F.first("_p95"), 6).as("p95"),
+          F.round(
+            (F.sum(F.floor(w * 10000).cast("long")).cast("double") / 10000.0)
+              / F.count(F.lit(1)), 6).as("robust_mean"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH s AS (SELECT l_returnflag,
+                        quantile_cont(l_extendedprice, 0.05) AS p05,
+                        quantile_cont(l_extendedprice, 0.95) AS p95
+                 FROM lineitem GROUP BY 1)
+      SELECT li.l_returnflag, count(*) AS n,
+             CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high,
+             round(any_value(p05), 6) AS p05, round(any_value(p95), 6) AS p95,
+             round((CAST(sum(CAST(floor(least(greatest(l_extendedprice, p05),
+                                              p95) * 10000) AS BIGINT))
+                         AS DOUBLE) / 10000.0) / count(*), 6) AS robust_mean
+      FROM lineitem li JOIN s ON li.l_returnflag = s.l_returnflag
+      GROUP BY li.l_returnflag ORDER BY li.l_returnflag"""))
+
+  // ------------------------------------------------------- H6 table diff
+  /** Checksum-based reconciliation ([[graft.operators.Reconcile]]):
+    * version B derives from lineitem by a deterministic drop
+    * (key-mix % 997) and a deterministic edit (% 991); the operator
+    * locates the differing rows via per-bucket (count, bit_xor)
+    * digests and rescans ONLY dirty buckets. The oracle diffs the two
+    * versions directly with a full key-join — structurally independent
+    * of the bucket optimization, so it checks the result, not the
+    * shortcut. */
+  private val tableDiff = QueryDef(
+    "table_diff",
+    (s, d) => {
+      // orders: o_orderkey is the unique PK (lineitem's natural key is
+      // NOT unique in this synthetic data); the edited value is a
+      // string so the row hash never touches float formatting
+      val a = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      val b = a.filter(F.pmod(F.col("o_orderkey"), F.lit(997)) =!= 0)
+        .withColumn("o_orderpriority",
+          F.when(F.pmod(F.col("o_orderkey"), F.lit(991)) === 0, F.lit("X-EDIT"))
+            .otherwise(F.col("o_orderpriority")))
+      val h = graft.operators.Hashing.hash60(F.concat_ws("|",
+        F.col("o_orderkey").cast("string"), F.col("o_orderpriority")))
+      graft.operators.Reconcile.diffRows(a, b, Seq("o_orderkey"), h)
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey, o_orderpriority FROM orders),
+      b AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 991 = 0 THEN 'X-EDIT'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM a WHERE o_orderkey % 997 <> 0)
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'missing_in_b'
+                  WHEN a.o_orderkey IS NULL THEN 'missing_in_a'
+                  ELSE 'changed' END AS diff_type
+      FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+         OR a.o_orderpriority <> b.o_orderpriority
+      ORDER BY o_orderkey"""))
+
   // ------------------------------------------------------------ D9c
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -560,5 +913,6 @@ object ExtendedQueries {
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
-    windowPercent)
+    windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
+    stateIslands, resampleInterp, winsorize, tableDiff)
 }

@@ -758,6 +758,41 @@ object PipelineQueries {
       FROM (SELECT doc_id, text, ${Hashing.hash60Sql("text")} AS h FROM documents)
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------ F3
+  /** Deterministic frame sampling over video-like payloads: every
+    * stride-th frameBytes-sized chunk becomes a (frame_idx, offset,
+    * frame slice) row — the explode/slice plumbing is the real
+    * distributed work (narrow, codegen'd); per-frame "decode" is the
+    * portable stub (md5 of the slice). The oracle slices CHARACTERS of
+    * the text payload (DuckDB has no BLOB substring; char slicing is
+    * identical in both engines for any encoding) — a real pipeline
+    * slices bytes through the same plumbing with a codec call in the
+    * F2 batched-mapPartitions shape. */
+  private val frameSample = QueryDef(
+    "frame_sample",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Multimodal.sampleFrames(docs, "text", "doc_id",
+        frameBytes = 64, stride = 2)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(F.col("doc_id"), F.col("frame_idx"),
+          F.col("byte_offset").as("frame_offset"),
+          F.md5(F.expr("substring(text, byte_offset + 1, 64)"))
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      f AS (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 64 / 2)
+                                        AS BIGINT))) AS fi
+            FROM p WHERE n > 0)
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+             CAST(fi * 128 AS INTEGER) AS frame_offset,
+             md5(substring(text, CAST(fi * 128 + 1 AS INTEGER), 64))
+               AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx"""))
+
   // --------------------------------------------------------------- D1b
   /** Apply the exact-dedup decision: keep only each text's minimum
     * doc_id (candidates → action; the write-side of D1). */
@@ -966,6 +1001,41 @@ object PipelineQueries {
          |FROM r5 ORDER BY doc_id""".stripMargin
     })
 
+  // --------------------------------------------------------------- D20
+  /** Exact triangle count on the near-dup pair graph
+    * ([[graft.operators.Graph.triangleCount]], degree-oriented so each
+    * triangle closes at exactly one vertex and hub wedges never
+    * materialize): the triangle density separates organic near-dup
+    * neighborhoods (sparse) from template-spam cliques (every band
+    * bucket a clique → triangle-rich). Oracle = the same orientation
+    * and wedge-close in SQL over the shared mh_pairs CTE. */
+  private val triangleCount = QueryDef(
+    "triangle_count",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
+        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b")
+    },
+    Some(s"""WITH $minhashCtesSql,
+      e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM mh_pairs),
+      deg AS (SELECT v, count(*) AS dg
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      o AS (SELECT CASE WHEN da.dg < db.dg
+                          OR (da.dg = db.dg AND e.a < e.b)
+                        THEN e.a ELSE e.b END AS src,
+                   CASE WHEN da.dg < db.dg
+                          OR (da.dg = db.dg AND e.a < e.b)
+                        THEN e.b ELSE e.a END AS dst
+            FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      w AS (SELECT e1.dst AS x, e2.dst AS y
+            FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+             (SELECT CAST(count(*) AS BIGINT) FROM w
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE e.a = w.x AND e.b = w.y)) AS n_triangles"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
@@ -975,5 +1045,5 @@ object PipelineQueries {
     multimodalMeta, sampleHash, sampleStratified, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
-    dedupClustersApply, pagerank)
+    dedupClustersApply, pagerank, frameSample, triangleCount)
 }

@@ -198,7 +198,113 @@ object SemanticQueries {
       SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
       FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  // ---------------------------------------------------------------- E37
+  /** Count-min-sketch heavy hitters: estimate the top-20 exact term
+    * frequencies through a 4×256 CMS and report the (always ≥ 0)
+    * overcount. Everything is integer — cells are sums of exact longs,
+    * the estimate a min — so the sketch ESTIMATE itself hash-matches
+    * the oracle (the same discipline as KMV/E20 and the C27
+    * histogram). Sketch built from the vocab table, not the corpus;
+    * estimates via one broadcast join of 20·4 probe cells. */
+  private val heavyHittersCms = QueryDef(
+    "heavy_hitters_cms",
+    (s, d) => {
+      import graft.operators.{Bpe, CacheScope, Sketch}
+      val tc = CacheScope.persist(Bpe.wordFreq(t(s, d, "documents"), "text"))
+      val sketch = Sketch.cmsSketch(tc, "word", "freq", depth = 4, width = 256)
+      val top = tc.orderBy(F.desc("freq"), F.asc("word")).limit(20)
+      Sketch.cmsEstimate(sketch, top, "word", depth = 4, width = 256)
+        .join(top, "word")
+        .select(F.col("word").as("term"), F.col("freq").as("exact_cnt"),
+          F.col("est_cnt"), (F.col("est_cnt") - F.col("freq")).as("overcount"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+    },
+    Some(s"""
+      WITH tk AS (SELECT $toksSql AS t FROM documents),
+      w AS (SELECT unnest(t) AS word FROM tk),
+      tc AS (SELECT word, count(*) AS freq FROM w
+             WHERE length(word) > 0 GROUP BY 1),
+      cells AS (SELECT r,
+                       ${Hashing.hash60Sql(
+                         "'cms' || CAST(r AS VARCHAR) || ':' || word")} % 256
+                         AS b,
+                       freq
+                FROM tc, unnest([0, 1, 2, 3]) AS u(r)),
+      sk AS (SELECT r, b, CAST(sum(freq) AS BIGINT) AS total
+             FROM cells GROUP BY 1, 2),
+      top AS (SELECT word, freq FROM tc ORDER BY freq DESC, word LIMIT 20),
+      pc AS (SELECT word,
+                    r,
+                    ${Hashing.hash60Sql(
+                      "'cms' || CAST(r AS VARCHAR) || ':' || word")} % 256 AS b
+             FROM top, unnest([0, 1, 2, 3]) AS u(r)),
+      est AS (SELECT word, CAST(min(total) AS BIGINT) AS est_cnt
+              FROM pc JOIN sk USING (r, b) GROUP BY 1)
+      SELECT top.word AS term, CAST(freq AS BIGINT) AS exact_cnt, est_cnt,
+             CAST(est_cnt - freq AS BIGINT) AS overcount
+      FROM top JOIN est USING (word)
+      ORDER BY exact_cnt DESC, term"""))
+
+  // ---------------------------------------------------------------- E38
+  /** KMV set algebra between the even- and odd-numbered source cohorts
+    * (crawl-overlap estimation): distinct text-hash KMV sketches per
+    * cohort, merged union sketch, Jaccard ρ = shared-in-union / k,
+    * intersection ≈ ρ·|union| [Beyer et al. 2007]. k=64 < cohort
+    * cardinality so the estimator genuinely estimates at every SF; the
+    * oracle recomputes the identical bottom-k sets in SQL. */
+  private val sketchSetOps = QueryDef(
+    "sketch_set_ops",
+    (s, d) => graft.operators.Sketch.kmvSetOps(
+      t(s, d, "documents"),
+      cohortCol = F.pmod(F.substring(F.col("source"), 4, 10).cast("long"),
+        F.lit(2L)),
+      valueCol = "text", k = 64),
+    Some {
+      val k = 64
+      val maxH = 1152921504606846976.0 // 2^60
+      val num = (k - 1).toDouble * maxH
+      s"""
+      WITH hsh AS (SELECT DISTINCT
+                     CAST(substr(source, 4, 10) AS BIGINT) % 2 AS c,
+                     ${Hashing.hash60Sql("text")} AS h
+                   FROM documents),
+      ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             FROM hsh WHERE c = 0),
+      rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             FROM hsh WHERE c = 1),
+      ka AS (SELECT h FROM ra WHERE rn <= $k),
+      kb AS (SELECT h FROM rb WHERE rn <= $k),
+      ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             FROM (SELECT h FROM ka UNION SELECT h FROM kb)),
+      uk AS (SELECT h FROM ur WHERE rn <= $k),
+      m AS (SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM ka) AS na,
+              (SELECT max(h) FROM ka) AS ma,
+              (SELECT CAST(count(*) AS BIGINT) FROM kb) AS nb,
+              (SELECT max(h) FROM kb) AS mb,
+              (SELECT CAST(count(*) AS BIGINT) FROM uk) AS nu,
+              (SELECT max(h) FROM uk) AS mu,
+              (SELECT CAST(count(*) AS BIGINT) FROM uk
+               WHERE h IN (SELECT h FROM ka)
+                 AND h IN (SELECT h FROM kb)) AS sh)
+      SELECT na AS kept_a, nb AS kept_b,
+             round(CASE WHEN na = $k THEN $num / ma
+                        ELSE CAST(na AS DOUBLE) END, 6) AS est_a,
+             round(CASE WHEN nb = $k THEN $num / mb
+                        ELSE CAST(nb AS DOUBLE) END, 6) AS est_b,
+             round(CASE WHEN nu = $k THEN $num / mu
+                        ELSE CAST(nu AS DOUBLE) END, 6) AS est_union,
+             sh AS n_shared,
+             round(CAST(sh AS DOUBLE) /
+                   (CASE WHEN nu = $k THEN ${k.toDouble}
+                         ELSE CAST(nu AS DOUBLE) END), 6) AS jaccard,
+             round(CASE WHEN nu = $k
+                        THEN CAST(sh AS DOUBLE) / $k * ($num / mu)
+                        ELSE CAST(sh AS DOUBLE) END, 6) AS est_intersection
+      FROM m"""
+    })
+
   def all: Seq[QueryDef] = Seq(
     dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
-    dsirWeights, bpePairs)
+    dsirWeights, bpePairs, heavyHittersCms, sketchSetOps)
 }

@@ -465,7 +465,45 @@ object StreamingQueries {
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type"""))
 
+  // ----------------------------------------------------------------- G12
+  /** Count-min sketch built AS A STREAM: CMS cells are plain sums, so
+    * the sketch is mergeable across micro-batches for free — one
+    * streaming groupBy over exploded (row, bucket) cells equals the
+    * batch sketch exactly (complete mode; cell count is bounded at
+    * depth×width, so the state is O(sketch), never O(stream)). The
+    * streaming face of E37: a live heavy-hitters sketch over an
+    * ingest firehose with 1024 longs of state. */
+  private val streamCms = QueryDef(
+    "stream_cms",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val cells = stream
+        .select(F.explode(graft.operators.TextOps.tokens(F.col("text")))
+          .as("word"))
+        .where(F.length(F.col("word")) > 0)
+        .select(F.explode(F.array((0 until 4).map(i =>
+          F.struct(F.lit(i).as("r"),
+            graft.operators.Sketch.cmsBucket(F.col("word"), i, 256).as("b"))): _*))
+          .as("_c"))
+        .groupBy(F.col("_c.r").as("hrow"), F.col("_c.b").as("bucket"))
+        .agg(F.count(F.lit(1)).as("total"))
+      drain(cells, "complete").orderBy("hrow", "bucket")
+    },
+    Some(s"""
+      WITH tk AS (SELECT regexp_split_to_array(lower(text), ' +') AS t
+                  FROM documents),
+      w AS (SELECT unnest(t) AS word FROM tk),
+      cells AS (SELECT r,
+                       ${graft.operators.Hashing.hash60Sql(
+                         "'cms' || CAST(r AS VARCHAR) || ':' || word")} % 256
+                         AS b
+                FROM w, unnest([0, 1, 2, 3]) AS u(r)
+                WHERE length(word) > 0)
+      SELECT r AS hrow, b AS bucket, CAST(count(*) AS BIGINT) AS total
+      FROM cells GROUP BY 1, 2 ORDER BY hrow, bucket"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
-    streamJoinOuter, streamUpsert, streamDedupWatermark)
+    streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms)
 }
