@@ -189,6 +189,27 @@ object ScaleTest {
     // CC finishes locally when the pair graph is metadata-sized
     time("semantic_dedup_k16")(graft.operators.Dedup.semanticDedup(
       e, "vec_id", "embedding", k = 16, iters = 2, minCosine = 0.35).count())
+    // r5 wave 9-12 on the duplicated corpus: DSIR is one persisted
+    // (doc, bucket) aggregate + broadcast bucket joins; the CMS sketch
+    // aggregates the VOCAB (replication only inflates counts, not
+    // cells); KMV set algebra is one distinct-hash shuffle + O(k)
+    // state; triangles run on the replication-inflated clique graph —
+    // the orientation bound is what keeps clique wedges in check
+    time("dsir_weights_b1024")(graft.operators.Curation.dsirWeights(
+      d, "doc_id", "text", F.col("lang") === "en", buckets = 1024).count())
+    time("cms_sketch_4x256") {
+      val tc = graft.operators.Bpe.wordFreq(d, "text")
+      graft.operators.Sketch.cmsSketch(tc, "word", "freq").count()
+    }
+    time("kmv_set_ops_k256")(graft.operators.Sketch.kmvSetOps(
+      d, F.pmod(F.substring(F.col("source"), 4, 10).cast("long"), F.lit(2L)),
+      "text", k = 256).count())
+    time("triangle_count") {
+      val pairs = graft.operators.Dedup.minhashCandidatePairs(d, "doc_id", "text")
+      graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b").count()
+    }
+    time("bpe_train_10_rounds")(
+      graft.operators.Bpe.train(d, "text", rounds = 10).size.toLong)
 
     // validation path at ~6M rows
     val li0 = spark.read.parquet(s"$base/lineitem.parquet")
@@ -201,6 +222,28 @@ object ScaleTest {
     val v = graft.queries.Schemas.lineitem.validator
     time("validate_filter_6M")(v.filterValid(li).count())
     time("violation_report_6M")(v.report(li).count())
+    // r5: reconciliation at 6M rows — per-bucket digests are one
+    // map-side-combined shuffle per side; only dirty buckets rescan.
+    // Key = (l_orderkey, line hash) surrogate to keep rows unique.
+    time("table_diff_6M") {
+      val a = li.select(F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"), F.col("l_quantity"))
+        .withColumn("rid", F.monotonically_increasing_id())
+      // deterministic derived version: drop ~1/997, no edits (rid is
+      // partition-dependent, so hash only stable columns)
+      val b = a.filter(F.pmod(F.col("l_orderkey") * 31 +
+        F.col("l_partkey"), F.lit(997)) =!= 0)
+      val h = graft.operators.Hashing.hash60(F.concat_ws("|",
+        F.col("rid").cast("string"), F.col("l_orderkey").cast("string")))
+      graft.operators.Reconcile.diffRows(a, b, Seq("rid"), h,
+        buckets = 1024).count()
+    }
+    // r5: z-order rewrite of the 6M-row fact — one range shuffle +
+    // local sort; the write-side layout cost a ZORDER BY pays
+    time("zorder_rewrite_6M")(graft.operators.Layout.zOrderBy(
+      li.withColumn("da", F.pmod(F.col("l_orderkey"), F.lit(1024L)))
+        .withColumn("db", F.pmod(F.col("l_partkey"), F.lit(1024L))),
+      F.col("da"), F.col("db"), bits = 10, numPartitions = 64).count())
     spark.stop()
   }
 }
