@@ -165,10 +165,10 @@ object Sketch {
   }
 
   /** Point estimates for `probes`' `termCol` against a (row, bucket,
-    * total) sketch. The sketch (d·w rows) broadcasts; absent cells are
-    * exact zeros only when no term hashed there — with a dense sketch
-    * every probe hits `depth` cells, and the inner join keeps the
-    * min-of-rows semantics. */
+    * total) sketch. The sketch (d·w rows) broadcasts. LEFT join: a
+    * probe hashing into a cell no corpus term touched has an exact
+    * count of 0 there, and min-of-rows must see that 0 — an inner join
+    * would silently drop (or overestimate) out-of-corpus probes. */
   def cmsEstimate(
       sketch: DataFrame, probes: DataFrame, termCol: String,
       depth: Int, width: Int): DataFrame =
@@ -179,6 +179,7 @@ object Sketch {
             cmsBucket(F.col(termCol), i, width).as("bucket"))): _*)).as("_cell"))
       .select(F.col(termCol), F.col("_cell.row").as("row"),
         F.col("_cell.bucket").as("bucket"))
-      .join(F.broadcast(sketch), Seq("row", "bucket"))
-      .groupBy(termCol).agg(F.min("total").as("est_cnt"))
+      .join(F.broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(termCol)
+      .agg(F.min(F.coalesce(F.col("total"), F.lit(0L))).as("est_cnt"))
 }

@@ -503,7 +503,34 @@ object StreamingQueries {
       SELECT r AS hrow, b AS bucket, CAST(count(*) AS BIGINT) AS total
       FROM cells GROUP BY 1, 2 ORDER BY hrow, bucket"""))
 
+  // ----------------------------------------------------------------- G13
+  /** Live heavy-hitters dashboard: streaming word counts with a sorted
+    * top-20 INSIDE the streaming query (complete mode supports sort +
+    * limit — each micro-batch re-emits the current leaderboard, the
+    * live complement of G12's raw sketch). Deterministic (freq DESC,
+    * word ASC) tie-break, same as the batch vocab ordering. */
+  private val streamTopk = QueryDef(
+    "stream_topk",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val top = stream
+        .select(F.explode(graft.operators.TextOps.tokens(F.col("text")))
+          .as("word"))
+        .where(F.length(F.col("word")) > 0)
+        .groupBy("word").agg(F.count(F.lit(1)).as("freq"))
+        .orderBy(F.desc("freq"), F.asc("word")).limit(20)
+      drain(top, "complete").orderBy(F.desc("freq"), F.asc("word"))
+    },
+    Some("""
+      WITH tk AS (SELECT regexp_split_to_array(lower(text), ' +') AS t
+                  FROM documents),
+      w AS (SELECT unnest(t) AS word FROM tk)
+      SELECT word, count(*) AS freq FROM w WHERE length(word) > 0
+      GROUP BY 1 ORDER BY freq DESC, word LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
-    streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms)
+    streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
+    streamTopk)
 }

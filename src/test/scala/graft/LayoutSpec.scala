@@ -67,6 +67,18 @@ class LayoutSpec extends SparkSpec {
     assert(est.forall { case (_, e, c) => e == c })
   }
 
+  test("cms out-of-corpus probe estimates 0 when it hits an empty cell") {
+    // 1 term in a wide sketch: an unrelated probe almost surely misses
+    // every one of the term's 4 cells in at least one row -> min = 0
+    val tc = Seq(("only-term", 100L)).toDF("term", "cnt")
+    val sk = Sketch.cmsSketch(tc, "term", "cnt", depth = 4, width = 4096)
+    val est = Sketch.cmsEstimate(sk,
+      Seq(("definitely-not-in-corpus", 0L)).toDF("term", "cnt"),
+      "term", depth = 4, width = 4096)
+      .select(F.col("est_cnt")).as[Long].head()
+    assert(est == 0L)
+  }
+
   test("cms overestimates under forced collisions, bounded by total mass") {
     // width=1: every term collides into one cell per row -> est = N
     val tc = Seq(("a", 10L), ("b", 5L), ("c", 1L)).toDF("term", "cnt")

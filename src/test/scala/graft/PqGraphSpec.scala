@@ -82,4 +82,40 @@ class PqGraphSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("triangleCount: hand cases (clique, path, square+diagonal)") {
+    import spark.implicits._
+    // K4: C(4,3) = 4 triangles
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("a", "b")
+    assert(Graph.triangleCount(k4, "a", "b")
+      .select("n_triangles").as[Long].head() == 4L)
+    // path: none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCount(path, "a", "b")
+      .select("n_triangles").as[Long].head() == 0L)
+    // square + one diagonal: 2
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    assert(Graph.triangleCount(sq, "a", "b")
+      .select("n_triangles").as[Long].head() == 2L)
+  }
+
+  test("triangleCount matches brute force on deterministic random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val n = 25
+      // deterministic pseudo-random edge set (~25% density)
+      val edges = (for (i <- 0L until n; j <- (i + 1) until n
+        if graft.operators.Hashing.hash60(s"g$seed:$i:$j") % 4 == 0)
+        yield (i, j)).toSeq
+      val adj = edges.toSet
+      val brute = (for (i <- 0L until n; j <- (i + 1) until n;
+        l <- (j + 1) until n
+        if adj((i, j)) && adj((j, l)) && adj((i, l))) yield 1).size.toLong
+      val got = Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
+        .select("n_triangles").as[Long].head()
+      assert(got == brute, s"seed $seed: $got != $brute")
+    }
+  }
 }
