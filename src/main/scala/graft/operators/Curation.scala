@@ -464,4 +464,73 @@ object Curation {
         F.col("flat_micro").cast("double") / F.col("_z")
           * F.col("_total") / F.col("domain_tokens")), 6).as("sample_rate"))
   }
+
+  /** Trained quality classifier, fastText/cc_net style: a multinomial
+    * naive-Bayes log-count-ratio model over unigrams, trained on a
+    * deterministic hash-half of the corpus against a weak label and
+    * evaluated on the held-out half — the confusion matrix (label ×
+    * prediction with doc counts and mean score) is the output, so the
+    * whole train→score→evaluate loop is oracle-checkable.
+    *
+    * All-integer scoring ([[TextOps.floorLog2]] = `length(bin(x))-1`):
+    * per-token weight floor(log2(c_pos+1)) − floor(log2(c_neg+1)),
+    * a per-token normalizer from class totals + vocab smoothing mass,
+    * and a class log-prior — the same integer-log2 discipline as
+    * [[dsirWeights]], so scores are exact longs and hash-portable.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle on
+    * (doc, token) then one on token; scoring joins the test corpus to
+    * the vocab on the token key (shuffle hash join — the vocab of a
+    * 100 TB corpus does not broadcast); class totals/priors are a
+    * 2-row cross join. Unseen test tokens coalesce to count 0 ⇒ weight
+    * log2(1)−log2(1) = 0, the natural NB back-off. */
+  def nbQuality(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: Column): DataFrame = {
+    import TextOps.floorLog2
+    val split = F.pmod(
+      Hashing.hash60(F.col("doc_id").cast("string")), F.lit(2L)) === 0L
+    val base = docs.select(F.col(idCol).as("doc_id"),
+      labelCol.cast("boolean").as("_lbl"), F.col(textCol).as("_text"))
+      .withColumn("_train", split)
+    val tf = CacheScope.persist(base
+      .select(F.col("doc_id"), F.col("_lbl"), F.col("_train"),
+        F.explode(TextOps.tokens(F.col("_text"))).as("tok"))
+      .where(F.length(F.col("tok")) > 0)
+      .groupBy("doc_id", "_lbl", "_train", "tok")
+      .agg(F.count(F.lit(1)).as("tf")))
+    val vocab = tf.where(F.col("_train"))
+      .groupBy("tok")
+      .agg(
+        F.sum(F.when(F.col("_lbl"), F.col("tf")).otherwise(0L)).as("_ct"),
+        F.sum(F.when(!F.col("_lbl"), F.col("tf")).otherwise(0L)).as("_cf"))
+    val totals = vocab.agg(
+      F.sum("_ct").as("_tt"), F.sum("_cf").as("_tf_tot"),
+      F.count(F.lit(1)).as("_v"))
+    val priors = base.where(F.col("_train")).agg(
+      F.sum(F.when(F.col("_lbl"), 1L).otherwise(0L)).as("_ndt"),
+      F.sum(F.when(!F.col("_lbl"), 1L).otherwise(0L)).as("_ndf"))
+    val normShift =
+      floorLog2(F.col("_tt") + F.col("_v")) -
+        floorLog2(F.col("_tf_tot") + F.col("_v"))
+    val prior = floorLog2(F.col("_ndt") + 1) - floorLog2(F.col("_ndf") + 1)
+    tf.where(!F.col("_train"))
+      .join(vocab, Seq("tok"), "left")
+      .select(F.col("doc_id"), F.col("_lbl"), F.col("tf"),
+        (floorLog2(F.coalesce(F.col("_ct"), F.lit(0L)) + 1) -
+          floorLog2(F.coalesce(F.col("_cf"), F.lit(0L)) + 1)).as("_w"))
+      .groupBy("doc_id", "_lbl")
+      .agg(F.sum("tf").as("_ntok"), F.sum(F.col("tf") * F.col("_w")).as("_sw"))
+      .crossJoin(F.broadcast(totals))
+      .crossJoin(F.broadcast(priors))
+      .select(F.col("_lbl"),
+        (F.col("_sw") - F.col("_ntok") * normShift + prior).as("_score"))
+      .groupBy(
+        F.when(F.col("_lbl"), 1L).otherwise(0L).as("label"),
+        F.when(F.col("_score") >= 0L, 1L).otherwise(0L).as("pred"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.round(F.sum("_score").cast("double") / F.count(F.lit(1)), 6)
+          .as("avg_score"))
+      .orderBy("label", "pred")
+  }
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.operators.{Hashing, Warehouse}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-13 inventory (r5): warehouse-modeling queries over the same
+  * operators a reference user composes by hand — SCD Type-2 dimension
+  * builds, multi-touch attribution, growth accounting, robust outlier
+  * flags — plus a trained NB quality classifier with a held-out
+  * confusion-matrix oracle. Money and scores flow through integer
+  * micro-units / integer log2 so every aggregate is an exact long
+  * (SURVEY §5 portability discipline). */
+object WarehouseQueries {
+
+  // ---------------------------------------------------------------- C34
+  /** events as an attribute change-log: the user's event_type stream
+    * collapses into versioned [valid_from, valid_to) dimension rows. */
+  private val scd2Build = QueryDef(
+    "scd2_build",
+    (s, d) => Warehouse.scd2Build(t(s, d, "events"),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version"),
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT user_id, ts, event_id, event_type FROM o
+             WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_current
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
+  // ---------------------------------------------------------------- C35
+  /** Purchases split evenly across the user's click/view/signup touches
+    * in the prior 24 h; a `(none)` bucket reconciles the untouched
+    * remainder. 24 h ≈ 2–3 touches per purchase on the sf corpus, and
+    * some purchases have zero — both sides of the split exercised. */
+  private val attributionLinear = QueryDef(
+    "attribution_linear",
+    (s, d) => Warehouse.linearAttribution(t(s, d, "events"),
+      "user_id", "ts", "event_id", "event_type", "value",
+      convType = "purchase", touchTypes = Seq("click", "view", "signup"),
+      lookbackHours = 24),
+    Some("""
+      WITH conv AS (SELECT user_id AS cu, ts AS pts, event_id AS pid,
+                           CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+                    FROM events WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id AS tu, ts AS tts, event_type AS channel
+              FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      pairs AS (SELECT channel, pid, vmicro
+                FROM tch JOIN conv ON tu = cu AND tts <= pts
+                     AND tts > pts - INTERVAL 24 HOUR),
+      wc AS (SELECT channel, pid, vmicro,
+                    count(*) OVER (PARTITION BY pid) AS ntouch
+             FROM pairs),
+      att AS (SELECT channel,
+                     CAST(count(*) AS BIGINT) AS n_touches,
+                     CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+                     CAST(sum(vmicro // ntouch) AS BIGINT) AS attr_micro
+              FROM wc GROUP BY 1),
+      un AS (SELECT '(none)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+                    CAST(count(*) AS BIGINT) AS n_conversions,
+                    CAST(coalesce(sum(vmicro), 0) AS BIGINT) AS attr_micro
+             FROM conv WHERE pid NOT IN (SELECT pid FROM pairs))
+      SELECT channel, n_touches, n_conversions, attr_micro,
+             round(attr_micro / 1e6, 6) AS attr_value
+      FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
+      ORDER BY channel"""))
+
+  // ---------------------------------------------------------------- C36
+  private val runningDistinct = QueryDef(
+    "running_distinct",
+    (s, d) => Warehouse.cumulativeDistinct(t(s, d, "events"),
+      "user_id", "ts"),
+    Some("""
+      WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+      n AS (SELECT date_trunc('day', ft) AS day,
+                   CAST(count(*) AS BIGINT) AS new_users
+            FROM f GROUP BY 1),
+      a AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                  FROM events) GROUP BY 1)
+      SELECT a.day, active_users, coalesce(new_users, 0) AS new_users,
+             CAST(sum(coalesce(new_users, 0))
+                    OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_users
+      FROM a LEFT JOIN n USING (day)
+      ORDER BY day"""))
+
+  // ---------------------------------------------------------------- C37
+  /** Robust per-segment price outliers: |x − median| > 3·MAD. */
+  private val anomalyMad = QueryDef(
+    "anomaly_mad",
+    (s, d) => Warehouse.madOutliers(
+      t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("c_mktsegment").as("segment"),
+          F.col("o_totalprice").as("price")),
+      "segment", "price", k = 3.0),
+    Some("""
+      WITH j AS (SELECT c_mktsegment AS segment, o_totalprice AS price
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      med AS (SELECT segment, quantile_cont(price, 0.5) AS m
+              FROM j GROUP BY 1),
+      dev AS (SELECT j.segment, price, m, abs(price - m) AS adev
+              FROM j JOIN med USING (segment)),
+      mad AS (SELECT segment, quantile_cont(adev, 0.5) AS dd
+              FROM dev GROUP BY 1)
+      SELECT dev.segment, CAST(count(*) AS BIGINT) AS n,
+             round(min(m), 6) AS median_val, round(min(dd), 6) AS mad,
+             CAST(sum(CASE WHEN adev > 3.0 * dd THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             round(sum(CASE WHEN adev > 3.0 * dd THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 6) AS outlier_frac
+      FROM dev JOIN mad USING (segment)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- E39
+  /** Train on the hash-even half against the weak label lang='en',
+    * evaluate on the held-out half; output = confusion matrix. */
+  private val qualityClassifier = QueryDef(
+    "quality_classifier",
+    (s, d) => graft.operators.Curation.nbQuality(
+      t(s, d, "documents"), "doc_id", "text",
+      labelCol = F.col("lang") === "en"),
+    Some(s"""
+      WITH base AS (SELECT doc_id, lang = 'en' AS lbl,
+                           ${Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")}
+                             % 2 = 0 AS train,
+                           regexp_split_to_array(lower(text), ' +') AS t
+                    FROM documents),
+      tok AS (SELECT doc_id, lbl, train, unnest(t) AS tok FROM base),
+      tf AS (SELECT doc_id, lbl, train, tok, count(*) AS tf FROM tok
+             WHERE length(tok) > 0 GROUP BY 1, 2, 3, 4),
+      vocab AS (SELECT tok,
+                       CAST(sum(CASE WHEN lbl THEN tf ELSE 0 END)
+                            AS BIGINT) AS ct,
+                       CAST(sum(CASE WHEN NOT lbl THEN tf ELSE 0 END)
+                            AS BIGINT) AS cf
+                FROM tf WHERE train GROUP BY 1),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                     CAST(sum(cf) AS BIGINT) AS tfo,
+                     CAST(count(*) AS BIGINT) AS v FROM vocab),
+      pri AS (SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndt,
+                     CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndf
+              FROM base WHERE train),
+      sc AS (SELECT tf.doc_id, tf.lbl,
+                    CAST(sum(tf.tf) AS BIGINT) AS ntok,
+                    CAST(sum(tf.tf *
+                          ((length(bin(coalesce(ct, 0) + 1)) - 1)
+                           - (length(bin(coalesce(cf, 0) + 1)) - 1)))
+                         AS BIGINT) AS sw
+             FROM tf LEFT JOIN vocab USING (tok)
+             WHERE NOT train GROUP BY 1, 2),
+      fin AS (SELECT lbl,
+                     sw - ntok * ((length(bin(tt + v)) - 1)
+                                  - (length(bin(tfo + v)) - 1))
+                        + ((length(bin(ndt + 1)) - 1)
+                           - (length(bin(ndf + 1)) - 1)) AS score
+              FROM sc, tot, pri)
+      SELECT CAST(CASE WHEN lbl THEN 1 ELSE 0 END AS BIGINT) AS label,
+             CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS avg_score
+      FROM fin GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[QueryDef] = Seq(
+    scd2Build, attributionLinear, runningDistinct, anomalyMad,
+    qualityClassifier)
+}
