@@ -44,4 +44,23 @@ object Privacy {
         counts.map { case (n, c) => c.as(s"n_$n") } :+
         counts.map(_._2).reduce(_ + _).as("n_pii"): _*)
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every equivalence
+    * class (distinct quasi-identifier combination) with its population
+    * and whether it meets the k threshold — classes below k are the
+    * re-identification risk a release must suppress or generalize
+    * [Sweeney 2002].
+    *
+    * Scale shape: ONE map-side-combined aggregate on the quasi-id tuple
+    * (class cardinality ≪ rows by construction — that is what makes
+    * them quasi-identifiers); the flag is a pure projection. At 100 TB
+    * the output is still only the class table. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    df.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("k_anonymous",
+        F.when(F.col("n") >= k, 1L).otherwise(0L))
+      .orderBy(quasiCols.map(F.col): _*)
+  }
 }

@@ -121,6 +121,24 @@ object Warehouse {
       .orderBy("day")
   }
 
+  /** Per-group (median, MAD) threshold table — the reusable half of
+    * [[madOutliers]]: batch jobs aggregate against it, and a streaming
+    * scorer broadcast-joins it as a STATIC frame (the production shape:
+    * thresholds refreshed periodically, the stream scored statelessly
+    * against the last snapshot — see `stream_anomaly`). Two grouped
+    * exact-percentile passes; group cardinality is assumed
+    * dimension-like so the result broadcasts. */
+  def madThresholds(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(F.expr(s"percentile($valCol, 0.5D)").as("_med"))
+    df.join(F.broadcast(med), Seq(groupCol))
+      .withColumn("_adev", F.abs(F.col(valCol) - F.col("_med")))
+      .groupBy(groupCol)
+      .agg(F.min("_med").as("_med"),
+        F.expr("percentile(_adev, 0.5D)").as("_mad"))
+  }
+
   /** Robust outlier detection via median absolute deviation: flag rows
     * whose |x − median| exceeds k·MAD within their group. Exact
     * interpolated medians (portable: `percentile` == `quantile_cont`)
@@ -128,17 +146,15 @@ object Warehouse {
     * passes for `approx_percentile`, the plan shape (two grouped
     * aggregates + two broadcast joins of per-group scalars) is
     * unchanged. Group cardinality is assumed dimension-like (the
-    * per-group medians broadcast). */
+    * per-group medians broadcast); the input is persisted once and
+    * feeds all three scans (median, MAD, final flags). */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double = 3.0): DataFrame = {
-    val med = df.groupBy(groupCol)
-      .agg(F.expr(s"percentile($valCol, 0.5D)").as("_med"))
-    val dev = CacheScope.persist(
-      df.join(F.broadcast(med), Seq(groupCol))
-        .withColumn("_adev", F.abs(F.col(valCol) - F.col("_med"))))
-    val mad = dev.groupBy(groupCol)
-      .agg(F.expr("percentile(_adev, 0.5D)").as("_mad"))
-    dev.join(F.broadcast(mad), Seq(groupCol))
+    val in = CacheScope.persist(df)
+    val th = madThresholds(in, groupCol, valCol)
+    val dev = in.join(F.broadcast(th), Seq(groupCol))
+      .withColumn("_adev", F.abs(F.col(valCol) - F.col("_med")))
+    dev
       .groupBy(groupCol)
       .agg(
         F.count(F.lit(1)).as("n"),
@@ -153,5 +169,60 @@ object Warehouse {
         F.col("n_outliers"),
         F.round(F.col("n_outliers") / F.col("n"), 6).as("outlier_frac"))
       .orderBy(groupCol)
+  }
+
+  /** MERGE-style changelog application: collapse a CDC stream to its
+    * latest change per key (max(struct) aggregate — O(1) state, never a
+    * window sort), then resolve against the base snapshot with a full
+    * outer join: latest op 'D' deletes the key, any other op upserts its
+    * state, untouched base rows pass through tagged `src='base'`.
+    *
+    * Scale shape: one map-side-combined aggregate on the changelog key +
+    * one co-partitioned full outer join on the same key — both sides
+    * shuffle once; a 100 TB snapshot with a small daily changelog keeps
+    * the join skew-free because the key is the PRIMARY key of both
+    * sides (at most one row each). Deterministic: change order inside a
+    * key resolves by (ts, tie) struct ordering. */
+  def mergeChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, opCol: String,
+      stateCol: String): DataFrame = {
+    val latest = changes.groupBy(F.col(keyCol))
+      .agg(F.max(F.struct(F.col(tsCol), F.col(tieCol), F.col(opCol),
+        F.col(stateCol))).as("_c"))
+      .select(F.col(keyCol), F.col(s"_c.$opCol").as("_op"),
+        F.col(s"_c.$stateCol").as("_cstate"))
+    base.select(F.col(keyCol), F.col(stateCol).as("_bstate"))
+      .join(latest, Seq(keyCol), "full_outer")
+      .where(F.col("_op").isNull || F.col("_op") =!= "D")
+      .select(
+        F.col(keyCol),
+        F.coalesce(F.col("_cstate"), F.col("_bstate")).as("state"),
+        F.when(F.col("_op").isNull, "base").otherwise("cdc").as("src"))
+  }
+
+  /** First-order Markov transition matrix over a per-key event sequence:
+    * counts of (state → next state) pairs with row-normalized
+    * probabilities. Probabilities are integer MICRO-units via exact
+    * integer division (n·1e6 div total) so the matrix itself is
+    * hash-portable; the double `p` is derived by one rounded division.
+    *
+    * Scale shape: one window shuffle on the sequence key (lead), then a
+    * map-side-combined aggregate onto the (src, dst) matrix — matrix
+    * cardinality is |states|², metadata-sized, so the row totals join
+    * broadcasts. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val pairs = events
+      .select(F.col(stateCol).as("src"),
+        F.lead(F.col(stateCol), 1).over(ord).as("dst"))
+      .where(F.col("dst").isNotNull)
+    val counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(F.sum("n").as("total"))
+    counts.join(F.broadcast(totals), Seq("src"))
+      .select(F.col("src"), F.col("dst"), F.col("n"), F.col("total"),
+        F.expr("n * 1000000L div total").as("p_micro"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).as("p"))
+      .orderBy("src", "dst")
   }
 }

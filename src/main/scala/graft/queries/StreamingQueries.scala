@@ -43,6 +43,7 @@ object StreamingQueries {
     * the timed region measures the stream execution, not scaffolding). */
   def prewarm(s: SparkSession, d: String): Unit = {
     stage(s, d, "events"); stage(s, d, "lineitem"); stage(s, d, "documents")
+    stage(s, d, "orders")
   }
 
   /** Run a bounded stream into a memory sink and return its content. */
@@ -529,8 +530,58 @@ object StreamingQueries {
       SELECT word, count(*) AS freq FROM w WHERE length(word) > 0
       GROUP BY 1 ORDER BY freq DESC, word LIMIT 20"""))
 
+  // ----------------------------------------------------------------- G14
+  /** Streaming robust-anomaly gate: per-segment (median, MAD)
+    * thresholds computed BATCH-side ([[graft.operators.Warehouse
+    * .madThresholds]]) and broadcast as a static frame; the order
+    * stream joins them statelessly and flags |price − med| > 2·MAD in
+    * append mode (k=2 because the uniform-ish synthetic price
+    * distribution has short tails — 3·MAD flags nothing at any SF) —
+    * the production shape (thresholds refreshed
+    * periodically, the stream scored against the last snapshot) and
+    * the streaming twin of C37 `anomaly_mad`'s per-row flags. */
+  private val streamAnomaly = QueryDef(
+    "stream_anomaly",
+    (s, d) => {
+      val dir = stage(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val batch = s.read.parquet(dir)
+      val joined = batch
+        .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("c_mktsegment").as("segment"),
+          F.col("o_totalprice").as("price"))
+      val th = graft.operators.Warehouse.madThresholds(
+        joined, "segment", "price")
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+      val scored = stream
+        .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("o_orderkey"), F.col("c_mktsegment").as("segment"),
+          F.col("o_totalprice").as("price"))
+        .join(F.broadcast(th), Seq("segment"))
+        .withColumn("adev", F.abs(F.col("price") - F.col("_med")))
+        .where(F.col("adev") > F.lit(2.0) * F.col("_mad"))
+        .select(F.col("o_orderkey"), F.col("segment"), F.col("price"),
+          F.round(F.col("adev"), 6).as("adev"))
+      drain(scored, "append").orderBy("o_orderkey")
+    },
+    Some("""
+      WITH j AS (SELECT o_orderkey, c_mktsegment AS segment,
+                        o_totalprice AS price
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      med AS (SELECT segment, quantile_cont(price, 0.5) AS m
+              FROM j GROUP BY 1),
+      dev AS (SELECT o_orderkey, j.segment, price, m,
+                     abs(price - m) AS adev
+              FROM j JOIN med USING (segment)),
+      mad AS (SELECT segment, quantile_cont(adev, 0.5) AS dd
+              FROM dev GROUP BY 1)
+      SELECT o_orderkey, dev.segment, price, round(adev, 6) AS adev
+      FROM dev JOIN mad USING (segment)
+      WHERE adev > 2.0 * dd
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
-    streamTopk)
+    streamTopk, streamAnomaly)
 }

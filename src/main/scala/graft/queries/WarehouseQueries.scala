@@ -175,7 +175,92 @@ object WarehouseQueries {
              round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS avg_score
       FROM fin GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ----------------------------------------------------------------- H7
+  /** MERGE apply: snapshot = latest per-user state before Jan 15, CDC
+    * stream = everything after; latest 'error' change deletes the key,
+    * any other change upserts, untouched keys pass through as 'base'. */
+  private val cdcMerge = QueryDef(
+    "cdc_merge",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+      val base = ev.where(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"),
+          F.col("event_type"))).as("_b"))
+        .select(F.col("user_id"), F.col("_b.event_type").as("event_type"))
+      val changes = ev.where(F.col("ts") >= cutoff)
+        .withColumn("op",
+          F.when(F.col("event_type") === "error", "D").otherwise("U"))
+      Warehouse.mergeChangelog(base, changes,
+        "user_id", "ts", "event_id", "op", "event_type")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id, event_type AS bstate FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1),
+      c AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type AS cstate FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1)
+      SELECT user_id, coalesce(cstate, bstate) AS state,
+             CASE WHEN op IS NULL THEN 'base' ELSE 'cdc' END AS src
+      FROM b FULL OUTER JOIN c USING (user_id)
+      WHERE op IS NULL OR op <> 'D'
+      ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- C38
+  private val markovTransitions = QueryDef(
+    "markov_transitions",
+    (s, d) => Warehouse.transitionMatrix(t(s, d, "events"),
+      "user_id", "ts", "event_id", "event_type"),
+    Some("""
+      WITH p AS (SELECT event_type AS src,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS dst
+                 FROM events),
+      c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM p
+            WHERE dst IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+      SELECT src, dst, n, total,
+             CAST(n * 1000000 // total AS BIGINT) AS p_micro,
+             round(CAST(n AS DOUBLE) / total, 6) AS p
+      FROM c JOIN t USING (src)
+      ORDER BY src, dst"""))
+
+  // ---------------------------------------------------------------- E40
+  /** Quasi-identifier release audit: equivalence classes of
+    * (nation, segment, priority) with k=10. */
+  private val kAnonymity = QueryDef(
+    "k_anonymity",
+    (s, d) => graft.operators.Privacy.kAnonymity(
+      t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("c_nationkey").as("nation"),
+          F.col("c_mktsegment").as("segment"),
+          F.col("o_orderpriority").as("priority")),
+      Seq("nation", "segment", "priority"), k = 10L),
+    Some("""
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT)
+               AS k_anonymous
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
-    qualityClassifier)
+    qualityClassifier, cdcMerge, markovTransitions, kAnonymity)
 }

@@ -28,6 +28,19 @@ class PrepSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("kAnonymity: class sizes and the k flag") {
+    import spark.implicits._
+    val d = Seq(
+      ("us", "m", 1L), ("us", "m", 2L), ("us", "m", 3L), // class of 3
+      ("us", "f", 4L), ("us", "f", 5L),                  // class of 2
+      ("fr", "m", 6L))                                   // class of 1
+      .toDF("country", "sex", "id")
+    val r = Privacy.kAnonymity(d, Seq("country", "sex"), k = 2L)
+      .as[(String, String, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      ("fr", "m", 1L, 0L), ("us", "f", 2L, 1L), ("us", "m", 3L, 1L)))
+  }
+
   // ----------------------------------------------------------- chunking
   test("chunking: windows, stride overlap, and the short tail") {
     import spark.implicits._

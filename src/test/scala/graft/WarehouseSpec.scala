@@ -101,6 +101,69 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getLong(4) == 1L)
   }
 
+  test("madThresholds matches madOutliers' internal medians") {
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "x")
+    val r = Warehouse.madThresholds(df, "grp", "x").collect().head
+    assert(r.getString(0) == "g")
+    assert(r.getDouble(1) == 5.5) // median
+    assert(r.getDouble(2) == 2.5) // MAD
+  }
+
+  test("mergeChangelog: delete wins, upsert wins, base passes through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val changes = Seq(
+      // key 1: U then D (later ts): key deleted
+      (1L, ts("2024-01-01 00:00:00"), 1L, "U", "a2"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "D", "x"),
+      // key 2: D then U (later ts): upsert wins
+      (2L, ts("2024-01-01 00:00:00"), 3L, "D", "x"),
+      (2L, ts("2024-01-02 00:00:00"), 4L, "U", "b2"),
+      // key 4: brand-new insert
+      (4L, ts("2024-01-01 00:00:00"), 5L, "U", "d"))
+      .toDF("k", "t", "id", "op", "s")
+    val out = Warehouse.mergeChangelog(base, changes, "k", "t", "id",
+      "op", "s").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (2L, "b2", "cdc"), (3L, "c", "base"), (4L, "d", "cdc")))
+  }
+
+  test("mergeChangelog ties inside a key resolve by the tie column") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "U", "first"),
+      (1L, ts("2024-01-01 00:00:00"), 2L, "U", "second"))
+      .toDF("k", "t", "id", "op", "s")
+    val out = Warehouse.mergeChangelog(base, changes, "k", "t", "id",
+      "op", "s").collect()
+    assert(out.length == 1 && out.head.getString(1) == "second")
+  }
+
+  test("transitionMatrix rows sum to totals and p_micro is floored") {
+    // key 1: a->b->a->b ; key 2: a->a
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 00:03:00"), 4L, "b"),
+      (2L, ts("2024-01-01 00:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 6L, "a"))
+      .toDF("k", "t", "id", "s")
+    val out = Warehouse.transitionMatrix(ev, "k", "t", "id", "s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // src a: a->b twice, a->a once (total 3); src b: b->a once (total 1)
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 3L, 333333L),
+      ("a", "b", 2L, 3L, 666666L),
+      ("b", "a", 1L, 1L, 1000000L)))
+    // per-src counts reconcile against the published total
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4)
+    }
+  }
+
   test("nbQuality confusion matrix partitions the held-out half") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Curation.nbQuality(docs, "doc_id", "text",
