@@ -81,6 +81,31 @@ object Audit {
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
 
+  /** Join-key skew profile — the diagnostic you run BEFORE picking a
+    * join strategy at 100 TB: per-key counts bucketed by power-of-two
+    * magnitude (count-of-counts histogram), with each bucket's key
+    * population, row mass, and extremes. A heavy bucket at the top end
+    * says "salt this key" (C11) long before the shuffle OOMs.
+    *
+    * The bucket is `length(bin(cnt)) - 1` == floor(log2(cnt)) computed
+    * on the INTEGER bit pattern — both engines ship `bin`, no libm.
+    * Scale shape: map-side-combined per-key aggregate, then a
+    * metadata-sized bucket aggregate. */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(F.col(keyCol).as("_k"))
+      .agg(F.count(F.lit(1)).as("_cnt"))
+    perKey
+      .withColumn("bucket",
+        (F.length(F.bin(F.col("_cnt"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        F.count(F.lit(1)).as("n_keys"),
+        F.sum("_cnt").cast("long").as("rows"),
+        F.min("_cnt").as("min_cnt"),
+        F.max("_cnt").as("max_cnt"))
+      .orderBy("bucket")
+  }
+
   def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
     val digit = F.substring(
       F.floor(F.col(valCol)).cast("long").cast("string"), 1, 1)

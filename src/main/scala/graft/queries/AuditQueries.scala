@@ -137,6 +137,22 @@ object AuditQueries {
       SELECT path, CAST(count(*) AS BIGINT) AS n
       FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
 
+  // ---------------------------------------------------------------- C40
+  /** Per-key count-of-counts histogram of the lineitem join key — the
+    * pre-join skew diagnostic (a heavy top bucket ⇒ salt the key). */
+  private val keySkew = QueryDef(
+    "key_skew",
+    (s, d) => Audit.skewProfile(t(s, d, "lineitem"), "l_orderkey"),
+    Some("""
+      WITH k AS (SELECT l_orderkey, count(*) AS cnt
+                 FROM lineitem GROUP BY 1)
+      SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS rows,
+             CAST(min(cnt) AS BIGINT) AS min_cnt,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM k GROUP BY 1 ORDER BY bucket"""))
+
   def all: Seq[QueryDef] =
-    Seq(fkCheck, profileTable, benfordAudit, sessionPaths)
+    Seq(fkCheck, profileTable, benfordAudit, sessionPaths, keySkew)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Hashing, Warehouse}
+import graft.operators.{CacheScope, Hashing, Warehouse}
 import org.apache.spark.sql.{functions => F}
 import Tables.t
 
@@ -260,7 +260,94 @@ object WarehouseQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  // ---------------------------------------------------------------- C41
+  /** Point-in-time dimension lookup: the C34 SCD2 table sliced at one
+    * timestamp (valid_from ≤ t < valid_to, open current rows included).
+    * The oracle derives the same state INDEPENDENTLY as each user's
+    * latest raw event ≤ t — a cross-check that the interval semantics
+    * reconstruct history exactly. At scale the slice is a pure filter
+    * over the already-built dimension (no re-shuffle). */
+  private val scd2Asof = QueryDef(
+    "scd2_asof",
+    (s, d) => {
+      val asof = F.lit("2024-01-15 00:00:00").cast("timestamp")
+      Warehouse.scd2Build(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .where(F.col("valid_from") <= asof &&
+          (F.col("valid_to").isNull || F.col("valid_to") > asof))
+        .select(F.col("user_id"), F.col("attr"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_type AS attr FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- C42
+  /** Event-type co-occurrence with PMI: which behaviors share users
+    * more than independence predicts. Lift is an EXACT integer micro
+    * (n_ab·N·1e6 div n_a·n_b — the hash-checked column); PMI is its
+    * rounded log2, derived per row.
+    *
+    * Scale shape: distinct (user, type) is one map-side-combined
+    * aggregate; the pair self-join co-partitions on user with fan-out
+    * bounded by |types|² per user; the per-type totals and the 1-row
+    * user count broadcast. Nothing quadratic in users. */
+  private val pmiCooccur = QueryDef(
+    "pmi_cooccur",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val ut = CacheScope.persist(
+        ev.select("user_id", "event_type").distinct())
+      val perType = ut.groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n_t"))
+      val users = ev.agg(
+        F.countDistinct(F.col("user_id")).as("n_users"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"), F.col("a.user_id") === F.col("b.user_id") &&
+          F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(F.col("a.event_type").as("ta"),
+          F.col("b.event_type").as("tb"))
+        .agg(F.count(F.lit(1)).as("n_ab"))
+      pairs
+        .join(F.broadcast(perType.select(
+          F.col("event_type").as("ta"), F.col("n_t").as("n_a"))), Seq("ta"))
+        .join(F.broadcast(perType.select(
+          F.col("event_type").as("tb"), F.col("n_t").as("n_b"))), Seq("tb"))
+        .crossJoin(F.broadcast(users))
+        .select(F.col("ta"), F.col("tb"), F.col("n_ab"), F.col("n_a"),
+          F.col("n_b"), F.col("n_users"),
+          F.expr("n_ab * n_users * 1000000L div (n_a * n_b)")
+            .as("lift_micro"),
+          F.round(F.log2(F.col("n_ab").cast("double") * F.col("n_users") /
+            (F.col("n_a") * F.col("n_b"))), 6).as("pmi"))
+        .orderBy("ta", "tb")
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+            FROM ut GROUP BY 1),
+      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events),
+      p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+      SELECT ta, tb, n_ab, na.n_t AS n_a, nb.n_t AS n_b, n_users,
+             CAST(n_ab * n_users * 1000000 // (na.n_t * nb.n_t)
+                  AS BIGINT) AS lift_micro,
+             round(log2(CAST(n_ab AS DOUBLE) * n_users
+                        / (na.n_t * nb.n_t)), 6) AS pmi
+      FROM p JOIN n na ON na.event_type = ta
+             JOIN n nb ON nb.event_type = tb, u
+      ORDER BY ta, tb"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
-    qualityClassifier, cdcMerge, markovTransitions, kAnonymity)
+    qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
+    scd2Asof, pmiCooccur)
 }

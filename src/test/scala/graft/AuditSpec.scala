@@ -37,6 +37,19 @@ class AuditSpec extends SparkSpec {
     assert(r.toSeq == Seq(("x", 3L, 1L, 1L), ("y", 3L, 1L, 2L)))
   }
 
+  test("skewProfile: power-of-two buckets partition the keys and rows") {
+    // key a: 1 row (bucket 0), b: 3 rows (bucket 1), c: 8 rows (bucket 3)
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(8)("c"))
+      .toDF("k")
+    val r = Audit.skewProfile(df, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0L, 1L, 1L, 1L, 1L), (1L, 1L, 3L, 3L, 3L), (3L, 1L, 8L, 8L, 8L)))
+    // buckets partition everything: keys sum to 3, rows to 12
+    assert(r.map(_._2).sum == 3L && r.map(_._3).sum == 12L)
+  }
+
   test("benfordAudit: digit of floor, <1 excluded, shares reconcile") {
     // 19.5 -> 1, 2.0 -> 2, 200.0 -> 2, 0.5 -> excluded
     val df = Seq(19.5, 2.0, 200.0, 0.5).toDF("v")
