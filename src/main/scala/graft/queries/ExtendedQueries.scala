@@ -230,6 +230,24 @@ object ExtendedQueries {
       SELECT *, 'json' AS fmt FROM supplier
       ORDER BY fmt, s_suppkey"""))
 
+  // ------------------------------------------------------------------ H9
+  /** ORC round-trip (Spark's second columnar native format): write the
+    * supplier table as ORC with zlib, read it back, verify content
+    * equals the source (oracle reads the source directly — DuckDB has
+    * no ORC reader, so content-equality against the parquet source IS
+    * the check). Types survive exactly: ORC stores doubles/longs
+    * natively, no text round-trip involved. */
+  private val orcRoundtrip = QueryDef(
+    "orc_roundtrip",
+    (s, d) => {
+      val base = s"/tmp/graft_h9_${Harness.runId}_${new java.io.File(d).getName}"
+      val sup = t(s, d, "supplier")
+      sup.write.mode("overwrite").option("compression", "zlib")
+        .orc(s"$base/orc")
+      s.read.orc(s"$base/orc").orderBy("s_suppkey")
+    },
+    Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+
   // ------------------------------------------------------------------ H3
   /** Partitioned parquet write + partition-pruned read: orders land
     * hive-partitioned by priority; the read back filters ONE partition
@@ -909,10 +927,79 @@ object ExtendedQueries {
        |a3 AS ${assignCte(cos, "c2f")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C43
+  /** Full correlation matrix over the fact table's numeric columns —
+    * C18's exact-decimal-sums discipline widened to every pair: ONE
+    * whole-table aggregate computes all 4 power sums, 4 square sums and
+    * 6 cross sums as exact decimals (order-independent, so the matrix
+    * hash-checks despite being "floating point"); the closing Pearson
+    * algebra runs on the 1-row frame and unpivots to (col_x, col_y)
+    * rows. One scan at any scale; no per-pair rescans. */
+  private val corrMatrix = QueryDef(
+    "corr_matrix", {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+        val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+          "l_discount" -> "di", "l_tax" -> "tx")
+        val pairs = cols.combinations(2).toSeq
+        val aggs = F.count(F.lit(1)).as("n") +: (
+          cols.flatMap { case (c, a) => Seq(
+            pd(F.sum(dec(F.col(c)))).as(s"s_$a"),
+            pd(F.sum((dec(F.col(c)) * dec(F.col(c)))
+              .cast(DecimalType(38, 8)))).as(s"ss_$a"))
+          } ++ pairs.map { case Seq((cx, ax), (cy, ay)) =>
+            pd(F.sum((dec(F.col(cx)) * dec(F.col(cy)))
+              .cast(DecimalType(38, 8)))).as(s"sp_${ax}_$ay")
+          })
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val nn = F.col("n").cast("double")
+        def corr(ax: String, ay: String) =
+          F.round((F.col(s"sp_${ax}_$ay") -
+              F.col(s"s_$ax") * F.col(s"s_$ay") / nn) /
+            (F.sqrt(F.col(s"ss_$ax") -
+               F.col(s"s_$ax") * F.col(s"s_$ax") / nn) *
+             F.sqrt(F.col(s"ss_$ay") -
+               F.col(s"s_$ay") * F.col(s"s_$ay") / nn)), 6)
+        val rows = pairs.map { case Seq((cx, ax), (cy, ay)) =>
+          F.struct(F.lit(cx).as("col_x"), F.lit(cy).as("col_y"),
+            corr(ax, ay).as("corr"))
+        }
+        one.select(F.col("n"), F.explode(F.array(rows: _*)).as("r"))
+          .select(F.col("r.col_x"), F.col("r.col_y"), F.col("n"),
+            F.col("r.corr"))
+          .orderBy("col_x", "col_y")
+    },
+    Some {
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "di", "l_tax" -> "tx")
+      val pairs = cols.combinations(2).toSeq
+      def s1(c: String, a: String) =
+        s"CAST(CAST(sum(CAST($c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s_$a"
+      def s2(cx: String, cy: String, a: String) =
+        s"""CAST(CAST(sum(CAST(CAST($cx AS DECIMAL(19,4))
+           * CAST($cy AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS $a"""
+      val sums = (Seq("count(*) AS n") ++
+        cols.flatMap { case (c, a) => Seq(s1(c, a), s2(c, c, s"ss_$a")) } ++
+        pairs.map { case Seq((cx, ax), (cy, ay)) =>
+          s2(cx, cy, s"sp_${ax}_$ay") }).mkString(",\n        ")
+      val rows = pairs.map { case Seq((cx, ax), (cy, ay)) =>
+        s"""SELECT '$cx' AS col_x, '$cy' AS col_y, CAST(n AS BIGINT) AS n,
+           round((sp_${ax}_$ay - s_$ax * s_$ay / nn)
+                 / (sqrt(ss_$ax - s_$ax * s_$ax / nn)
+                    * sqrt(ss_$ay - s_$ay * s_$ay / nn)), 6) AS corr FROM s"""
+      }.mkString("\nUNION ALL\n")
+      s"""
+      WITH sums0 AS (SELECT $sums FROM lineitem),
+      s AS (SELECT *, CAST(n AS DOUBLE) AS nn FROM sums0)
+      $rows
+      ORDER BY col_x, col_y"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
     windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
-    stateIslands, resampleInterp, winsorize, tableDiff)
+    stateIslands, resampleInterp, winsorize, tableDiff, corrMatrix,
+    orcRoundtrip)
 }

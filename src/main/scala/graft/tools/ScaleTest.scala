@@ -244,6 +244,46 @@ object ScaleTest {
       li.withColumn("da", F.pmod(F.col("l_orderkey"), F.lit(1024L)))
         .withColumn("db", F.pmod(F.col("l_partkey"), F.lit(1024L))),
       F.col("da"), F.col("db"), bits = 10, numPartitions = 64).count())
+
+    // r5 wave 14-15: warehouse/audit operators at mult× events (10×
+    // users via shifted ids — per-user history length stays constant,
+    // so the per-key window cost is flat while the shuffle is mult×)
+    val ev0 = graft.queries.Tables.t(spark, base, "events")
+    (0 until mult).map { i =>
+      ev0.withColumn("user_id", F.col("user_id") + F.lit(i * 1000000L))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    println(s"events scale rows: ${ev.count()}")
+    time("scd2_build_10x")(graft.operators.Warehouse.scd2Build(
+      ev, "user_id", "ts", "event_id", "event_type").count())
+    time("transitions_10x")(graft.operators.Warehouse.transitionMatrix(
+      ev, "user_id", "ts", "event_id", "event_type").count())
+    time("cdc_merge_10x") {
+      val cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+      val bs = ev.where(F.col("ts") < cutoff).groupBy("user_id")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"),
+          F.col("event_type"))).as("_b"))
+        .select(F.col("user_id"), F.col("_b.event_type").as("event_type"))
+      val ch = ev.where(F.col("ts") >= cutoff).withColumn("op",
+        F.when(F.col("event_type") === "error", "D").otherwise("U"))
+      graft.operators.Warehouse.mergeChangelog(bs, ch,
+        "user_id", "ts", "event_id", "op", "event_type").count()
+    }
+    // audits on the 6M-row fact: both collapse to distinct keys first
+    val ord0 = spark.read.parquet(s"$base/orders.parquet")
+    val ord = (0 until mult).map { i =>
+      ord0.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    time("fk_check_6M")(graft.operators.Audit.fkCheck(
+      li, "l_orderkey", ord, "o_orderkey", "li->o").count())
+    time("key_skew_6M")(graft.operators.Audit.skewProfile(
+      li, "l_orderkey").count())
+    time("k_anonymity_6M")(graft.operators.Privacy.kAnonymity(
+      li.select(F.col("l_returnflag"), F.col("l_linestatus"),
+        F.pmod(F.col("l_suppkey"), F.lit(100L)).as("supp_bucket")),
+      Seq("l_returnflag", "l_linestatus", "supp_bucket"), k = 1000L).count())
     spark.stop()
   }
 }
