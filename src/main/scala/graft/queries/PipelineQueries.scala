@@ -1036,7 +1036,49 @@ object PipelineQueries {
               WHERE EXISTS (SELECT 1 FROM e
                             WHERE e.a = w.x AND e.b = w.y)) AS n_triangles"""))
 
+  // ---------------------------------------------------------------- E43
+  /** Phrase search over a POSITIONAL inverted index: posexplode gives
+    * (doc, pos, term) postings; the phrase probe filters each term's
+    * posting list and merges them on (doc, pos+1 = pos) — the classic
+    * positional-index adjacency join, never a regex scan of the corpus.
+    *
+    * Scale shape: the two posting-list filters push into the scan-side
+    * explode (only phrase terms survive), the adjacency join
+    * co-partitions on doc_id, and the per-doc hit count map-side
+    * combines. At 100 TB the index would be term-bucketed parquet and
+    * the probe reads two postings, not the corpus; here the build is
+    * inlined. The oracle recomputes adjacency per doc with list
+    * lambdas — independent of the join formulation. */
+  private val phraseSearch = QueryDef(
+    "phrase_search",
+    (s, d) => {
+      val Seq(w1, w2) = Seq("table", "hash")
+      val idx = t(s, d, "documents")
+        .select(F.col("doc_id"),
+          F.posexplode(TextOps.tokens(F.col("text"))).as(Seq("pos", "term")))
+      val a = idx.where(F.col("term") === w1)
+        .select(F.col("doc_id"), F.col("pos"))
+      val b = idx.where(F.col("term") === w2)
+        .select(F.col("doc_id"), (F.col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(lower(text), ' +') AS l
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(list_filter(range(len(l) - 1),
+               i -> l[i + 1] = 'table' AND l[i + 2] = 'hash'))
+               AS BIGINT) AS n_hits
+      FROM t
+      WHERE len(list_filter(range(len(l) - 1),
+              i -> l[i + 1] = 'table' AND l[i + 2] = 'hash')) > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
+    phraseSearch,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
     embedTopK, embedNearDup, embedLshBuckets, embedLshNearDup,
