@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{CacheScope, Hashing, Warehouse}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 import Tables.t
 
@@ -346,8 +347,130 @@ object WarehouseQueries {
              JOIN n nb ON nb.event_type = tb, u
       ORDER BY ta, tb"""))
 
+  // ---------------------------------------------------------------- C44
+  /** 7-day rolling EXACT median of daily revenue: daily totals are
+    * exact decimal sums (order-independent → portable doubles), the
+    * rolling median sorts the ≤7-element window frame — bounded state
+    * by construction, never a percentile over raw rows. The global
+    * day-ordered window is metadata-sized at any SF (it orders days,
+    * not orders). */
+  private val rollingMedian = QueryDef(
+    "rolling_median",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.to_date(F.col("o_orderdate")).as("day"))
+        .agg(F.expr(
+          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)")
+          .as("rev"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("l", F.array_sort(F.collect_list(F.col("rev")).over(w)))
+        .withColumn("med7", F.round(F.expr(
+          "(element_at(l, CAST(((size(l) - 1) div 2) + 1 AS INT))" +
+            " + element_at(l, CAST((size(l) div 2) + 1 AS INT))) / 2"), 6))
+        .select("day", "rev", "med7")
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1),
+      w AS (SELECT day, rev,
+              list_sort(list(rev) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+            FROM daily)
+      SELECT day, rev,
+             round((l[((len(l) - 1) // 2) + 1] + l[(len(l) // 2) + 1]) / 2,
+                   6) AS med7
+      FROM w ORDER BY day"""))
+
+  // ---------------------------------------------------------------- C45
+  /** Population-stability-index drift audit between two periods: decile
+    * bounds taken as DISCRETE values from the baseline period (exact
+    * rank positions ⌊n·k/10⌋ over a (price, key) order — actual data
+    * points, no interpolation, so the bounds are bit-identical in both
+    * engines), both periods binned against them, per-bin shares as
+    * exact integer micros, PSI terms derived. PSI > 0.25 is the classic
+    * retrain trigger.
+    *
+    * Scale shape: the baseline rank is the one global sort (at 100 TB
+    * you compute bounds on a hash-sample — the E6 discipline); binning
+    * is a broadcast of 9 doubles; the bin histogram map-side combines. */
+  private val driftPsi = QueryDef(
+    "drift_psi",
+    (s, d) => {
+      val cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+      val o = t(s, d, "orders").select(F.col("o_orderkey"),
+        F.col("o_totalprice").as("price"),
+        (F.col("o_orderdate") < cutoff).as("is_a"))
+      val a = o.where(F.col("is_a"))
+      val na = a.agg(F.count(F.lit(1)).as("n"))
+      val ranked = a
+        .withColumn("rn",
+          F.row_number().over(Window.orderBy("price", "o_orderkey"))
+            .cast("long"))
+        .crossJoin(F.broadcast(na))
+      val bounds = ranked
+        .where(F.expr(
+          "array_contains(transform(sequence(1, 9), k -> (n * k) div 10), rn)"))
+        .agg(F.sort_array(F.collect_list(F.col("price"))).as("bounds"))
+      val binned = o.crossJoin(F.broadcast(bounds))
+        .select(F.col("is_a"),
+          F.expr("size(filter(bounds, b -> price > b))").cast("long")
+            .as("bin"))
+      val counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        F.sum(F.when(!F.col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      val totals = counts.agg(F.sum("n_a").cast("long").as("ta"),
+        F.sum("n_b").cast("long").as("tb"))
+      counts.crossJoin(F.broadcast(totals))
+        .select(F.col("bin"), F.col("n_a"), F.col("n_b"),
+          F.expr("n_a * 1000000L div ta").as("share_a_micro"),
+          F.expr("n_b * 1000000L div tb").as("share_b_micro"),
+          F.when(F.col("n_a") > 0 && F.col("n_b") > 0,
+            F.round((F.col("n_a").cast("double") / F.col("ta") -
+                F.col("n_b").cast("double") / F.col("tb")) *
+              F.log(F.col("n_a").cast("double") * F.col("tb") /
+                (F.col("n_b").cast("double") * F.col("ta"))), 6))
+            .as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_totalprice AS price,
+                        o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS is_a
+                 FROM orders),
+      a AS (SELECT price, o_orderkey FROM o WHERE is_a),
+      na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+      r AS (SELECT price,
+                   row_number() OVER (ORDER BY price, o_orderkey) AS rn
+            FROM a),
+      b AS (SELECT list_sort(list(price)) AS bounds FROM r, na
+            WHERE list_contains(
+              list_transform(range(1, 10), k -> (n * k) // 10), rn)),
+      binned AS (SELECT is_a,
+                   CAST(len(list_filter(bounds, bb -> price > bb))
+                        AS BIGINT) AS bin
+                 FROM o, b),
+      c AS (SELECT bin,
+              CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM binned GROUP BY 1),
+      t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+      SELECT bin, n_a, n_b,
+             CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_micro,
+             CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_micro,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                     * ln(CAST(n_a AS DOUBLE) * tb
+                          / (CAST(n_b AS DOUBLE) * ta)), 6)
+             END AS psi_term
+      FROM c, t ORDER BY bin"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
-    scd2Asof, pmiCooccur)
+    scd2Asof, pmiCooccur, rollingMedian, driftPsi)
 }
