@@ -580,8 +580,54 @@ object StreamingQueries {
       WHERE adev > 2.0 * dd
       ORDER BY o_orderkey"""))
 
+  // ----------------------------------------------------------------- G15
+  /** Ordered-replay transition counts from the event stream
+    * ([[graft.streaming.StreamOps.transitionsStream]]): per-user events
+    * buffer under flatMapGroupsWithState until the key's flush timeout
+    * (last event + 30 min) passes the watermark, then replay in exact
+    * (ts, tie) order and emit consecutive (src → dst) pairs — the
+    * arrival order the file source provides is NOT event order, which
+    * is the whole point. Determinism discipline = stream_session's:
+    * keep only users whose last event is ≥ 45 min before the stream's
+    * end (strictly inside the 40-min flush horizon, so they have
+    * certainly flushed in full); the oracle applies the identical
+    * cutoff to the batch lead() formulation (C38's shape). */
+  private val streamTransitions = QueryDef(
+    "stream_transitions",
+    (s, d) => {
+      import s.implicits._
+      val dir = stage(s, d, "events")
+      val batch = s.read.parquet(dir)
+      val maxUs = batch.agg(F.max(F.unix_micros(F.col("ts")))).head().getLong(0)
+      val cutoffUs = maxUs - 2700L * 1000000L // max(ts) − 45 min
+      val flushed = batch.groupBy("user_id")
+        .agg(F.max(F.unix_micros(F.col("ts"))).as("umax"))
+        .where(F.col("umax") < cutoffUs).select("user_id")
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+      val in = stream.select(F.col("user_id").as("userId"), F.col("ts"),
+        F.col("event_id").as("eventId"), F.col("event_type").as("eventType"))
+        .as[graft.streaming.StreamOps.TransIn]
+      val out = graft.streaming.StreamOps
+        .transitionsStream(in, flushDelayMs = 1800L * 1000)
+      drain(out.toDF(), "append")
+        .withColumnRenamed("userId", "user_id")
+        .join(F.broadcast(flushed), Seq("user_id"))
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("src", "dst")
+    },
+    Some("""
+      WITH g AS (SELECT max(ts) AS gmax FROM events),
+      f AS (SELECT user_id FROM events, g GROUP BY user_id, gmax
+            HAVING max(ts) < gmax - INTERVAL 45 MINUTE),
+      p AS (SELECT e.user_id, e.event_type AS a,
+                   lead(e.event_type) OVER (PARTITION BY e.user_id
+                                            ORDER BY e.ts, e.event_id) AS b
+            FROM events e JOIN f USING (user_id))
+      SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE b IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
-    streamTopk, streamAnomaly)
+    streamTopk, streamAnomaly, streamTransitions)
 }

@@ -115,4 +115,59 @@ object StreamOps extends Serializable {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // ---- custom state: watermark-ordered transition replay ----
+
+  case class TransIn(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+      eventType: String)
+  case class TransEv(tsUs: Long, eventId: Long, typ: String)
+  case class TransBufState(events: List[TransEv])
+  case class TransOut(userId: Long, src: String, dst: String)
+
+  /** Ordered-replay transition extraction from an out-of-order stream:
+    * per-key events buffer until the key's flush timeout (last event +
+    * `flushDelayMs`) passes the event-time watermark, then replay in
+    * exact (ts, tie) order and emit consecutive (src → dst) pairs —
+    * the CDC/clickstream pattern where correctness requires total
+    * per-key order that arrival order does not provide.
+    *
+    * State is the buffered event list — bounded by the flush horizon
+    * (watermark + flushDelay) on an infinite stream, because a key
+    * flushes (and clears) once it goes quiet for the flush delay; a
+    * key that never goes quiet would need incremental emission below
+    * the watermark instead (the sessionizer's strategy). Keys still
+    * open when an AvailableNow run ends stay unemitted — callers'
+    * oracles exclude keys whose last event is inside the flush+
+    * watermark horizon, same discipline as the sessionizer. */
+  def transitionsStream(events: org.apache.spark.sql.Dataset[TransIn],
+      flushDelayMs: Long, watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TransOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[TransIn],
+        state: GroupState[TransBufState]): Iterator[TransOut] = {
+      if (state.hasTimedOut) {
+        val evs = state.get.events.sortBy(e => (e.tsUs, e.eventId))
+        state.remove()
+        evs.sliding(2).collect {
+          case List(a, b) => TransOut(userId, a.typ, b.typ)
+        }
+      } else {
+        val added = rows.map(e =>
+          TransEv(tsMicros(e.ts), e.eventId, e.eventType)).toList
+        val all = state.getOption.map(_.events).getOrElse(Nil) ::: added
+        state.update(TransBufState(all))
+        // timeout keys off the key's LAST event (ms floor, like the
+        // sessionizer): fires once the watermark passes it + the delay
+        val maxMs = all.iterator.map(e => Math.floorDiv(e.tsUs, 1000L)).max
+        state.setTimeoutTimestamp(maxMs + flushDelayMs)
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("01:00", "click", 1L)))
   }
 
+  test("G15: transition replay emits event order, not arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.TransIn]
+    val out = StreamOps.transitionsStream(mem.toDS(),
+      flushDelayMs = 30L * 60 * 1000)
+    val q = out.toDF().writeStream.format("memory").queryName("g15")
+      .outputMode("append").start()
+    // user 1 arrives SCRAMBLED: b (00:10), a (00:05), c (00:15)
+    mem.addData(
+      StreamOps.TransIn(1L, ts("2024-01-01 00:10:00"), 2L, "b"),
+      StreamOps.TransIn(1L, ts("2024-01-01 00:05:00"), 1L, "a"),
+      StreamOps.TransIn(1L, ts("2024-01-01 00:15:00"), 3L, "c"))
+    q.processAllAvailable()
+    // a late rider pushes the watermark past user 1's flush timeout
+    // (00:15 + 30 min); the no-data batch then fires the replay
+    mem.addData(StreamOps.TransIn(99L, ts("2024-01-01 02:00:00"), 9L, "x"))
+    q.processAllAvailable()
+    mem.addData(StreamOps.TransIn(99L, ts("2024-01-01 03:00:00"), 10L, "x"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("g15").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "b"), (1L, "b", "c")))
+  }
+
   test("G3: stateful streaming dedup drops exact duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
