@@ -469,8 +469,68 @@ object WarehouseQueries {
              END AS psi_term
       FROM c, t ORDER BY bin"""))
 
+  // ---------------------------------------------------------------- C46
+  /** Per-segment revenue trend: OLS slope/intercept of daily revenue
+    * over the day index, from EXACT integer/decimal sums (n, Σx, Σx²
+    * as longs; Σy, Σxy as decimals) — order-independent, so the sums
+    * hash-check and the closing slope algebra is one double division
+    * per group. Two map-side-combined aggregates (day grain, then
+    * segment); the fact shuffles once on (segment, day).
+    *
+    * x = days since 1995-01-01 (intrinsic grid — no window, no sort);
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). */
+  private val trendFit = QueryDef(
+    "trend_fit",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1995-01-01"))
+            .cast("long").as("x"))
+        .agg(F.expr(
+          "sum(CAST(o_totalprice AS DECIMAL(18,4)))").as("y"))
+      val sums = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"),
+        F.sum(F.col("x") * F.col("x")).as("sxx"),
+        F.expr("CAST(CAST(sum(y) AS STRING) AS DOUBLE)").as("sy"),
+        F.expr("CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS STRING) AS DOUBLE)")
+          .as("sxy"))
+      sums.select(F.col("segment"), F.col("n"), F.col("sx"), F.col("sxx"),
+        F.round(F.col("sy"), 4).as("sy"), F.round(F.col("sxy"), 4).as("sxy"),
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+          (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+          .as("slope"))
+        .withColumn("intercept",
+          F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      sums AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS VARCHAR)
+                    AS DOUBLE) AS sxy
+        FROM daily GROUP BY 1)
+      SELECT segment, n, sx, sxx, round(sy, 4) AS sy, round(sxy, 4) AS sxy,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((round(sy, 4) - round((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 6) * sx) / n, 6)
+               AS intercept
+      FROM sums ORDER BY segment"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
-    scd2Asof, pmiCooccur, rollingMedian, driftPsi)
+    scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit)
 }
