@@ -153,6 +153,87 @@ object AuditQueries {
              CAST(max(cnt) AS BIGINT) AS max_cnt
       FROM k GROUP BY 1 ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- C47
+  /** Chi-square independence audit of order priority × customer
+    * segment, reported PER CELL (observed n, exact integer-micro
+    * expected under independence, the cell's χ² term) — per-cell output
+    * keeps everything deterministic: no cross-cell double summation
+    * whose order could differ between engines. Row/col totals broadcast
+    * (|priorities| × |segments| cells is metadata); the fact aggregates
+    * once, map-side combined. */
+  private val chisqCells = QueryDef(
+    "chisq_cells",
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("o_orderpriority").as("priority"),
+          F.col("c_mktsegment").as("segment"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val rows = cells.groupBy("priority").agg(F.sum("n").cast("long").as("nr"))
+      val colsT = cells.groupBy("segment").agg(F.sum("n").cast("long").as("nc"))
+      val total = cells.agg(F.sum("n").cast("long").as("nt"))
+      cells
+        .join(F.broadcast(rows), Seq("priority"))
+        .join(F.broadcast(colsT), Seq("segment"))
+        .crossJoin(F.broadcast(total))
+        .select(F.col("priority"), F.col("segment"), F.col("n"),
+          F.col("nr"), F.col("nc"),
+          F.expr("nr * nc * 1000000L div nt").as("expected_micro"),
+          F.round(
+            F.pow(F.col("n") - F.col("nr") * F.col("nc") / F.col("nt").cast("double"), 2) /
+              (F.col("nr") * F.col("nc") / F.col("nt").cast("double")), 6)
+            .as("chi_term"))
+        .orderBy("priority", "segment")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      r AS (SELECT priority, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY 1),
+      c AS (SELECT segment, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+      SELECT priority, segment, n, nr, nc,
+             CAST(nr * nc * 1000000 // nt AS BIGINT) AS expected_micro,
+             round(pow(n - nr * nc / CAST(nt AS DOUBLE), 2)
+                   / (nr * nc / CAST(nt AS DOUBLE)), 6) AS chi_term
+      FROM cells JOIN r USING (priority) JOIN c USING (segment), t
+      ORDER BY priority, segment"""))
+
+  // ---------------------------------------------------------------- E45
+  /** Hashing-trick featurization (the pre-training featurize step):
+    * two feature families per event — type:<event_type> and
+    * dow:<day-of-week> — hashed into 64 buckets by the portable hash60,
+    * counted per user. Collisions merge by design; the bucket space is
+    * fixed regardless of vocabulary, which is the point of the trick.
+    * One explode (×2) + one map-side-combined aggregate; no vocabulary
+    * table, no broadcast, scales with rows only. */
+  private val featureHash = QueryDef(
+    "feature_hash",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val feats = F.array(
+        F.concat(F.lit("type:"), F.col("event_type")),
+        F.concat(F.lit("dow:"), F.dayofweek(F.col("ts")).cast("string")))
+      ev.select(F.col("user_id"), F.explode(feats).as("f"))
+        .select(F.col("user_id"),
+          F.pmod(graft.operators.Hashing.hash60(F.col("f")), F.lit(64L))
+            .as("bucket"))
+        .groupBy("user_id", "bucket").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT user_id, 'type:' || event_type AS f FROM events
+        UNION ALL
+        SELECT user_id, 'dow:' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+        FROM events)
+      SELECT user_id, ${graft.operators.Hashing.hash60Sql("f")} % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2 ORDER BY user_id, bucket"""))
+
   def all: Seq[QueryDef] =
-    Seq(fkCheck, profileTable, benfordAudit, sessionPaths, keySkew)
+    Seq(fkCheck, profileTable, benfordAudit, sessionPaths, keySkew,
+      chisqCells, featureHash)
 }
