@@ -529,8 +529,100 @@ object WarehouseQueries {
                AS intercept
       FROM sums ORDER BY segment"""))
 
+  // ---------------------------------------------------------------- C48
+  /** RFM customer segmentation: recency (days from last order to the
+    * corpus max date — data-derived so the query is reproducible),
+    * frequency, exact-decimal monetary, each scored 1–5 by ntile with a
+    * customer-key tie-break (bit-stable quintiles). One fact aggregate;
+    * the three ntile windows sort the CUSTOMER table (dimension-sized),
+    * never the fact. */
+  private val rfm = QueryDef(
+    "rfm",
+    (s, d) => {
+      val per = t(s, d, "orders").groupBy(F.col("o_custkey").as("custkey"))
+        .agg(F.max(F.to_date(F.col("o_orderdate"))).as("last_day"),
+          F.count(F.lit(1)).as("f"),
+          F.expr("CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)")
+            .as("m"))
+      val mx = per.agg(F.max("last_day").as("mx"))
+      val base = per.crossJoin(F.broadcast(mx))
+        .select(F.col("custkey"),
+          F.datediff(F.col("mx"), F.col("last_day")).cast("long").as("r"),
+          F.col("f"), F.col("m"))
+      def score(c: String, asc: Boolean) = F.ntile(5).over(
+        if (asc) Window.orderBy(F.col(c).asc, F.col("custkey").asc)
+        else Window.orderBy(F.col(c).desc, F.col("custkey").asc))
+        .cast("long")
+      base.select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
+        score("r", asc = true).as("r_score"),   // low recency = best
+        score("f", asc = false).as("f_score"),
+        score("m", asc = false).as("m_score"))
+        .orderBy("custkey")
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey AS custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_day,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS m
+        FROM orders GROUP BY 1),
+      mx AS (SELECT max(last_day) AS mx FROM per),
+      b AS (SELECT custkey,
+                   CAST(date_diff('day', last_day, mx) AS BIGINT) AS r,
+                   f, m
+            FROM per, mx)
+      SELECT custkey, r, f, m,
+             CAST(ntile(5) OVER (ORDER BY r ASC, custkey ASC) AS BIGINT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY f DESC, custkey ASC) AS BIGINT)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY m DESC, custkey ASC) AS BIGINT)
+               AS m_score
+      FROM b ORDER BY custkey"""))
+
+  // ---------------------------------------------------------------- C49
+  /** Market-basket affinity: top co-purchased part pairs. The pair
+    * self-join co-partitions on the ORDER key with fan-out bounded by
+    * lines-per-order² (≤ ~49 — order size, not catalog size), pair
+    * counts map-side combine, support is an exact integer micro over
+    * the basket count, and the top-50 closes as TakeOrderedAndProject.
+    * The complement of C42's user-level PMI: basket-level, support-
+    * thresholded, never quadratic in parts or baskets. */
+  private val basketAffinity = QueryDef(
+    "basket_affinity",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+        .distinct()
+      val baskets = li.agg(F.countDistinct(F.col("ok")).as("n_baskets"))
+      val pairs = li.as("a").join(li.as("b"),
+          F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").as("part_a"), F.col("b.pk").as("part_b"))
+        .agg(F.count(F.lit(1)).as("n"))
+      pairs.where(F.col("n") >= 2)
+        .crossJoin(F.broadcast(baskets))
+        .select(F.col("part_a"), F.col("part_b"), F.col("n"),
+          F.expr("n * 1000000L div n_baskets").as("support_micro"))
+        .orderBy(F.col("n").desc, F.col("part_a"), F.col("part_b"))
+        .limit(50)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM li),
+      p AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2)
+      SELECT part_a, part_b, n,
+             CAST(n * 1000000 // n_baskets AS BIGINT) AS support_micro
+      FROM p, nb WHERE n >= 2
+      ORDER BY n DESC, part_a, part_b LIMIT 50"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
-    scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit)
+    scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
+    rfm, basketAffinity)
 }
