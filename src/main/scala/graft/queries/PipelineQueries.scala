@@ -1077,8 +1077,107 @@ object PipelineQueries {
               i -> l[i + 1] = 'table' AND l[i + 2] = 'hash')) > 0
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- D3b
+  /** Honest-audit companion to D3: LSH candidate RECALL and PRECISION
+    * against the exact Jaccard≥0.5 truth pairs, in one row of integer
+    * micros. The number that decides whether (k, bands) is tuned right
+    * BEFORE a 100 TB run — same discipline as embed_pq_recall for PQ.
+    *
+    * Scale shape: both pair sets are bucketed (bands / capped shingle
+    * index), the audit joins pair-keyed sets and aggregates to one row.
+    * At production scale you run it on a hash-sampled corpus slice. */
+  private val dedupMinhashRecall = QueryDef(
+    "dedup_minhash_recall",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        k = K, bands = BANDS, shingleN = 3)
+        .select(F.col("doc_a"), F.col("doc_b"), F.lit(1L).as("c"))
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, maxDocFreq = None)
+        .select(F.col("doc_a"), F.col("doc_b"), F.lit(1L).as("tr"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          F.sum("tr").as("n_truth"),
+          F.sum("c").as("n_cand"),
+          F.sum(F.col("tr") * F.col("c")).as("n_hit"))
+        .select(F.col("n_truth"), F.col("n_cand"), F.col("n_hit"),
+          F.expr("case when n_truth = 0 then 0 else n_hit * 1000000 div n_truth end")
+            .as("recall_micros"),
+          F.expr("case when n_cand = 0 then 0 else n_hit * 1000000 div n_cand end")
+            .as("precision_micros"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+      shx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shx a JOIN shx b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5),
+      j AS (
+        SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+               CASE WHEN t.doc_a IS NULL THEN NULL ELSE 1 END AS tr,
+               CASE WHEN c.doc_a IS NULL THEN NULL ELSE 1 END AS c
+        FROM truth t FULL JOIN (SELECT doc_a, doc_b FROM mh_pairs) c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      SELECT CAST(sum(tr) AS BIGINT) AS n_truth,
+             CAST(sum(c) AS BIGINT) AS n_cand,
+             CAST(sum(tr * c) AS BIGINT) AS n_hit,
+             CAST(CASE WHEN sum(tr) = 0 THEN 0
+                  ELSE sum(tr * c) * 1000000 // sum(tr) END AS BIGINT)
+               AS recall_micros,
+             CAST(CASE WHEN sum(c) = 0 THEN 0
+                  ELSE sum(tr * c) * 1000000 // sum(c) END AS BIGINT)
+               AS precision_micros
+      FROM j"""))
+
+  // --------------------------------------------------------------- E1b
+  /** Language-ID confusion matrix: heuristic prediction (E1) against
+    * the labeled `lang` column — per (label, predicted) counts plus the
+    * label's hit share in micros. The one-page answer to "can I trust
+    * the langid gate before it drops 30% of a crawl".
+    *
+    * Scale shape: the E1 narrow projection followed by one tiny
+    * aggregate (|langs|² rows). */
+  private val langidConfusion = QueryDef(
+    "langid_confusion",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      t(s, d, "documents")
+        .select(F.col("lang"),
+          TextOps.langId(F.col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).as("n"))
+        .withColumn("_tot", F.sum("n").over(w))
+        .withColumn("label_share_micros", F.expr("n * 1000000 div _tot"))
+        .select("lang", "pred_lang", "n", "label_share_micros")
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+        lang -> s"len(list_filter($toksSql, x -> $cond))"
+      }
+      val cols = markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n             ")
+      val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
+      val cases = markerSql.map(_._1)
+        .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
+        .mkString("\n                  ")
+      s"""WITH p AS (
+         |  SELECT lang, CASE $cases ELSE 'unknown' END AS pred_lang
+         |  FROM (SELECT lang, $cols FROM documents)),
+         |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |         AS label_share_micros
+         |FROM g ORDER BY lang, pred_lang""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
-    phraseSearch,
+    phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
     embedTopK, embedNearDup, embedLshBuckets, embedLshNearDup,

@@ -626,8 +626,38 @@ object StreamingQueries {
       SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS n
       FROM p WHERE b IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ----------------------------------------------------------------- G2c
+  /** Hopping-window aggregate executed AS A STREAM (the batch
+    * window_hopping twin; same oracle): each event lands in two
+    * overlapping 1-hour windows sliding by 30 minutes. Complete mode —
+    * the watermark bounds state for the real continuous case, the
+    * AvailableNow drain makes the result comparable to batch. */
+  private val streamHopping = QueryDef(
+    "stream_hopping",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          pd(F.sum(dec(F.col("value")))).as("sum_value"))
+        .select(F.col("window.start").as("win_start"), F.col("event_type"),
+          F.col("n"), F.col("sum_value"))
+      drain(agg, "complete").orderBy("win_start", "event_type")
+    },
+    Some("""
+      SELECT ws AS win_start, event_type, count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM (SELECT event_type, value,
+              unnest([time_bucket(INTERVAL '30 minutes', ts),
+                      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+            FROM events)
+      GROUP BY ws, event_type ORDER BY win_start, event_type"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
-    streamTopk, streamAnomaly, streamTransitions)
+    streamTopk, streamAnomaly, streamTransitions, streamHopping)
 }
