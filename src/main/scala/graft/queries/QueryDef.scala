@@ -23,10 +23,17 @@ object Harness {
 object Tables {
   /** All queries read driver-generated parquet only (TESTDATA.md).
     *
-    * `events.parquet` is written with TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; read nanos as long and convert to micros
-    * with exact integer division (matches DuckDB's nanos→micros
-    * truncation). */
+    * `events.ts` normalization — the driver's writer has produced two
+    * physical encodings across rounds, and both must land on TIMESTAMP
+    * (LTZ, the type watermarks/unix_micros require), with identical
+    * micros given the UTC session every graft main sets:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; read
+    *    nanos as long and divide to micros (matches DuckDB's
+    *    nanos→micros truncation);
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark infers
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP (NTZ micros reinterpreted in
+    *    the UTC session zone — the same integers DuckDB's naive read
+    *    sees). */
   // Weak keys so stopped sessions can be GC'd (long-lived JVMs create
   // many sessions; a strong-keyed registry would pin each one).
   private val registered: java.util.Set[SparkSession] =
@@ -51,6 +58,9 @@ object Tables {
           raw.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -54,8 +54,7 @@ class MlSpec extends SparkSpec {
   test("asof_nearest picks the smaller |Δt| with past winning ties") {
     val out = q("asof_nearest")
     // recompute both directions brute-force on the small sf and compare
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val ev = graft.queries.Tables.t(spark, sf, "events")
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id", $"user_id", F.unix_micros($"ts").as("t"))
     val clicks = ev.filter($"event_type" === "click")
