@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AuditQueries, CoreQueries, CurationQueries, ExtendedQueries, MlQueries, PipelineQueries, PrepQueries, QueryDef, RefineQueries, SemanticQueries, StatQueries, StreamingQueries, WarehouseQueries}
+import graft.queries.{AuditQueries, CoreQueries, CurationQueries, ExtendedQueries, MlQueries, PipelineQueries, PrepQueries, QueryDef, RefineQueries, SemanticQueries, StatQueries, StreamingQueries, TrendQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,8 @@ object SparkEntry {
     CoreQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
       StreamingQueries.all ++ CurationQueries.all ++ PrepQueries.all ++
       RefineQueries.all ++ SemanticQueries.all ++ WarehouseQueries.all ++
-      AuditQueries.all ++ MlQueries.all ++ StatQueries.all
+      AuditQueries.all ++ MlQueries.all ++ StatQueries.all ++
+      TrendQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
