@@ -166,6 +166,22 @@ object Dedup {
     * the Jaccard stays self-consistent), index persisted because the
     * self-join and the size aggregate both consume it. */
   private def hashJaccardPairs(keyed: DataFrame, minJaccard: Double,
+      maxDocFreq: Option[Int]): DataFrame =
+    pairOverlap(keyed, maxDocFreq)
+      .withColumn("jaccard",
+        F.round(F.col("n_common").cast("double") /
+          (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+      .filter(F.col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+
+  /** Shared overlap core for set-similarity pair operators: given
+    * (doc_id, key_h) memberships, emit (doc_a < doc_b, n_common, n_a,
+    * n_b) for pairs sharing ≥ 1 key — df-cap BEFORE the self-join
+    * (sizes computed on the capped set so every derived measure stays
+    * self-consistent), index persisted because the self-join and the
+    * size aggregate both consume it. Jaccard, containment, overlap
+    * coefficient etc. are one projection away. */
+  private def pairOverlap(keyed: DataFrame,
       maxDocFreq: Option[Int]): DataFrame = {
     val capped = maxDocFreq match {
       case Some(cap) =>
@@ -183,12 +199,31 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_keys", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_keys", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        F.round(F.col("n_common").cast("double") /
-          (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-      .filter(F.col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  /** Directional n-gram CONTAINMENT pairs [Broder 1997's containment,
+    * the asymmetric cousin of resemblance]: C(A in B) = |A∩B| / |A| in
+    * exact integer micros — catches the quote/excerpt/superset family
+    * that Jaccard structurally misses (a 50-shingle excerpt inside a
+    * 5000-shingle doc has J ≈ 0.01 but containment ≈ 1.0, which is why
+    * decontamination pipelines gate on containment, not Jaccard).
+    * Both directions are reported per unordered pair; the gate keeps a
+    * pair when EITHER direction clears `minContainMicros`. Same
+    * capped-inverted-index shape as [[ngramJaccardPairs]] via
+    * [[pairOverlap]]. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContainMicros: Long = 800000L,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame =
+    pairOverlap(
+      TextOps.shingleDocs(docs, idCol, textCol, shingleN)
+        .select(F.col("doc_id"), Hashing.hash60(F.col("shingle")).as("key_h")),
+      maxDocFreq)
+      .withColumn("c_ab_micros", F.expr("n_common * 1000000 div n_a"))
+      .withColumn("c_ba_micros", F.expr("n_common * 1000000 div n_b"))
+      .filter(F.greatest(F.col("c_ab_micros"), F.col("c_ba_micros"))
+        >= minContainMicros)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "c_ab_micros", "c_ba_micros")
 
   // --------------------------------------------- content-defined chunking
   /** Content-defined chunk segments of a text column (the CDC/rolling-

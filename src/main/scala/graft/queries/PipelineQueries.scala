@@ -1176,6 +1176,139 @@ object PipelineQueries {
          |FROM g ORDER BY lang, pred_lang""".stripMargin
     })
 
+  // --------------------------------------------------------------- E52
+  /** Directional n-gram containment pairs ([[Dedup.ngramContainmentPairs]]):
+    * C(A in B) = |A∩B|/|A| in exact integer micros — the excerpt/superset
+    * detector that Jaccard structurally misses (a short quote inside a
+    * long doc has J ≈ 0, containment ≈ 1), which is why decontamination
+    * gates on containment. Both directions per unordered pair, gate on
+    * EITHER clearing 0.8. Same capped-index single-shuffle shape as D5. */
+  private val ngramContainment = QueryDef(
+    "ngram_containment",
+    (s, d) => Dedup.ngramContainmentPairs(t(s, d, "documents"),
+      "doc_id", "text", shingleN = 3, minContainMicros = 800000L,
+      maxDocFreq = Some(1000))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH ${shingleCte(3)},
+      shh0 AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      shh AS (SELECT doc_id, shingle_h FROM shh0
+              QUALIFY count(*) OVER (PARTITION BY shingle_h) <= 1000),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shh a JOIN shh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      m AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(n_common * 1000000 // sa.n AS BIGINT) AS c_ab_micros,
+               CAST(n_common * 1000000 // sb.n AS BIGINT) AS c_ba_micros
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, n_common, n_a, n_b, c_ab_micros, c_ba_micros
+      FROM m WHERE greatest(c_ab_micros, c_ba_micros) >= 800000
+      ORDER BY doc_a, doc_b"""))
+
+  // --------------------------------------------------------------- D24
+  /** Multiprobe LSH [Lv et al. 2007]: probe the query's exact hyperplane
+    * bucket PLUS every 1-bit-flip neighbor bucket (the buckets a
+    * near-neighbor most likely fell into when one hyperplane
+    * misclassified it) — recall rises toward multi-table LSH at the
+    * cost of planes+1 probes per query, with ONE table instead of L.
+    * Reported per query against the brute-force top-5: candidates
+    * examined (the cost) and hits/recall (the win) — the audit IS the
+    * query, same discipline as D14c's PQ recall.
+    *
+    * Scale shape: corpus bucketed once (narrow map); the probe
+    * explode is queries×(planes+1) rows joining the bucket-keyed
+    * corpus — never all-pairs; exact scoring touches only candidates. */
+  private val lshMultiprobe = QueryDef(
+    "lsh_multiprobe",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val b = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding",
+        planes = PLANES, dim = 64)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .transform(graft.operators.CacheScope.persist)
+      val q = b.where(F.col("vec_id") < 10)
+      val probeBuckets = F.col("bucket") +: (0 until PLANES).map(p =>
+        F.col("bucket").bitwiseXOR(F.lit(1L << p)))
+      val probes = q.select(F.col("vec_id").as("query_id"),
+        F.col("embedding").as("qv"),
+        F.explode(F.array(probeBuckets: _*)).as("bucket"))
+      val cands = probes.join(
+        b.select(F.col("bucket"), F.col("vec_id").as("match_id"),
+          F.col("embedding").as("cv")), "bucket")
+        .where(F.col("match_id") =!= F.col("query_id"))
+        .transform(graft.operators.CacheScope.persist)
+      val nCand = cands.groupBy("query_id")
+        .agg(F.count(F.lit(1)).as("n_cand"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(F.col("cos").desc, F.col("match_id"))
+      val approx = cands
+        .select(F.col("query_id"), F.col("match_id"),
+          Similarity.cosine(F.col("qv"), F.col("cv")).as("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      val exact = Similarity.bruteForceTopK(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(F.col("query_id"), F.col("match_id"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .join(nCand, "query_id")
+        .select(F.col("query_id"), F.col("n_cand"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      val flips = (0 until PLANES).map(p => s"xor(bucket, ${1L << p})")
+      s"""
+      WITH bk AS (
+        SELECT vec_id, CAST($bucketBitsSql AS BIGINT) AS bucket, embedding
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, bucket, embedding AS qv
+            FROM bk WHERE vec_id < 10),
+      probes AS (
+        SELECT query_id, qv,
+               unnest([bucket, ${flips.mkString(", ")}]) AS bucket
+        FROM q),
+      cand AS (
+        SELECT p.query_id, p.qv, c.vec_id AS match_id, c.embedding AS cv
+        FROM probes p JOIN bk c USING (bucket)
+        WHERE c.vec_id <> p.query_id),
+      ncand AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+      approx AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("qv", "cv")} DESC, match_id) AS rn
+          FROM cand) WHERE rn <= 5),
+      exact AS (
+        SELECT query_id, match_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
+                            e.vec_id) AS rn
+          FROM embeddings e JOIN embeddings q
+            ON q.vec_id < 10 AND e.vec_id <> q.vec_id) WHERE rn <= 5)
+      SELECT e.query_id, n.n_cand,
+             CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0, 6) AS recall
+      FROM exact e
+      LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.match_id = a.match_id
+      JOIN ncand n ON e.query_id = n.query_id
+      GROUP BY e.query_id, n.n_cand ORDER BY e.query_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
@@ -1186,5 +1319,6 @@ object PipelineQueries {
     multimodalMeta, sampleHash, sampleStratified, textNormalize, pipelineQuality,
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
-    dedupClustersApply, pagerank, frameSample, triangleCount)
+    dedupClustersApply, pagerank, frameSample, triangleCount,
+    ngramContainment, lshMultiprobe)
 }

@@ -127,8 +127,8 @@ object StatQueries {
     (s, d) => {
       val li = t(s, d, "lineitem").select(
         F.col("l_returnflag").as("flag"), F.col("l_linestatus").as("status"),
-        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").as("cents"),
-        F.expr("CAST(l_quantity AS BIGINT)").as("wq"))
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").as("wq"))
       val cum = Window.partitionBy("flag", "status").orderBy("cents")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val part = Window.partitionBy("flag", "status")
@@ -145,8 +145,8 @@ object StatQueries {
     Some("""
       WITH w AS (
         SELECT l_returnflag AS flag, l_linestatus AS status,
-               CAST(l_extendedprice * 100 AS BIGINT) AS cents,
-               CAST(l_quantity AS BIGINT) AS wq
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(floor(l_quantity) AS BIGINT) AS wq
         FROM lineitem),
       c AS (
         SELECT flag, status, cents, wq,
@@ -255,7 +255,7 @@ object StatQueries {
     (s, d) => {
       val p = t(s, d, "part").select(
         F.col("p_brand").as("brand"), F.col("p_partkey").as("partkey"),
-        F.expr("CAST(p_retailprice * 100 AS BIGINT)").as("cents"),
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("cents"),
         F.col("p_size").cast("long").as("size"))
       val strict = Window.partitionBy("brand").orderBy("cents")
         .rangeBetween(Window.unboundedPreceding, -1)
@@ -272,7 +272,7 @@ object StatQueries {
     Some("""
       WITH p AS (
         SELECT p_brand AS brand, p_partkey AS partkey,
-               CAST(p_retailprice * 100 AS BIGINT) AS cents,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
                CAST(p_size AS BIGINT) AS size
         FROM part)
       SELECT brand, partkey, cents, size
@@ -370,6 +370,56 @@ object StatQueries {
       SELECT node, CAST(min(hop) AS BIGINT) AS hop
       FROM r GROUP BY 1 ORDER BY node"""))
 
+  // ---------------------------------------------------------------- C56
+  /** ANSI PERCENTILE_DISC (p25/p50/p75/p90) per group: the smallest
+    * value whose cumulative row count reaches p·n — always an ACTUAL
+    * data value (no interpolation), selected by the integer predicate
+    * 100·cum ≥ p·n, so the whole computation is integer-exact (C14's
+    * interpolated percentiles are the _CONT counterpart). One RANGE-
+    * frame cumsum (ties share a cumulative value) + one conditional
+    * aggregate picks all four percentiles in a single pass. */
+  private val percentileDisc = QueryDef(
+    "percentile_disc",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        F.col("l_returnflag").as("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val cum = Window.partitionBy("flag").orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val part = Window.partitionBy("flag")
+      val c = li.withColumn("cum_n", F.count(F.lit(1)).over(cum))
+        .withColumn("tot_n", F.count(F.lit(1)).over(part))
+      c.groupBy("flag").agg(
+        F.min(F.when(F.expr("100 * cum_n >= 25 * tot_n"), F.col("cents")))
+          .as("p25_cents"),
+        F.min(F.when(F.expr("100 * cum_n >= 50 * tot_n"), F.col("cents")))
+          .as("p50_cents"),
+        F.min(F.when(F.expr("100 * cum_n >= 75 * tot_n"), F.col("cents")))
+          .as("p75_cents"),
+        F.min(F.when(F.expr("100 * cum_n >= 90 * tot_n"), F.col("cents")))
+          .as("p90_cents"),
+        F.max("tot_n").as("n"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      c AS (
+        SELECT flag, cents,
+               count(*) OVER (PARTITION BY flag ORDER BY cents
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               count(*) OVER (PARTITION BY flag) AS tot_n
+        FROM w)
+      SELECT flag,
+             min(CASE WHEN 100 * cum_n >= 25 * tot_n THEN cents END) AS p25_cents,
+             min(CASE WHEN 100 * cum_n >= 50 * tot_n THEN cents END) AS p50_cents,
+             min(CASE WHEN 100 * cum_n >= 75 * tot_n THEN cents END) AS p75_cents,
+             min(CASE WHEN 100 * cum_n >= 90 * tot_n THEN cents END) AS p90_cents,
+             max(tot_n) AS n
+      FROM c GROUP BY 1 ORDER BY flag"""))
+
   val all: Seq[QueryDef] = Seq(hllDistinct, weightedMedian, cusumDrift,
-    paretoFront, listaggOrdered, graphReach)
+    paretoFront, listaggOrdered, graphReach, percentileDisc)
 }

@@ -656,8 +656,53 @@ object StreamingQueries {
             FROM events)
       GROUP BY ws, event_type ORDER BY win_start, event_type"""))
 
+  // ----------------------------------------------------------------- G17
+  /** EWMA smoothing with the HEAVY stage streamed: the corpus → day-grid
+    * collapse (the only data-sized aggregation) executes as a
+    * watermarked tumbling-window stream; the metadata-sized ordered
+    * fold then runs on the drained grid via the SAME
+    * [[graft.operators.SeriesOps.ewmaFold]] as the batch twin (E51) —
+    * the right split for an inherently ordered recursion: the stream
+    * aggregates, the fold runs where order is total. In a real
+    * continuous deployment the fold re-runs per trigger on the updated
+    * (calendar-bounded) grid — the fold input never scales with the
+    * stream, only with days. Same oracle as `ewma_smooth`. */
+  private val streamEwma = QueryDef(
+    "stream_ewma",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .select(F.col("event_type"),
+          F.to_date(F.col("window.start")).as("day"), F.col("cnt"))
+      val grid = drain(agg, "complete")
+      graft.operators.SeriesOps.ewmaFold(grid, "event_type", "day", "cnt")
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH RECURSIVE dc AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, day, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM dc),
+      r AS (
+        SELECT event_type, rn, day, cnt, cnt AS ewma
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.day, s.cnt,
+               CAST((3 * r.ewma + s.cnt) // 4 AS BIGINT)
+        FROM r JOIN seq s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+      SELECT event_type, day, cnt, CAST(ewma AS BIGINT) AS ewma
+      FROM r ORDER BY event_type, day"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
-    streamTopk, streamAnomaly, streamTransitions, streamHopping)
+    streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma)
 }

@@ -104,30 +104,16 @@ object TrendQueries {
     * CUSUM: daily counts map-side, then a per-series array fold that
     * EMITS the full smoothed series (accumulator carries the growing
     * (day, cnt, ewma) array — bounded by calendar days), exploded back
-    * to rows. Oracle replays the recursion as a recursive CTE. */
+    * to rows via the shared [[graft.operators.SeriesOps.ewmaFold]]
+    * (also the G12 streaming twin's fold). Oracle replays the
+    * recursion as a recursive CTE. */
   private val ewmaSmooth = QueryDef(
     "ewma_smooth",
     (s, d) => {
       val dc = t(s, d, "events")
         .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
         .agg(F.count(F.lit(1)).as("cnt"))
-      val per = dc.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cnt"))))
-          .as("arr"))
-      val folded = per.withColumn("out", F.aggregate(
-        F.col("arr"),
-        F.expr("CAST(array() AS ARRAY<STRUCT<day: DATE, cnt: BIGINT, ewma: BIGINT>>)"),
-        (acc, x) => {
-          val prev = F.element_at(acc, -1)("ewma")
-          val sm = F.when(F.size(acc) === 0, x("cnt"))
-            .otherwise((F.lit(3L) * prev + x("cnt")) / F.lit(4L))
-          F.concat(acc, F.array(F.struct(
-            x("day").as("day"), x("cnt").as("cnt"),
-            F.floor(sm).cast("long").as("ewma"))))
-        }))
-      folded.select(F.col("event_type"), F.explode(F.col("out")).as("r"))
-        .select(F.col("event_type"), F.col("r.day").as("day"),
-          F.col("r.cnt").as("cnt"), F.col("r.ewma").as("ewma"))
+      graft.operators.SeriesOps.ewmaFold(dc, "event_type", "day", "cnt")
         .orderBy("event_type", "day")
     },
     Some("""

@@ -497,8 +497,13 @@ object WarehouseQueries {
         F.expr("CAST(CAST(sum(y) AS STRING) AS DOUBLE)").as("sy"),
         F.expr("CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS STRING) AS DOUBLE)")
           .as("sxy"))
+      // sy/sxy pass through RAW: the string-routed decimal→double is
+      // already bitwise-identical on both engines, while round(d, 4) at
+      // ~1e13 magnitude asks for precision BELOW the double's ulp —
+      // Spark (BigDecimal) and DuckDB (float path) then legitimately
+      // disagree in the last bit (seen at sf0.1)
       sums.select(F.col("segment"), F.col("n"), F.col("sx"), F.col("sxx"),
-        F.round(F.col("sy"), 4).as("sy"), F.round(F.col("sxy"), 4).as("sxy"),
+        F.col("sy"), F.col("sxy"),
         F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
           (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
           .as("slope"))
@@ -522,9 +527,9 @@ object WarehouseQueries {
                CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS VARCHAR)
                     AS DOUBLE) AS sxy
         FROM daily GROUP BY 1)
-      SELECT segment, n, sx, sxx, round(sy, 4) AS sy, round(sxy, 4) AS sxy,
+      SELECT segment, n, sx, sxx, sy, sxy,
              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-             round((round(sy, 4) - round((n * sxy - sx * sy)
+             round((sy - round((n * sxy - sx * sy)
                                / (n * sxx - sx * sx), 6) * sx) / n, 6)
                AS intercept
       FROM sums ORDER BY segment"""))

@@ -284,6 +284,40 @@ object ScaleTest {
       li.select(F.col("l_returnflag"), F.col("l_linestatus"),
         F.pmod(F.col("l_suppkey"), F.lit(100L)).as("supp_bucket")),
       Seq("l_returnflag", "l_linestatus", "supp_bucket"), k = 1000L).count())
+
+    // r5 wave-17/18 probes: stage a 10× directory with standard table
+    // names and drive the SHIPPED SparkEntry query fns against it (not
+    // probe re-implementations) — lineitem shifts BOTH keys so each
+    // replica's co-purchase graph stays disjoint (hubs scale by data,
+    // not by replication artifacts); events replicate rows onto the
+    // SAME calendar days, proving the cusum/ewma day-grid state stays
+    // calendar-bounded while the aggregate input is 10×.
+    val qdir = s"$out/q"
+    (0 until mult).map { i =>
+      li0.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10000000L))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$qdir/lineitem.parquet")
+    ord.write.mode("overwrite").parquet(s"$qdir/orders.parquet")
+    val part0 = spark.read.parquet(s"$base/part.parquet")
+    (0 until mult).map { i =>
+      part0.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$qdir/part.parquet")
+    val cust0 = spark.read.parquet(s"$base/customer.parquet")
+    (0 until mult).map { i =>
+      cust0.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$qdir/customer.parquet")
+    ev.write.mode("overwrite").parquet(s"$qdir/events.parquet")
+    spark.read.parquet(s"$out/documents.parquet")
+      .write.mode("overwrite").parquet(s"$qdir/documents.parquet")
+    def timeQ(n: String): Unit =
+      time(n + "_10x")(graft.SparkEntry.queries(n)(spark, qdir).count())
+    Seq("hll_distinct", "weighted_median", "pareto_front",
+      "histogram_equiwidth", "open_pipeline_timeline", "degree_dist",
+      "graph_reach", "cusum_drift", "ewma_smooth", "term_trends")
+      .foreach(timeQ)
     spark.stop()
   }
 }

@@ -32,8 +32,8 @@ class StatSpec extends SparkSpec {
     val rows = q("weighted_median").collect()
     val li = graft.queries.Tables.t(spark, sf, "lineitem")
       .select(F.col("l_returnflag"), F.col("l_linestatus"),
-        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").as("cents"),
-        F.expr("CAST(l_quantity AS BIGINT)").as("wq"))
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").as("wq"))
       .collect()
       .groupBy(r => (r.getString(0), r.getString(1)))
     assert(rows.nonEmpty)
@@ -82,7 +82,7 @@ class StatSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     val parts = graft.queries.Tables.t(spark, sf, "part")
       .select(F.col("p_brand"), F.col("p_partkey"),
-        F.expr("CAST(p_retailprice * 100 AS BIGINT)"),
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)"),
         F.col("p_size").cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
