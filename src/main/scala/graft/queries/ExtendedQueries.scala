@@ -995,11 +995,62 @@ object ExtendedQueries {
       ORDER BY col_x, col_y"""
     })
 
+  // ----------------------------------------------------------------- H10
+  /** Dynamic partition pruning: the fact stages PARTITIONED on the join
+    * key (order priority), the dim side carries the selective filter —
+    * Spark injects the dim's surviving keys as a runtime partition
+    * filter into the fact scan (the DPP subquery), so the fact reads
+    * ONLY the 2-of-5 matching partitions even though the fact-side
+    * predicate is not known until the dim is evaluated. THE mechanism
+    * that makes star-schema joins read-bounded at 100 TB when static
+    * pruning (H3) can't apply; `FunnelSpec` asserts `dynamicpruning`
+    * actually fires in the physical plan. The dim stages to parquet and
+    * reads BACK before filtering — a literal frame would constant-fold
+    * into a LocalTableScan with no Filter node, and Spark's
+    * PartitionPruning rule only prunes against a side that still shows
+    * a selective predicate. */
+  private val dppJoin = QueryDef(
+    "dpp_join",
+    (s, d) => {
+      import s.implicits._
+      val out = s"/tmp/graft_h10_${Harness.runId}_${new java.io.File(d).getName}"
+      t(s, d, "orders").repartition(F.col("o_orderpriority"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      Seq(
+        ("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+        ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+        ("5-LOW", "deferred"))
+        .toDF("priority", "sla_class")
+        .write.mode("overwrite").parquet(s"$out-dim")
+      val dim = s.read.parquet(s"$out-dim")
+      s.read.parquet(out)
+        .join(F.broadcast(dim.filter(F.col("sla_class") === "expedite")),
+          F.col("o_orderpriority") === F.col("priority"))
+        .groupBy("o_orderstatus")
+        .agg(
+          F.count(F.lit(1)).as("n_orders"),
+          pd(F.sum(dec(F.col("o_totalprice")))).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH dim AS (
+        SELECT * FROM (VALUES
+          ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+          ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+          ('5-LOW', 'deferred')) AS t(priority, sla_class))
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) AS total_price
+      FROM orders JOIN dim ON o_orderpriority = priority
+      WHERE sla_class = 'expedite'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
     windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
     stateIslands, resampleInterp, winsorize, tableDiff, corrMatrix,
-    orcRoundtrip)
+    orcRoundtrip, dppJoin)
 }

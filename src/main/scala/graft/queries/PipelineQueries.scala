@@ -1176,6 +1176,114 @@ object PipelineQueries {
          |FROM g ORDER BY lang, pred_lang""".stripMargin
     })
 
+  // --------------------------------------------------------------- E53
+  /** The curation pipeline as a FUNNEL: exact-dedup → language gate →
+    * quality gate, each stage's in/out/dropped counts in ONE scan —
+    * per-doc stage flags are plain conjunctions, the four counters are
+    * one map-side-combined aggregate row, and the stage rows unpivot
+    * from it (no per-stage rescans — the reference's per-constraint
+    * loop shape is exactly what this avoids, same argument as the A5
+    * validator). The ops answer to "where does my corpus go": yield
+    * accounting per gate, composed from the SAME definitions the
+    * individual gate queries (D1, E1, E2, E8) verify. */
+  private val pipelineFunnel = QueryDef(
+    "pipeline_funnel",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = docs.groupBy(F.md5(F.col("text")).as("_th"))
+        .agg(F.min("doc_id").as("doc_id"))
+        .select(F.col("doc_id"), F.lit(1L).as("_keep"))
+      val cols = TextOps.qualityColumns(F.col("text")).toMap
+      val flags = docs.join(keep, Seq("doc_id"), "left")
+        .select(
+          F.coalesce(F.col("_keep"), F.lit(0L)).as("keep"),
+          F.when(TextOps.langId(F.col("text")) === "en", 1L).otherwise(0L)
+            .as("lang_ok"),
+          F.when(cols("quality") >= 0.2, 1L).otherwise(0L).as("q_ok"))
+      val c = flags.agg(
+        F.count(F.lit(1)).as("c0"),
+        F.sum("keep").as("c1"),
+        F.sum(F.expr("keep * lang_ok")).as("c2"),
+        F.sum(F.expr("keep * lang_ok * q_ok")).as("c3"))
+      c.selectExpr(
+        """stack(3,
+             'a_dedup_exact', c0, c1,
+             'b_lang_en',     c1, c2,
+             'c_quality_02',  c2, c3) AS (stage, n_in, n_out)""")
+        .withColumn("n_dropped", F.expr("n_in - n_out"))
+        .orderBy("stage")
+    },
+    Some {
+      val stop = TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
+      val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+        lang -> s"len(list_filter($toksSql, x -> $cond))"
+      }
+      val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
+      val cases = markerSql.map(_._1)
+        .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
+        .mkString("\n                  ")
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |feats AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep,
+         |         ${markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n         ")},
+         |         len($toksSql) AS n_tokens,
+         |         len(list_filter($toksSql, x -> $stop)) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS n_chars_len
+         |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id),
+         |scored AS (
+         |  SELECT keep,
+         |         CASE WHEN (CASE $cases ELSE 'unknown' END) = 'en'
+         |              THEN 1 ELSE 0 END AS lang_ok,
+         |         CASE WHEN round((n_stop * 1.0 / n_tokens) * 0.5
+         |               + (n_punct * 1.0 / n_chars_len) * 0.3
+         |               + least(n_tokens / 100.0, 1.0) * 0.2, 6) >= 0.2
+         |              THEN 1 ELSE 0 END AS q_ok
+         |  FROM feats),
+         |c AS (
+         |  SELECT count(*) AS c0, CAST(sum(keep) AS BIGINT) AS c1,
+         |         CAST(sum(keep * lang_ok) AS BIGINT) AS c2,
+         |         CAST(sum(keep * lang_ok * q_ok) AS BIGINT) AS c3
+         |  FROM scored)
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+         |  SELECT 'a_dedup_exact' AS stage, c0 AS n_in, c1 AS n_out FROM c
+         |  UNION ALL SELECT 'b_lang_en', c1, c2 FROM c
+         |  UNION ALL SELECT 'c_quality_02', c2, c3 FROM c)
+         |ORDER BY stage""".stripMargin
+    })
+
+  // --------------------------------------------------------------- D25
+  /** Duplicate-family size distribution: cluster the minhash candidate
+    * graph (same pairs as D11/D15), then histogram the family sizes —
+    * the dashboard number a dedup run is judged by ("how much template
+    * spam, how big are the families"). Two metadata-sized aggregates on
+    * top of the already-verified CC labelling; output bounded by the
+    * largest family, not the corpus. */
+  private val dedupClusterSizes = QueryDef(
+    "dedup_cluster_sizes",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
+        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0L)
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).as("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).as("n_clusters"))
+        .orderBy("size")
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                UNION SELECT doc_b, doc_a FROM mh_pairs),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a),
+      labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+      sizes AS (SELECT cluster_id, count(*) AS size FROM labels GROUP BY 1)
+      SELECT size, count(*) AS n_clusters
+      FROM sizes GROUP BY 1 ORDER BY size"""))
+
   // --------------------------------------------------------------- E52
   /** Directional n-gram containment pairs ([[Dedup.ngramContainmentPairs]]):
     * C(A in B) = |A∩B|/|A| in exact integer micros — the excerpt/superset
@@ -1320,5 +1428,5 @@ object PipelineQueries {
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
     dedupClustersApply, pagerank, frameSample, triangleCount,
-    ngramContainment, lshMultiprobe)
+    ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes)
 }
