@@ -1186,6 +1186,48 @@ object PipelineQueries {
     * validator). The ops answer to "where does my corpus go": yield
     * accounting per gate, composed from the SAME definitions the
     * individual gate queries (D1, E1, E2, E8) verify. */
+  /** Funnel oracle SQL — shared with the G18 streaming twin. */
+  private[queries] def pipelineFunnelOracleSql: String = {
+    val stop = TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
+    val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+      val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+      lang -> s"len(list_filter($toksSql, x -> $cond))"
+    }
+    val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
+    val cases = markerSql.map(_._1)
+      .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
+      .mkString("\n                  ")
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |feats AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep,
+       |         ${markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n         ")},
+       |         len($toksSql) AS n_tokens,
+       |         len(list_filter($toksSql, x -> $stop)) AS n_stop,
+       |         CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT) AS n_punct,
+       |         CAST(length(text) AS BIGINT) AS n_chars_len
+       |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id),
+       |scored AS (
+       |  SELECT keep,
+       |         CASE WHEN (CASE $cases ELSE 'unknown' END) = 'en'
+       |              THEN 1 ELSE 0 END AS lang_ok,
+       |         CASE WHEN round((n_stop * 1.0 / n_tokens) * 0.5
+       |               + (n_punct * 1.0 / n_chars_len) * 0.3
+       |               + least(n_tokens / 100.0, 1.0) * 0.2, 6) >= 0.2
+       |              THEN 1 ELSE 0 END AS q_ok
+       |  FROM feats),
+       |c AS (
+       |  SELECT count(*) AS c0, CAST(sum(keep) AS BIGINT) AS c1,
+       |         CAST(sum(keep * lang_ok) AS BIGINT) AS c2,
+       |         CAST(sum(keep * lang_ok * q_ok) AS BIGINT) AS c3
+       |  FROM scored)
+       |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+       |  SELECT 'a_dedup_exact' AS stage, c0 AS n_in, c1 AS n_out FROM c
+       |  UNION ALL SELECT 'b_lang_en', c1, c2 FROM c
+       |  UNION ALL SELECT 'c_quality_02', c2, c3 FROM c)
+       |ORDER BY stage""".stripMargin
+  }
+
   private val pipelineFunnel = QueryDef(
     "pipeline_funnel",
     (s, d) => {
@@ -1253,6 +1295,114 @@ object PipelineQueries {
          |  UNION ALL SELECT 'c_quality_02', c2, c3 FROM c)
          |ORDER BY stage""".stripMargin
     })
+
+  // --------------------------------------------------------------- E54
+  /** Vocabulary coverage / OOV audit: per-source token coverage against
+    * the top-100 vocabulary (E24's `vocabBuild`) — the tokenizer-prep
+    * acceptance number ("what fraction of the corpus does this vocab
+    * explain, and which source drags it down"). One explode + a
+    * BROADCAST vocab join (the vocab is size-bounded by construction)
+    * + one map-side-combined aggregate; OOV share in exact integer
+    * micros. */
+  private val vocabCoverage = QueryDef(
+    "vocab_coverage",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextOps.vocabBuild(docs, "text", size = 100)
+        .select(F.col("term"), F.lit(1L).as("_in_vocab"))
+      docs.select(F.col("source"),
+        F.explode(TextOps.tokens(F.col("text"))).as("term"))
+        .join(F.broadcast(vocab), Seq("term"), "left")
+        .groupBy("source").agg(
+          F.count(F.lit(1)).as("n_tokens"),
+          F.sum(F.when(F.col("_in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_oov"))
+        .withColumn("oov_micros", F.expr("n_oov * 1000000 div n_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT term, count(*) AS freq
+        FROM (SELECT unnest($toksSql) AS term FROM documents)
+        GROUP BY 1),
+      vocab AS (
+        SELECT term FROM counts ORDER BY freq DESC, term LIMIT 100),
+      toks AS (
+        SELECT source, unnest($toksSql) AS term FROM documents)
+      SELECT source, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS oov_micros
+      FROM toks LEFT JOIN vocab v USING (term)
+      GROUP BY source ORDER BY source"""))
+
+  // --------------------------------------------------------------- D26
+  /** MinHash S-curve tuning audit: for every shingle-sharing pair with
+    * J ≥ 0.2, the THEORETICAL banded-LSH candidate probability
+    * P = 1 − (1 − J^r)^b (r = K/BANDS = 4 rows, b = 4 bands)
+    * next to whether the pair ACTUALLY surfaced as a D3 candidate — the
+    * number that tells you whether your (k, bands) choice matches your
+    * similarity threshold before you run dedup on 100 TB. All
+    * arithmetic exact: J in integer micros straight from the overlap
+    * counts, the powers routed through DECIMAL(38,0)/HUGEINT (micros⁴
+    * ≤ 1e24), so the S-curve itself is hash-verified — same
+    * transcendental-free discipline as the surprisal family.
+    *
+    * Scale shape: reuses the capped-index overlap core (D5) and the
+    * banded candidate join (D3); the audit join is pair-keyed. */
+  private val minhashScurve = QueryDef(
+    "minhash_scurve",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val overlap = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleN = 3, minContainMicros = 0L, maxDocFreq = None)
+        .withColumn("j_micros",
+          F.expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+        .where(F.col("j_micros") >= 200000L)
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        k = K, bands = BANDS, shingleN = 3)
+        .select(F.col("doc_a"), F.col("doc_b"), F.lit(1L).as("_cand"))
+      overlap.join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("p1", F.expr(
+          "CAST((CAST(j_micros AS DECIMAL(38,0)) * j_micros * j_micros * j_micros) " +
+            "div 1000000000000000000 AS BIGINT)"))
+        .withColumn("p_cand_micros", F.expr(
+          "1000000 - CAST((CAST(1000000 - p1 AS DECIMAL(38,0)) * (1000000 - p1) " +
+            "* (1000000 - p1) * (1000000 - p1)) div 1000000000000000000 AS BIGINT)"))
+        .select(F.col("doc_a"), F.col("doc_b"), F.col("j_micros"),
+          F.col("p_cand_micros"),
+          F.coalesce(F.col("_cand"), F.lit(0L)).as("was_candidate"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtesSql,
+      jshh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle_h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM jshh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM jshh a JOIN jshh b
+          ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jm AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+                 AS j_micros
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id),
+      p AS (
+        SELECT doc_a, doc_b, j_micros,
+               CAST(CAST(j_micros AS HUGEINT) * j_micros * j_micros * j_micros
+                    // 1000000000000000000 AS BIGINT) AS p1
+        FROM jm WHERE j_micros >= 200000)
+      SELECT p.doc_a, p.doc_b, p.j_micros,
+             1000000 - CAST(CAST(1000000 - p1 AS HUGEINT) * (1000000 - p1)
+                  * (1000000 - p1) * (1000000 - p1)
+                  // 1000000000000000000 AS BIGINT) AS p_cand_micros,
+             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS was_candidate
+      FROM p LEFT JOIN mh_pairs m
+        ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+      ORDER BY p.doc_a, p.doc_b"""))
 
   // --------------------------------------------------------------- D25
   /** Duplicate-family size distribution: cluster the minhash candidate
@@ -1428,5 +1578,6 @@ object PipelineQueries {
     dedupApply, dedupRate, bm25Search, invertedIndex, corpusStats,
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
     dedupClustersApply, pagerank, frameSample, triangleCount,
-    ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes)
+    ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes,
+    vocabCoverage, minhashScurve)
 }

@@ -701,8 +701,51 @@ object StreamingQueries {
       SELECT event_type, day, cnt, CAST(ewma AS BIGINT) AS ewma
       FROM r ORDER BY event_type, day"""))
 
+  // ----------------------------------------------------------------- G18
+  /** The E53 curation funnel AS A STREAM: stage flags (language,
+    * quality) are pure per-row functions of the text, and identical
+    * texts have IDENTICAL flags — so streaming `dropDuplicates` on
+    * md5(text) yields the same stage counts as batch's min-doc-id
+    * winner even though WHICH duplicate survives is arrival-dependent
+    * (the survivor-invariance that makes this twin exact). Two drains:
+    * a total-count aggregate and the dedup'd flag-count aggregate; the
+    * 3 funnel rows assemble from 2 one-row results. Same oracle as
+    * `pipeline_funnel`. */
+  private val streamFunnel = QueryDef(
+    "stream_funnel",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val schema = s.read.parquet(dir).schema
+      val cols = graft.operators.TextOps.qualityColumns(F.col("text")).toMap
+      val total = drain(
+        s.readStream.schema(schema).parquet(dir)
+          .groupBy().agg(F.count(F.lit(1)).as("c0")), "complete")
+      val flags = drain(
+        s.readStream.schema(schema).parquet(dir)
+          .withColumn("_th", F.md5(F.col("text")))
+          .dropDuplicates("_th")
+          .select(
+            F.when(graft.operators.TextOps.langId(F.col("text")) === "en", 1L)
+              .otherwise(0L).as("lang_ok"),
+            F.when(cols("quality") >= 0.2, 1L).otherwise(0L).as("q_ok"))
+          .groupBy().agg(
+            F.count(F.lit(1)).as("c1"),
+            F.sum("lang_ok").as("c2"),
+            F.sum(F.expr("lang_ok * q_ok")).as("c3")), "complete")
+      total.crossJoin(flags)
+        .selectExpr(
+          """stack(3,
+               'a_dedup_exact', c0, c1,
+               'b_lang_en',     c1, c2,
+               'c_quality_02',  c2, c3) AS (stage, n_in, n_out)""")
+        .withColumn("n_dropped", F.expr("n_in - n_out"))
+        .orderBy("stage")
+    },
+    SparkEntryOracles.pipelineFunnelOracle)
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
-    streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma)
+    streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
+    streamFunnel)
 }
