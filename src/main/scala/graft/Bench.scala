@@ -17,6 +17,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
         .groupBy("l_returnflag").count().count()
       graft.queries.StreamingQueries.prewarm(spark, sfDir)
+      graft.queries.Staged.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Median of 3 runs in sorted name order: a single timing in one JVM
     // moves 5-7x between rounds from run-order/GC noise (observed r2->r3),
@@ -47,17 +48,28 @@ object Bench {
     // comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
+    def jsonLine(rs: Seq[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures only a stdout TAIL (r4 lost 39 of 127 per-query
-    // times) — persist the full line so every round's bench is auditable
+    }
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // last line as JSON — a 200-query map is ~6 KB, so its head gets cut
+    // and every round's bench came back `parsed: null` (r1–r5). The
+    // stdout line therefore carries the total plus the N most expensive
+    // queries, trimmed until the line fits a hard 1600-char budget; the
+    // FULL per-query map is persisted to bench_out.json for audit.
+    var top = results.sortBy(-_._2)
+    while (top.nonEmpty && jsonLine(top.sortBy(_._1), total).length > 1600)
+      top = top.dropRight(1)
+    // full line second-to-last (auditable in the tail when short enough),
+    // short line LAST — the one the driver parses
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      jsonLine(results, total) + "\n")
     catch { case _: Throwable => () }
+    println(jsonLine(top.sortBy(_._1), total))
     spark.stop()
   }
 }

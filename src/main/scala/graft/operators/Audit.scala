@@ -48,14 +48,21 @@ object Audit {
     * Scale shape: ONE aggregate computes every column's stats in a
     * single scan; multiple exact count-distincts plan via Spark's
     * Expand (k× row multiply before partial aggregation) — the
-    * documented 100 TB drop-in is `approx_count_distinct`, which
-    * removes the Expand entirely while keeping this exact form as the
-    * oracle config. The unpivot of the 1-row result is free. */
-  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * documented 100 TB drop-in is `approx = true`
+    * (`approx_count_distinct`, HLL++), which removes the Expand
+    * entirely (O(1) sketch state per column, single-multiplicity scan)
+    * while the exact form stays the oracle config; both configs are
+    * A/B-measured in `tools/ScaleTest` on the 6M-row fact. The unpivot
+    * of the 1-row result is free. */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    def dist(c: String) =
+      if (approx) F.approx_count_distinct(F.col(c)).as(s"_dist_$c")
+      else F.countDistinct(F.col(c)).as(s"_dist_$c")
     val aggs = F.count(F.lit(1)).as("_n") +:
       cols.flatMap { c => Seq(
         F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        F.countDistinct(F.col(c)).as(s"_dist_$c"))
+        dist(c))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols

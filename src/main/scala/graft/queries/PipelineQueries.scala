@@ -218,11 +218,13 @@ object PipelineQueries {
       WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
-  /** DuckDB double dot product of two 64-dim float lists. */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  /** DuckDB double dot product of two `dim`-prefix float lists. */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+  private def cosSqlDim(a: String, b: String, dim: Int): String =
+    s"round(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})), 6)"
 
   // ---------------------------------------------------------------- D6
   private val embedTopK = QueryDef(
@@ -1255,46 +1257,7 @@ object PipelineQueries {
         .withColumn("n_dropped", F.expr("n_in - n_out"))
         .orderBy("stage")
     },
-    Some {
-      val stop = TextOps.stopwords.map(m => s"x = '$m'").mkString(" OR ")
-      val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
-        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
-        lang -> s"len(list_filter($toksSql, x -> $cond))"
-      }
-      val best = s"greatest(${markerSql.map(_._1).map(l => s"n_$l").mkString(", ")})"
-      val cases = markerSql.map(_._1)
-        .map(l => s"WHEN n_$l > 0 AND n_$l = $best THEN '$l'")
-        .mkString("\n                  ")
-      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |feats AS (
-         |  SELECT d.doc_id,
-         |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep,
-         |         ${markerSql.map { case (l, e) => s"$e AS n_$l" }.mkString(",\n         ")},
-         |         len($toksSql) AS n_tokens,
-         |         len(list_filter($toksSql, x -> $stop)) AS n_stop,
-         |         CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT) AS n_punct,
-         |         CAST(length(text) AS BIGINT) AS n_chars_len
-         |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id),
-         |scored AS (
-         |  SELECT keep,
-         |         CASE WHEN (CASE $cases ELSE 'unknown' END) = 'en'
-         |              THEN 1 ELSE 0 END AS lang_ok,
-         |         CASE WHEN round((n_stop * 1.0 / n_tokens) * 0.5
-         |               + (n_punct * 1.0 / n_chars_len) * 0.3
-         |               + least(n_tokens / 100.0, 1.0) * 0.2, 6) >= 0.2
-         |              THEN 1 ELSE 0 END AS q_ok
-         |  FROM feats),
-         |c AS (
-         |  SELECT count(*) AS c0, CAST(sum(keep) AS BIGINT) AS c1,
-         |         CAST(sum(keep * lang_ok) AS BIGINT) AS c2,
-         |         CAST(sum(keep * lang_ok * q_ok) AS BIGINT) AS c3
-         |  FROM scored)
-         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
-         |  SELECT 'a_dedup_exact' AS stage, c0 AS n_in, c1 AS n_out FROM c
-         |  UNION ALL SELECT 'b_lang_en', c1, c2 FROM c
-         |  UNION ALL SELECT 'c_quality_02', c2, c3 FROM c)
-         |ORDER BY stage""".stripMargin
-    })
+    Some(pipelineFunnelOracleSql))
 
   // --------------------------------------------------------------- E54
   /** Vocabulary coverage / OOV audit: per-source token coverage against
@@ -1399,7 +1362,8 @@ object PipelineQueries {
              1000000 - CAST(CAST(1000000 - p1 AS HUGEINT) * (1000000 - p1)
                   * (1000000 - p1) * (1000000 - p1)
                   // 1000000000000000000 AS BIGINT) AS p_cand_micros,
-             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS was_candidate
+             CAST(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS was_candidate
       FROM p LEFT JOIN mh_pairs m
         ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
       ORDER BY p.doc_a, p.doc_b"""))
@@ -1567,6 +1531,118 @@ object PipelineQueries {
       GROUP BY e.query_id, n.n_cand ORDER BY e.query_id"""
     })
 
+  // --------------------------------------------------------------- D27
+  /** Matryoshka / prefix-dimension ANN audit (Kusupati et al. 2022,
+    * arXiv:2205.13147): top-5 cosine neighbors computed on the FULL
+    * 64-dim embedding vs on its 32-dim PREFIX, per-query overlap in
+    * exact integer micros — the "can I run ANN at half the dims"
+    * go/no-go read before shrinking a 100 TB vector index 2×. Both
+    * sides are the existing brute-force operator (queries broadcast,
+    * corpus scanned once each); the audit join is per-(query, match)
+    * over 2·k·|Q| rows — metadata-sized. Truncation is a narrow
+    * `slice` projection, zero shuffles added. */
+  private val embedMatryoshka = QueryDef(
+    "embed_matryoshka",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val full = Similarity.bruteForceTopK(emb,
+        emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val half = emb.withColumn("embedding",
+        F.slice(F.col("embedding"), 1, 32))
+      val halfTop = Similarity.bruteForceTopK(half,
+        half.filter(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      full.select("query_id", "match_id")
+        .join(halfTop.select(F.col("query_id"), F.col("match_id"))
+          .withColumn("_hit", F.lit(1L)), Seq("query_id", "match_id"), "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_overlap"))
+        .withColumn("recall_micros", F.expr("n_overlap * 1000000 div 5"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      sf AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q, embeddings c WHERE q.vec_id != c.vec_id),
+      f AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM sf) WHERE rank <= 5),
+      sh AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               ${cosSqlDim("q.embedding", "c.embedding", 32)} AS cos
+        FROM q, embeddings c WHERE q.vec_id != c.vec_id),
+      h AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM sh) WHERE rank <= 5)
+      SELECT f.query_id AS query_id,
+             CAST(count(h.match_id) AS BIGINT) AS n_overlap,
+             CAST(count(h.match_id) * 1000000 // 5 AS BIGINT) AS recall_micros
+      FROM f LEFT JOIN h ON f.query_id = h.query_id AND f.match_id = h.match_id
+      GROUP BY f.query_id ORDER BY f.query_id"""))
+
+  // --------------------------------------------------------------- D28
+  /** b-bit minhash audit (Li & Koenig 2010, arXiv:0910.3349): for every
+    * D3 candidate pair, the Jaccard estimate from full-width signature
+    * component matches next to the estimate from only the LOWEST 4 BITS
+    * of each component, with the standard collision correction
+    * J = (p − 2⁻ᵇ)/(1 − 2⁻ᵇ) — the measurement behind shrinking a
+    * 100 TB signature store 16× (64-bit → 4-bit components). All
+    * arithmetic exact integer micros (2⁻ᵇ = 62 500 µ; the correction is
+    * a clamped integer affine map), so both estimates are hash-checked.
+    * Signatures are computed once and joined to the bounded candidate
+    * set — pair-keyed, never corpus-quadratic. */
+  private val minhashBbit = QueryDef(
+    "minhash_bbit",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = graft.operators.CacheScope.persist(
+        Dedup.minhashSignatures(docs, "doc_id", "text", k = K, shingleN = 3))
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        k = K, bands = BANDS, shingleN = 3).select("doc_a", "doc_b")
+      val a = sig.select(F.col("doc_id").as("doc_a") +:
+        (0 until K).map(i => F.col(s"h$i").as(s"a$i")): _*)
+      val b = sig.select(F.col("doc_id").as("doc_b") +:
+        (0 until K).map(i => F.col(s"h$i").as(s"b$i")): _*)
+      val mFull = (0 until K).map(i =>
+        F.when(F.col(s"a$i") === F.col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val mBbit = (0 until K).map(i =>
+        F.when(F.col(s"a$i") % 16 === F.col(s"b$i") % 16, 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(F.col("doc_a"), F.col("doc_b"),
+          mFull.as("m_full"), mBbit.as("m_bbit"))
+        .withColumn("est_full_micros", F.expr(s"m_full * 1000000 div $K"))
+        .withColumn("est_bbit_micros", F.expr(
+          s"greatest(m_bbit * 1000000 div $K - 62500, 0L) * 16 div 15"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val mf = (0 until K).map(i =>
+        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val mb = (0 until K).map(i =>
+        s"(CASE WHEN a.h$i % 16 = b.h$i % 16 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashCtesSql,
+      j AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST($mf AS BIGINT) AS m_full,
+               CAST($mb AS BIGINT) AS m_bbit
+        FROM mh_pairs p JOIN sig a ON p.doc_a = a.doc_id
+                        JOIN sig b ON p.doc_b = b.doc_id)
+      SELECT doc_a, doc_b, m_full, m_bbit,
+             CAST(m_full * 1000000 // $K AS BIGINT) AS est_full_micros,
+             CAST(greatest(m_bbit * 1000000 // $K - 62500, 0) * 16 // 15
+               AS BIGINT) AS est_bbit_micros
+      FROM j ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
@@ -1579,5 +1655,5 @@ object PipelineQueries {
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
     dedupClustersApply, pagerank, frameSample, triangleCount,
     ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes,
-    vocabCoverage, minhashScurve)
+    vocabCoverage, minhashScurve, embedMatryoshka, minhashBbit)
 }

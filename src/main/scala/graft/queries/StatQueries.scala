@@ -320,24 +320,20 @@ object StatQueries {
     * recursive CTE blindly re-expands every path and min()s at the end,
     * which is exactly the formulation-independence the check wants.
     *
-    * Scale shape: edges build with one self-join bounded by per-order
-    * fan-out (≤ lines²/order, the same block discipline as D21) and are
-    * kept as RAW MULTI-EDGES — min-hop BFS is invariant to edge
-    * multiplicity, frontier-level distinct absorbs it, and dropping the
-    * edge-dedup shuffle of the largest intermediate is 40% faster at
-    * sf0.1 (5.0 → 3.0 s, tools/ReachProf A/B; D23 keeps the distinct
+    * Scale shape: the pair list is the SHARED staged build
+    * ([[Staged.coPurchasePairs]], also feeding D23/C49 — per-order
+    * fan-out bound, the same block discipline as D21), used as RAW
+    * MULTI-EDGES — min-hop BFS is invariant to edge multiplicity,
+    * frontier-level distinct absorbs it, and skipping the edge-dedup
+    * shuffle of the largest intermediate measured 40% faster at sf0.1
+    * (5.0 → 3.0 s, tools/ReachProf A/B; D23 keeps the distinct
     * because degree semantics need it). Then `hops` joins against a
     * frontier that shrinks monotonically; each round is one shuffle on
     * node id. Fixed hop budget ⇒ bounded rounds, no convergence loop. */
   private val graphReach = QueryDef(
     "graph_reach",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(
-        F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
-      val a = li.select(F.col("ok"), F.col("pk").as("pa"))
-      val b = li.select(F.col("ok"), F.col("pk").as("pb"))
-      val pairs = a.join(b, "ok").where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
+      val pairs = Staged.coPurchasePairs(s, d)
       val edges = graft.operators.CacheScope.persist(
         pairs.select(F.col("pa").as("u"), F.col("pb").as("v"))
           .unionAll(pairs.select(F.col("pb").as("u"), F.col("pa").as("v"))))
@@ -353,9 +349,7 @@ object StatQueries {
           .withColumn("hop", F.lit(h.toLong))
         reached = reached.unionAll(next)
       }
-      val out = reached.orderBy("node")
-      graft.operators.CacheScope.release(s)
-      out
+      reached.orderBy("node")
     },
     Some("""
       WITH RECURSIVE pairs AS (

@@ -741,7 +741,7 @@ object StreamingQueries {
         .withColumn("n_dropped", F.expr("n_in - n_out"))
         .orderBy("stage")
     },
-    SparkEntryOracles.pipelineFunnelOracle)
+    Some(PipelineQueries.pipelineFunnelOracleSql))
 
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,

@@ -193,17 +193,13 @@ object TrendQueries {
     * iterative on it (D15 PageRank, D11 CC, D22 BFS): how heavy are the
     * hubs, how long is the tail. Two map-side-combined aggregates
     * (node → degree, degree → node count); output is bounded by the
-    * max degree, not the corpus. The pair build shares D22's per-order
-    * blocking bound. */
+    * max degree, not the corpus. The pair list is the SHARED staged
+    * build ([[Staged.coPurchasePairs]], also feeding D22/C49) with a
+    * distinct on top for degree semantics. */
   private val degreeDist = QueryDef(
     "degree_dist",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(
-        F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
-      val a = li.select(F.col("ok"), F.col("pk").as("pa"))
-      val b = li.select(F.col("ok"), F.col("pk").as("pb"))
-      val pairs = a.join(b, "ok").where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb").distinct()
+      val pairs = Staged.coPurchasePairs(s, d).distinct()
       val deg = pairs.select(F.col("pa").as("node"))
         .unionAll(pairs.select(F.col("pb").as("node")))
         .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
@@ -223,6 +219,77 @@ object TrendQueries {
       SELECT degree, count(*) AS n_nodes
       FROM deg GROUP BY 1 ORDER BY degree"""))
 
+  // ---------------------------------------------------------------- C57
+  /** Time-bounded ORDERED funnel (the windowFunnel shape): per user,
+    * how deep did view → click → purchase progress, where each later
+    * stage must strictly FOLLOW the previous one AND land within 1 h
+    * of the first view — C8c's funnel checks order alone; conversion
+    * windows are what attribution actually uses.
+    *
+    * Scale shape: one conditional aggregate per stage, each keyed on
+    * user_id — three shuffles on the SAME key (co-partitioned, AQE
+    * reuses the exchange), no self-join, per-user state is one
+    * timestamp per stage. The sequential dependency (stage n's filter
+    * needs stage n−1's timestamp) is inherent to funnel semantics; it
+    * costs stages−1 co-partitioned joins, never a per-event window
+    * sort. Stage rows left-join onto the user spine so non-entrants
+    * report stage 0. */
+  private val funnelWindow = QueryDef(
+    "funnel_window",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val hour = F.expr("INTERVAL 1 HOUR")
+      val t1 = ev.where(F.col("event_type") === "view")
+        .groupBy("user_id").agg(F.min("ts").as("t_view"))
+      val t2 = ev.where(F.col("event_type") === "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t_view") &&
+          F.col("ts") <= F.col("t_view") + hour)
+        .groupBy("user_id")
+        .agg(F.min("ts").as("t_click"), F.min("t_view").as("_tv"))
+      val t3 = ev.where(F.col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t_click") &&
+          F.col("ts") <= F.col("_tv") + hour)
+        .groupBy("user_id").agg(F.min("ts").as("t_purchase"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("stage", F.expr(
+          """CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                       WHEN t_click IS NOT NULL THEN 2
+                       WHEN t_view IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT)"""))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click, min(t1.t_view) AS t_view
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t_view
+          AND e.ts <= t1.t_view + INTERVAL 1 HOUR
+        GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+          AND e.ts <= t2.t_view + INTERVAL 1 HOUR
+        GROUP BY 1)
+      SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+             CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                       WHEN t2.t_click IS NOT NULL THEN 2
+                       WHEN t1.t_view IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 USING (user_id)
+      LEFT JOIN t2 USING (user_id)
+      LEFT JOIN t3 USING (user_id)
+      ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(histogramEquiwidth, termTrends, ewmaSmooth,
-    inTransitTimeline, degreeDist)
+    inTransitTimeline, degreeDist, funnelWindow)
 }

@@ -587,9 +587,9 @@ object WarehouseQueries {
       FROM b ORDER BY custkey"""))
 
   // ---------------------------------------------------------------- C49
-  /** Market-basket affinity: top co-purchased part pairs. The pair
-    * self-join co-partitions on the ORDER key with fan-out bounded by
-    * lines-per-order² (≤ ~49 — order size, not catalog size), pair
+  /** Market-basket affinity: top co-purchased part pairs over the
+    * SHARED staged pair graph ([[Staged.coPurchasePairs]] — one row
+    * per (order, pair), so per-pair counts group directly); pair
     * counts map-side combine, support is an exact integer micro over
     * the basket count, and the top-50 closes as TakeOrderedAndProject.
     * The complement of C42's user-level PMI: basket-level, support-
@@ -597,13 +597,10 @@ object WarehouseQueries {
   private val basketAffinity = QueryDef(
     "basket_affinity",
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
-        .distinct()
-      val baskets = li.agg(F.countDistinct(F.col("ok")).as("n_baskets"))
-      val pairs = li.as("a").join(li.as("b"),
-          F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").as("part_a"), F.col("b.pk").as("part_b"))
+      val baskets = t(s, d, "lineitem")
+        .agg(F.countDistinct(F.col("l_orderkey")).as("n_baskets"))
+      val pairs = Staged.coPurchasePairs(s, d)
+        .groupBy(F.col("pa").as("part_a"), F.col("pb").as("part_b"))
         .agg(F.count(F.lit(1)).as("n"))
       pairs.where(F.col("n") >= 2)
         .crossJoin(F.broadcast(baskets))

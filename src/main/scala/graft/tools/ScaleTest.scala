@@ -278,6 +278,26 @@ object ScaleTest {
     }.reduce(_ unionByName _)
     time("fk_check_6M")(graft.operators.Audit.fkCheck(
       li, "l_orderkey", ord, "o_orderkey", "li->o").count())
+    // r6: the documented 100 TB distinct-count configs, measured not
+    // asserted — exact (Expand-planned countDistinct, the oracle form)
+    // vs approx (HLL++ sketches, no Expand) on the same profile
+    val profCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_shipdate")
+    time("profile_exact_6M")(
+      graft.operators.Audit.tableProfile(li, profCols).count())
+    time("profile_approx_6M")(
+      graft.operators.Audit.tableProfile(li, profCols,
+        approx = true).count())
+    time("agg_distinct_exact_6M")(
+      li.groupBy("l_returnflag")
+        .agg(F.countDistinct(F.col("l_orderkey")).as("n_orders"),
+          F.countDistinct(F.col("l_partkey")).as("n_parts"),
+          F.count(F.lit(1)).as("n_rows")).count())
+    time("agg_distinct_approx_6M")(
+      li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct(F.col("l_orderkey")).as("n_orders"),
+          F.approx_count_distinct(F.col("l_partkey")).as("n_parts"),
+          F.count(F.lit(1)).as("n_rows")).count())
     time("key_skew_6M")(graft.operators.Audit.skewProfile(
       li, "l_orderkey").count())
     time("k_anonymity_6M")(graft.operators.Privacy.kAnonymity(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Schemas
+import graft.dsl.col
 import graft.schema.{Evolution, GDouble, GLong, GSchema, GString}
 
 /** Schema evolution (SURVEY §2 A11): structural diff, ALTER DDL,
@@ -104,5 +105,55 @@ class EvolutionSpec extends SparkSpec {
     assert(d.removed.map(_.name) == Seq("l_linestatus"))
     assert(d.changed.map(_.name) == Seq("l_linenumber"))
     assert(d.breaking == Seq("drop column l_linestatus"))
+  }
+
+  test("inheritance override: validator / DDL / migration trio stays consistent") {
+    // reference test_schema.py exercises field collection + validator
+    // accumulation under inheritance; this extends it across the whole
+    // trio — the CHILD's overridden constraints must win everywhere
+    val parent = GSchema("MetricSchema")
+      .field(GLong("id", primaryKey = true))
+      .field(GLong("qty", ge = Some(0L), width = 32))
+      .field(GString("label", nullable = true))
+      .check(col("id") >= 0L, "id non-negative")
+    val child = GSchema("MetricSchema")
+      .field(GLong("qty", ge = Some(0L), lt = Some(100L))) // tightened + widened 32→64
+      .field(GString("label", default = Some("na"))) // nullable → required w/ default
+      .extend(parent)
+
+    // field collection: parent order preserved, overrides in place
+    assert(child.fields.map(_.name) == Seq("id", "qty", "label"))
+    // validator accumulation: overridden field contributes the CHILD's
+    // constraint set (never the parent's), inherited model checks kept
+    assert(child.allChecks.map(_.message) ==
+      Seq("qty must be >= 0", "qty must be < 100", "id non-negative"))
+    // DDL sees the overridden storage type + the new default
+    val ddl = child.ddl()
+    assert(ddl.contains("qty BIGINT NOT NULL"))
+    assert(ddl.contains("label STRING NOT NULL DEFAULT 'na'"))
+    // diff parent → child agrees with what the DDL/validator changed
+    val d = Evolution.diff(parent, child)
+    assert(d.added.isEmpty && d.removed.isEmpty)
+    assert(d.changed.map(_.name) == Seq("qty", "label"))
+    assert(d.changed.find(_.name == "qty").get.changes
+      .exists(_.startsWith("type INT -> BIGINT")))
+    assert(d.changed.find(_.name == "qty").get.changes.contains("constraints changed"))
+    assert(d.breaking == Seq("require label: nullable -> NOT NULL"))
+
+    // migrate parent-shaped DATA to the child version: widened cast,
+    // default fills the previously-nullable column
+    import spark.implicits._
+    val df = Seq((1L, Some(7), Some("x")), (2L, Some(150), None))
+      .toDF("id", "qty", "label")
+    val out = Evolution.migrate(df, child, fillNulls = true)
+    assert(out.schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(1) == 7L && rows(0).getString(2) == "x")
+    assert(rows(1).getString(2) == "na") // filled from the child default
+    // and the child validator applies the overridden constraint to the
+    // migrated data: qty=150 violates lt(100), qty=7 passes
+    val valid = child.validator.filterValid(out)
+    assert(valid.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 }
