@@ -43,7 +43,7 @@ object PipelineQueries {
       FROM documents GROUP BY 1 ORDER BY fingerprint"""))
 
   // ---------------------------------------------------------------- D3
-  private val K = 16; private val BANDS = 4
+  private[queries] val K = 16; private[queries] val BANDS = 4
 
   /** DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b, n_bands)` — the
     * banded-minhash candidate pairs, shared by the D3 oracle and the
@@ -92,8 +92,7 @@ object PipelineQueries {
   private val dedupClusters = QueryDef(
     "dedup_clusters",
     (s, d) => {
-      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
-        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      val pairs = Staged.minhashPairs(s, d)
       // localThreshold = 0: this query deliberately exercises the
       // DISTRIBUTED propagation loop against the recursive-CTE oracle
       // (the union-find finishing layer is covered by semantic_dedup
@@ -702,8 +701,7 @@ object PipelineQueries {
     "dedup_clusters_apply",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        k = K, bands = BANDS, shingleN = 3)
+      val pairs = Staged.minhashPairs(s, d)
       // distributed loop kept here too — see dedup_clusters
       val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
         localThreshold = 0L)
@@ -975,8 +973,7 @@ object PipelineQueries {
   private val pagerank = QueryDef(
     "pagerank",
     (s, d) => {
-      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
-        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      val pairs = Staged.minhashPairs(s, d)
       graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iters = 5)
         .orderBy("doc_id")
     },
@@ -1014,8 +1011,7 @@ object PipelineQueries {
   private val triangleCount = QueryDef(
     "triangle_count",
     (s, d) => {
-      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
-        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      val pairs = Staged.minhashPairs(s, d)
       graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b")
     },
     Some(s"""WITH $minhashCtesSql,
@@ -1092,8 +1088,7 @@ object PipelineQueries {
     "dedup_minhash_recall",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        k = K, bands = BANDS, shingleN = 3)
+      val cand = Staged.minhashPairs(s, d)
         .select(F.col("doc_a"), F.col("doc_b"), F.lit(1L).as("c"))
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = None)
@@ -1323,8 +1318,7 @@ object PipelineQueries {
         .withColumn("j_micros",
           F.expr("n_common * 1000000 div (n_a + n_b - n_common)"))
         .where(F.col("j_micros") >= 200000L)
-      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        k = K, bands = BANDS, shingleN = 3)
+      val cand = Staged.minhashPairs(s, d)
         .select(F.col("doc_a"), F.col("doc_b"), F.lit(1L).as("_cand"))
       overlap.join(cand, Seq("doc_a", "doc_b"), "left")
         .withColumn("p1", F.expr(
@@ -1378,8 +1372,7 @@ object PipelineQueries {
   private val dedupClusterSizes = QueryDef(
     "dedup_cluster_sizes",
     (s, d) => {
-      val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"),
-        "doc_id", "text", k = K, bands = BANDS, shingleN = 3)
+      val pairs = Staged.minhashPairs(s, d)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0L)
         .groupBy("cluster_id").agg(F.count(F.lit(1)).as("size"))
         .groupBy("size").agg(F.count(F.lit(1)).as("n_clusters"))
@@ -1604,8 +1597,7 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val sig = graft.operators.CacheScope.persist(
         Dedup.minhashSignatures(docs, "doc_id", "text", k = K, shingleN = 3))
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        k = K, bands = BANDS, shingleN = 3).select("doc_a", "doc_b")
+      val pairs = Staged.minhashPairs(s, d).select("doc_a", "doc_b")
       val a = sig.select(F.col("doc_id").as("doc_a") +:
         (0 until K).map(i => F.col(s"h$i").as(s"a$i")): _*)
       val b = sig.select(F.col("doc_id").as("doc_b") +:

@@ -743,9 +743,56 @@ object StreamingQueries {
     },
     Some(PipelineQueries.pipelineFunnelOracleSql))
 
+  // ----------------------------------------------------------------- G19
+  /** The C57 time-bounded ordered funnel AS A STREAM, by SEQUENTIAL
+    * REFINEMENT: each stage's timestamps drain as a complete-mode
+    * streaming aggregate, then become the STATIC side of the next
+    * stage's stream-static join — the production "periodically
+    * refreshed thresholds" shape (G14's discipline applied to a
+    * sequential dependency). Every stage is a min over a filtered set,
+    * so the result is arrival-order-independent and hash-matches the
+    * batch twin exactly. State per drain is one timestamp per user.
+    * Same oracle as `funnel_window`. */
+  private val streamFunnelWindow = QueryDef(
+    "stream_funnel_window",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val schema = s.read.parquet(dir).schema
+      def ev() = s.readStream.schema(schema).parquet(dir)
+      val hour = F.expr("INTERVAL 1 HOUR")
+      // one drain doubles as the user spine AND stage 1: the per-user
+      // min is conditional, so non-viewers surface with a null t_view
+      // (a separate spine drain measured +1.5 s of pure restart cost)
+      val t1 = drain(ev().groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") === "view", F.col("ts")))
+          .as("t_view")), "complete")
+      val t2 = drain(ev().where(F.col("event_type") === "click")
+        .join(t1.where(F.col("t_view").isNotNull), "user_id")
+        .where(F.col("ts") > F.col("t_view") &&
+          F.col("ts") <= F.col("t_view") + hour)
+        .groupBy("user_id")
+        .agg(F.min("ts").as("t_click"), F.min("t_view").as("_tv")),
+        "complete")
+      val t3 = drain(ev().where(F.col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t_click") &&
+          F.col("ts") <= F.col("_tv") + hour)
+        .groupBy("user_id").agg(F.min("ts").as("t_purchase")), "complete")
+      t1
+        .join(t2.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("stage", F.expr(
+          """CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                       WHEN t_click IS NOT NULL THEN 2
+                       WHEN t_view IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT)"""))
+        .orderBy("user_id")
+    },
+    Some(TrendQueries.funnelWindowOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
-    streamFunnel)
+    streamFunnel, streamFunnelWindow)
 }

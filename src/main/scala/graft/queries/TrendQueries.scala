@@ -263,7 +263,10 @@ object TrendQueries {
                        ELSE 0 END AS BIGINT)"""))
         .orderBy("user_id")
     },
-    Some("""
+    Some(funnelWindowOracleSql))
+
+  /** C57 oracle SQL — shared with the G19 streaming twin. */
+  private[queries] def funnelWindowOracleSql: String = """
       WITH t1 AS (
         SELECT user_id, min(ts) AS t_view FROM events
         WHERE event_type = 'view' GROUP BY 1),
@@ -288,7 +291,7 @@ object TrendQueries {
       LEFT JOIN t1 USING (user_id)
       LEFT JOIN t2 USING (user_id)
       LEFT JOIN t3 USING (user_id)
-      ORDER BY user_id"""))
+      ORDER BY user_id"""
 
   val all: Seq[QueryDef] = Seq(histogramEquiwidth, termTrends, ewmaSmooth,
     inTransitTimeline, degreeDist, funnelWindow)
