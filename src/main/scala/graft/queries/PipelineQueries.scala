@@ -100,7 +100,13 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0L)
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $minhashCtesSql,
+    Some(minhashClustersOracleSql))
+
+  /** D11 oracle — recursive-CTE transitive closure over the candidate
+    * pairs; shared with the D19 star-contraction twin (two independent
+    * distributed CC algorithms, one truth). */
+  private def minhashClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
       edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
                 UNION SELECT doc_b, doc_a FROM mh_pairs),
       reach AS (SELECT a, b FROM edges
@@ -108,7 +114,22 @@ object PipelineQueries {
                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
                 WHERE e.b <> r.a)
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-      FROM reach GROUP BY a ORDER BY doc_id"""))
+      FROM reach GROUP BY a ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- D19
+  /** The pointer-jumping / star-contraction CC (O(log n) rounds for
+    * adversarial-diameter graphs — [[Dedup.connectedComponentsStarContract]],
+    * previously spec-only) run against the SAME recursive-CTE oracle as
+    * D11's min-label propagation: two independently-derived distributed
+    * algorithms hash-matching one truth is the strongest correctness
+    * evidence this harness can produce. localThreshold = 0 forces the
+    * distributed jump+propagate loop. */
+  private val dedupClustersStar = QueryDef(
+    "dedup_clusters_star",
+    (s, d) => Dedup.connectedComponentsStarContract(
+      Staged.minhashPairs(s, d), "doc_a", "doc_b", localThreshold = 0L)
+      .orderBy("doc_id"),
+    Some(minhashClustersOracleSql))
 
   // ---------------------------------------------------------------- D4
   private val SIMHASH_BITS = 32
@@ -1647,5 +1668,6 @@ object PipelineQueries {
     saltedCount, ngramJaccardUnique, ngramJaccardCapped, dedupClusters,
     dedupClustersApply, pagerank, frameSample, triangleCount,
     ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes,
-    vocabCoverage, minhashScurve, embedMatryoshka, minhashBbit)
+    vocabCoverage, minhashScurve, embedMatryoshka, minhashBbit,
+    dedupClustersStar)
 }
