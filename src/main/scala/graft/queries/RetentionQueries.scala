@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-20 inventory (r6): audience/engagement analytics and
+  * pre-flight planning audits — bitmap (roaring-style) retention,
+  * time-weighted averages, histogram-based join-size estimation,
+  * k-core graph peeling, and funnel time-to-convert distributions.
+  *
+  * House rules as everywhere: integer arithmetic end to end (bitmasks
+  * in one BIGINT, durations in micros, money in cents, DECIMAL(38,0)
+  * dot products), aggregate-first shapes so nothing ordered ever runs
+  * over raw facts, and oracles formulated independently of the Spark
+  * plan. */
+object RetentionQueries {
+
+  // ---------------------------------------------------------------- C58
+  /** Rolling N-day retention from ONE packed bitmask per user — the
+    * roaring-bitmap audience pattern: a user's 63-day activity history
+    * is `bit_or(1 << datediff(day, first_day))`, one BIGINT of state
+    * per user regardless of event volume (bits 0..62; bit 63 would
+    * overflow a signed shift on either engine). Day-N retention then
+    * reads the mask — no per-(user, day) matrix is ever materialized,
+    * which is what makes audience retention tractable at 100 TB: the
+    * event stream collapses map-side to ≤ one long per user, and the
+    * retention curve is users × 63 bit tests over a BROADCAST offset
+    * spine. Offset 0 equals the user count by construction (every
+    * user is active on their own first day) — a built-in sanity row.
+    * The bitmask state is also order-independent (OR is commutative),
+    * which is why G20 can run the identical aggregate as a stream. */
+  private val bitmapRetention = QueryDef(
+    "bitmap_retention",
+    (s, d) => retentionFromMasks(s, userMasks(s, d)),
+    Some(bitmapRetentionOracleSql))
+
+  /** The per-user packed activity mask (C58's state; shared with G20's
+    * streaming twin, whose complete-mode aggregate produces the SAME
+    * frame because bit_or is arrival-order-independent). */
+  private[queries] def userMasks(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = t(s, d, "events")
+      .select(F.col("user_id"), F.to_date(F.col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(F.min("day").as("d0"))
+    ev.join(first, "user_id")
+      .select(F.col("user_id"), F.datediff(F.col("day"), F.col("d0")).as("off"))
+      .where(F.col("off") < 63)
+      .select(F.col("user_id"),
+        F.expr("shiftleft(1L, CAST(off AS INT))").as("bit"))
+      .groupBy("user_id").agg(F.expr("bit_or(bit)").as("mask"))
+  }
+
+  /** Masks → the 63-row retention curve (shared C58/G20 tail). */
+  private[queries] def retentionFromMasks(
+      s: org.apache.spark.sql.SparkSession,
+      masks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val offsets = s.range(0, 63).select(F.col("id").as("off"))
+    masks.crossJoin(F.broadcast(offsets))
+      .groupBy("off").agg(
+        F.sum(F.expr("CAST(shiftright(mask, CAST(off AS INT)) & 1 AS BIGINT)"))
+          .as("n_retained"))
+      .orderBy("off")
+  }
+
+  // def, not val: referenced by a QueryDef defined ABOVE it — a val
+  // would still be null during object initialization
+  private[queries] def bitmapRetentionOracleSql: String = """
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      fst AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+      offs AS (
+        SELECT ev.user_id, datediff('day', d0, day) AS off
+        FROM ev JOIN fst ON ev.user_id = fst.user_id),
+      masks AS (
+        SELECT user_id, bit_or(1::BIGINT << CAST(off AS INT)) AS mask
+        FROM offs WHERE off < 63 GROUP BY 1)
+      SELECT CAST(o.off AS BIGINT) AS off,
+             CAST(sum((mask >> CAST(o.off AS INT)) & 1) AS BIGINT)
+               AS n_retained
+      FROM masks, range(0, 63) o(off)
+      GROUP BY 1 ORDER BY off"""
+
+  // ---------------------------------------------------------------- C59
+  /** Time-weighted average (TWAP) of the event value per (type, day):
+    * each reading is weighted by the micros until the NEXT reading of
+    * the same series (classic piecewise-constant integration; the last
+    * reading of a day carries no interval and drops out). All exact:
+    * values in cents (floor ×100 — the same IEEE double on both
+    * engines), durations in integer micros, the cents·micros products
+    * summed as DECIMAL(38,0) (a day of micros × cents overflows BIGINT
+    * at warehouse volumes), quotient via integral division. Scale
+    * shape: the lead() window partitions by (type, day) — thousands of
+    * independent partitions, never a global sort — and the aggregate
+    * combines map-side. */
+  private val twap = QueryDef(
+    "twap",
+    (s, d) => {
+      val ev = t(s, d, "events").select(
+        F.col("event_type"), F.to_date(F.col("ts")).as("day"),
+        F.col("ts"), F.col("event_id"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+      val withDur = ev
+        .withColumn("dur",
+          F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts")))
+        .where(F.col("dur").isNotNull)
+      withDur.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).as("n_intervals"),
+        F.sum("dur").as("span_micros"),
+        F.sum(F.expr("CAST(cents * dur AS DECIMAL(38,0))")).as("_num"))
+        .select(F.col("event_type"), F.col("day"), F.col("n_intervals"),
+          F.col("span_micros"),
+          F.expr("CAST(_num div span_micros AS BIGINT)").as("twap_cents"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      dur AS (
+        SELECT event_type, day, cents,
+               epoch_us(lead(ts) OVER (PARTITION BY event_type, day
+                 ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+        FROM ev)
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dur) AS BIGINT) AS span_micros,
+             CAST(sum(CAST(cents AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+               AS twap_cents
+      FROM dur WHERE dur IS NOT NULL
+      GROUP BY 1, 2 ORDER BY event_type, day"""))
+
+  // ---------------------------------------------------------------- C60
+  /** Join-size estimation from per-key histograms — the pre-flight
+    * audit run BEFORE committing a 100 TB join: per brand, the exact
+    * output cardinality of part⋈lineitem predicted purely from the
+    * fact side's per-key counts (Σ over the brand's parts of that
+    * part's lineitem count) plus the skew diagnostics that decide the
+    * strategy (max single-key fan-out → salting?, matched-key share →
+    * semi-join prefilter?). The fact table aggregates map-side to one
+    * row per key; the dim side is broadcast; the JOIN ITSELF NEVER
+    * RUNS — that is the point. For an equi-join this accounting is
+    * exact, so the oracle doubles as proof the estimate closes. */
+  private val joinCardAudit = QueryDef(
+    "join_card_audit",
+    (s, d) => {
+      val perKey = t(s, d, "lineitem")
+        .groupBy(F.col("l_partkey").as("pk"))
+        .agg(F.count(F.lit(1)).as("fanout"))
+      t(s, d, "part").select(F.col("p_partkey"), F.col("p_brand"))
+        .join(F.broadcast(perKey), F.col("p_partkey") === F.col("pk"), "left")
+        .groupBy("p_brand").agg(
+          F.count(F.lit(1)).as("n_parts"),
+          F.sum(F.expr("CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END"))
+            .as("n_matched"),
+          F.sum(F.coalesce(F.col("fanout"), F.lit(0L))).as("pred_rows"),
+          F.max(F.coalesce(F.col("fanout"), F.lit(0L))).as("max_fanout"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      WITH pk AS (
+        SELECT l_partkey AS pk, count(*) AS fanout
+        FROM lineitem GROUP BY 1)
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             CAST(sum(coalesce(fanout, 0)) AS BIGINT) AS pred_rows,
+             CAST(max(coalesce(fanout, 0)) AS BIGINT) AS max_fanout
+      FROM part LEFT JOIN pk ON p_partkey = pk
+      GROUP BY 1 ORDER BY p_brand"""))
+
+  // ---------------------------------------------------------------- D29
+  /** k-core peeling (k = 2, three fixed rounds) of the co-purchase
+    * graph — the standard "trim the tendrils" preconditioning before
+    * community detection or triangle counting: each round drops nodes
+    * with degree < k, then re-derives degrees on the surviving edge
+    * set. Fixed round count (like D15 PageRank) keeps the result
+    * deterministic whether or not the peel has converged, so the
+    * unrolled oracle replays the identical three rounds. Scale shape:
+    * each round is one map-side-combined degree aggregate plus two
+    * SEMI joins of the edge list against the surviving-node list —
+    * shuffles stay keyed on node id, state is one degree per node,
+    * and the edge list comes from the SHARED staged build
+    * ([[Staged.coPurchasePairs]]). */
+  private val kcore = QueryDef(
+    "kcore",
+    (s, d) => {
+      val k = 2L
+      var edges = Staged.coPurchasePairs(s, d).distinct()
+      for (_ <- 1 to 3) {
+        val deg = edges.select(F.col("pa").as("node"))
+          .unionAll(edges.select(F.col("pb").as("node")))
+          .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
+        val keep = deg.where(F.col("degree") >= k).select("node")
+        edges = edges
+          .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+      }
+      edges.select(F.col("pa").as("node"))
+        .unionAll(edges.select(F.col("pb").as("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
+        .orderBy("node")
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      d1 AS (SELECT node, count(*) AS deg FROM (
+               SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+      n1 AS (SELECT node FROM d1 WHERE deg >= 2),
+      e1 AS (SELECT pa, pb FROM e0
+             WHERE pa IN (SELECT node FROM n1) AND pb IN (SELECT node FROM n1)),
+      d2 AS (SELECT node, count(*) AS deg FROM (
+               SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY 1),
+      n2 AS (SELECT node FROM d2 WHERE deg >= 2),
+      e2 AS (SELECT pa, pb FROM e1
+             WHERE pa IN (SELECT node FROM n2) AND pb IN (SELECT node FROM n2)),
+      d3 AS (SELECT node, count(*) AS deg FROM (
+               SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY 1),
+      n3 AS (SELECT node FROM d3 WHERE deg >= 2),
+      e3 AS (SELECT pa, pb FROM e2
+             WHERE pa IN (SELECT node FROM n3) AND pb IN (SELECT node FROM n3))
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM e3 UNION ALL SELECT pb FROM e3)
+      GROUP BY 1 ORDER BY node"""))
+
+  // ---------------------------------------------------------------- C61
+  /** Funnel time-to-convert distribution — the attribution follow-up
+    * to C57: among users who reached each later stage, how long after
+    * the first view did they get there. Deltas in exact integer
+    * micros; the distribution is discrete percentiles via the C56
+    * cumulative-count formulation (min value whose cumulative count
+    * covers the rank), so every output is a value that actually
+    * occurred — hash-exact on both engines. Stage frames come from
+    * the SHARED [[TrendQueries.funnelStageTimes]] so this audits the
+    * same funnel C57 reports. Scale: the window runs per stage over
+    * already-converted users (a small fraction of events), and
+    * percentile extraction aggregates map-side. */
+  private val funnelTimeStats = QueryDef(
+    "funnel_time_stats",
+    (s, d) => {
+      val (_, t2, t3) = TrendQueries.funnelStageTimes(s, d)
+      val deltas = t2.select(F.lit("click").as("stage"),
+          (F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("_tv")))
+            .as("dt"))
+        .unionAll(t3.join(t2, "user_id")
+          .select(F.lit("purchase").as("stage"),
+            (F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("_tv")))
+              .as("dt")))
+      val cum = Window.partitionBy("stage").orderBy("dt")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = deltas
+        .withColumn("cum_n", F.count(F.lit(1)).over(cum))
+        .withColumn("tot_n",
+          F.count(F.lit(1)).over(Window.partitionBy("stage")))
+      c.groupBy("stage").agg(
+        F.max("tot_n").as("n_users"),
+        F.min("dt").as("min_micros"),
+        F.min(F.when(F.expr("2 * cum_n >= tot_n"), F.col("dt")))
+          .as("p50_micros"),
+        F.min(F.when(F.expr("10 * cum_n >= 9 * tot_n"), F.col("dt")))
+          .as("p90_micros"),
+        F.max("dt").as("max_micros"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click, min(t1.t_view) AS t_view
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t_view
+          AND e.ts <= t1.t_view + INTERVAL 1 HOUR
+        GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+          AND e.ts <= t2.t_view + INTERVAL 1 HOUR
+        GROUP BY 1),
+      deltas AS (
+        SELECT 'click' AS stage,
+               epoch_us(t_click) - epoch_us(t_view) AS dt FROM t2
+        UNION ALL
+        SELECT 'purchase',
+               epoch_us(t3.t_purchase) - epoch_us(t2.t_view)
+        FROM t3 JOIN t2 ON t3.user_id = t2.user_id),
+      c AS (
+        SELECT stage, dt,
+               count(*) OVER (PARTITION BY stage ORDER BY dt
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               count(*) OVER (PARTITION BY stage) AS tot_n
+        FROM deltas)
+      SELECT stage, CAST(max(tot_n) AS BIGINT) AS n_users,
+             min(dt) AS min_micros,
+             min(CASE WHEN 2 * cum_n >= tot_n THEN dt END) AS p50_micros,
+             min(CASE WHEN 10 * cum_n >= 9 * tot_n THEN dt END) AS p90_micros,
+             max(dt) AS max_micros
+      FROM c GROUP BY 1 ORDER BY stage"""))
+
+  val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
+    kcore, funnelTimeStats)
+}

@@ -238,20 +238,7 @@ object TrendQueries {
     "funnel_window",
     (s, d) => {
       val ev = t(s, d, "events")
-      val hour = F.expr("INTERVAL 1 HOUR")
-      val t1 = ev.where(F.col("event_type") === "view")
-        .groupBy("user_id").agg(F.min("ts").as("t_view"))
-      val t2 = ev.where(F.col("event_type") === "click")
-        .join(t1, "user_id")
-        .where(F.col("ts") > F.col("t_view") &&
-          F.col("ts") <= F.col("t_view") + hour)
-        .groupBy("user_id")
-        .agg(F.min("ts").as("t_click"), F.min("t_view").as("_tv"))
-      val t3 = ev.where(F.col("event_type") === "purchase")
-        .join(t2, "user_id")
-        .where(F.col("ts") > F.col("t_click") &&
-          F.col("ts") <= F.col("_tv") + hour)
-        .groupBy("user_id").agg(F.min("ts").as("t_purchase"))
+      val (t1, t2, t3) = funnelStageTimes(s, d)
       ev.select("user_id").distinct()
         .join(t1, Seq("user_id"), "left")
         .join(t2.select("user_id", "t_click"), Seq("user_id"), "left")
@@ -264,6 +251,32 @@ object TrendQueries {
         .orderBy("user_id")
     },
     Some(funnelWindowOracleSql))
+
+  /** C57's per-stage first-entry timestamps — (t1, t2, t3) frames keyed
+    * on user_id, each later stage strictly after the previous and within
+    * 1 h of the first view. Shared by `funnel_window` and C61
+    * `funnel_time_stats` so both operators audit the SAME funnel. */
+  private[queries] def funnelStageTimes(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val ev = t(s, d, "events")
+    val hour = F.expr("INTERVAL 1 HOUR")
+    val t1 = ev.where(F.col("event_type") === "view")
+      .groupBy("user_id").agg(F.min("ts").as("t_view"))
+    val t2 = ev.where(F.col("event_type") === "click")
+      .join(t1, "user_id")
+      .where(F.col("ts") > F.col("t_view") &&
+        F.col("ts") <= F.col("t_view") + hour)
+      .groupBy("user_id")
+      .agg(F.min("ts").as("t_click"), F.min("t_view").as("_tv"))
+    val t3 = ev.where(F.col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .where(F.col("ts") > F.col("t_click") &&
+        F.col("ts") <= F.col("_tv") + hour)
+      .groupBy("user_id").agg(F.min("ts").as("t_purchase"))
+    (t1, t2, t3)
+  }
 
   /** C57 oracle SQL — shared with the G19 streaming twin. */
   private[queries] def funnelWindowOracleSql: String = """
