@@ -790,9 +790,42 @@ object StreamingQueries {
     },
     Some(TrendQueries.funnelWindowOracleSql))
 
+  // ----------------------------------------------------------------- G20
+  /** The C58 bitmap retention AS A STREAM: the per-user packed activity
+    * mask is a `bit_or` — commutative and idempotent, so the
+    * complete-mode streaming aggregate lands on the SAME mask whatever
+    * the arrival order (the strongest survivor-invariance in the G
+    * family: not just order-independent counts, order-independent
+    * STATE). Two drains by sequential refinement (G19's shape): the
+    * per-user first day drains first, then anchors the stream-static
+    * join that offsets each event into its mask bit. One BIGINT of
+    * state per user in the store; the 63-row curve assembles batch-side
+    * from the drained masks. Same oracle as `bitmap_retention`. */
+  private val streamRetention = QueryDef(
+    "stream_retention",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val schema = s.read.parquet(dir).schema
+      def ev() = s.readStream.schema(schema).parquet(dir)
+        .select(F.col("user_id"), F.to_date(F.col("ts")).as("day"))
+      val first = drain(
+        ev().groupBy("user_id").agg(F.min("day").as("d0")), "complete")
+      val masks = drain(
+        ev().join(first, "user_id")
+          .select(F.col("user_id"),
+            F.datediff(F.col("day"), F.col("d0")).as("off"))
+          .where(F.col("off") < 63)
+          .select(F.col("user_id"),
+            F.expr("shiftleft(1L, CAST(off AS INT))").as("bit"))
+          .groupBy("user_id").agg(F.expr("bit_or(bit)").as("mask")),
+        "complete")
+      RetentionQueries.retentionFromMasks(s, masks)
+    },
+    Some(RetentionQueries.bitmapRetentionOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
-    streamFunnel, streamFunnelWindow)
+    streamFunnel, streamFunnelWindow, streamRetention)
 }
