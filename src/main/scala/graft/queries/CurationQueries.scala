@@ -91,7 +91,10 @@ object CurationQueries {
         "doc_id", "text", n = 3)
         .orderBy("doc_id")
     },
-    Some(s"""
+    Some(contaminationOracleSql))
+
+  /** E14 oracle SQL — shared with the G21 streaming twin. */
+  private[queries] def contaminationOracleSql: String = s"""
       WITH bg AS (
         SELECT DISTINCT unnest(${gramsSql(3)}) AS shingle
         FROM (SELECT $toksSql AS t FROM documents WHERE source = 'src0')),
@@ -106,7 +109,7 @@ object CurationQueries {
              CAST(CASE WHEN count(bg.shingle) * 1.0 / count(*) >= 0.5
                   THEN 1 ELSE 0 END AS BIGINT) AS contaminated
       FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- E15
   private val packBins = QueryDef(

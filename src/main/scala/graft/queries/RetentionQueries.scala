@@ -192,15 +192,21 @@ object RetentionQueries {
     "kcore",
     (s, d) => {
       val k = 2L
-      var edges = Staged.coPurchasePairs(s, d).distinct()
+      // each round's edge set persists (CacheScope; Verify/Bench release
+      // after the action): without it round r re-derives rounds 1..r−1
+      // once per downstream consumer — the two semi joins plus the final
+      // degree aggregate tripled the whole lineage (measured 5.6 s →
+      // ~1 s at sf0.1)
+      var edges = graft.operators.CacheScope.persist(
+        Staged.coPurchasePairs(s, d).distinct())
       for (_ <- 1 to 3) {
         val deg = edges.select(F.col("pa").as("node"))
           .unionAll(edges.select(F.col("pb").as("node")))
           .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
         val keep = deg.where(F.col("degree") >= k).select("node")
-        edges = edges
+        edges = graft.operators.CacheScope.persist(edges
           .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
-          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi"))
       }
       edges.select(F.col("pa").as("node"))
         .unionAll(edges.select(F.col("pb").as("node")))
@@ -306,6 +312,96 @@ object RetentionQueries {
              max(dt) AS max_micros
       FROM c GROUP BY 1 ORDER BY stage"""))
 
+  // ---------------------------------------------------------------- C62
+  /** Two-sigma Wilson confidence bounds on the daily error rate, exact
+    * to the last bit on both engines: with z = 2 the Wilson interval is
+    * (n(s+2) ± 2·√(n(s(n−s)+n))) / (n(n+4)) — ONE sqrt call on an
+    * exact integer (IEEE 754 requires sqrt be correctly rounded, so
+    * floor(sqrt(bigint)) is bit-portable wherever the radicand fits a
+    * double's 2^53 mantissa; here it is ≤ n³/4, safe to n ≈ 3 M per
+    * group), then integer division throughout. The monitoring question
+    * this answers — "is today's error rate distinguishable from
+    * yesterday's, given today's volume?" — needs the interval, not the
+    * point rate; naive ±1.96√(pq/n) in floats would hash-differ in the
+    * last ulp. Scale shape: one map-side-combined aggregate to (day,
+    * n, s), then pure projection on the day grid. */
+  private val abWilson = QueryDef(
+    "ab_wilson",
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy(F.to_date(F.col("ts")).as("day"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+            .as("s"))
+        .select(F.col("day"), F.col("n"), F.col("s"),
+          F.expr("1000000 * s div n").as("rate_micros"),
+          F.expr("""1000000 * (n * (s + 2) -
+              2 * CAST(floor(sqrt(CAST(n * (s * (n - s) + n) AS DOUBLE))) AS BIGINT))
+              div (n * (n + 4))""").as("lo_micros"),
+          F.expr("""1000000 * (n * (s + 2) +
+              2 * CAST(floor(sqrt(CAST(n * (s * (n - s) + n) AS DOUBLE))) AS BIGINT))
+              div (n * (n + 4))""").as("hi_micros"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS s
+        FROM events GROUP BY 1)
+      SELECT day, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+             CAST(1000000 * s // n AS BIGINT) AS rate_micros,
+             CAST(1000000 * (n * (s + 2) -
+               2 * CAST(floor(sqrt(CAST(n * (s * (n - s) + n) AS DOUBLE))) AS BIGINT))
+               // (n * (n + 4)) AS BIGINT) AS lo_micros,
+             CAST(1000000 * (n * (s + 2) +
+               2 * CAST(floor(sqrt(CAST(n * (s * (n - s) + n) AS DOUBLE))) AS BIGINT))
+               // (n * (n + 4)) AS BIGINT) AS hi_micros
+      FROM g ORDER BY day"""))
+
+  // ---------------------------------------------------------------- C63
+  /** Top-k-with-OTHERS — the BI staple that caps dashboard cardinality:
+    * per market segment, the 3 nations with most customers keep their
+    * name; the remainder collapses into one 'OTHER' row so the output
+    * is bounded at (k+1)·segments whatever the dimension's cardinality.
+    * Rank runs over the (segment, nation) AGGREGATE (metadata-sized —
+    * never the fact table), deterministic tie-break by name; the
+    * regroup is a second metadata-sized aggregate. */
+  private val topkOthers = QueryDef(
+    "topk_others",
+    (s, d) => {
+      val counts = t(s, d, "customer")
+        .join(F.broadcast(t(s, d, "nation")),
+          F.col("c_nationkey") === F.col("n_nationkey"))
+        .groupBy(F.col("c_mktsegment").as("segment"), F.col("n_name"))
+        .agg(F.count(F.lit(1)).as("n_cust"))
+      val ranked = counts.withColumn("rk",
+        F.row_number().over(Window.partitionBy("segment")
+          .orderBy(F.col("n_cust").desc, F.col("n_name"))))
+      ranked
+        .withColumn("bucket",
+          F.when(F.col("rk") <= 3, F.col("n_name")).otherwise("OTHER"))
+        .groupBy("segment", "bucket")
+        .agg(F.sum("n_cust").as("n_cust"),
+          F.count(F.lit(1)).as("n_nations"))
+        .orderBy(F.col("segment"), F.col("n_cust").desc, F.col("bucket"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT c_mktsegment AS segment, n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT segment, n_name, n_cust,
+               row_number() OVER (PARTITION BY segment
+                 ORDER BY n_cust DESC, n_name) AS rk
+        FROM counts)
+      SELECT segment,
+             CASE WHEN rk <= 3 THEN n_name ELSE 'OTHER' END AS bucket,
+             CAST(sum(n_cust) AS BIGINT) AS n_cust,
+             CAST(count(*) AS BIGINT) AS n_nations
+      FROM ranked GROUP BY 1, 2
+      ORDER BY segment, n_cust DESC, bucket"""))
+
   val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
-    kcore, funnelTimeStats)
+    kcore, funnelTimeStats, abWilson, topkOthers)
 }

@@ -823,9 +823,47 @@ object StreamingQueries {
     },
     Some(RetentionQueries.bitmapRetentionOracleSql))
 
+  // ----------------------------------------------------------------- G21
+  /** The E14 benchmark-contamination screen AS A STREAM — the shape a
+    * live ingest pipeline actually runs: the benchmark's distinct
+    * shingle set is STATIC (eval suites are MBs against a corpus of
+    * TBs) and broadcast into a stream-static left join, while corpus
+    * docs shingle statelessly as they arrive ([[graft.operators.TextOps
+    * .shingleDocs]] is narrow: array_distinct before explode, no
+    * shuffle). Per-doc hit counts are a complete-mode aggregate keyed
+    * on doc_id — order-independent because every shingle row of a doc
+    * carries the same flags wherever it lands. Same oracle as
+    * `contamination`. */
+  private val streamContamination = QueryDef(
+    "stream_contamination",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val schema = s.read.parquet(dir).schema
+      val bench = graft.operators.TextOps.shingleDocs(
+        s.read.parquet(dir).where(F.col("source") === "src0"),
+        "doc_id", "text", 3)
+        .select("shingle").distinct().withColumn("_hit", F.lit(1L))
+      val grams = graft.operators.TextOps.shingleDocs(
+        s.readStream.schema(schema).parquet(dir)
+          .where(F.col("source") =!= "src0"),
+        "doc_id", "text", 3)
+      val agg = grams.join(F.broadcast(bench), Seq("shingle"), "left")
+        .groupBy("doc_id").agg(
+          F.count(F.lit(1)).as("n_grams"),
+          F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_hit"))
+      drain(agg, "complete")
+        .select(F.col("doc_id"), F.col("n_grams"), F.col("n_hit"),
+          F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6)
+            .as("contam_frac"),
+          F.when(F.col("n_hit").cast("double") / F.col("n_grams") >= 0.5, 1L)
+            .otherwise(0L).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(CurationQueries.contaminationOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
-    streamFunnel, streamFunnelWindow, streamRetention)
+    streamFunnel, streamFunnelWindow, streamRetention, streamContamination)
 }

@@ -70,6 +70,27 @@ class RetentionSpec extends SparkSpec {
     assert(survivors.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("ab_wilson bounds bracket the point rate and stay in [0, 1]") {
+    q("ab_wilson").collect().foreach { r =>
+      val (rate, lo, hi) = (r.getAs[Long]("rate_micros"),
+        r.getAs[Long]("lo_micros"), r.getAs[Long]("hi_micros"))
+      assert(lo <= rate && rate <= hi)
+      assert(lo >= 0 && hi <= 1000000L)
+      assert(hi - lo > 0, "interval has width at finite n")
+    }
+  }
+
+  test("topk_others conserves the customer population per segment") {
+    val rows = q("topk_others").collect()
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+    val cust = graft.queries.Tables.t(spark, sf, "customer")
+    bySeg.foreach { case (seg, rs) =>
+      assert(rs.count(_.getAs[String]("bucket") != "OTHER") <= 3)
+      val total = cust.where(F.col("c_mktsegment") === seg).count()
+      assert(rs.map(_.getAs[Long]("n_cust")).sum == total)
+    }
+  }
+
   test("funnel_time_stats orders min <= p50 <= p90 <= max") {
     q("funnel_time_stats").collect().foreach { r =>
       val (mn, p50, p90, mx) = (r.getAs[Long]("min_micros"),
