@@ -192,21 +192,31 @@ object RetentionQueries {
     "kcore",
     (s, d) => {
       val k = 2L
-      // each round's edge set persists (CacheScope; Verify/Bench release
-      // after the action): without it round r re-derives rounds 1..r−1
-      // once per downstream consumer — the two semi joins plus the final
-      // degree aggregate tripled the whole lineage (measured 5.6 s →
-      // ~1 s at sf0.1)
+      // What persists is chosen by SIZE, not by position in the loop:
+      // the base edge set (one distinct shuffle) and each round's
+      // survivor list (node-sized, ≤ |parts| — thousands of times
+      // smaller than the edge list). Each round then costs one
+      // map-side-combined degree aggregate plus two semi joins that
+      // AQE plans as broadcasts off the cached keep-list stats. The
+      // two tempting alternatives are both measured traps: persisting
+      // every round's EDGES pays three ~1 M-row MEMORY_AND_DISK writes
+      // for recomputes that are nearly free (6.5 s), and explicit
+      // F.broadcast(keep) on BOTH endpoint joins duplicates the keep
+      // subtree 2× per round — 2³ re-executions of the whole lineage
+      // by round 3 (87 s). Persisting the small frame and letting
+      // Catalyst reuse it is the 100 TB pattern too: survivor lists
+      // shrink monotonically, edges never re-shuffle.
       var edges = graft.operators.CacheScope.persist(
         Staged.coPurchasePairs(s, d).distinct())
       for (_ <- 1 to 3) {
         val deg = edges.select(F.col("pa").as("node"))
           .unionAll(edges.select(F.col("pb").as("node")))
           .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
-        val keep = deg.where(F.col("degree") >= k).select("node")
-        edges = graft.operators.CacheScope.persist(edges
+        val keep = graft.operators.CacheScope.persist(
+          deg.where(F.col("degree") >= k).select("node"))
+        edges = edges
           .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
-          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi"))
+          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
       }
       edges.select(F.col("pa").as("node"))
         .unionAll(edges.select(F.col("pb").as("node")))
