@@ -64,11 +64,14 @@ object Bench {
     while (top.nonEmpty && jsonLine(top.sortBy(_._1), total).length > 1600)
       top = top.dropRight(1)
     // full line second-to-last (auditable in the tail when short enough),
-    // short line LAST — the one the driver parses
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      jsonLine(results, total) + "\n")
-    catch { case _: Throwable => () }
+    // short line LAST — the one the driver parses. Persisted only for
+    // FULL runs: an args-restricted profiling run must not clobber the
+    // committed full-suite record.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        jsonLine(results, total) + "\n")
+      catch { case _: Throwable => () }
     println(jsonLine(top.sortBy(_._1), total))
     spark.stop()
   }

@@ -1046,11 +1046,47 @@ object ExtendedQueries {
       WHERE sla_class = 'expedite'
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ----------------------------------------------------------------- H11
+  /** Read through the from-scratch DataSource V2 ([[graft.sources
+    * .SynthDocsProvider]]): the range predicate on doc_id is PUSHED
+    * INTO THE SOURCE (partitions outside [1000, 60000) are never even
+    * planned — the source-level analog of partition pruning), columns
+    * prune to what the aggregate needs, and the scan parallelizes over
+    * 8 input partitions. Because every row is a pure function of
+    * doc_id (md5 text, id-mod source), DuckDB reproduces the entire
+    * source from range()+md5() — so the driver's hash compare covers
+    * the custom read path end to end. Spec asserts the pruned range
+    * and slice count on the physical plan. */
+  private val synthSource = QueryDef(
+    "synth_source",
+    (s, _) => {
+      s.read.format("graft.sources.SynthDocsProvider")
+        .option("rows", "100000").option("slices", "8").load()
+        .where(F.col("doc_id") >= 1000 && F.col("doc_id") < 60000)
+        .groupBy("source").agg(
+          F.count(F.lit(1)).as("n"),
+          F.min("doc_id").as("min_id"),
+          F.max("doc_id").as("max_id"),
+          F.countDistinct(F.substring(F.col("text"), 1, 1)).as("n_first_hex"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH synth AS (
+        SELECT r.range AS doc_id,
+               md5(CAST(r.range AS VARCHAR)) AS text,
+               'src' || CAST(r.range % 4 AS VARCHAR) AS source
+        FROM range(0, 100000) r)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             CAST(count(DISTINCT substr(text, 1, 1)) AS BIGINT) AS n_first_hex
+      FROM synth WHERE doc_id >= 1000 AND doc_id < 60000
+      GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     jsonExtract, aggStats, setOps, aggCollect, groupingSets, windowNtile,
     sourceRoundtrip, partitionedPrune, bucketedJoin, embedKmeans,
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
     windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
     stateIslands, resampleInterp, winsorize, tableDiff, corrMatrix,
-    orcRoundtrip, dppJoin)
+    orcRoundtrip, dppJoin, synthSource)
 }

@@ -412,6 +412,69 @@ object RetentionQueries {
       FROM ranked GROUP BY 1, 2
       ORDER BY segment, n_cust DESC, bucket"""))
 
+  // ---------------------------------------------------------------- D30
+  /** Embedding-distribution drift between two deterministic cohorts
+    * (vec_id parity — the stand-in for "this crawl's vectors vs last
+    * crawl's"): per label, the squared L2 distance between cohort
+    * centroids, computed EXACTLY — elements scaled to integer micros
+    * (float→double is exact, the ×1e6 multiply is the same IEEE double
+    * on both engines, floor is portable), per-(label, dim) sums in
+    * BIGINT, and the centroid difference cross-multiplied instead of
+    * divided: Σ_dim (s0·n1 − s1·n0)² / (n0·n1)², with the squares in
+    * DECIMAL(38,0)/HUGEINT (the diff is ~1e12; its square overflows
+    * BIGINT) and ONE integral division after the dim sum. This is the
+    * re-embed/re-crawl gate: centroid drift above threshold means the
+    * ANN index and the dedup thresholds need recalibrating. Scale
+    * shape: one explode + two map-side-combined aggregates, output one
+    * row per label. */
+  private val embedDrift = QueryDef(
+    "embed_drift",
+    (s, d) => {
+      val e = t(s, d, "embeddings").select(
+        F.col("label"), F.expr("vec_id % 2").as("cohort"),
+        F.posexplode(F.col("embedding")).as(Seq("dim", "x")))
+        .select(F.col("label"), F.col("cohort"), F.col("dim"),
+          F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("xm"))
+      val byDim = e.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("cohort") === 0, F.col("xm"))).as("s0"),
+        F.sum(F.when(F.col("cohort") === 1, F.col("xm"))).as("s1"),
+        F.count(F.when(F.col("cohort") === 0, F.lit(1))).as("n0"),
+        F.count(F.when(F.col("cohort") === 1, F.lit(1))).as("n1"))
+      byDim.groupBy("label").agg(
+        F.max("n0").as("n0"), F.max("n1").as("n1"),
+        F.sum(F.expr(
+          "CAST(s0*n1 - s1*n0 AS DECIMAL(38,0)) * CAST(s0*n1 - s1*n0 AS DECIMAL(38,0))"))
+          .as("_num"))
+        .where(F.expr("n0 > 0 AND n1 > 0"))
+        .select(F.col("label"), F.col("n0"), F.col("n1"),
+          F.expr("CAST(_num div CAST(n0*n1*n0*n1 AS DECIMAL(38,0)) AS BIGINT)")
+            .as("drift_micros2"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT label, vec_id % 2 AS cohort, i - 1 AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS xm
+        FROM embeddings, generate_series(1, 64) AS t(i)),
+      bd AS (
+        SELECT label, dim,
+               sum(CASE WHEN cohort = 0 THEN xm END) AS s0,
+               sum(CASE WHEN cohort = 1 THEN xm END) AS s1,
+               count(CASE WHEN cohort = 0 THEN 1 END) AS n0,
+               count(CASE WHEN cohort = 1 THEN 1 END) AS n1
+        FROM e GROUP BY 1, 2),
+      agg AS (
+        SELECT label, max(n0) AS n0, max(n1) AS n1,
+               sum(CAST(s0*n1 - s1*n0 AS HUGEINT)
+                   * CAST(s0*n1 - s1*n0 AS HUGEINT)) AS num
+        FROM bd GROUP BY 1)
+      SELECT label, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             CAST(num // CAST(n0*n1*n0*n1 AS HUGEINT) AS BIGINT)
+               AS drift_micros2
+      FROM agg WHERE n0 > 0 AND n1 > 0 ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
-    kcore, funnelTimeStats, abWilson, topkOthers)
+    kcore, funnelTimeStats, abWilson, topkOthers, embedDrift)
 }

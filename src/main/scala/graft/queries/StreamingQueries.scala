@@ -46,6 +46,20 @@ object StreamingQueries {
     stage(s, d, "orders")
   }
 
+  /** Stateful-query partition sizing (the G8 lesson, measured 8.2 s →
+    * ~3 s at sf0.1): a streaming aggregate creates a state store PER
+    * shuffle partition PER drain, and that per-store overhead dominates
+    * when state is modest — size partitions to the state volume, not to
+    * the session's scan parallelism. Restores the previous setting
+    * after the body (the override binds at each query's START, so it
+    * only affects streams launched inside). */
+  private def withStatePartitions[T](
+      s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a bounded stream into a memory sink and return its content. */
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
@@ -713,7 +727,7 @@ object StreamingQueries {
     * `pipeline_funnel`. */
   private val streamFunnel = QueryDef(
     "stream_funnel",
-    (s, d) => {
+    (s, d) => withStatePartitions(s, 4) {
       val dir = stage(s, d, "documents")
       val schema = s.read.parquet(dir).schema
       val cols = graft.operators.TextOps.qualityColumns(F.col("text")).toMap
@@ -755,7 +769,7 @@ object StreamingQueries {
     * Same oracle as `funnel_window`. */
   private val streamFunnelWindow = QueryDef(
     "stream_funnel_window",
-    (s, d) => {
+    (s, d) => withStatePartitions(s, 8) {
       val dir = stage(s, d, "events")
       val schema = s.read.parquet(dir).schema
       def ev() = s.readStream.schema(schema).parquet(dir)
@@ -803,7 +817,7 @@ object StreamingQueries {
     * from the drained masks. Same oracle as `bitmap_retention`. */
   private val streamRetention = QueryDef(
     "stream_retention",
-    (s, d) => {
+    (s, d) => withStatePartitions(s, 8) {
       val dir = stage(s, d, "events")
       val schema = s.read.parquet(dir).schema
       def ev() = s.readStream.schema(schema).parquet(dir)
@@ -836,7 +850,7 @@ object StreamingQueries {
     * `contamination`. */
   private val streamContamination = QueryDef(
     "stream_contamination",
-    (s, d) => {
+    (s, d) => withStatePartitions(s, 8) {
       val dir = stage(s, d, "documents")
       val schema = s.read.parquet(dir).schema
       val bench = graft.operators.TextOps.shingleDocs(
