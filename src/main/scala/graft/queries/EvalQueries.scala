@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Round-6 wave: model-evaluation and distribution-audit operators — the
+  * metrics a training-data pipeline runs over its own quality/filter
+  * models (exact AUC, calibration, decile lift) and over its corpus and
+  * revenue distributions (two-sample KS drift, Gini concentration,
+  * day-of-week seasonal index, lag autocorrelation).
+  *
+  * House rules as everywhere: integer-only arithmetic until the final
+  * published figure (micros via exact integer division, or doubles
+  * derived from exact decimal sums with the identical closing formula
+  * on both engines); every aggregate is a grouped map-side-combined
+  * shuffle over the corpus followed by windows over frames whose size
+  * is bounded by the DOMAIN (distinct score values, distinct doc
+  * lengths, calendar days), never by the corpus.
+  *
+  * The classifier under evaluation is a deterministic stopword-ratio
+  * scorer (score = per-mille of tokens in a tiny English stopword set)
+  * against the weak label lang='en' — the same weak-label discipline as
+  * E39's NB classifier (reference tests validate constraints on fixed
+  * frames; these queries evaluate a *model* on a fixed corpus, the step
+  * after E39 trains one).
+  */
+object EvalQueries {
+
+  /** Spark-side tokenizer shared by the scorer queries (identical to
+    * PipelineQueries/PrepQueries' toksSql on the DuckDB side). */
+  private val toksSpark = "filter(split(lower(text), ' +'), x -> length(x) > 0)"
+  private val toksDuck =
+    "list_filter(regexp_split_to_array(lower(text), ' +'), x -> length(x) > 0)"
+  private val stopSet = "('the','and','of','to','in','a','is')"
+
+  /** score = per-mille stopword ratio (0..1000, integer); label = lang='en'.
+    * Purely per-row (array lambda, no explode): the corpus never shuffles
+    * until the score-grouped aggregate. */
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").select(
+      F.col("doc_id"),
+      F.expr(s"CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("lbl"),
+      F.expr(
+        s"1000L * size(filter($toksSpark, x -> x IN $stopSet)) div " +
+          s"greatest(size($toksSpark), 1)").as("score"))
+
+  private val scoredSql = s"""
+      SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS lbl,
+             CAST(1000 * len(list_filter($toksDuck, x -> x IN $stopSet))
+                  // greatest(len($toksDuck), 1) AS BIGINT) AS score
+      FROM documents"""
+
+  // ---------------------------------------------------------------- M1
+  /** Exact ROC AUC via the Mann–Whitney rank-sum identity with the
+    * standard ½-credit tie correction, computed from SCORE-GROUPED
+    * counts: AUC = Σ_s [pos(s) · (neg(<s) + ½·neg(s))] / (P·N). Doubled
+    * (u2) so the tie term stays integer; the published figure is exact
+    * integer micros through DECIMAL(38,0) / HUGEINT.
+    *
+    * Scale shape: ONE map-side-combined groupBy(score) over the corpus
+    * (distinct scores ≤ 1001 by construction — the per-mille ratio is
+    * domain-bounded), then a window over that ≤1001-row frame. This is
+    * how AUC is computed at 100 TB: histogram the scores, never sort
+    * the corpus (a global rank() would be a single-partition sort). */
+  private val evalAuc = QueryDef(
+    "eval_auc",
+    (s, d) => {
+      val g = scored(s, d).groupBy("score").agg(
+        F.sum("lbl").as("np"),
+        F.sum(F.expr("1L - lbl")).as("nn"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0L)))
+        .agg(
+          F.sum("np").as("p_count"),
+          F.sum("nn").as("n_count"),
+          F.sum(F.expr("np * (2 * cum_nn + nn)")).as("u2"))
+        .withColumn("auc_micros", F.expr(
+          "CAST(CAST(u2 AS DECIMAL(38,0)) * 500000 div " +
+            "(CAST(p_count AS DECIMAL(38,0)) * n_count) AS BIGINT)"))
+        .select("p_count", "n_count", "u2", "auc_micros")
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      g AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np,
+                   CAST(sum(1 - lbl) AS BIGINT) AS nn
+            FROM sc GROUP BY 1),
+      w AS (SELECT score, np, nn,
+                   CAST(coalesce(sum(nn) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_nn
+            FROM g)
+      SELECT CAST(sum(np) AS BIGINT) AS p_count,
+             CAST(sum(nn) AS BIGINT) AS n_count,
+             CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+             CAST(CAST(sum(np * (2 * cum_nn + nn)) AS HUGEINT) * 500000
+                  // (CAST(sum(np) AS HUGEINT) * sum(nn)) AS BIGINT)
+               AS auc_micros
+      FROM w"""))
+
+  // ---------------------------------------------------------------- M2
+  /** Calibration (reliability) table: bucket the score into 11 fixed
+    * bins of 100 per-mille each, publish per-bin count, positives and
+    * the empirical positive rate in exact micros — the reliability
+    * diagram a filter-model owner reads before trusting thresholds.
+    * Fixed bin edges (not quantiles) so the frame is domain-bounded and
+    * rates are comparable across corpus versions. One grouped pass. */
+  private val evalCalibration = QueryDef(
+    "eval_calibration",
+    (s, d) =>
+      scored(s, d)
+        .groupBy(F.expr("score div 100").as("bucket"))
+        .agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.sum("lbl").as("n_pos"),
+          F.sum("score").as("sum_score"))
+        .withColumn("pos_rate_micros",
+          F.expr("1000000L * n_pos div n_docs"))
+        .select("bucket", "n_docs", "n_pos", "sum_score", "pos_rate_micros")
+        .orderBy("bucket"),
+    Some(s"""
+      WITH sc AS ($scoredSql)
+      SELECT CAST(score // 100 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(lbl) AS BIGINT) AS n_pos,
+             CAST(sum(score) AS BIGINT) AS sum_score,
+             CAST(1000000 * sum(lbl) // count(*) AS BIGINT) AS pos_rate_micros
+      FROM sc GROUP BY 1 ORDER BY bucket"""))
+
+  // ---------------------------------------------------------------- M3
+  /** Decile lift / gains table WITHOUT a global sort: group by score,
+    * cumulate counts descending over the ≤1001-row score frame, and
+    * assign every doc in a score group the decile of the group's END
+    * position — ((cum−1)·10) div total, deterministic under ties because
+    * tied docs are indivisible. Publishes per-decile lift (pos-rate vs
+    * base rate) and cumulative capture, both in exact micros via
+    * DECIMAL(38,0)/HUGEINT cross-multiplication. A global NTILE would be
+    * a single-partition sort of the corpus AND nondeterministic on tie
+    * boundaries; the bucketed form is the 100 TB recipe. */
+  private val evalLift = QueryDef(
+    "eval_lift",
+    (s, d) => {
+      val g = scored(s, d).groupBy("score").agg(
+        F.count(F.lit(1)).as("cnt"), F.sum("lbl").as("pos"))
+      val w = Window.orderBy(F.col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .withColumn("cum_pos", F.sum("pos").over(w))
+      val tot = cum.agg(F.max("cum_cnt").as("tot"),
+        F.max("cum_pos").as("tot_pos"))
+      cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("(cum_cnt - 1) * 10 div tot").as("decile"))
+        .agg(
+          F.sum("cnt").as("n_docs"),
+          F.sum("pos").as("n_pos"),
+          F.max("cum_pos").as("cum_pos"),
+          F.max("tot").as("tot"),
+          F.max("tot_pos").as("tot_pos"))
+        .withColumn("lift_micros", F.expr(
+          "CAST(CAST(n_pos AS DECIMAL(38,0)) * tot * 1000000 div " +
+            "(CAST(n_docs AS DECIMAL(38,0)) * tot_pos) AS BIGINT)"))
+        .withColumn("capture_micros",
+          F.expr("1000000L * cum_pos div tot_pos"))
+        .select("decile", "n_docs", "n_pos", "lift_micros", "capture_micros")
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(lbl) AS BIGINT) AS pos
+            FROM sc GROUP BY 1),
+      c AS (SELECT score, cnt, pos,
+                   CAST(sum(cnt) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_cnt,
+                   CAST(sum(pos) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_pos
+            FROM g),
+      tt AS (SELECT max(cum_cnt) AS tot, max(cum_pos) AS tot_pos FROM c)
+      SELECT CAST((cum_cnt - 1) * 10 // tot AS BIGINT) AS decile,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(CAST(sum(pos) AS HUGEINT) * max(tot) * 1000000
+                  // (CAST(sum(cnt) AS HUGEINT) * max(tot_pos)) AS BIGINT)
+               AS lift_micros,
+             CAST(1000000 * max(cum_pos) // max(tot_pos) AS BIGINT)
+               AS capture_micros
+      FROM c, tt GROUP BY 1 ORDER BY decile"""))
+
+  // ---------------------------------------------------------------- M4
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the doc-length
+    * distributions of English and non-English docs — the sharp-null drift
+    * test next to C45's binned PSI. The sup is taken over the GROUPED
+    * value frame (distinct n_chars — bounded by max doc length, not
+    * corpus size) and compared by integer cross-multiplication
+    * |cum_a·n_b − cum_b·n_a| so no division happens before the final
+    * published micros. Also publishes the length at which the sup is
+    * attained (smallest such value — deterministic). */
+  private val ksDrift = QueryDef(
+    "ks_drift",
+    (s, d) => {
+      val g = t(s, d, "documents").groupBy(F.col("n_chars").as("v")).agg(
+        F.sum(F.expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END")).as("ca"),
+        F.sum(F.expr("CASE WHEN lang = 'en' THEN 0L ELSE 1L END")).as("cb"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g
+        .withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+      val tot = cum.agg(F.max("cum_a").as("na"), F.max("cum_b").as("nb"))
+      val dev = cum.crossJoin(F.broadcast(tot))
+        .withColumn("dev", F.expr("abs(cum_a * nb - cum_b * na)"))
+      val sup = dev.agg(F.max("dev").as("d_scaled"))
+      dev.crossJoin(F.broadcast(sup))
+        .where(F.col("dev") === F.col("d_scaled"))
+        .agg(F.max("na").as("na"), F.max("nb").as("nb"),
+          F.max("d_scaled").as("d_scaled"), F.min("v").as("v_at"))
+        .withColumn("ks_micros", F.expr(
+          "CAST(CAST(d_scaled AS DECIMAL(38,0)) * 1000000 div " +
+            "(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+        .select("na", "nb", "d_scaled", "v_at", "ks_micros")
+    },
+    Some("""
+      WITH g AS (
+        SELECT n_chars AS v,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM documents GROUP BY 1),
+      c AS (SELECT v,
+                   CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                   CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+            FROM g),
+      tt AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM c),
+      dv AS (SELECT v, cum_a, cum_b, na, nb,
+                    abs(cum_a * nb - cum_b * na) AS dev
+             FROM c, tt)
+      SELECT max(na) AS na, max(nb) AS nb,
+             CAST(max(dev) AS BIGINT) AS d_scaled,
+             min(CASE WHEN dev = (SELECT max(dev) FROM dv) THEN v END) AS v_at,
+             CAST(CAST(max(dev) AS HUGEINT) * 1000000
+                  // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+               AS ks_micros
+      FROM dv"""))
+
+  // ---------------------------------------------------------------- M5
+  /** Per-segment Gini coefficient of customer revenue — the standard
+    * concentration audit (is 80% of revenue in 2% of customers?). Exact
+    * integer pipeline: per-customer revenue in cents (ONE grouped
+    * shuffle over orders), then the rank-weighted sum Σ i·xᵢ via a
+    * DISTRIBUTED PREFIX RANK — range-partition by (segment, cents,
+    * custkey), per-shard counts become broadcast rank offsets, the
+    * intra-shard window never sees more than one shard (E47's stitched
+    * cumsum pattern, so no single-partition global sort at any scale).
+    * Ties share a value, and Σ i·xᵢ is invariant under permuting ties,
+    * so the result is deterministic. G = 2·Σi·xᵢ/(n·S) − (n+1)/n,
+    * published in exact integer micros (both terms floored identically
+    * on both engines). */
+  private val giniConcentration = QueryDef(
+    "gini_concentration",
+    (s, d) => {
+      val rev = t(s, d, "orders")
+        .groupBy(F.col("o_custkey").as("ck"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val seg = rev.join(
+        t(s, d, "customer").select(F.col("c_custkey").as("ck"),
+          F.col("c_mktsegment").as("segment")), "ck")
+      val ranged = seg
+        .repartitionByRange(8, F.col("segment"), F.col("cents"), F.col("ck"))
+        .withColumn("_shard", F.spark_partition_id())
+      val offsets = ranged.groupBy("segment", "_shard")
+        .agg(F.count(F.lit(1)).as("_cnt"))
+        .withColumn("_offset", F.coalesce(
+          F.sum("_cnt").over(Window.partitionBy("segment").orderBy("_shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+        .select("segment", "_shard", "_offset")
+      val intra = Window.partitionBy("segment", "_shard")
+        .orderBy("cents", "ck")
+      ranged.join(F.broadcast(offsets), Seq("segment", "_shard"))
+        .withColumn("rank", F.row_number().over(intra) + F.col("_offset"))
+        .groupBy("segment").agg(
+          F.count(F.lit(1)).as("n_cust"),
+          F.sum("cents").as("sum_cents"),
+          F.sum(F.expr("rank * cents")).as("rank_weighted"))
+        .withColumn("gini_micros", F.expr(
+          "CAST(CAST(rank_weighted AS DECIMAL(38,0)) * 2000000 div " +
+            "(CAST(n_cust AS DECIMAL(38,0)) * sum_cents) AS BIGINT) - " +
+            "(1000000L * (n_cust + 1) div n_cust)"))
+        .select("segment", "n_cust", "sum_cents", "rank_weighted",
+          "gini_micros")
+        .orderBy("segment")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      seg AS (
+        SELECT c.c_mktsegment AS segment, r.ck, r.cents
+        FROM rev r JOIN customer c ON r.ck = c.c_custkey),
+      rk AS (
+        SELECT segment, cents,
+               CAST(row_number() OVER (PARTITION BY segment
+                 ORDER BY cents, ck) AS BIGINT) AS rank
+        FROM seg)
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(rank * cents) AS BIGINT) AS rank_weighted,
+             CAST(CAST(sum(rank * cents) AS HUGEINT) * 2000000
+                  // (CAST(count(*) AS HUGEINT) * sum(cents)) AS BIGINT)
+               - CAST(1000000 * (count(*) + 1) // count(*) AS BIGINT)
+               AS gini_micros
+      FROM rk GROUP BY 1 ORDER BY segment"""))
+
+  // ---------------------------------------------------------------- M6
+  /** Day-of-week seasonal index of order revenue: per-dow revenue rate
+    * vs the all-days rate, exact micros via cross-multiplication of
+    * exact cent/count sums — the sanity panel behind any
+    * weekly-seasonality claim. One grouped pass to a 7-row frame plus a
+    * 1-row broadcast total. weekday()+1 == DuckDB isodow (Mon=1..7). */
+  private val seasonalityDow = QueryDef(
+    "seasonality_dow",
+    (s, d) => {
+      val o = t(s, d, "orders").select(
+        F.expr("CAST(weekday(o_orderdate) + 1 AS BIGINT)").as("dow"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val g = o.groupBy("dow").agg(
+        F.count(F.lit(1)).as("n_orders"), F.sum("cents").as("rev_cents"))
+      val tot = g.agg(F.sum("n_orders").as("tot_n"),
+        F.sum("rev_cents").as("tot_rev"))
+      g.crossJoin(F.broadcast(tot))
+        .withColumn("index_micros", F.expr(
+          "CAST(CAST(rev_cents AS DECIMAL(38,0)) * tot_n * 1000000 div " +
+            "(CAST(n_orders AS DECIMAL(38,0)) * tot_rev) AS BIGINT)"))
+        .select("dow", "n_orders", "rev_cents", "index_micros")
+        .orderBy("dow")
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM o GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot_n,
+                    CAST(sum(rev_cents) AS BIGINT) AS tot_rev FROM g)
+      SELECT dow, n_orders, rev_cents,
+             CAST(CAST(rev_cents AS HUGEINT) * tot_n * 1000000
+                  // (CAST(n_orders AS HUGEINT) * tot_rev) AS BIGINT)
+               AS index_micros
+      FROM g, tt ORDER BY dow"""))
+
+  // ---------------------------------------------------------------- M7
+  /** Lag-7 autocorrelation of daily revenue — the one number that says
+    * "this series has weekly structure" before anyone fits a seasonal
+    * model. Pipeline: daily cents (grouped shuffle; frame bounded by
+    * the CALENDAR, ~2.4k rows here and ≤ tens of thousands ever), lag-7
+    * self-pairing by date arithmetic, then Pearson r over the pairs via
+    * C43's exact-decimal-sums discipline (sums are order-independent
+    * integers; the closing formula is the identical double expression
+    * on both engines, rounded to 6). */
+  private val autocorrLag = QueryDef(
+    "autocorr_lag",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val lagged = daily.alias("a").join(
+        daily.select(F.expr("date_add(day, 7)").as("day"),
+          F.col("cents").as("lag_cents")).alias("b"), Seq("day"))
+      val one = lagged.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("cents").cast(DecimalType(38, 0))).as("sx"),
+        F.sum(F.col("lag_cents").cast(DecimalType(38, 0))).as("sy"),
+        F.sum((F.col("cents").cast(DecimalType(38, 0)) *
+          F.col("lag_cents")).cast(DecimalType(38, 0))).as("sxy"),
+        F.sum((F.col("cents").cast(DecimalType(38, 0)) *
+          F.col("cents")).cast(DecimalType(38, 0))).as("sxx"),
+        F.sum((F.col("lag_cents").cast(DecimalType(38, 0)) *
+          F.col("lag_cents")).cast(DecimalType(38, 0))).as("syy"))
+      val nn = F.col("n").cast("double")
+      val dbl = (name: String) => F.col(name).cast("string").cast("double")
+      one.select(
+        F.col("n"),
+        F.round((dbl("sxy") - dbl("sx") * dbl("sy") / nn) /
+          (F.sqrt(dbl("sxx") - dbl("sx") * dbl("sx") / nn) *
+            F.sqrt(dbl("syy") - dbl("sy") * dbl("sy") / nn)), 6)
+          .as("autocorr_7"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      pairs AS (
+        SELECT a.cents AS x, b.cents AS y
+        FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
+        FROM pairs)
+      SELECT n,
+             round((sxy - sx * sy / CAST(n AS DOUBLE))
+                   / (sqrt(sxx - sx * sx / CAST(n AS DOUBLE))
+                      * sqrt(syy - sy * sy / CAST(n AS DOUBLE))), 6)
+               AS autocorr_7
+      FROM sums"""))
+
+  val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
+    ksDrift, giniConcentration, seasonalityDow, autocorrLag)
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-6 eval-suite invariants: each metric re-derived brute-force on
+  * the small SF (AUC by literally counting concordant pairs, Gini from
+  * a driver-side sorted cumsum, KS from the two empirical CDFs) and
+  * compared to the distributed query's exact-integer output. */
+class EvalSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** (label, score) pairs exactly as the scorer defines them. */
+  private def scoredPairs(): Array[(Long, Long)] = {
+    val stop = Set("the", "and", "of", "to", "in", "a", "is")
+    graft.queries.Tables.t(spark, sf, "documents")
+      .select("lang", "text").collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split(" +").filter(_.nonEmpty)
+        val score =
+          1000L * toks.count(stop) / math.max(toks.length, 1).toLong
+        (if (r.getString(0) == "en") 1L else 0L, score)
+      }
+  }
+
+  test("eval_auc equals the brute-force pairwise AUC (ties at half credit)") {
+    val pairs = scoredPairs()
+    val pos = pairs.filter(_._1 == 1L).map(_._2)
+    val neg = pairs.filter(_._1 == 0L).map(_._2)
+    var u2 = 0L // doubled U: win=2, tie=1
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val r = q("eval_auc").collect().head
+    assert(r.getLong(r.fieldIndex("p_count")) == pos.length)
+    assert(r.getLong(r.fieldIndex("n_count")) == neg.length)
+    assert(r.getLong(r.fieldIndex("u2")) == u2)
+    assert(r.getLong(r.fieldIndex("auc_micros")) ==
+      u2 * 500000L / (pos.length.toLong * neg.length))
+  }
+
+  test("eval_calibration buckets partition the corpus and rates are exact") {
+    val rows = q("eval_calibration").collect()
+    val pairs = scoredPairs()
+    assert(rows.map(_.getLong(1)).sum == pairs.length)
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket"))
+      val inB = pairs.filter(p => p._2 / 100 == b)
+      assert(r.getLong(r.fieldIndex("n_docs")) == inB.length)
+      assert(r.getLong(r.fieldIndex("n_pos")) == inB.count(_._1 == 1L))
+      assert(r.getLong(r.fieldIndex("pos_rate_micros")) ==
+        1000000L * inB.count(_._1 == 1L) / inB.length)
+    }
+  }
+
+  test("eval_lift deciles cover the corpus; top decile lift >= bottom") {
+    val rows = q("eval_lift").collect().sortBy(_.getLong(0))
+    val pairs = scoredPairs()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum ==
+      pairs.length)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_pos"))).sum ==
+      pairs.count(_._1 == 1L))
+    // capture is monotone nondecreasing in decile
+    val caps = rows.map(r => r.getLong(r.fieldIndex("capture_micros")))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+    assert(caps.last == 1000000L)
+  }
+
+  test("ks_drift equals the brute-force sup over the merged support") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0) == "en", r.getLong(1)))
+    val a = docs.filter(_._1).map(_._2).sorted
+    val b = docs.filterNot(_._1).map(_._2).sorted
+    val support = (a ++ b).distinct.sorted
+    val sup = support.map { v =>
+      a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length
+    }.map(math.abs).max
+    val r = q("ks_drift").collect().head
+    assert(r.getLong(r.fieldIndex("na")) == a.length)
+    assert(r.getLong(r.fieldIndex("nb")) == b.length)
+    assert(r.getLong(r.fieldIndex("d_scaled")) == sup)
+  }
+
+  test("gini_concentration matches a driver-side sorted-rank Gini") {
+    val rows = q("gini_concentration").collect()
+    val byCust = graft.queries.Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .join(graft.queries.Tables.t(spark, sf, "customer")
+        .select(F.col("c_custkey").as("o_custkey"),
+          F.col("c_mktsegment").as("seg")), "o_custkey")
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("seg")),
+        r.getLong(r.fieldIndex("o_custkey")),
+        r.getLong(r.fieldIndex("cents"))))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val xs = byCust(seg).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val rw = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      assert(r.getLong(r.fieldIndex("n_cust")) == n, seg)
+      assert(r.getLong(r.fieldIndex("rank_weighted")) == rw, seg)
+      val expect = (BigInt(rw) * 2000000 / (BigInt(n) * s)).toLong -
+        1000000L * (n + 1) / n
+      assert(r.getLong(r.fieldIndex("gini_micros")) == expect, seg)
+    }
+  }
+
+  test("seasonality_dow indexes average to ~1 and cover all order days") {
+    val rows = q("seasonality_dow").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("dow"))).toSet
+      .subsetOf((1L to 7L).toSet))
+    val n = rows.map(_.getLong(rows.head.fieldIndex("n_orders"))).sum
+    val rev = rows.map(_.getLong(rows.head.fieldIndex("rev_cents"))).sum
+    // weighted mean of index over orders is 1 by construction (up to
+    // the per-row floor): sum(n_d * idx_d) in [1e6*N - 7*N, 1e6*N]
+    val wsum = rows.map(r => r.getLong(r.fieldIndex("n_orders")) *
+      r.getLong(r.fieldIndex("index_micros"))).sum
+    assert(wsum <= 1000000L * n && wsum > 1000000L * n - 7L * n,
+      s"wsum=$wsum n=$n rev=$rev")
+  }
+
+  test("autocorr_lag is a valid correlation and matches driver replay") {
+    val daily = graft.queries.Tables.t(spark, sf, "orders")
+      .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val pairs = daily.toSeq.flatMap { case (d, x) =>
+      daily.get(d.minusDays(7)).map(y => (x, y))
+    }
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+    val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+    val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+    val syy = pairs.map(p => p._2.toDouble * p._2).sum
+    val expect = (sxy - sx * sy / n) /
+      (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+    val r = q("autocorr_lag").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == pairs.length)
+    val got = r.getDouble(r.fieldIndex("autocorr_7"))
+    assert(math.abs(got - expect) < 1e-4, s"got=$got expect=$expect")
+    assert(got >= -1.0 && got <= 1.0)
+  }
+}
