@@ -207,7 +207,57 @@ object CurationQueries {
              max(score) AS top_score
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- E57
+  /** Term burstiness [Church & Gale 1995]: variance-to-mean ratio of
+    * per-document term counts over ALL docs (zeros included — the
+    * N-docs denominator, not just docs containing the term). VMR ≈ 1
+    * marks Poisson "function-word" behavior; VMR ≫ 1 marks topical /
+    * keyword-stuffed terms — the signal quality filters use to separate
+    * content from boilerplate. Exact integer pipeline: per-term
+    * (df, S=Σtf, SS=Σtf²) from one exploded map-side-combined
+    * aggregate, N from a 1-row broadcast, then
+    * VMR_micros = (N·SS − S²)·10⁶ div (S·(N−1)) — the textbook
+    * formula cross-multiplied so no division happens early; gated on
+    * S ≥ 50 so the ratio is meaningful. Output is vocabulary-sized. */
+  private val termBurstiness = QueryDef(
+    "term_burstiness",
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(F.col("doc_id"),
+          F.explode(graft.operators.TextOps.tokens(F.col("text")))
+            .as("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+      val n = t(s, d, "documents").agg(F.count(F.lit(1)).as("n_docs"))
+      tf.groupBy("term").agg(
+        F.count(F.lit(1)).as("df"),
+        F.sum("tf").as("s"),
+        F.sum(F.expr("tf * tf")).as("ss"))
+        .where(F.col("s") >= 50)
+        .crossJoin(F.broadcast(n))
+        .withColumn("vmr_micros", F.expr(
+          "CAST((CAST(n_docs AS DECIMAL(38,0)) * ss - " +
+            "CAST(s AS DECIMAL(38,0)) * s) * 1000000 div " +
+            "(CAST(s AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)"))
+        .select("term", "df", "s", "ss", "n_docs", "vmr_micros")
+        .orderBy("term")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+        GROUP BY 1, 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS s,
+                   CAST(sum(tf * tf) AS BIGINT) AS ss
+            FROM tf GROUP BY 1)
+      SELECT term, df, s, ss, n_docs,
+             CAST((CAST(n_docs AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                  * 1000000 // (CAST(s AS HUGEINT) * (n_docs - 1))
+               AS BIGINT) AS vmr_micros
+      FROM g, n WHERE s >= 50 ORDER BY term"""))
+
   def all: Seq[QueryDef] = Seq(
     qualityRules, textRepetition, contamination, packBins, domainMix,
-    keywordTfidf)
+    keywordTfidf, termBurstiness)
 }

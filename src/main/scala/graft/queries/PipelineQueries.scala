@@ -814,6 +814,101 @@ object PipelineQueries {
                AS frame_md5
       FROM f ORDER BY doc_id, frame_idx"""))
 
+  // ------------------------------------------------------------ F4
+  /** Perceptual-hash near-dup over media payloads: decode each payload
+    * to an 8×8 luma grid, take the 64-bit average-hash (bit j = pixel j
+    * ≥ mean), then find low-Hamming pairs by banded LSH over the
+    * signature (4 bands × 16 bits — a ≤16-bit-distance pair collides in
+    * ≥1 band with certainty by pigeonhole when the differing bits fall
+    * in ≤3 bands; random 64-bit signatures collide in a band with
+    * p = 2⁻¹⁶). The DECODE is the container's deterministic stub (4
+    * chained md5s of the payload stand in for the 64 luma bytes — no
+    * codecs here), which also makes the whole pipeline oracle-checkable;
+    * a real deployment swaps ONE expression (the px array) for a codec
+    * call in F2's batched-mapPartitions shape and keeps everything else.
+    * Output = EVERY band-colliding candidate pair with its Hamming
+    * distance plus the ≤16 near-dup verdict — the candidate audit, not
+    * just the accepted pairs, because with a content-hash stub decode
+    * the verdict column is the negative control (random collisions sit
+    * near Hamming 32; only identical payloads can pass).
+    *
+    * Scale shape: signature construction is PURE per-row array-lambda
+    * work (no explode, no shuffle — the 64-pixel loop runs inside
+    * whole-stage codegen); the only corpus shuffles are the 4-band
+    * bucket join (bounded like D3's minhash bands) and the final
+    * distinct over candidate pairs. Hamming is computed from the two
+    * 4-long signature arrays, never by re-reading payloads. */
+  private val phashNeardup = QueryDef(
+    "phash_neardup",
+    (s, d) => {
+      val sigs = t(s, d, "documents")
+        .withColumn("px", F.expr(
+          "transform(sequence(0, 63), j -> CAST(conv(substring(" +
+            "md5(concat(text, CAST(j div 16 AS STRING))), " +
+            "1 + 2 * (j % 16), 2), 16, 10) AS BIGINT))"))
+        .withColumn("s", F.expr(
+          "aggregate(px, 0L, (acc, x) -> acc + x)"))
+        .withColumn("bands", F.expr(
+          "transform(sequence(0, 3), b -> " +
+            "aggregate(sequence(0, 15), 0L, (acc, k) -> " +
+            "acc + CASE WHEN 64 * element_at(px, b * 16 + k + 1) >= s " +
+            "THEN shiftleft(1L, k) ELSE 0L END))"))
+        .select(F.col("doc_id"), F.col("bands"))
+      val buckets = sigs.select(F.col("doc_id"),
+        F.posexplode(F.col("bands")).as(Seq("b", "v")))
+      val cand = buckets.select(F.col("doc_id").as("doc_a"),
+        F.col("b"), F.col("v"))
+        .join(buckets.select(F.col("doc_id").as("doc_b"),
+          F.col("b"), F.col("v")), Seq("b", "v"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sigs.select(F.col("doc_id").as("doc_a"),
+          F.col("bands").as("ba")), "doc_a")
+        .join(sigs.select(F.col("doc_id").as("doc_b"),
+          F.col("bands").as("bb")), "doc_b")
+        .withColumn("hamming", F.expr(
+          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), " +
+            "0, (acc, v) -> acc + v)").cast("long"))
+        .withColumn("is_neardup",
+          F.expr("CAST(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("doc_a", "doc_b", "hamming", "is_neardup")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63), j ->
+                 CAST(('0x' || substr(md5(text || CAST(j // 16 AS VARCHAR)),
+                                      1 + 2 * (j % 16), 2)) AS BIGINT)) AS px
+        FROM documents),
+      sg AS (
+        SELECT doc_id, list_sum(px) AS s,
+               list_transform(generate_series(0, 3), b ->
+                 list_sum(list_transform(generate_series(0, 15), k ->
+                   CASE WHEN 64 * px[b * 16 + k + 1] >= list_sum(px)
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))) AS bands
+        FROM px),
+      bk AS (
+        SELECT doc_id, b, bands[b + 1] AS v
+        FROM sg, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bk a JOIN bk b2 ON a.b = b2.b AND a.v = b2.v
+        WHERE a.doc_id < b2.doc_id)
+      SELECT doc_a, doc_b, hamming,
+             CAST(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_neardup
+      FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(list_sum(list_transform(generate_series(1, 4), i ->
+                 bit_count(xor(sa.bands[i], sb.bands[i])))) AS BIGINT)
+                 AS hamming
+        FROM cand c
+        JOIN sg sa ON c.doc_a = sa.doc_id
+        JOIN sg sb ON c.doc_b = sb.doc_id)
+      ORDER BY doc_a, doc_b"""))
+
   // --------------------------------------------------------------- D1b
   /** Apply the exact-dedup decision: keep only each text's minimum
     * doc_id (candidates → action; the write-side of D1). */
@@ -1669,5 +1764,5 @@ object PipelineQueries {
     dedupClustersApply, pagerank, frameSample, triangleCount,
     ngramContainment, lshMultiprobe, pipelineFunnel, dedupClusterSizes,
     vocabCoverage, minhashScurve, embedMatryoshka, minhashBbit,
-    dedupClustersStar)
+    dedupClustersStar, phashNeardup)
 }

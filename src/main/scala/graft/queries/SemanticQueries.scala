@@ -304,7 +304,130 @@ object SemanticQueries {
       FROM m"""
     })
 
+  // ---------------------------------------------------------------- E55
+  /** CCNet-style perplexity-bucket partitioning [Wenzek et al. 2020,
+    * arXiv:1911.00359]: score each doc by a transcendental-free
+    * perplexity proxy — the mean INVERSE unigram probability in exact
+    * integer milli-units, Σ tf·(total·1000 div c) div ntok (rarer
+    * tokens ⇒ larger score, the same ordering an LM perplexity induces
+    * under a unigram model; E22's bitlen-log2 surprisal is too coarse
+    * to cut quantiles on — integer bits collapse most docs onto one
+    * value) — then cut each LANGUAGE into head/middle/tail terciles,
+    * CCNet's recipe for ranking fluent text without an LM in the loop
+    * (head = lowest score). The tercile cut runs over the (lang, score)
+    * GROUPED frame and assigns every doc in a score group the group-END
+    * bucket ((cum−1)·3 div tot), the same tie-indivisible rule as M3's
+    * deciles. Corpus-sized work is two map-side-combined aggregates
+    * (doc-term tf, term counts) and one term join. */
+  private val ccnetBuckets = QueryDef(
+    "ccnet_buckets",
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(F.col("doc_id"), F.col("lang"),
+          F.explode(graft.operators.TextOps.tokens(F.col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).as("tf"))
+      val tc = tf.groupBy("term").agg(F.sum("tf").as("c"))
+      val tot = tc.agg(F.sum("c").as("total"))
+      val sc = tf.join(tc, "term").crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+          F.sum(F.expr("tf * (total * 1000L div c)")).as("sw"),
+          F.sum("tf").as("ntok"))
+        .select(F.col("lang"), F.expr("sw div ntok").as("score_mip"))
+      val g = sc.groupBy("lang", "score_mip").agg(F.count(F.lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("score_mip")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = g.withColumn("cum", F.sum("cnt").over(w))
+      val tots = cum.groupBy("lang").agg(F.max("cum").as("tot"))
+      cum.join(F.broadcast(tots), "lang")
+        .groupBy(F.col("lang"), F.expr("(cum - 1) * 3 div tot").as("bucket"))
+        .agg(F.sum("cnt").as("n_docs"),
+          F.min("score_mip").as("min_score_mip"),
+          F.max("score_mip").as("max_score_mip"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS term FROM documents)
+        GROUP BY 1, 2, 3),
+      tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
+      sc AS (SELECT doc_id, lang,
+                    CAST(sum(tf * (total * 1000 // c)) // sum(tf) AS BIGINT)
+                      AS score_mip
+             FROM tf JOIN tc USING (term), n GROUP BY 1, 2),
+      g AS (SELECT lang, score_mip, CAST(count(*) AS BIGINT) AS cnt
+            FROM sc GROUP BY 1, 2),
+      c AS (SELECT lang, score_mip, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score_mip)
+                     AS BIGINT) AS cum
+            FROM g),
+      t2 AS (SELECT lang, max(cum) AS tot FROM c GROUP BY 1)
+      SELECT c.lang, CAST((cum - 1) * 3 // tot AS BIGINT) AS bucket,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             min(score_mip) AS min_score_mip,
+             max(score_mip) AS max_score_mip
+      FROM c JOIN t2 USING (lang) GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
+  // ---------------------------------------------------------------- E56
+  /** Pairwise source-vocabulary overlap — the "are these two crawls the
+    * same site" audit, run on 3-gram shingle vocabularies (unigrams
+    * saturate on any corpus; trigram space is sparse enough to carry
+    * signal). Exact Jaccard per source pair in integer micros:
+    * |A∩B| via a self-join of the DISTINCT (source, gram) table on
+    * gram — fan-out per gram is bounded by the SOURCE COUNT squared
+    * (20² here), never corpus size — and |A∪B| = na + nb − |A∩B| from
+    * a broadcast 20-row size table. The E38 KMV sketch is the
+    * estimated cousin; this is the exact form, affordable because
+    * the pair space is sources², not docs². */
+  private val vocabOverlap = QueryDef(
+    "vocab_overlap",
+    (s, d) => {
+      val sv = t(s, d, "documents")
+        .select(F.col("source"),
+          F.explode(graft.operators.TextOps.shingles(F.col("text"), 3))
+            .as("gram"))
+        .distinct()
+      val sizes = sv.groupBy("source").agg(F.count(F.lit(1)).as("nv"))
+      val inter = sv.select(F.col("source").as("sa"), F.col("gram"))
+        .join(sv.select(F.col("source").as("sb"), F.col("gram")), "gram")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).as("n_common"))
+      inter
+        .join(F.broadcast(sizes.select(F.col("source").as("sa"),
+          F.col("nv").as("na"))), "sa")
+        .join(F.broadcast(sizes.select(F.col("source").as("sb"),
+          F.col("nv").as("nb"))), "sb")
+        .withColumn("jaccard_micros",
+          F.expr("1000000L * n_common div (na + nb - n_common)"))
+        .select("sa", "sb", "n_common", "na", "nb", "jaccard_micros")
+        .orderBy("sa", "sb")
+    },
+    Some(s"""
+      WITH sv AS (
+        SELECT DISTINCT source, gram
+        FROM (SELECT source, unnest(${gramsSql(3)}) AS gram
+              FROM (SELECT source, $toksSql AS t FROM documents))),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+                FROM sv GROUP BY 1),
+      inter AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sv a JOIN sv b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.sa, i.sb, i.n_common, za.nv AS na, zb.nv AS nb,
+             CAST(1000000 * i.n_common
+                  // (za.nv + zb.nv - i.n_common) AS BIGINT)
+               AS jaccard_micros
+      FROM inter i
+      JOIN sizes za ON i.sa = za.source
+      JOIN sizes zb ON i.sb = zb.source
+      ORDER BY sa, sb"""))
+
   def all: Seq[QueryDef] = Seq(
     dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
-    dsirWeights, bpePairs, heavyHittersCms, sketchSetOps)
+    dsirWeights, bpePairs, heavyHittersCms, sketchSetOps, ccnetBuckets,
+    vocabOverlap)
 }

@@ -875,9 +875,37 @@ object StreamingQueries {
     },
     Some(CurationQueries.contaminationOracleSql))
 
+  // ----------------------------------------------------------------- G21
+  /** Deterministic hash sampling ON INGEST — E6's md5-bucket sample as
+    * a stateless streamed filter (the shape every 100 TB ingest uses to
+    * peel off a fixed, reproducible fraction for eval/monitoring while
+    * the full stream flows on). Stateless append mode: no watermark, no
+    * state store — the bucket decision is a pure per-row expression, so
+    * the sample is IDENTICAL whatever the micro-batch boundaries, which
+    * is the whole point of hashing instead of rand(). Same oracle shape
+    * as the batch sample_hash. */
+  private val streamSample = QueryDef(
+    "stream_sample",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val h = graft.operators.Hashing.hash60(F.col("doc_id").cast("string"))
+      val sampled = stream
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          (h % 20).as("bucket"))
+        .where(F.col("bucket") === 0)
+      drain(sampled, "append").orderBy("doc_id")
+    },
+    Some {
+      val h = graft.operators.Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source, CAST($h % 20 AS BIGINT) AS bucket
+         |FROM documents WHERE $h % 20 = 0 ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
-    streamFunnel, streamFunnelWindow, streamRetention, streamContamination)
+    streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
+    streamSample)
 }
