@@ -841,19 +841,27 @@ object PipelineQueries {
   private val phashNeardup = QueryDef(
     "phash_neardup",
     (s, d) => {
-      val sigs = t(s, d, "documents")
-        .withColumn("px", F.expr(
-          "transform(sequence(0, 63), j -> CAST(conv(substring(" +
-            "md5(concat(text, CAST(j div 16 AS STRING))), " +
-            "1 + 2 * (j % 16), 2), 16, 10) AS BIGINT))"))
-        .withColumn("s", F.expr(
-          "aggregate(px, 0L, (acc, x) -> acc + x)"))
-        .withColumn("bands", F.expr(
-          "transform(sequence(0, 3), b -> " +
-            "aggregate(sequence(0, 15), 0L, (acc, k) -> " +
-            "acc + CASE WHEN 64 * element_at(px, b * 16 + k + 1) >= s " +
-            "THEN shiftleft(1L, k) ELSE 0L END))"))
-        .select(F.col("doc_id"), F.col("bands"))
+      // The px array MUST materialize before the bands projection:
+      // Catalyst's CollapseProject inlines column references into lambda
+      // bodies, so an unpersisted px re-evaluates the full 64-md5
+      // transform once per element_at — 64×64 md5s per doc, ×3 for the
+      // three sigs consumers (measured 102 s vs ~1 s at sf0.1). The
+      // persisted pixel/signature frames are doc-count-sized — exactly
+      // the artifact a production run checkpoints between its decode
+      // and pair phases.
+      val pxf = graft.operators.CacheScope.persist(
+        t(s, d, "documents")
+          .select(F.col("doc_id"), F.expr(
+            "transform(sequence(0, 63), j -> CAST(conv(substring(" +
+              "md5(concat(text, CAST(j div 16 AS STRING))), " +
+              "1 + 2 * (j % 16), 2), 16, 10) AS BIGINT))").as("px"))
+          .select(F.col("doc_id"), F.col("px"),
+            F.expr("aggregate(px, 0L, (acc, x) -> acc + x)").as("s")))
+      val sigs = pxf.select(F.col("doc_id"), F.expr(
+        "transform(sequence(0, 3), b -> " +
+          "aggregate(sequence(0, 15), 0L, (acc, k) -> " +
+          "acc + CASE WHEN 64 * element_at(px, b * 16 + k + 1) >= s " +
+          "THEN shiftleft(1L, k) ELSE 0L END))").as("bands"))
       val buckets = sigs.select(F.col("doc_id"),
         F.posexplode(F.col("bands")).as(Seq("b", "v")))
       val cand = buckets.select(F.col("doc_id").as("doc_a"),

@@ -385,11 +385,18 @@ object SemanticQueries {
   private val vocabOverlap = QueryDef(
     "vocab_overlap",
     (s, d) => {
-      val sv = t(s, d, "documents")
-        .select(F.col("source"),
-          F.explode(graft.operators.TextOps.shingles(F.col("text"), 3))
-            .as("gram"))
-        .distinct()
+      // Tokens materialize in their own projection BELOW the Generate
+      // (shingleDocs' trick — inlined, the per-element re-split costs
+      // 8.6 s alone at sf0.1); persisted because three consumers (sizes
+      // + both sides of the pair join) would re-run the explode+distinct
+      val sv = graft.operators.CacheScope.persist(
+        t(s, d, "documents")
+          .select(F.col("source"),
+            graft.operators.TextOps.tokens(F.col("text")).as("_toks"))
+          .select(F.col("source"),
+            F.explode(graft.operators.TextOps
+              .shinglesOf(F.col("_toks"), 3)).as("gram"))
+          .distinct())
       val sizes = sv.groupBy("source").agg(F.count(F.lit(1)).as("nv"))
       val inter = sv.select(F.col("source").as("sa"), F.col("gram"))
         .join(sv.select(F.col("source").as("sb"), F.col("gram")), "gram")
