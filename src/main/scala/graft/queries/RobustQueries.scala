@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-21 inventory (r6): robust statistics and graph/feature
+  * analytics — the estimators a pipeline reaches for when OLS / plain
+  * counts are too fragile: Theil–Sen median slopes (50% breakdown
+  * point vs OLS's zero), mutual information between categorical
+  * metadata columns, common-neighbor link prediction on the
+  * co-purchase graph, and the per-dimension embedding profile that
+  * drives feature selection for quantized ANN.
+  *
+  * House rules as everywhere (SURVEY §5): integer-exact micro
+  * arithmetic with wide products through DECIMAL(38,0)/HUGEINT; logs
+  * are single per-cell IEEE ops rounded to micros BEFORE any sum so
+  * aggregation stays order-independent; every frame that gets a window
+  * sort is bounded by calendar/alphabet/dimension count, never by the
+  * corpus.
+  */
+object RobustQueries {
+
+  // ---------------------------------------------------------------- C57
+  /** Theil–Sen robust trend per month: daily revenue cents (exact
+    * decimal sums), all day-pairs WITHIN a month (≤ C(31,2) = 465 pairs
+    * per group — calendar-bounded, never corpus-bounded), slope of each
+    * pair in floor-division micros, and the deterministic median slope
+    * via the percentile_disc cum-count pick (no NTILE tie ambiguity).
+    * Floor division is spelled (a − ((a%b)+b)%b) div b on BOTH engines
+    * — Spark `div` truncates toward zero and DuckDB `//` floors, so
+    * neither native operator is portable for negative dy; the explicit
+    * mod-adjusted form divides exactly. */
+  private val theilSen = QueryDef(
+    "theil_sen",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .where(F.year(F.col("o_orderdate")) === 1995)
+        .groupBy(F.date_format(F.col("o_orderdate"), "yyyy-MM").as("month"),
+          F.dayofmonth(F.col("o_orderdate")).cast("long").as("x"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), F.expr("a.month = b.month AND a.x < b.x"))
+        .select(F.col("a.month").as("month"),
+          F.expr("(b.cents - a.cents) * 1000000L").as("dy"),
+          F.expr("b.x - a.x").as("dx"))
+        .select(F.col("month"),
+          F.expr("(dy - ((dy % dx) + dx) % dx) div dx").as("slope_micro"))
+      val grouped = pairs.groupBy("month", "slope_micro")
+        .agg(F.count(F.lit(1)).as("c"))
+      val w = Window.partitionBy("month").orderBy("slope_micro")
+      grouped
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("month")))
+        .groupBy("month")
+        .agg(F.max("tot").as("n_pairs"),
+          F.min(F.when(F.expr("2 * cum >= tot + 1"),
+            F.col("slope_micro"))).as("median_slope_micro"))
+        .orderBy("month")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT a.month,
+               (b.cents - a.cents) * 1000000 AS dy, b.x - a.x AS dx
+        FROM daily a JOIN daily b ON a.month = b.month AND a.x < b.x),
+      sl AS (
+        SELECT month,
+               CAST((dy - ((dy % dx) + dx) % dx) // dx AS BIGINT)
+                 AS slope_micro
+        FROM pr),
+      g AS (
+        SELECT month, slope_micro, CAST(count(*) AS BIGINT) AS c
+        FROM sl GROUP BY 1, 2),
+      cu AS (
+        SELECT month, slope_micro, c,
+               sum(c) OVER (PARTITION BY month ORDER BY slope_micro
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY month) AS tot
+        FROM g)
+      SELECT month, CAST(max(tot) AS BIGINT) AS n_pairs,
+             CAST(min(CASE WHEN 2 * cum >= tot + 1 THEN slope_micro END)
+                  AS BIGINT) AS median_slope_micro
+      FROM cu GROUP BY month ORDER BY month"""))
+
+  // ---------------------------------------------------------------- C58
+  /** Mutual information between two categorical metadata columns
+    * (lang × source on documents) — the dependence audit behind "is
+    * my domain mix confounded with language". Cell counts are one
+    * map-side-combined shuffle; marginals broadcast back onto the
+    * (langs × sources)-bounded cell frame; each cell's c·log2 term is
+    * rounded to micros before the per-lang integer sum (order
+    * independence), published as each language's MI contribution. */
+  private val mutualInformation = QueryDef(
+    "mutual_information",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).as("c"))
+      val rows = docs.groupBy("lang").agg(F.count(F.lit(1)).as("ra"))
+      val cols = docs.groupBy("source").agg(F.count(F.lit(1)).as("cb"))
+      val tot = docs.agg(F.count(F.lit(1)).as("n"))
+      cells
+        .join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("lang"), F.col("ra"), F.col("n"), F.expr(
+          "CAST(round(c * 1000000 * log2((CAST(c AS DOUBLE) * n) / " +
+            "(CAST(ra AS DOUBLE) * cb))) AS BIGINT)").as("term_micro"))
+        .groupBy("lang")
+        // greatest(·,0): the exact per-lang partial is ≥ 0 (it is
+        // p(l)·KL(p(s|l)‖p(s))), so any negative is pure micro-rounding
+        // noise — clamping makes the division operate on a non-negative
+        // value where Spark's truncating div and DuckDB's flooring //
+        // agree
+        .agg(F.max("ra").as("n_docs"),
+          F.expr("CAST(sum(term_micro) AS BIGINT)").as("sum_term_micro"),
+          F.expr("greatest(sum(term_micro), 0L) div max(n)")
+            .as("mi_part_micro"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, CAST(count(*) AS BIGINT) AS ra
+            FROM documents GROUP BY 1),
+      co AS (SELECT source, CAST(count(*) AS BIGINT) AS cb
+             FROM documents GROUP BY 1),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      tm AS (
+        SELECT cells.lang, ra, n,
+               CAST(round(c * 1000000 * log2((CAST(c AS DOUBLE) * n) /
+                      (CAST(ra AS DOUBLE) * cb))) AS BIGINT) AS term_micro
+        FROM cells JOIN r ON cells.lang = r.lang
+             JOIN co ON cells.source = co.source, tt)
+      SELECT lang, CAST(max(ra) AS BIGINT) AS n_docs,
+             CAST(sum(term_micro) AS BIGINT) AS sum_term_micro,
+             CAST(greatest(sum(term_micro), 0) // max(n) AS BIGINT)
+               AS mi_part_micro
+      FROM tm GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- D27
+  /** Common-neighbor link prediction on the co-purchase graph, batch
+    * pattern: score candidate partners for a deterministic ANCHOR
+    * COHORT (pk ≡ 0 mod 199 — the systematic product batch a nightly
+    * recommender scores), not all-pairs. For each (anchor, candidate)
+    * two-hop NON-edge pair: shared-neighbor count and Jaccard micros;
+    * top-100 by (score, pair). The anchor restriction is what bounds
+    * cost at scale — fan-out is |cohort|·d̄² (the co-purchase graph is
+    * degree-uniform, d̄≈120 at every SF, so a degree cap would not
+    * discriminate); the full catalog is covered by running successive
+    * cohorts, exactly how production batches it. Edges come from the
+    * staged pair graph (built once per SF); the oracle recomputes them
+    * from lineitem. */
+  private val linkPredict = QueryDef(
+    "link_predict",
+    (s, d) => {
+      val edges = Staged.coPurchasePairs(s, d)
+        .select("pa", "pb").distinct()
+      val adj = edges.select(F.col("pa").as("x"), F.col("pb").as("z"))
+        .union(edges.select(F.col("pb").as("x"), F.col("pa").as("z")))
+      val deg = adj.groupBy("x").agg(F.count(F.lit(1)).as("dg"))
+      val anch = adj.where(F.col("x") % 199 === 0)
+      val cand = anch.as("e1")
+        .join(adj.as("e2"),
+          F.expr("e1.z = e2.z AND e1.x != e2.x"))
+        .groupBy(F.col("e1.x").as("a"), F.col("e2.x").as("b"))
+        .agg(F.count(F.lit(1)).as("cn"))
+        .where(F.col("cn") >= 2)
+        .join(edges.select(F.least(F.col("pa"), F.col("pb")).as("lo"),
+          F.greatest(F.col("pa"), F.col("pb")).as("hi")),
+          F.expr("least(a, b) = lo AND greatest(a, b) = hi"), "left_anti")
+      cand
+        .join(deg.select(F.col("x").as("a"), F.col("dg").as("da")), "a")
+        .join(deg.select(F.col("x").as("b"), F.col("dg").as("db")), "b")
+        .select(F.col("a"), F.col("b"), F.col("cn"), F.col("da"),
+          F.col("db"),
+          F.expr("cn * 1000000L div (da + db - cn)").as("jaccard_micro"))
+        .orderBy(F.col("jaccard_micro").desc, F.col("a"), F.col("b"))
+        .limit(100)
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (
+        SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      adj AS (
+        SELECT pa AS x, pb AS z FROM edges
+        UNION ALL SELECT pb AS x, pa AS z FROM edges),
+      deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+              FROM adj GROUP BY x),
+      cand AS (
+        SELECT e1.x AS a, e2.x AS b, CAST(count(*) AS BIGINT) AS cn
+        FROM adj e1 JOIN adj e2 ON e1.z = e2.z AND e1.x != e2.x
+        WHERE e1.x % 199 = 0
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      ne AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN edges e
+          ON least(c.a, c.b) = e.pa AND greatest(c.a, c.b) = e.pb
+        WHERE e.pa IS NULL)
+      SELECT ne.a, ne.b, cn, da.dg AS da, db.dg AS db,
+             CAST(cn * 1000000 // (da.dg + db.dg - cn) AS BIGINT)
+               AS jaccard_micro
+      FROM ne JOIN deg da ON ne.a = da.x JOIN deg db ON ne.b = db.x
+      ORDER BY jaccard_micro DESC, ne.a, ne.b LIMIT 100"""))
+
+  // ---------------------------------------------------------------- D28
+  /** Per-dimension embedding profile: n / exact-micro mean / exact
+    * variance per coordinate, plus the variance rank that drives
+    * dimension selection (which prefix to keep for Matryoshka-style
+    * truncation, which dims carry signal for quantized search). Values
+    * quantize to integer micros at the scan (float32→double is exact;
+    * round-half-away matches on both engines), so all sums are
+    * order-independent integers; the square-sum routes through
+    * DECIMAL(38,0)/HUGEINT because Σq² overflows int64 past ~1e5 rows
+    * of ±0.5-range micros. One posexplode + one 64-group shuffle. */
+  private val embedDimProfile = QueryDef(
+    "embed_dim_profile",
+    (s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(F.posexplode(F.col("embedding")).as(Seq("i", "v")))
+        .select(F.expr("CAST(i + 1 AS BIGINT)").as("dim"),
+          F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("qm"))
+      val sums = q.groupBy("dim").agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("qm").as("sq"),
+        F.expr("sum(CAST(qm AS DECIMAL(38,0)) * qm)").as("sqq"))
+      sums
+        .select(F.col("dim"), F.col("n"),
+          F.expr("sq div n").as("mean_micro"),
+          F.expr("CAST((n * sqq - CAST(sq AS DECIMAL(38,0)) * sq) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_micro2"))
+        .withColumn("var_rank", F.row_number().over(
+          Window.orderBy(F.col("var_micro2").desc, F.col("dim")))
+          .cast("long"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(i AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qm
+        FROM embeddings, generate_series(1, 64) AS t(i)),
+      sums AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qm) AS BIGINT) AS sq,
+               sum(CAST(qm AS HUGEINT) * qm) AS sqq
+        FROM q GROUP BY dim),
+      v AS (
+        SELECT dim, n, CAST(sq // n AS BIGINT) AS mean_micro,
+               CAST((n * sqq - CAST(sq AS HUGEINT) * sq) //
+                    (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+        FROM sums)
+      SELECT dim, n, mean_micro, var_micro2,
+             CAST(row_number() OVER (ORDER BY var_micro2 DESC, dim)
+                  AS BIGINT) AS var_rank
+      FROM v ORDER BY dim"""))
+
+  val all: Seq[QueryDef] = Seq(theilSen, mutualInformation, linkPredict,
+    embedDimProfile)
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{functions => F}
@@ -902,10 +903,102 @@ object StreamingQueries {
          |FROM documents WHERE $h % 20 = 0 ORDER BY doc_id""".stripMargin
     })
 
+  // ----------------------------------------------------------------- G23
+  /** Streaming PSI drift monitor — the C45 (drift_psi) production twin:
+    * reference decile bounds are computed BATCH-side from the reference
+    * cohort (even event_ids — the frozen "training" distribution; in
+    * production this 9-number artifact ships with the model), then the
+    * LIVE cohort (odd event_ids) streams through a stateless bin lookup
+    * (a 9-element broadcast literal — no shuffle before the 10-group
+    * count), and the PSI terms close over the ≤10-row drained frame.
+    * Same integer-share + single-log-per-bin discipline as C45. */
+  private val streamPsi = QueryDef(
+    "stream_psi",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val ref = s.read.parquet(dir).where(F.expr("event_id % 2 = 0"))
+        .select(F.col("value"), F.col("event_id"))
+      // the 9 bound values are a model artifact: computed once, tiny,
+      // and (unlike the stream) allowed a global rank — over the
+      // REFERENCE cohort only
+      val nRef = ref.count()
+      val bounds = ref
+        .withColumn("rn", F.row_number().over(
+          Window.orderBy("value", "event_id")).cast("long"))
+        .where(F.expr(s"array_contains(transform(sequence(1, 9), " +
+          s"k -> (${nRef}L * k) div 10), rn)"))
+        .orderBy("value").collect().map(_.getDouble(0))
+      val boundsCol = F.array(bounds.map(F.lit(_)): _*)
+      val stream = s.readStream.schema(s.read.parquet(dir).schema)
+        .parquet(dir)
+      val liveCounts = stream
+        .where(F.expr("event_id % 2 = 1"))
+        .select(F.expr("size(filter(" +
+          s"array(${bounds.mkString(",")}), b -> value > b))")
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).as("n_live"))
+      val live = drain(liveCounts, "complete")
+      val refCounts = ref
+        .select(F.expr("size(filter(" +
+          s"array(${bounds.mkString(",")}), b -> value > b))")
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).as("n_ref"))
+      val joined = refCounts.join(live, Seq("bin"), "full_outer")
+        .select(F.col("bin"),
+          F.coalesce(F.col("n_ref"), F.lit(0L)).as("n_ref"),
+          F.coalesce(F.col("n_live"), F.lit(0L)).as("n_live"))
+      val totals = joined.agg(F.sum("n_ref").cast("long").as("ta"),
+        F.sum("n_live").cast("long").as("tb"))
+      joined.crossJoin(F.broadcast(totals))
+        .select(F.col("bin"), F.col("n_ref"), F.col("n_live"),
+          F.expr("n_ref * 1000000L div ta").as("share_ref_micro"),
+          F.expr("n_live * 1000000L div tb").as("share_live_micro"),
+          F.when(F.col("n_ref") > 0 && F.col("n_live") > 0,
+            F.round((F.col("n_ref").cast("double") / F.col("ta") -
+                F.col("n_live").cast("double") / F.col("tb")) *
+              F.log(F.col("n_ref").cast("double") * F.col("tb") /
+                (F.col("n_live").cast("double") * F.col("ta"))), 6))
+            .as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH ref AS (SELECT value, event_id FROM events
+                   WHERE event_id % 2 = 0),
+      na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+      r AS (SELECT value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn
+            FROM ref),
+      b AS (SELECT list_sort(list(value)) AS bounds FROM r, na
+            WHERE list_contains(
+              list_transform(range(1, 10), k -> (n * k) // 10), rn)),
+      binned AS (
+        SELECT event_id % 2 = 0 AS is_ref,
+               CAST(len(list_filter(bounds, x -> value > x)) AS BIGINT)
+                 AS bin
+        FROM events, b),
+      c AS (SELECT bin,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_live
+            FROM binned GROUP BY bin),
+      tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS ta,
+                    CAST(sum(n_live) AS BIGINT) AS tb FROM c)
+      SELECT bin, n_ref, n_live,
+             CAST(n_ref * 1000000 // ta AS BIGINT) AS share_ref_micro,
+             CAST(n_live * 1000000 // tb AS BIGINT) AS share_live_micro,
+             CASE WHEN n_ref > 0 AND n_live > 0 THEN
+               round((CAST(n_ref AS DOUBLE) / ta -
+                      CAST(n_live AS DOUBLE) / tb) *
+                     ln(CAST(n_ref AS DOUBLE) * tb /
+                        (CAST(n_live AS DOUBLE) * ta)), 6)
+             END AS psi_term
+      FROM c, tt ORDER BY bin"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
-    streamSample)
+    streamSample, streamPsi)
 }

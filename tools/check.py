@@ -12,8 +12,11 @@ skip_run = "--skip-run" in rest
 only = [a for a in rest if not a.startswith("--")]
 
 if not skip_run:
+    # pass the name filter through to Verify: a named check then runs
+    # only those queries (~2 min) instead of the full suite (~10 min)
+    names = " " + " ".join(only) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "[error]" in line:
