@@ -215,7 +215,7 @@ object RetentionQueries {
         e.select(F.explode(F.array(F.col("pa"), F.col("pb"))).as("node"))
           .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
       var edges = graft.operators.CacheScope.persist(
-        Staged.coPurchasePairs(s, d).distinct())
+        Staged.coPurchaseEdges(s, d))
       for (_ <- 1 to 3) {
         val keep = graft.operators.CacheScope.persist(
           degrees(edges).where(F.col("degree") >= k).select("node"))

@@ -164,13 +164,20 @@ object RobustQueries {
   private val linkPredict = QueryDef(
     "link_predict",
     (s, d) => {
-      val edges = Staged.coPurchasePairs(s, d)
-        .select("pa", "pb").distinct()
+      // staged deduped edge list: four consumers (anchor broadcast,
+      // probe side, two degree broadcasts) read it — broadcast subtrees
+      // don't share exchanges, so this must be a materialized input
+      val edges = Staged.coPurchaseEdges(s, d)
       val adj = edges.select(F.col("pa").as("x"), F.col("pb").as("z"))
         .union(edges.select(F.col("pb").as("x"), F.col("pa").as("z")))
-      val deg = adj.groupBy("x").agg(F.count(F.lit(1)).as("dg"))
+      val deg = graft.operators.CacheScope.persist(
+        adj.groupBy("x").agg(F.count(F.lit(1)).as("dg")))
+      // the anchor adjacency is |cohort|·d̄ rows (~12k at sf0.1) and the
+      // degree table is node-count-sized — BROADCAST both, so the big
+      // adjacency is consumed by ONE shuffle-free map-side join + one
+      // partial-aggregated groupBy instead of three shuffle rounds
       val anch = adj.where(F.col("x") % 199 === 0)
-      val cand = anch.as("e1")
+      val cand = F.broadcast(anch).as("e1")
         .join(adj.as("e2"),
           F.expr("e1.z = e2.z AND e1.x != e2.x"))
         .groupBy(F.col("e1.x").as("a"), F.col("e2.x").as("b"))
@@ -180,8 +187,10 @@ object RobustQueries {
           F.greatest(F.col("pa"), F.col("pb")).as("hi")),
           F.expr("least(a, b) = lo AND greatest(a, b) = hi"), "left_anti")
       cand
-        .join(deg.select(F.col("x").as("a"), F.col("dg").as("da")), "a")
-        .join(deg.select(F.col("x").as("b"), F.col("dg").as("db")), "b")
+        .join(F.broadcast(deg.select(F.col("x").as("a"),
+          F.col("dg").as("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("x").as("b"),
+          F.col("dg").as("db"))), "b")
         .select(F.col("a"), F.col("b"), F.col("cn"), F.col("da"),
           F.col("db"),
           F.expr("cn * 1000000L div (da + db - cn)").as("jaccard_micro"))

@@ -199,7 +199,7 @@ object TrendQueries {
   private val degreeDist = QueryDef(
     "degree_dist",
     (s, d) => {
-      val pairs = Staged.coPurchasePairs(s, d).distinct()
+      val pairs = Staged.coPurchaseEdges(s, d)
       val deg = pairs.select(F.col("pa").as("node"))
         .unionAll(pairs.select(F.col("pb").as("node")))
         .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
