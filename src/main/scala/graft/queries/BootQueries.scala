@@ -220,5 +220,118 @@ object BootQueries {
         FROM o)
       SELECT * FROM wv WHERE ok % 100 = 0 ORDER BY ck, ok"""))
 
-  val all: Seq[QueryDef] = Seq(bootstrapCi, ttestWelch, windowFirstLast)
+  // ---------------------------------------------------------------- C70
+  /** 5%-trimmed mean of order value per segment — the robust location
+    * estimate between the mean (0% breakdown) and median (50%): ranks
+    * come from the VALUE-GROUPED cumulative count (C56's formulation,
+    * frame bounded by distinct values), and each distinct value
+    * contributes its rank-interval overlap with (5%n, 95%n] — pure
+    * integer interval arithmetic, no row-level sort, exact micros. */
+  private val trimmedMean = QueryDef(
+    "trimmed_mean",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("c_mktsegment").as("segment"),
+          F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val g = o.groupBy("segment", "cents").agg(F.count(F.lit(1)).as("c"))
+      val cum = g
+        .withColumn("cum", F.sum("c").over(
+          Window.partitionBy("segment").orderBy("cents")))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("segment")))
+      cum
+        .withColumn("kept", F.expr(
+          "greatest(0L, least(cum, (n * 95) div 100) - " +
+            "greatest(cum - c, (n * 5) div 100))"))
+        .groupBy("segment")
+        .agg(F.max("n").as("n"),
+          F.expr("CAST(sum(kept) AS BIGINT)").as("n_kept"),
+          F.expr("CAST(sum(CAST(kept AS DECIMAL(38,0)) * cents) " +
+            "* 1000000 div sum(kept) AS BIGINT)").as("trimmed_mean_micro"),
+          F.expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * cents) " +
+            "* 1000000 div max(n) AS BIGINT)").as("mean_micro"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH o AS (
+        SELECT c_mktsegment AS segment,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      g AS (SELECT segment, cents, CAST(count(*) AS BIGINT) AS c
+            FROM o GROUP BY 1, 2),
+      cu AS (
+        SELECT segment, cents, c,
+               sum(c) OVER (PARTITION BY segment ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY segment) AS n
+        FROM g),
+      k AS (
+        SELECT segment, cents, c, n,
+               greatest(0, least(cum, (n * 95) // 100) -
+                           greatest(cum - c, (n * 5) // 100)) AS kept
+        FROM cu)
+      SELECT segment, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(sum(CAST(kept AS HUGEINT) * cents) * 1000000
+                  // sum(kept) AS BIGINT) AS trimmed_mean_micro,
+             CAST(sum(CAST(c AS HUGEINT) * cents) * 1000000
+                  // max(n) AS BIGINT) AS mean_micro
+      FROM k GROUP BY segment ORDER BY segment"""))
+
+  // ---------------------------------------------------------------- M10
+  /** Post-stratified estimator: a systematic sample (o_orderkey ≡ 0
+    * mod 7) re-weighted to the POPULATION's segment shares — the
+    * standard correction when a sample's stratum mix drifted from the
+    * frame it is meant to represent. Per-stratum means in exact
+    * micros, the post-stratified total by integer cross-multiplication
+    * N_h · mean_h through DECIMAL(38,0)/HUGEINT, published beside the
+    * naive sample mean so the correction itself is visible. */
+  private val postStratified = QueryDef(
+    "post_stratified",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("c_mktsegment").as("segment"),
+          F.col("o_orderkey").as("ok"),
+          F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val strata = o.groupBy("segment").agg(
+        F.count(F.lit(1)).as("n_pop"),
+        F.expr("sum(CASE WHEN ok % 7 = 0 THEN 1L ELSE 0L END)")
+          .as("n_samp"),
+        F.expr("sum(CASE WHEN ok % 7 = 0 THEN cents ELSE 0L END)")
+          .as("s_samp"))
+      strata.agg(
+        F.expr("CAST(sum(n_pop) AS BIGINT)").as("n_pop"),
+        F.expr("CAST(sum(n_samp) AS BIGINT)").as("n_samp"),
+        F.expr("CAST(sum(s_samp) * 1000000 div sum(n_samp) AS BIGINT)")
+          .as("mean_naive_micro"),
+        F.expr("CAST(sum(CAST(n_pop AS DECIMAL(38,0)) * " +
+          "(s_samp * 1000000 div n_samp)) div sum(n_pop) AS BIGINT)")
+          .as("mean_ps_micro"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT c_mktsegment AS segment, o_orderkey AS ok,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      st AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(CASE WHEN ok % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_samp,
+               CAST(sum(CASE WHEN ok % 7 = 0 THEN cents ELSE 0 END)
+                    AS BIGINT) AS s_samp
+        FROM o GROUP BY 1)
+      SELECT CAST(sum(n_pop) AS BIGINT) AS n_pop,
+             CAST(sum(n_samp) AS BIGINT) AS n_samp,
+             CAST(sum(s_samp) * 1000000 // sum(n_samp) AS BIGINT)
+               AS mean_naive_micro,
+             CAST(sum(CAST(n_pop AS HUGEINT) *
+                      (s_samp * 1000000 // n_samp)) // sum(n_pop)
+                  AS BIGINT) AS mean_ps_micro
+      FROM st"""))
+
+  val all: Seq[QueryDef] = Seq(bootstrapCi, ttestWelch, windowFirstLast,
+    trimmedMean, postStratified)
 }

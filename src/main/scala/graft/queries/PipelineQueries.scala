@@ -1759,7 +1759,120 @@ object PipelineQueries {
       FROM j ORDER BY doc_a, doc_b"""
     })
 
+  // ---------------------------------------------------------------- D33
+  /** Incremental MinHash dedup — the nightly-crawl shape: band the
+    * corpus ONCE, then join only the NEW batch's bands (doc_id ≡ 0 mod
+    * 10, ~10% of docs) against the EXISTING corpus's bands. The join's
+    * build side is batch-sized, not corpus-sized — the reason a daily
+    * dedup run costs O(batch · bands), not O(corpus²); the banded
+    * signature parquet is the checkpoint a production pipeline carries
+    * between runs (here: the persisted bands frame). Output: every
+    * (new, existing) band-colliding candidate with its collision
+    * count — the D3 semantics restricted to the incremental frontier. */
+  private val dedupMinhashBatch = QueryDef(
+    "dedup_minhash_batch",
+    (s, d) => {
+      val bands = graft.operators.CacheScope.persist(
+        Dedup.minhashBands(Dedup.minhashSignatures(
+          t(s, d, "documents"), "doc_id", "text", K, 3), K, BANDS))
+      val newB = bands.where(F.expr("doc_id % 10 = 0"))
+        .select(F.col("doc_id").as("new_id"), F.col("band_idx"),
+          F.col("band_hash"))
+      val oldB = bands.where(F.expr("doc_id % 10 != 0"))
+        .select(F.col("doc_id").as("old_id"), F.col("band_idx"),
+          F.col("band_hash"))
+      newB.join(oldB, Seq("band_idx", "band_hash"))
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).as("n_bands"))
+        .orderBy("new_id", "old_id")
+    },
+    Some(s"""WITH $minhashCtesSql
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+      GROUP BY 1, 2 ORDER BY new_id, old_id"""))
+
+  // ---------------------------------------------------------------- D34
+  /** IVF recall@5 against brute force — completes the ANN audit ladder
+    * (D3b minhash recall, D14c PQ recall, D24 multiprobe recall): for
+    * the same queries and k as D9's search, how many of the true top-5
+    * does nprobe=2 IVF return? The honest number that decides whether
+    * nprobe (or the centroid count) needs raising before a 100 TB
+    * index build. */
+  private val embedIvfRecall = QueryDef(
+    "embed_ivf_recall",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 3)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id"), F.col("match_id"))
+      val approx = Ivf.search(emb,
+        Ivf.centroidsByKey(emb, "label", "embedding"),
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(F.col("query_id"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH $centroidCtes,
+      assigned AS (
+        SELECT vec_id AS match_id, ckey AS centroid_label FROM (
+          SELECT vec_id, ckey,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+                FROM embeddings, cvec)) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, centroid_label FROM (
+          SELECT query_id, ckey AS centroid_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT e.vec_id AS query_id, ckey,
+                       ${cosSql("e.embedding", "centroid")} AS cos
+                FROM embeddings e, cvec WHERE e.vec_id < 3)) WHERE rn <= 2),
+      approx AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT p.query_id, a.match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM probes p
+                     JOIN assigned a ON p.centroid_label = a.centroid_label
+                     JOIN embeddings q ON q.vec_id = p.query_id
+                     JOIN embeddings c ON c.vec_id = a.match_id
+                WHERE p.query_id != a.match_id))
+        WHERE rank <= 5),
+      exact AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 3 AND q.vec_id != c.vec_id))
+        WHERE rank <= 5)
+      SELECT e.query_id,
+             CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0, 6) AS recall
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.match_id = a.match_id
+      GROUP BY e.query_id ORDER BY e.query_id"""))
+
   val all: Seq[QueryDef] = Seq(
+    dedupMinhashBatch, embedIvfRecall,
     phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,
     ngramJaccard,
