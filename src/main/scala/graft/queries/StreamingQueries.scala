@@ -995,10 +995,86 @@ object StreamingQueries {
              END AS psi_term
       FROM c, tt ORDER BY bin"""))
 
+  // ----------------------------------------------------------------- G24
+  /** Ordered running-balance replay via Spark 4's transformWithState
+    * (arbitrary state v2 on RocksDB): purchases credit, every other
+    * event type debits (the signed projection is stateless, applied
+    * BEFORE the stateful operator); per-user events buffer in a
+    * ListState until the event-time timer (last event + 30 min) passes
+    * the watermark, then replay in exact (ts, event_id) order → final
+    * balance, minimum prefix, dips below zero. Same flush-horizon
+    * oracle discipline as G15: users whose last event is inside
+    * max(ts) − 45 min stay open and are excluded on both sides. */
+  private val streamBalance = QueryDef(
+    "stream_balance",
+    (s, d) => {
+      import s.implicits._
+      val dir = stage(s, d, "events")
+      val batch = s.read.parquet(dir)
+      val maxUs = batch.agg(F.max(F.unix_micros(F.col("ts")))).head().getLong(0)
+      val cutoffUs = maxUs - 2700L * 1000000L
+      val flushed = batch.groupBy("user_id")
+        .agg(F.max(F.unix_micros(F.col("ts"))).as("umax"))
+        .where(F.col("umax") < cutoffUs).select("user_id")
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+      val in = stream.select(F.col("user_id").as("userId"), F.col("ts"),
+        F.col("event_id").as("eventId"),
+        F.expr("CASE WHEN event_type = 'purchase' THEN " +
+          "CAST(floor(value * 1e6) AS BIGINT) ELSE " +
+          "-CAST(floor(value * 1e6) AS BIGINT) END").as("deltaMicro"))
+        .as[graft.streaming.StreamOps.BalIn]
+      // state v2 runs only on the RocksDB provider; scope the conf to
+      // this query's start (read at start, so resetting after drain
+      // does not affect the running query)
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out =
+        try drain(graft.streaming.StreamOps
+          .balanceStream(in, flushDelayMs = 1800L * 1000).toDF(), "append")
+        finally prevProvider match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      out.withColumnRenamed("userId", "user_id")
+        .join(F.broadcast(flushed), Seq("user_id"))
+        .select(F.col("user_id"), F.col("nEvents").as("n_events"),
+          F.col("finalMicro").as("final_micro"),
+          F.col("minMicro").as("min_micro"), F.col("nDips").as("n_dips"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (SELECT max(ts) AS gmax FROM events),
+      f AS (SELECT user_id FROM events, g GROUP BY user_id, gmax
+            HAVING max(ts) < gmax - INTERVAL 45 MINUTE),
+      e2 AS (SELECT e.user_id, ts, event_id,
+                    CASE WHEN event_type = 'purchase'
+                         THEN CAST(floor(value * 1e6) AS BIGINT)
+                         ELSE -CAST(floor(value * 1e6) AS BIGINT)
+                    END AS dm
+             FROM events e JOIN f USING (user_id)),
+      p AS (SELECT user_id, ts, event_id, dm,
+                   sum(dm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS bal
+            FROM e2),
+      q AS (SELECT user_id, dm, bal,
+                   lag(bal, 1, CAST(0 AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM p)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dm) AS BIGINT) AS final_micro,
+             CAST(least(0, min(bal)) AS BIGINT) AS min_micro,
+             CAST(sum(CASE WHEN bal < 0 AND prev >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dips
+      FROM q GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
-    streamSample, streamPsi)
+    streamSample, streamPsi, streamBalance)
 }

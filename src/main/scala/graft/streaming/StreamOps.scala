@@ -116,6 +116,93 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---- transformWithState (arbitrary-state v2): ordered balance replay ----
+
+  case class BalIn(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+      deltaMicro: Long)
+  case class BalEv(tsUs: Long, eventId: Long, deltaMicro: Long)
+  case class BalOut(userId: Long, nEvents: Long, finalMicro: Long,
+      minMicro: Long, nDips: Long)
+
+  /** Spark 4 `StatefulProcessor` for ordered running-balance replay —
+    * the transformWithState (state v2, RocksDB-backed) counterpart of
+    * [[transitionsStream]]'s flatMapGroupsWithState buffer-and-flush:
+    * events buffer in a ListState across micro-batches; an event-time
+    * timer keyed to the key's LAST event + flushDelay fires once the
+    * watermark passes it, replaying the buffer in exact (ts, tie) order
+    * and emitting the balance trajectory summary (final / min /
+    * dips-below-zero). ListState + ValueState + per-key timers are the
+    * v2 API surface this operator exists to exercise; state is bounded
+    * by the flush horizon exactly like the v1 twin. */
+  private class BalanceProcessor(flushDelayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BalIn, BalOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ListState, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var buf: ListState[BalEv] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BalEv]("buf", Encoders.product[BalEv],
+        TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BalIn],
+        timerValues: streaming.TimerValues): Iterator[BalOut] = {
+      val added = rows.map(e =>
+        BalEv(tsMicros(e.ts), e.eventId, e.deltaMicro)).toArray
+      if (added.nonEmpty) {
+        buf.appendList(added)
+        val maxMs = added.iterator
+          .map(e => Math.floorDiv(e.tsUs, 1000L)).max
+        val want = maxMs + flushDelayMs
+        val prev = Option(armed.get()).getOrElse(0L)
+        if (want > prev) { // re-arm to the later deadline
+          if (prev > 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(want)
+          armed.update(want)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: streaming.TimerValues,
+        expiredTimerInfo: streaming.ExpiredTimerInfo): Iterator[BalOut] = {
+      val evs = buf.get().toSeq.sortBy(e => (e.tsUs, e.eventId))
+      buf.clear(); armed.clear()
+      if (evs.isEmpty) Iterator.empty
+      else {
+        var bal = 0L; var mn = 0L; var dips = 0L; var prev = 0L
+        evs.foreach { e =>
+          prev = bal; bal += e.deltaMicro
+          if (bal < mn) mn = bal
+          if (bal < 0 && prev >= 0) dips += 1
+        }
+        Iterator.single(BalOut(key, evs.size.toLong, bal, mn, dips))
+      }
+    }
+  }
+
+  /** Ordered balance replay over an out-of-order stream via
+    * transformWithState — see [[BalanceProcessor]]. Requires the
+    * RocksDB state store provider (set by the caller; state v2 does
+    * not run on the default HDFS-backed store). */
+  def balanceStream(events: org.apache.spark.sql.Dataset[BalIn],
+      flushDelayMs: Long, watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[BalOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(new BalanceProcessor(flushDelayMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[BalOut])
+  }
+
   // ---- custom state: watermark-ordered transition replay ----
 
   case class TransIn(userId: Long, ts: java.sql.Timestamp, eventId: Long,
