@@ -338,6 +338,19 @@ object ScaleTest {
       "histogram_equiwidth", "open_pipeline_timeline", "degree_dist",
       "graph_reach", "cusum_drift", "ewma_smooth", "term_trends")
       .foreach(timeQ)
+    // r6 wave-20..25 probes: the char-explode entropy screen, the
+    // 32-resample bootstrap (input ×32 explode on a 10× corpus), the
+    // anchor-cohort link prediction and incremental minhash (both must
+    // stay cohort/batch-bounded as the corpus grows), the pair-bounded
+    // Theil–Sen (calendar-bounded — time should NOT scale with mult),
+    // and the interval-arithmetic trimmed mean.
+    spark.read.parquet(s"$out/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$qdir/embeddings.parquet")
+    Seq("payload_entropy", "bootstrap_ci", "link_predict",
+      "dedup_minhash_batch", "trimmed_mean", "theil_sen",
+      "histogram_log2", "id_gaps", "bom_explode", "mutual_information",
+      "embed_dim_profile", "attribution_decay")
+      .foreach(timeQ)
     spark.stop()
   }
 }
