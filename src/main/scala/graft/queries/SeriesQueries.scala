@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-26 inventory (r6): time-series diagnostics and a privacy
+  * completion — binary-segmentation changepoint location (the argmax
+  * complement of C45's CUSUM detector), seasonal-naive forecast
+  * backtesting (the capacity-planning baseline every pipeline runs
+  * before reaching for a model), rolling 12-month correlation between
+  * segment revenue series, and l-diversity (the sensitive-attribute
+  * audit beside E40's k-anonymity).
+  *
+  * Every windowed computation here runs over the CALENDAR frame
+  * (metadata-sized at any corpus scale) — period cents are exact
+  * decimal sums taken map-side first; cross-products route through
+  * DECIMAL(38,0)/HUGEINT; closing ratios are single double ops at 6dp
+  * per SURVEY §5.
+  */
+object SeriesQueries {
+
+  // ---------------------------------------------------------------- M11
+  /** Binary-segmentation changepoint per segment: the 1995 daily
+    * revenue series is split at every candidate day (min segment 10
+    * days); the split maximizing |mean_left − mean_right| (exact
+    * integer micros, deterministic smallest-day tie-break) is the
+    * reported changepoint — the location complement of C45's CUSUM
+    * "did it drift" alarm. One cumsum window over the ≤365-row daily
+    * frame per segment, argmax inside the same bounded frame. */
+  private val binsegSplit = QueryDef(
+    "binseg_split",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .where(F.year(F.col("o_orderdate")) === 1995)
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1995-01-01"))
+            .cast("long").as("x"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      val w = Window.partitionBy("segment").orderBy("x")
+      val cum = daily
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("cs", F.sum("cents").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("segment")))
+        .withColumn("tot", F.sum("cents").over(Window.partitionBy("segment")))
+      val scored = cum
+        .where(F.expr("rn >= 10 AND rn <= n - 10"))
+        .select(F.col("segment"), F.col("x"),
+          F.expr("cs * 1000000 div rn").as("mean_l_micro"),
+          F.expr("(tot - cs) * 1000000 div (n - rn)").as("mean_r_micro"))
+        .withColumn("delta_micro",
+          F.expr("abs(mean_l_micro - mean_r_micro)"))
+      scored
+        .withColumn("pick", F.row_number().over(Window
+          .partitionBy("segment")
+          .orderBy(F.col("delta_micro").desc, F.col("x"))))
+        .where(F.col("pick") === 1)
+        .select("segment", "x", "mean_l_micro", "mean_r_micro",
+          "delta_micro")
+        .orderBy("segment")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1, 2),
+      cu AS (
+        SELECT segment, x, cents,
+               row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+               sum(cents) OVER (PARTITION BY segment ORDER BY x
+                                ROWS UNBOUNDED PRECEDING) AS cs,
+               count(*) OVER (PARTITION BY segment) AS n,
+               sum(cents) OVER (PARTITION BY segment) AS tot
+        FROM daily),
+      sc AS (
+        SELECT segment, x,
+               CAST(cs * 1000000 // rn AS BIGINT) AS mean_l_micro,
+               CAST((tot - cs) * 1000000 // (n - rn) AS BIGINT)
+                 AS mean_r_micro,
+               CAST(abs(cs * 1000000 // rn -
+                        (tot - cs) * 1000000 // (n - rn)) AS BIGINT)
+                 AS delta_micro
+        FROM cu WHERE rn >= 10 AND rn <= n - 10),
+      pk AS (
+        SELECT *, row_number() OVER (PARTITION BY segment
+                    ORDER BY delta_micro DESC, x) AS pick
+        FROM sc)
+      SELECT segment, x, mean_l_micro, mean_r_micro, delta_micro
+      FROM pk WHERE pick = 1 ORDER BY segment"""))
+
+  // ---------------------------------------------------------------- M12
+  /** Seasonal-naive forecast backtest per segment: forecast(t) =
+    * actual(t−7), scored over every 1995 day with a lag available —
+    * MAE and bias in exact cents-micros, MAPE from per-day integer
+    * ratios (each |err|·10⁶ div actual BEFORE the average, so the
+    * aggregate is order-independent). The baseline every capacity
+    * forecast must beat; lag pairing by date arithmetic on the daily
+    * frame, M6/M7 discipline. */
+  private val forecastBacktest = QueryDef(
+    "forecast_backtest",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .where(F.year(F.col("o_orderdate")) === 1995)
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1995-01-01"))
+            .cast("long").as("x"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      val paired = daily.as("a")
+        .join(daily.as("b"),
+          F.expr("a.segment = b.segment AND a.x = b.x + 7"))
+        .select(F.col("a.segment").as("segment"),
+          F.expr("a.cents - b.cents").as("err"),
+          F.expr("abs(a.cents - b.cents)").as("aerr"),
+          F.expr("abs(a.cents - b.cents) * 1000000L div a.cents")
+            .as("ape_micro"))
+      paired.groupBy("segment")
+        .agg(F.count(F.lit(1)).as("n_days"),
+          F.expr("CAST(sum(aerr) * 1000000 div count(*) AS BIGINT)")
+            .as("mae_micro"),
+          // bias can be negative: explicit floor-division (C64's portable
+          // form) — Spark div truncates toward zero, DuckDB // floors
+          F.expr("CAST((sum(err) * 1000000 - ((sum(err) * 1000000 % " +
+            "count(*)) + count(*)) % count(*)) div count(*) AS BIGINT)")
+            .as("bias_micro"),
+          F.expr("CAST(sum(ape_micro) div count(*) AS BIGINT)")
+            .as("mape_micro"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.segment, a.cents - b.cents AS err,
+               abs(a.cents - b.cents) AS aerr,
+               abs(a.cents - b.cents) * 1000000 // a.cents AS ape_micro
+        FROM daily a JOIN daily b
+          ON a.segment = b.segment AND a.x = b.x + 7)
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(aerr) * 1000000 // count(*) AS BIGINT) AS mae_micro,
+             CAST((sum(err) * 1000000 - ((sum(err) * 1000000 % count(*))
+                   + count(*)) % count(*)) // count(*) AS BIGINT)
+               AS bias_micro,
+             CAST(sum(ape_micro) // count(*) AS BIGINT) AS mape_micro
+      FROM p GROUP BY segment ORDER BY segment"""))
+
+  // ---------------------------------------------------------------- C71
+  /** Rolling 12-month Pearson correlation between two segment revenue
+    * series (BUILDING vs MACHINERY): monthly cents pivot to an aligned
+    * calendar frame (months are dense at every SF where days are not),
+    * window sums of x/y/xy/x²/y² (products through
+    * DECIMAL(38,0)/HUGEINT) over ROWS 11 PRECEDING, one closing double
+    * formula at 6dp — published only for full windows. The co-movement
+    * diagnostic behind "do these two businesses share demand shocks";
+    * every window runs on the month grid, never the fact table. */
+  private val rollingCorr = QueryDef(
+    "rolling_corr",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+          F.expr("CAST((year(o_orderdate) - 1992) * 12 + " +
+            "month(o_orderdate) - 1 AS BIGINT)").as("x"),
+          F.col("c_mktsegment").as("segment"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      val wide = daily.groupBy("x").agg(
+        F.max(F.when(F.col("segment") === "BUILDING", F.col("cents")))
+          .as("cx"),
+        F.max(F.when(F.col("segment") === "MACHINERY", F.col("cents")))
+          .as("cy"))
+        .where(F.col("cx").isNotNull && F.col("cy").isNotNull)
+      val w = Window.orderBy("x").rowsBetween(-11, 0)
+      val sums = wide.select(F.col("x"), F.col("cx"), F.col("cy"),
+        F.count(F.lit(1)).over(w).as("n"),
+        F.sum("cx").over(w).as("sx"),
+        F.sum("cy").over(w).as("sy"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cy")).over(w).as("sxy"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cx")).over(w).as("sxx"),
+        F.sum(F.expr("CAST(cy AS DECIMAL(38,0)) * cy")).over(w).as("syy"))
+      sums.where(F.col("n") === 12)
+        .select(F.col("x"), F.col("sx"), F.col("sy"),
+          F.expr("round((12.0 * CAST(CAST(sxy AS STRING) AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * sy) / " +
+            "(sqrt(12.0 * CAST(CAST(sxx AS STRING) AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * sx) * " +
+            "sqrt(12.0 * CAST(CAST(syy AS STRING) AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * sy)), 6)").as("corr12"))
+        .orderBy("x")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                    month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+               c_mktsegment AS segment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2),
+      wide AS (
+        SELECT x,
+               max(CASE WHEN segment = 'BUILDING' THEN cents END) AS cx,
+               max(CASE WHEN segment = 'MACHINERY' THEN cents END) AS cy
+        FROM daily GROUP BY x
+        HAVING max(CASE WHEN segment = 'BUILDING' THEN cents END)
+                 IS NOT NULL
+           AND max(CASE WHEN segment = 'MACHINERY' THEN cents END)
+                 IS NOT NULL),
+      s AS (
+        SELECT x, cx, cy,
+               count(*) OVER win AS n,
+               sum(cx) OVER win AS sx,
+               sum(cy) OVER win AS sy,
+               sum(CAST(cx AS HUGEINT) * cy) OVER win AS sxy,
+               sum(CAST(cx AS HUGEINT) * cx) OVER win AS sxx,
+               sum(CAST(cy AS HUGEINT) * cy) OVER win AS syy
+        FROM wide
+        WINDOW win AS (ORDER BY x ROWS BETWEEN 11 PRECEDING
+                       AND CURRENT ROW))
+      SELECT x, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+             round((12.0 * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * sy) /
+                   (sqrt(12.0 * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * sx) *
+                    sqrt(12.0 * CAST(CAST(syy AS VARCHAR) AS DOUBLE) -
+                         CAST(sy AS DOUBLE) * sy)), 6) AS corr12
+      FROM s WHERE n = 12 ORDER BY x"""))
+
+  // ---------------------------------------------------------------- E58
+  /** l-diversity audit beside E40's k-anonymity: for each
+    * quasi-identifier group (segment × order year), the count of
+    * DISTINCT sensitive values (order priority) — groups with l < 3
+    * are re-identification risks even when k-anonymous (homogeneity
+    * attack). One grouped count-distinct over the QI frame (bounded by
+    * segments × years); output every group with its l and the flag. */
+  private val lDiversity = QueryDef(
+    "l_diversity",
+    (s, d) => {
+      t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.year(F.col("o_orderdate")).cast("long").as("yr"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.countDistinct("o_orderpriority").as("l_distinct"))
+        .withColumn("diverse",
+          F.expr("CAST(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END " +
+            "AS BIGINT)"))
+        .orderBy("segment", "yr")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+             CAST(CASE WHEN count(DISTINCT o_orderpriority) >= 3
+                  THEN 1 ELSE 0 END AS BIGINT) AS diverse
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY segment, yr"""))
+
+  val all: Seq[QueryDef] = Seq(binsegSplit, forecastBacktest, rollingCorr,
+    lDiversity)
+}
