@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Wave-26 invariants: the binseg argmax beats every other split
+  * (re-derived driver-side), seasonal-naive errors reconcile with the
+  * daily series, rolling correlation stays in [−1, 1] with full
+  * windows only, and l-diversity groups partition the order count. */
+class SeriesSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def daily1995(): Map[String, Seq[(Long, Long)]] =
+    graft.queries.Tables.t(spark, sf, "orders")
+      .join(graft.queries.Tables.t(spark, sf, "customer"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .where(F.year(F.col("o_orderdate")) === 1995)
+      .groupBy(F.col("c_mktsegment").as("seg"),
+        F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1995-01-01"))
+          .cast("long").as("x"))
+      .agg(F.expr(
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+        .as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq).toMap
+
+  test("binseg_split picks the max |mean diff| split") {
+    val rows = q("binseg_split").collect()
+    val daily = daily1995()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val series = daily(seg)
+      val n = series.length.toLong
+      val best = (10L to (n - 10)).map { rn =>
+        val cs = series.take(rn.toInt).map(_._2).sum
+        val tot = series.map(_._2).sum
+        val delta = math.abs(cs * 1000000L / rn -
+          (tot - cs) * 1000000L / (n - rn))
+        (delta, series(rn.toInt - 1)._1)
+      }.maxBy(t => (t._1, -t._2))
+      assert(r.getLong(r.fieldIndex("delta_micro")) == best._1,
+        s"$seg: delta ${r.getLong(r.fieldIndex("delta_micro"))} != ${best._1}")
+      assert(r.getLong(r.fieldIndex("x")) == best._2)
+    }
+  }
+
+  test("forecast_backtest reconciles with the daily series") {
+    val rows = q("forecast_backtest").collect()
+    val daily = daily1995()
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val byX = daily(seg).toMap
+      val pairs = byX.keys.toSeq.flatMap(x =>
+        byX.get(x - 7).map(prev => (byX(x), prev)))
+      assert(r.getLong(r.fieldIndex("n_days")) == pairs.length.toLong)
+      val mae = pairs.map { case (a, p) => math.abs(a - p) }.sum *
+        1000000L / pairs.length
+      assert(r.getLong(r.fieldIndex("mae_micro")) == mae)
+    }
+  }
+
+  test("rolling_corr is bounded and full-window only") {
+    val rows = q("rolling_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("corr12"))
+      assert(c >= -1.0000001 && c <= 1.0000001, s"corr $c out of range")
+    }
+    // months only appear once a full 12-month history exists
+    val n = graft.queries.Tables.t(spark, sf, "orders").agg(
+      F.countDistinct(F.expr(
+        "(year(o_orderdate) - 1992) * 12 + month(o_orderdate)")))
+      .collect()(0).getLong(0)
+    assert(rows.length <= n - 11)
+  }
+
+  test("l_diversity groups partition the joined order count") {
+    val rows = q("l_diversity").collect()
+    val total = graft.queries.Tables.t(spark, sf, "orders")
+      .join(graft.queries.Tables.t(spark, sf, "customer"),
+        F.col("o_custkey") === F.col("c_custkey")).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum == total)
+    rows.foreach { r =>
+      val l = r.getLong(r.fieldIndex("l_distinct"))
+      assert(l >= 1 && l <= 5) // 5 order priorities exist
+      assert(r.getLong(r.fieldIndex("diverse")) ==
+        (if (l >= 3) 1L else 0L))
+    }
+  }
+}
