@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-27 inventory (r6): the classic BI window/report shapes a
+  * dashboard layer asks of the engine — share-of-total, year-over-year
+  * growth, maximum drawdown, and 2-D histograms. None are novel; all
+  * are exact-integer (micros / ppm) and every window runs over a
+  * metadata-sized frame (nation×segment aggregate, month grid,
+  * calendar days, bucket grid), never the fact table.
+  */
+object BiQueries {
+
+  // ---------------------------------------------------------------- C72
+  /** Share-of-total: each nation's revenue share within its segment in
+    * exact ppm, plus its rank — one fact-table aggregate, then windows
+    * over the (segment × nation)-bounded frame. */
+  private val shareOfTotal = QueryDef(
+    "share_of_total",
+    (s, d) => {
+      val agg = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(t(s, d, "nation")),
+          F.col("c_nationkey") === F.col("n_nationkey"))
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.col("n_name").as("nation"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      agg
+        .withColumn("seg_total",
+          F.sum("cents").over(Window.partitionBy("segment")))
+        .select(F.col("segment"), F.col("nation"), F.col("cents"),
+          F.expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div seg_total")
+            .cast("long").as("share_ppm"),
+          F.row_number().over(Window.partitionBy("segment")
+            .orderBy(F.col("cents").desc, F.col("nation")))
+            .cast("long").as("rank_in_segment"))
+        .orderBy("segment", "rank_in_segment")
+    },
+    Some("""
+      WITH a AS (
+        SELECT c_mktsegment AS segment, n_name AS nation,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT segment, nation, cents,
+             CAST(CAST(cents AS HUGEINT) * 1000000 //
+                  sum(cents) OVER (PARTITION BY segment) AS BIGINT)
+               AS share_ppm,
+             CAST(row_number() OVER (PARTITION BY segment
+                    ORDER BY cents DESC, nation) AS BIGINT)
+               AS rank_in_segment
+      FROM a ORDER BY segment, rank_in_segment"""))
+
+  // ---------------------------------------------------------------- C73
+  /** Year-over-year growth: monthly revenue vs the same month last
+    * year, growth in ppm via exact integer cross-multiplication
+    * ((cur−prev)·10⁶ div prev — C64's portable floor-division, growth
+    * can be negative); lag pairing by month arithmetic on the
+    * calendar-bounded month grid. */
+  private val yoyGrowth = QueryDef(
+    "yoy_growth",
+    (s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(F.expr("CAST((year(o_orderdate) - 1992) * 12 + " +
+          "month(o_orderdate) - 1 AS BIGINT)").as("m"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      monthly.as("a")
+        .join(monthly.as("b"), F.expr("a.m = b.m + 12"))
+        .select(F.col("a.m").as("m"), F.col("a.cents").as("cents"),
+          F.col("b.cents").as("prev_cents"),
+          F.expr("((a.cents - b.cents) * 1000000L - " +
+            "(((a.cents - b.cents) * 1000000L % b.cents) + b.cents) " +
+            "% b.cents) div b.cents").as("yoy_ppm"))
+        .orderBy("m")
+    },
+    Some("""
+      WITH mo AS (
+        SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                    month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT a.m, a.cents, b.cents AS prev_cents,
+             CAST(((a.cents - b.cents) * 1000000 -
+                   (((a.cents - b.cents) * 1000000 % b.cents) + b.cents)
+                   % b.cents) // b.cents AS BIGINT) AS yoy_ppm
+      FROM mo a JOIN mo b ON a.m = b.m + 12
+      ORDER BY a.m"""))
+
+  // ---------------------------------------------------------------- C74
+  /** Maximum drawdown of the cumulative daily revenue-minus-trend
+    * series per segment: cum(t) = Σ(cents − daily mean so far is NOT
+    * used — the drawdown runs on the plain cumulative net-vs-average
+    * series cum(t) = Σ(centsᵢ − c̄) where c̄ is the segment's full-period
+    * daily mean in floor micros, making the series mean-reverting so a
+    * drawdown exists); drawdown(t) = runningMax(cum) − cum, the report
+    * is each segment's worst day. All windows over the ≤-calendar
+    * frame; c̄ enters as an exact integer so both engines subtract the
+    * same constant. */
+  private val maxDrawdown = QueryDef(
+    "max_drawdown",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .where(F.year(F.col("o_orderdate")) === 1995)
+        .groupBy(F.col("c_mktsegment").as("segment"),
+          F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1995-01-01"))
+            .cast("long").as("x"))
+        .agg(F.expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+          .as("cents"))
+      val withMean = daily
+        .withColumn("avg_cents", F.expr(
+          "sum(cents) OVER (PARTITION BY segment) div " +
+            "count(*) OVER (PARTITION BY segment)"))
+      val w = Window.partitionBy("segment").orderBy("x")
+      val series = withMean
+        .withColumn("cum", F.sum(F.expr("cents - avg_cents")).over(w))
+        .withColumn("peak", F.max("cum").over(w))
+        .withColumn("dd", F.expr("peak - cum"))
+      series
+        .withColumn("pick", F.row_number().over(Window
+          .partitionBy("segment").orderBy(F.col("dd").desc, F.col("x"))))
+        .where(F.col("pick") === 1)
+        .select(F.col("segment"), F.col("x").as("worst_day"),
+          F.col("dd").as("max_drawdown_cents"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1, 2),
+      m AS (
+        SELECT segment, x, cents,
+               sum(cents) OVER (PARTITION BY segment) //
+                 count(*) OVER (PARTITION BY segment) AS avg_cents
+        FROM daily),
+      s AS (
+        SELECT segment, x,
+               sum(cents - avg_cents) OVER
+                 (PARTITION BY segment ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM m),
+      p AS (
+        SELECT segment, x, cum,
+               max(cum) OVER (PARTITION BY segment ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM s),
+      pk AS (
+        SELECT segment, x, CAST(peak - cum AS BIGINT) AS dd,
+               row_number() OVER (PARTITION BY segment
+                 ORDER BY peak - cum DESC, x) AS pick
+        FROM p)
+      SELECT segment, x AS worst_day, dd AS max_drawdown_cents
+      FROM pk WHERE pick = 1 ORDER BY segment"""))
+
+  // ---------------------------------------------------------------- C75
+  /** 2-D histogram (price decile-bucket × quantity) over lineitem —
+    * the heatmap grid behind every density plot: integer bucket
+    * arithmetic only (price div 10000, quantity floor), one map-side-
+    * combined groupBy, output bounded by the bucket grid. */
+  private val histogram2d = QueryDef(
+    "histogram2d",
+    (s, d) => {
+      t(s, d, "lineitem")
+        .select(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "div 1000000").as("price_bucket"),
+          F.expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"))
+        .groupBy("price_bucket", "qty")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy("price_bucket", "qty")
+    },
+    Some("""
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
+               AS price_bucket,
+             CAST(floor(l_quantity) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2 ORDER BY price_bucket, qty"""))
+
+  val all: Seq[QueryDef] = Seq(shareOfTotal, yoyGrowth, maxDrawdown,
+    histogram2d)
+}
