@@ -48,6 +48,9 @@ object PipelineQueries {
   /** DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b, n_bands)` — the
     * banded-minhash candidate pairs, shared by the D3 oracle and the
     * D11 connected-components oracle. */
+  /** Shared accessor for the D35 threshold sweep (TuneQueries). */
+  private[queries] def minhashCtesSqlShared: String = minhashCtesSql
+
   private def minhashCtesSql: String = {
     val mins = (0 until K).map { i =>
       val (a, b) = Dedup.minhashCoef(i)
