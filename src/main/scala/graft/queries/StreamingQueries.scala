@@ -1071,10 +1071,46 @@ object StreamingQueries {
                   AS BIGINT) AS n_dips
       FROM q GROUP BY user_id ORDER BY user_id"""))
 
+  // ----------------------------------------------------------------- G25
+  /** New-customers-per-month as a STREAM — the C79 "new" half executed
+    * with a stateful streaming MIN per customer (complete mode,
+    * customer-count-bounded state): min is arrival-order INDEPENDENT,
+    * which is the whole point — a dropDuplicates first-arrival would
+    * bind the answer to file order. The drained per-customer minimum
+    * frame then batch-aggregates to the monthly first-seen counts
+    * (chained stateful aggregations are unsupported in a single
+    * streaming query; the drain IS the production two-stage shape). */
+  private val streamFirstSeen = QueryDef(
+    "stream_first_seen",
+    (s, d) => {
+      val dir = stage(s, d, "orders")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema)
+        .parquet(dir)
+      val mins = stream
+        .select(F.col("o_custkey").as("ck"),
+          F.expr("CAST((year(o_orderdate) - 1992) * 12 + " +
+            "month(o_orderdate) - 1 AS BIGINT)").as("m"))
+        .groupBy("ck").agg(F.min("m").as("fm"))
+      withStatePartitions(s, 8) {
+        drain(mins, "complete")
+      }
+        .groupBy("fm").agg(F.count(F.lit(1)).as("new_customers"))
+        .orderBy("fm")
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_custkey,
+               min(CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                        month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT))
+                 AS fm
+        FROM orders GROUP BY o_custkey)
+      SELECT fm, CAST(count(*) AS BIGINT) AS new_customers
+      FROM f GROUP BY fm ORDER BY fm"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
-    streamSample, streamPsi, streamBalance)
+    streamSample, streamPsi, streamBalance, streamFirstSeen)
 }
