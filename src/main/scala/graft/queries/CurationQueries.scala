@@ -257,7 +257,138 @@ object CurationQueries {
                AS BIGINT) AS vmr_micros
       FROM g, n WHERE s >= 50 ORDER BY term"""))
 
+  // ---------------------------------------------------------------- E63
+  /** Decontamination n-gram-size sweep: the E14 exact screen run at
+    * n ∈ {2, 3, 5} side by side — corpus-level summary per n (docs
+    * flagged, hit-gram ppm), the policy table behind "which n does our
+    * decontamination contract use" (small n over-flags common phrases,
+    * large n misses reworded leakage). Three bounded passes unioned —
+    * each is the production single-n plan, not a combined re-scan. */
+  private val contaminationSweep = QueryDef(
+    "contamination_sweep",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.where(F.col("source") =!= "src0")
+      val bench = docs.where(F.col("source") === "src0")
+      Seq(2, 3, 5).map { n =>
+        graft.operators.Curation
+          .contamination(corpus, bench, "doc_id", "text", n)
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.sum("n_grams").as("total_grams"),
+            F.sum("n_hit").as("hit_grams"),
+            F.sum("contaminated").as("n_flagged"))
+          .withColumn("n", F.lit(n.toLong))
+      }.reduce(_ unionByName _)
+        .select(F.col("n"), F.col("n_docs"), F.col("total_grams"),
+          F.col("hit_grams"), F.col("n_flagged"),
+          F.expr("hit_grams * 1000000 div total_grams").as("hit_ppm"))
+        .orderBy("n")
+    },
+    Some {
+      def one(n: Int) = s"""
+        SELECT CAST($n AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_hit) AS BIGINT) AS hit_grams,
+               CAST(sum(flg) AS BIGINT) AS n_flagged,
+               CAST(sum(n_hit) * 1000000 // sum(n_grams) AS BIGINT)
+                 AS hit_ppm
+        FROM (
+          SELECT doc_id, count(*) AS n_grams, count(bg.shingle) AS n_hit,
+                 CASE WHEN count(bg.shingle) * 1.0 / count(*) >= 0.5
+                      THEN 1 ELSE 0 END AS flg
+          FROM (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id, unnest(${gramsSql(n)}) AS shingle
+              FROM (SELECT doc_id, $toksSql AS t
+                    FROM documents WHERE source <> 'src0'))) cg
+          LEFT JOIN (
+            SELECT DISTINCT unnest(${gramsSql(n)}) AS shingle
+            FROM (SELECT $toksSql AS t
+                  FROM documents WHERE source = 'src0')) bg
+            ON cg.shingle = bg.shingle
+          GROUP BY doc_id)"""
+      Seq(2, 3, 5).map(one).mkString("", "\nUNION ALL\n",
+        "\nORDER BY n")
+    })
+
+  // ---------------------------------------------------------------- E64
+  /** Quality-score drift between crawl cohorts (doc_id parity — this
+    * crawl vs last): the E2 quality score binned into 10 FIXED bins
+    * (both engines bin the bit-identical 6dp-rounded double, so the
+    * boundary behavior matches by construction), per-bin shares and
+    * C45-discipline PSI terms — the "did our quality distribution
+    * move" monitor a curation pipeline alarms on. */
+  private val qualityDrift = QueryDef(
+    "quality_drift",
+    (s, d) => {
+      val cols = graft.operators.TextOps.qualityColumns(F.col("text"))
+      val quality = cols.find(_._1 == "quality").get._2
+      val q = t(s, d, "documents")
+        .select(F.expr("doc_id % 2 = 0").as("is_a"), quality.as("q"))
+        .select(F.col("is_a"),
+          F.expr("CAST(least(CAST(floor(q * 10) AS BIGINT), 9L) " +
+            "AS BIGINT)").as("bin"))
+      val counts = q.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        F.sum(F.when(!F.col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      val totals = counts.agg(F.sum("n_a").cast("long").as("ta"),
+        F.sum("n_b").cast("long").as("tb"))
+      counts.crossJoin(F.broadcast(totals))
+        .select(F.col("bin"), F.col("n_a"), F.col("n_b"),
+          F.expr("n_a * 1000000L div ta").as("share_a_micro"),
+          F.expr("n_b * 1000000L div tb").as("share_b_micro"),
+          F.when(F.col("n_a") > 0 && F.col("n_b") > 0,
+            F.round((F.col("n_a").cast("double") / F.col("ta") -
+                F.col("n_b").cast("double") / F.col("tb")) *
+              F.log(F.col("n_a").cast("double") * F.col("tb") /
+                (F.col("n_b").cast("double") * F.col("ta"))), 6))
+            .as("psi_term"))
+        .orderBy("bin")
+    },
+    Some {
+      val stop = graft.operators.TextOps.stopwords
+        .map(m => s"x = '$m'").mkString(" OR ")
+      s"""
+      WITH qd AS (
+        SELECT doc_id % 2 = 0 AS is_a,
+               round((n_stop * 1.0 / n_tokens) * 0.5
+                     + (n_punct * 1.0 / n_chars_len) * 0.3
+                     + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS q
+        FROM (
+          SELECT doc_id,
+                 len($toksSql) AS n_tokens,
+                 len(list_filter($toksSql, x -> $stop)) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT)
+                   AS n_punct,
+                 CAST(length(text) AS BIGINT) AS n_chars_len
+          FROM documents)),
+      b AS (
+        SELECT is_a,
+               CAST(least(CAST(floor(q * 10) AS BIGINT), 9) AS BIGINT)
+                 AS bin
+        FROM qd),
+      c AS (SELECT bin,
+                   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                   CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_b
+            FROM b GROUP BY bin),
+      tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+      SELECT bin, n_a, n_b,
+             CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_micro,
+             CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_micro,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round((CAST(n_a AS DOUBLE) / ta -
+                      CAST(n_b AS DOUBLE) / tb) *
+                     ln(CAST(n_a AS DOUBLE) * tb /
+                        (CAST(n_b AS DOUBLE) * ta)), 6)
+             END AS psi_term
+      FROM c, tt ORDER BY bin"""
+    })
+
   def all: Seq[QueryDef] = Seq(
     qualityRules, textRepetition, contamination, packBins, domainMix,
-    keywordTfidf, termBurstiness)
+    keywordTfidf, termBurstiness, contaminationSweep, qualityDrift)
 }
