@@ -63,7 +63,10 @@ object BiQueries {
     * year, growth in ppm via exact integer cross-multiplication
     * ((cur−prev)·10⁶ div prev — C64's portable floor-division, growth
     * can be negative); lag pairing by month arithmetic on the
-    * calendar-bounded month grid. */
+    * calendar-bounded month grid. The ·10⁶ product routes through
+    * DECIMAL(38,0)/HUGEINT (SURVEY §5 wide-product rule): monthly cents
+    * reach ~3e13 at SF100, so the int64 product would overflow at the
+    * design scale even though every verified SF fits. */
   private val yoyGrowth = QueryDef(
     "yoy_growth",
     (s, d) => {
@@ -77,9 +80,11 @@ object BiQueries {
         .join(monthly.as("b"), F.expr("a.m = b.m + 12"))
         .select(F.col("a.m").as("m"), F.col("a.cents").as("cents"),
           F.col("b.cents").as("prev_cents"),
-          F.expr("((a.cents - b.cents) * 1000000L - " +
-            "(((a.cents - b.cents) * 1000000L % b.cents) + b.cents) " +
-            "% b.cents) div b.cents").as("yoy_ppm"))
+          F.expr("CAST((CAST(a.cents - b.cents AS DECIMAL(38,0)) " +
+            "* 1000000 - " +
+            "(((CAST(a.cents - b.cents AS DECIMAL(38,0)) * 1000000 " +
+            "% b.cents) + b.cents) % b.cents)) div b.cents AS BIGINT)")
+            .as("yoy_ppm"))
         .orderBy("m")
     },
     Some("""
@@ -90,9 +95,10 @@ object BiQueries {
                     AS BIGINT) AS cents
         FROM orders GROUP BY 1)
       SELECT a.m, a.cents, b.cents AS prev_cents,
-             CAST(((a.cents - b.cents) * 1000000 -
-                   (((a.cents - b.cents) * 1000000 % b.cents) + b.cents)
-                   % b.cents) // b.cents AS BIGINT) AS yoy_ppm
+             CAST((CAST(a.cents - b.cents AS HUGEINT) * 1000000 -
+                   (((CAST(a.cents - b.cents AS HUGEINT) * 1000000
+                      % b.cents) + b.cents)
+                   % b.cents)) // b.cents AS BIGINT) AS yoy_ppm
       FROM mo a JOIN mo b ON a.m = b.m + 12
       ORDER BY a.m"""))
 

@@ -31,8 +31,10 @@ object BootQueries {
   // ---------------------------------------------------------------- C68
   /** Deterministic Poisson bootstrap CI for mean order value per
     * segment: 32 resamples, each row's weight in resample r = the
-    * Poisson(1) draw decoded from hash(key, r) against the fixed
-    * thresholds — ONE explode(0..31) pass + one map-side-combined
+    * Poisson(1) draw decoded from hash(segment, ORDERKEY, r) against
+    * the fixed thresholds — keyed on ROW IDENTITY, so two orders with
+    * the same price draw independent weights (a value-keyed draw would
+    * correlate their resamples and bias the CI) — ONE explode(0..31) pass + one map-side-combined
     * (segment, r) aggregate; the 32 resample means sort inside a
     * 32-row window frame per segment. CI = 2nd / 31st order statistic
     * (the ~94% interval). No data copies, no rand(): the resample
@@ -48,10 +50,10 @@ object BootQueries {
           F.col("o_orderkey").as("ok"),
           F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       val weighted = o
-        .select(F.col("segment"), F.col("cents"),
+        .select(F.col("segment"), F.col("ok"), F.col("cents"),
           F.explode(F.expr("sequence(0, 31)")).as("r"))
         .withColumn("h", Hashing.hash60(
-          F.concat_ws(":", F.col("segment"), F.col("cents"),
+          F.concat_ws(":", F.col("segment"), F.col("ok"),
             F.col("r").cast("string"))))
         .withColumn("w", F.expr(
           s"size(filter(array($thresholds), t -> h >= t))"))
@@ -76,14 +78,14 @@ object BootQueries {
     },
     Some(s"""
       WITH o AS (
-        SELECT c_mktsegment AS segment,
+        SELECT c_mktsegment AS segment, o_orderkey AS ok,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders JOIN customer ON o_custkey = c_custkey),
       w AS (
         SELECT segment, cents, r,
                len(list_filter([${poisT.mkString(",")}], t ->
                  ${Hashing.hash60Sql(
-                   "segment || ':' || CAST(cents AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}
+                   "segment || ':' || CAST(ok AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}
                  >= t)) AS w
         FROM o, unnest(generate_series(0, 31)) AS u(r)),
       m AS (

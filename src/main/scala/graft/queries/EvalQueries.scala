@@ -249,11 +249,13 @@ object EvalQueries {
   /** Per-segment Gini coefficient of customer revenue — the standard
     * concentration audit (is 80% of revenue in 2% of customers?). Exact
     * integer pipeline: per-customer revenue in cents (ONE grouped
-    * shuffle over orders), then the rank-weighted sum Σ i·xᵢ via a
-    * DISTRIBUTED PREFIX RANK — range-partition by (segment, cents,
-    * custkey), per-shard counts become broadcast rank offsets, the
-    * intra-shard window never sees more than one shard (E47's stitched
-    * cumsum pattern, so no single-partition global sort at any scale).
+    * shuffle over orders), then the rank-weighted sum Σ i·xᵢ via the
+    * DISTRIBUTED PREFIX RANK
+    * ([[graft.operators.DistRank.globalRowNumber]] over (segment,
+    * cents, custkey), positionally numbered on one materialized range
+    * shuffle — no single-partition sort at any scale), re-based per
+    * segment by subtracting each segment's first global rank
+    * (segment-count-bounded broadcast).
     * Ties share a value, and Σ i·xᵢ is invariant under permuting ties,
     * so the result is deterministic. G = 2·Σi·xᵢ/(n·S) − (n+1)/n,
     * published in exact integer micros (both terms floored identically
@@ -268,19 +270,17 @@ object EvalQueries {
       val seg = rev.join(
         t(s, d, "customer").select(F.col("c_custkey").as("ck"),
           F.col("c_mktsegment").as("segment")), "ck")
-      val ranged = seg
-        .repartitionByRange(8, F.col("segment"), F.col("cents"), F.col("ck"))
-        .withColumn("_shard", F.spark_partition_id())
-      val offsets = ranged.groupBy("segment", "_shard")
-        .agg(F.count(F.lit(1)).as("_cnt"))
-        .withColumn("_offset", F.coalesce(
-          F.sum("_cnt").over(Window.partitionBy("segment").orderBy("_shard")
-            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
-        .select("segment", "_shard", "_offset")
-      val intra = Window.partitionBy("segment", "_shard")
-        .orderBy("cents", "ck")
-      ranged.join(F.broadcast(offsets), Seq("segment", "_shard"))
-        .withColumn("rank", F.row_number().over(intra) + F.col("_offset"))
+      // per-segment rank = exact distributed GLOBAL rank over
+      // (segment, cents, ck) minus the segment's first global rank + 1
+      // (DistRank numbers positionally over one materialized shuffle —
+      // the former two-branch shard/offset plan could re-sample range
+      // boundaries differently per branch and mislabel shards); the
+      // offset frame is segment-count-bounded
+      val g = graft.operators.DistRank.globalRowNumber(seg, "_grn",
+        F.col("segment"), F.col("cents"), F.col("ck"))
+      val segOff = g.groupBy("segment").agg(F.min("_grn").as("_soff"))
+      g.join(F.broadcast(segOff), Seq("segment"))
+        .withColumn("rank", F.col("_grn") - F.col("_soff") + F.lit(1L))
         .groupBy("segment").agg(
           F.count(F.lit(1)).as("n_cust"),
           F.sum("cents").as("sum_cents"),

@@ -275,32 +275,25 @@ object MlQueries {
     * alternative to Bernoulli sampling, and heavy docs legitimately
     * yield >1 copy (n_copies column; exploding is the caller's choice).
     *
-    * Scale shape: the global cumsum is a DISTRIBUTED PREFIX SUM — range
-    * partition by id, per-partition subtotals (a ~32-row frame) turned
-    * into broadcast offsets, then an intra-partition running sum. No
-    * single global sort; this is the same pattern that lets pack_bins
-    * shard its cumsum, here with the cross-shard offsets stitched so
-    * the cumsum is exactly the one-node answer. */
+    * Scale shape: the global cumsum is a DISTRIBUTED PREFIX SUM
+    * ([[graft.operators.DistRank.globalCumSum]]) — range partition by
+    * id, per-shard subtotals (one long per shard) stitched into offsets
+    * over the SINGLE materialized shuffle, then an intra-shard running
+    * sum. No single global sort, and no second sampled exchange that
+    * could label shards differently from the first. */
   private val sampleSystematic = QueryDef(
     "sample_systematic",
     (s, d) => {
       val target = 100L
-      val ranged = t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(F.col("doc_id"), F.col("n_chars").cast("long").as("w"))
-        .repartitionByRange(8, F.col("doc_id"))
-        .withColumn("_shard", F.spark_partition_id())
-      val offsets = ranged.groupBy("_shard")
-        .agg(F.sum("w").as("_wsum"))
-        .withColumn("_offset",
-          F.coalesce(F.sum("_wsum").over(
-            Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0L)))
-        .select("_shard", "_offset")
-      val tot = ranged.agg(F.sum("w").as("_tot"))
-      val intra = Window.partitionBy("_shard").orderBy("doc_id")
-      ranged
-        .join(F.broadcast(offsets), Seq("_shard"))
-        .withColumn("cum", F.sum("w").over(intra) + F.col("_offset"))
+      // exact distributed running sum (DistRank: one range exchange,
+      // numbered positionally over the ONE materialized shuffle — the
+      // former two-branch shard/offset plan could re-sample different
+      // range boundaries per branch and mislabel shards)
+      val tot = base.agg(F.sum("w").as("_tot"))
+      graft.operators.DistRank
+        .globalCumSum(base, "w", "cum", F.col("doc_id"))
         .crossJoin(F.broadcast(tot))
         .withColumn("n_copies",
           F.expr(s"cum div (_tot div $target) - (cum - w) div (_tot div $target)"))

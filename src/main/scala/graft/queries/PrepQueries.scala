@@ -249,7 +249,7 @@ object PrepQueries {
          |ORDER BY doc_id, copy_idx""".stripMargin
     })
 
-  // ---------------------------------------------------------------- D11
+  // ---------------------------------------------------------------- D38
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

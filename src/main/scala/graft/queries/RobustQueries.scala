@@ -21,16 +21,17 @@ import Tables.t
   */
 object RobustQueries {
 
-  // ---------------------------------------------------------------- C57
+  // ---------------------------------------------------------------- C64
   /** Theil–Sen robust trend per month: daily revenue cents (exact
     * decimal sums), all day-pairs WITHIN a month (≤ C(31,2) = 465 pairs
     * per group — calendar-bounded, never corpus-bounded), slope of each
     * pair in floor-division micros, and the deterministic median slope
     * via the percentile_disc cum-count pick (no NTILE tie ambiguity).
     * Floor division is spelled (a − ((a%b)+b)%b) div b on BOTH engines
-    * — Spark `div` truncates toward zero and DuckDB `//` floors, so
-    * neither native operator is portable for negative dy; the explicit
-    * mod-adjusted form divides exactly. */
+    * — both native operators (Spark `div`, DuckDB `//`) truncate toward
+    * zero, so they already agree; the explicit mod-adjusted form pins
+    * TRUE FLOOR semantics independent of either engine's truncation
+    * choice (and of any future engine swap) for negative dy. */
   private val theilSen = QueryDef(
     "theil_sen",
     (s, d) => {
@@ -91,7 +92,7 @@ object RobustQueries {
                   AS BIGINT) AS median_slope_micro
       FROM cu GROUP BY month ORDER BY month"""))
 
-  // ---------------------------------------------------------------- C58
+  // ---------------------------------------------------------------- M8
   /** Mutual information between two categorical metadata columns
     * (lang × source on documents) — the dependence audit behind "is
     * my domain mix confounded with language". Cell counts are one
@@ -118,9 +119,9 @@ object RobustQueries {
         .groupBy("lang")
         // greatest(·,0): the exact per-lang partial is ≥ 0 (it is
         // p(l)·KL(p(s|l)‖p(s))), so any negative is pure micro-rounding
-        // noise — clamping makes the division operate on a non-negative
-        // value where Spark's truncating div and DuckDB's flooring //
-        // agree
+        // noise — clamping keeps the division on a non-negative value,
+        // where truncation and floor coincide whatever either engine's
+        // native integer division does
         .agg(F.max("ra").as("n_docs"),
           F.expr("CAST(sum(term_micro) AS BIGINT)").as("sum_term_micro"),
           F.expr("greatest(sum(term_micro), 0L) div max(n)")
@@ -148,7 +149,7 @@ object RobustQueries {
                AS mi_part_micro
       FROM tm GROUP BY lang ORDER BY lang"""))
 
-  // ---------------------------------------------------------------- D27
+  // ---------------------------------------------------------------- D31
   /** Common-neighbor link prediction on the co-purchase graph, batch
     * pattern: score candidate partners for a deterministic ANCHOR
     * COHORT (pk ≡ 0 mod 199 — the systematic product batch a nightly
@@ -224,7 +225,7 @@ object RobustQueries {
       FROM ne JOIN deg da ON ne.a = da.x JOIN deg db ON ne.b = db.x
       ORDER BY jaccard_micro DESC, ne.a, ne.b LIMIT 100"""))
 
-  // ---------------------------------------------------------------- D28
+  // ---------------------------------------------------------------- D32
   /** Per-dimension embedding profile: n / exact-micro mean / exact
     * variance per coordinate, plus the variance rank that drives
     * dimension selection (which prefix to keep for Matryoshka-style

@@ -131,7 +131,8 @@ object SeriesQueries {
           F.expr("CAST(sum(aerr) * 1000000 div count(*) AS BIGINT)")
             .as("mae_micro"),
           // bias can be negative: explicit floor-division (C64's portable
-          // form) — Spark div truncates toward zero, DuckDB // floors
+          // form) — pins true floor semantics regardless of either
+          // engine's truncation choice (both natives truncate to zero)
           F.expr("CAST((sum(err) * 1000000 - ((sum(err) * 1000000 % " +
             "count(*)) + count(*)) % count(*)) div count(*) AS BIGINT)")
             .as("bias_micro"),

@@ -17,8 +17,11 @@ object ShardQueries {
     * exclusive-prefix-tokens div B (B = 10 000) — every shard holds
     * ≈B tokens with only boundary docs straddling. Two-level prefix:
     * blocks of 1024 ids aggregate map-side; the block-offset cumsum
-    * runs on the blocks frame (corpus/1024 rows); the intra-block
-    * cumsum window sorts ≤1024 docs per partition. Output: per shard
+    * runs on the blocks frame (corpus/1024 rows) via the DISTRIBUTED
+    * prefix sum ([[graft.operators.DistRank.globalCumSum]] — the block
+    * frame grows with the corpus, so it must not funnel through one
+    * window partition either); the intra-block cumsum window sorts
+    * ≤1024 docs per partition. Output: per shard
     * the doc count, exact token total, and id range — the manifest a
     * training run reads. */
   private val tokenShards = QueryDef(
@@ -30,12 +33,14 @@ object ShardQueries {
             "x -> x != '')) AS BIGINT)").as("toks"),
           F.expr("doc_id div 1024").as("blk"))
       val blocks = docs.groupBy("blk").agg(F.sum("toks").as("btoks"))
-      val offsets = blocks
-        .withColumn("boff", F.expr(
-          "sum(btoks) OVER (ORDER BY blk ROWS BETWEEN UNBOUNDED " +
-            "PRECEDING AND 1 PRECEDING)"))
-        .select(F.col("blk"), F.coalesce(F.col("boff"), F.lit(0L))
-          .as("boff"))
+      // the block-offset cumsum itself runs DISTRIBUTED (the blocks
+      // frame is corpus/1024 rows — metadata-sized at sf0.1 but still
+      // corpus-proportional, so it gets the same prefix-sum treatment
+      // as the doc level rather than one unpartitioned window)
+      val offsets = graft.operators.DistRank
+        .globalCumSum(blocks, "btoks", "bcum", F.col("blk"))
+        .select(F.col("blk"),
+          (F.col("bcum") - F.col("btoks")).as("boff"))
       val wb = Window.partitionBy("blk").orderBy("doc_id")
       docs
         .withColumn("icum", F.sum("toks").over(wb))

@@ -918,15 +918,16 @@ object StreamingQueries {
       val dir = stage(s, d, "events")
       val ref = s.read.parquet(dir).where(F.expr("event_id % 2 = 0"))
         .select(F.col("value"), F.col("event_id"))
-      // the 9 bound values are a model artifact: computed once, tiny,
-      // and (unlike the stream) allowed a global rank — over the
-      // REFERENCE cohort only
+      // the 9 bound values are a model artifact: computed once, tiny
+      // (the collect is 9 doubles) — ranked over the REFERENCE cohort
+      // by the DISTRIBUTED exact rank, same discipline as C45; no
+      // single-partition window even on the batch side
       val nRef = ref.count()
-      val bounds = ref
-        .withColumn("rn", F.row_number().over(
-          Window.orderBy("value", "event_id")).cast("long"))
+      val bounds = graft.operators.DistRank
+        .globalRowNumber(ref, "rn", F.col("value"), F.col("event_id"))
         .where(F.expr(s"array_contains(transform(sequence(1, 9), " +
           s"k -> (${nRef}L * k) div 10), rn)"))
+        .select("value")
         .orderBy("value").collect().map(_.getDouble(0))
       val boundsCol = F.array(bounds.map(F.lit(_)): _*)
       val stream = s.readStream.schema(s.read.parquet(dir).schema)
@@ -1039,11 +1040,21 @@ object StreamingQueries {
           case None => s.conf.unset(
             "spark.sql.streaming.stateStore.providerClass")
         }
+      // emissions are CUMULATIVE ([[StreamOps.BalCarry]]); a key that
+      // flushed twice (events straddling a batch boundary with a
+      // >30-min gap) emits a superseded row then the full one — keep
+      // the max-nEvents emission (nEvents strictly grows per key)
       out.withColumnRenamed("userId", "user_id")
+        .groupBy("user_id")
+        .agg(F.max_by(
+          F.struct(F.col("nEvents"), F.col("finalMicro"),
+            F.col("minMicro"), F.col("nDips")),
+          F.col("nEvents")).as("sm"))
         .join(F.broadcast(flushed), Seq("user_id"))
-        .select(F.col("user_id"), F.col("nEvents").as("n_events"),
-          F.col("finalMicro").as("final_micro"),
-          F.col("minMicro").as("min_micro"), F.col("nDips").as("n_dips"))
+        .select(F.col("user_id"), F.col("sm.nEvents").as("n_events"),
+          F.col("sm.finalMicro").as("final_micro"),
+          F.col("sm.minMicro").as("min_micro"),
+          F.col("sm.nDips").as("n_dips"))
         .orderBy("user_id")
     },
     Some("""

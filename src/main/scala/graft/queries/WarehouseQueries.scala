@@ -395,9 +395,10 @@ object WarehouseQueries {
     * exact integer micros, PSI terms derived. PSI > 0.25 is the classic
     * retrain trigger.
     *
-    * Scale shape: the baseline rank is the one global sort (at 100 TB
-    * you compute bounds on a hash-sample — the E6 discipline); binning
-    * is a broadcast of 9 doubles; the bin histogram map-side combines. */
+    * Scale shape: the baseline rank is a DISTRIBUTED exact rank
+    * ([[graft.operators.DistRank.globalRowNumber]] — range-partitioned,
+    * no single-partition window anywhere); binning is a broadcast of 9
+    * doubles; the bin histogram map-side combines. */
   private val driftPsi = QueryDef(
     "drift_psi",
     (s, d) => {
@@ -407,10 +408,8 @@ object WarehouseQueries {
         (F.col("o_orderdate") < cutoff).as("is_a"))
       val a = o.where(F.col("is_a"))
       val na = a.agg(F.count(F.lit(1)).as("n"))
-      val ranked = a
-        .withColumn("rn",
-          F.row_number().over(Window.orderBy("price", "o_orderkey"))
-            .cast("long"))
+      val ranked = graft.operators.DistRank
+        .globalRowNumber(a, "rn", F.col("price"), F.col("o_orderkey"))
         .crossJoin(F.broadcast(na))
       val bounds = ranked
         .where(F.expr(
@@ -537,10 +536,15 @@ object WarehouseQueries {
   // ---------------------------------------------------------------- C48
   /** RFM customer segmentation: recency (days from last order to the
     * corpus max date — data-derived so the query is reproducible),
-    * frequency, exact-decimal monetary, each scored 1–5 by ntile with a
+    * frequency, exact-decimal monetary, each scored 1–5 with a
     * customer-key tie-break (bit-stable quintiles). One fact aggregate;
-    * the three ntile windows sort the CUSTOMER table (dimension-sized),
-    * never the fact. */
+    * each quintile is an exact distributed rank
+    * ([[graft.operators.DistRank.globalRowNumber]]) closed by the
+    * ntile arithmetic ([[graft.operators.DistRank.ntileExpr]]) — the
+    * customer dimension is range-partitioned three times, never pushed
+    * through a single-partition ntile window (billions of customers at
+    * 100 TB would serialize on one task). Oracle stays plain ntile(5):
+    * the rank+formula is bit-identical to the window. */
   private val rfm = QueryDef(
     "rfm",
     (s, d) => {
@@ -554,14 +558,25 @@ object WarehouseQueries {
         .select(F.col("custkey"),
           F.datediff(F.col("mx"), F.col("last_day")).cast("long").as("r"),
           F.col("f"), F.col("m"))
-      def score(c: String, asc: Boolean) = F.ntile(5).over(
-        if (asc) Window.orderBy(F.col(c).asc, F.col("custkey").asc)
-        else Window.orderBy(F.col(c).desc, F.col("custkey").asc))
-        .cast("long")
-      base.select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
-        score("r", asc = true).as("r_score"),   // low recency = best
-        score("f", asc = false).as("f_score"),
-        score("m", asc = false).as("m_score"))
+      val nC = base.agg(F.count(F.lit(1)).as("nc"))
+      def score(df: org.apache.spark.sql.DataFrame, c: String,
+          asc: Boolean, out: String) = {
+        val keys =
+          if (asc) Seq(F.col(c).asc, F.col("custkey").asc)
+          else Seq(F.col(c).desc, F.col("custkey").asc)
+        graft.operators.DistRank.globalRowNumber(df, "_rn", keys: _*)
+          .withColumn(out,
+            graft.operators.DistRank.ntileExpr("_rn", "nc", 5)
+              .cast("long"))
+          .drop("_rn")
+      }
+      val scored = score(score(score(
+        base.crossJoin(F.broadcast(nC)),
+        "r", asc = true, "r_score"),    // low recency = best
+        "f", asc = false, "f_score"),
+        "m", asc = false, "m_score")
+      scored.select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
+        F.col("r_score"), F.col("f_score"), F.col("m_score"))
         .orderBy("custkey")
     },
     Some("""

@@ -123,6 +123,14 @@ object StreamOps extends Serializable {
   case class BalEv(tsUs: Long, eventId: Long, deltaMicro: Long)
   case class BalOut(userId: Long, nEvents: Long, finalMicro: Long,
       minMicro: Long, nDips: Long)
+  /** Running trajectory carried across flushes so each emission is the
+    * CUMULATIVE summary, not a per-segment partial: continuing a replay
+    * needs exactly (balance, min-so-far, dips-so-far, count) — the dip
+    * test for the next event only needs the previous balance, which IS
+    * `bal`. Makes multi-emission (events straddling micro-batches with
+    * a >flush-delay gap) converge to the same final row; consumers keep
+    * the max-nEvents emission per key. */
+  case class BalCarry(bal: Long, mn: Long, dips: Long, n: Long)
 
   /** Spark 4 `StatefulProcessor` for ordered running-balance replay —
     * the transformWithState (state v2, RocksDB-backed) counterpart of
@@ -141,6 +149,7 @@ object StreamOps extends Serializable {
     import org.apache.spark.sql.{Encoders, streaming}
     @transient private var buf: ListState[BalEv] = _
     @transient private var armed: ValueState[Long] = _
+    @transient private var carry: ValueState[BalCarry] = _
 
     override def init(outputMode: streaming.OutputMode,
         timeMode: TimeMode): Unit = {
@@ -148,6 +157,10 @@ object StreamOps extends Serializable {
         TTLConfig.NONE)
       armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
         TTLConfig.NONE)
+      // 4 longs per user, bounded by key cardinality like any per-key
+      // aggregate (production would add a TTL for retired users)
+      carry = getHandle.getValueState[BalCarry]("carry",
+        Encoders.product[BalCarry], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[BalIn],
@@ -176,13 +189,21 @@ object StreamOps extends Serializable {
       buf.clear(); armed.clear()
       if (evs.isEmpty) Iterator.empty
       else {
-        var bal = 0L; var mn = 0L; var dips = 0L; var prev = 0L
+        // resume from the carried trajectory: emissions are cumulative,
+        // so a key flushed twice (events straddling a micro-batch
+        // boundary with a >flush-delay gap) emits a superseded row and
+        // then the complete one — never two divergent partials
+        val c0 = Option(carry.get()).getOrElse(BalCarry(0L, 0L, 0L, 0L))
+        var bal = c0.bal; var mn = c0.mn; var dips = c0.dips
+        var prev = bal
         evs.foreach { e =>
           prev = bal; bal += e.deltaMicro
           if (bal < mn) mn = bal
           if (bal < 0 && prev >= 0) dips += 1
         }
-        Iterator.single(BalOut(key, evs.size.toLong, bal, mn, dips))
+        val n = c0.n + evs.size.toLong
+        carry.update(BalCarry(bal, mn, dips, n))
+        Iterator.single(BalOut(key, n, bal, mn, dips))
       }
     }
   }
