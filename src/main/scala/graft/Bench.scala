@@ -48,31 +48,36 @@ object Bench {
     // comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonLine(rs: Seq[(String, Double)], total: Double): String = {
+    def jsonLine(rs: Seq[(String, Double)], total: Double,
+        extra: String = ""): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""sf":"$sfDir"$extra,"queries":$qs}"""
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // last line as JSON — a 200-query map is ~6 KB, so its head gets cut
     // and every round's bench came back `parsed: null` (r1–r5). The
-    // stdout line therefore carries the total plus the N most expensive
-    // queries, trimmed until the line fits a hard 1600-char budget; the
-    // FULL per-query map is persisted to bench_out.json for audit.
-    var top = results.sortBy(-_._2)
-    while (top.nonEmpty && jsonLine(top.sortBy(_._1), total).length > 1600)
+    // stdout line therefore carries a DOCUMENTED compact view: the
+    // suite total plus the 20 slowest queries, with explicit
+    // query_count / queries_in_map fields so nothing is silently
+    // dropped; the FULL per-query map is persisted to bench_out.json.
+    var top = results.sortBy(-_._2).take(20)
+    def meta(n: Int): String =
+      s""","query_count":${results.size},"queries_in_map":$n""" +
+        s""","queries_full":"bench_out.json","note":"queries = $n slowest""""
+    while (top.nonEmpty &&
+      jsonLine(top.sortBy(_._1), total, meta(top.size)).length > 1600)
       top = top.dropRight(1)
-    // full line second-to-last (auditable in the tail when short enough),
-    // short line LAST — the one the driver parses. Persisted only for
-    // FULL runs: an args-restricted profiling run must not clobber the
-    // committed full-suite record.
+    // Persisted only for FULL runs: an args-restricted profiling run
+    // must not clobber the committed full-suite record.
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
         jsonLine(results, total) + "\n")
       catch { case _: Throwable => () }
-    println(jsonLine(top.sortBy(_._1), total))
+    println(jsonLine(top.sortBy(_._1), total, meta(top.size)))
     spark.stop()
   }
 }
