@@ -1118,10 +1118,54 @@ object StreamingQueries {
       SELECT fm, CAST(count(*) AS BIGINT) AS new_customers
       FROM f GROUP BY fm ORDER BY fm"""))
 
+  // ----------------------------------------------------------------- G26
+  /** Streaming URL-exact dedup — E67's production twin: documents
+    * stream through the E66 canonicalizer (pure narrow regexp maps,
+    * fully streamable), then a stateful per-canonical-URL aggregate
+    * keeps the min doc id and arrival count. MIN, not first-arrival
+    * dropDuplicates: the survivor is arrival-order INDEPENDENT, so the
+    * drained frame hash-matches the batch oracle whatever the file
+    * split order. State is URL-space bounded (the dedup key set), the
+    * same bound as the batch aggregate's shuffle. The drained per-URL
+    * frame then batch-regroups per host — the two-stage shape chained
+    * stateful streaming aggregations require. */
+  private val streamUrlDedup = QueryDef(
+    "stream_url_dedup",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream.schema(s.read.parquet(dir).schema)
+        .parquet(dir)
+      val per = graft.operators.UrlOps.withNormalizedUrl(
+        graft.operators.UrlOps.withSyntheticUrl(
+          stream.select("doc_id", "source")), "raw_url")
+        .groupBy("u_host", "norm_url")
+        .agg(F.min("doc_id").as("keep_doc"),
+          F.count(F.lit(1)).as("n"))
+      withStatePartitions(s, 8) { drain(per, "complete") }
+        .groupBy("u_host")
+        .agg(F.count(F.lit(1)).as("n_urls"),
+          F.sum("n").as("n_docs"),
+          F.min("keep_doc").as("first_doc"))
+        .orderBy("u_host")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, source FROM documents),
+      ${graft.operators.UrlOps.syntheticUrlCtes("base")},
+      ${graft.operators.UrlOps.normalizeUrlCtes("su", "raw_url")},
+      per AS (
+        SELECT u_host, norm_url,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM un GROUP BY 1, 2)
+      SELECT u_host, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(min(keep_doc) AS BIGINT) AS first_doc
+      FROM per GROUP BY u_host ORDER BY u_host"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
-    streamSample, streamPsi, streamBalance, streamFirstSeen)
+    streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup)
 }

@@ -351,6 +351,27 @@ object ScaleTest {
       "histogram_log2", "id_gaps", "bom_explode", "mutual_information",
       "embed_dim_profile", "attribution_decay")
       .foreach(timeQ)
+    // r7 probes: token-budget sharding (shard-manifest count grows with
+    // the corpus — flagged in the r6 verdict as the one worth probing),
+    // the trailing-window z-score, the length-stratified dup profile
+    // and the survival/loyalty BI set; then the DistRank rewires (rfm /
+    // drift_psi / gini / sample_systematic must scale linearly now that
+    // their global ranks are distributed) and the r7 crawl-prep +
+    // incremental-index waves (url ops narrow-map + host-bounded,
+    // ivf_incremental batch-bounded).
+    spark.read.parquet(s"$base/nation.parquet")
+      .write.mode("overwrite").parquet(s"$qdir/nation.parquet")
+    // (survival_curve reports rows=0 here BY CONSTRUCTION: replication
+    // duplicates each customer's orders onto the same dates, so every
+    // first-repeat gap is 0 days — below the 7-day ladder. The probe
+    // still times the full 10× scan + per-customer window.)
+    Seq("token_shards", "window_zscore", "dup_by_length",
+      "survival_curve", "longest_streak", "repeat_interval",
+      "hhi_concentration", "decile_report", "new_vs_returning",
+      "boxplot_stats", "pareto_8020",
+      "rfm", "drift_psi", "gini_concentration", "sample_systematic",
+      "url_normalize", "url_dedup", "host_rollup", "ivf_incremental")
+      .foreach(timeQ)
     spark.stop()
   }
 }
