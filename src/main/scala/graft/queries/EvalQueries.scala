@@ -418,6 +418,148 @@ object EvalQueries {
                AS autocorr_7
       FROM sums"""))
 
+  // ---------------------------------------------------------------- M14
+  /** Precision–recall curve from SCORE-GROUPED counts (M1's histogram
+    * discipline — the corpus shuffles once into ≤1001 score rows, the
+    * cumulative window runs on that bounded frame, descending: high
+    * score = predicted positive first). Per distinct score threshold:
+    * cumulative TP/FP and exact ppm precision/recall. The PR read on
+    * the same weak-label scorer M1 grades by ROC — PR is the one that
+    * matters when positives are rare, which is exactly the filter-model
+    * regime. */
+  private val evalPrCurve = QueryDef(
+    "eval_pr_curve",
+    (s, d) => {
+      val g = scored(s, d).groupBy("score").agg(
+        F.sum("lbl").as("np"), F.sum(F.expr("1L - lbl")).as("nn"))
+      val w = Window.orderBy(F.col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = g.agg(F.sum("np").as("p_count"))
+      g.withColumn("cum_tp", F.sum("np").over(w))
+        .withColumn("cum_fp", F.sum("nn").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("score"), F.col("cum_tp"), F.col("cum_fp"),
+          F.expr("cum_tp * 1000000L div (cum_tp + cum_fp)")
+            .as("precision_ppm"),
+          F.expr("cum_tp * 1000000L div p_count").as("recall_ppm"))
+        .orderBy(F.col("score").desc)
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      g AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np,
+                   CAST(sum(1 - lbl) AS BIGINT) AS nn
+            FROM sc GROUP BY 1),
+      w AS (SELECT score, np, nn,
+                   CAST(sum(np) OVER (ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+                   CAST(sum(nn) OVER (ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp
+            FROM g),
+      tt AS (SELECT CAST(sum(np) AS BIGINT) AS p_count FROM g)
+      SELECT score, cum_tp, cum_fp,
+             CAST(cum_tp * 1000000 // (cum_tp + cum_fp) AS BIGINT)
+               AS precision_ppm,
+             CAST(cum_tp * 1000000 // p_count AS BIGINT) AS recall_ppm
+      FROM w, tt ORDER BY score DESC"""))
+
+  // ---------------------------------------------------------------- M15
+  /** Average precision (the PR-AUC scalar): AP = Σ_t Δrecall_t ·
+    * precision_t over descending score thresholds = Σ_t np_t ·
+    * prec_ppm_t div P, with precision fixed per threshold in exact ppm
+    * BEFORE the sum (each term an integer, so the sum is
+    * order-independent) and ONE closing integral division. Same bounded
+    * score-grouped frame as M14; products through DECIMAL(38,0)/HUGEINT
+    * (np · prec can reach corpus · 10⁶). */
+  private val evalPrAuc = QueryDef(
+    "eval_pr_auc",
+    (s, d) => {
+      val g = scored(s, d).groupBy("score").agg(
+        F.sum("lbl").as("np"), F.sum(F.expr("1L - lbl")).as("nn"))
+      val w = Window.orderBy(F.col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cum_tp", F.sum("np").over(w))
+        .withColumn("cum_fp", F.sum("nn").over(w))
+        .withColumn("prec_ppm",
+          F.expr("cum_tp * 1000000L div (cum_tp + cum_fp)"))
+        .agg(F.sum("np").as("p_count"), F.sum("nn").as("n_count"),
+          F.sum(F.expr("CAST(np AS DECIMAL(38,0)) * prec_ppm"))
+            .as("_num"))
+        .select(F.col("p_count"), F.col("n_count"),
+          F.expr("CAST(_num div p_count AS BIGINT)").as("ap_ppm"))
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      g AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np,
+                   CAST(sum(1 - lbl) AS BIGINT) AS nn
+            FROM sc GROUP BY 1),
+      w AS (SELECT np, nn,
+                   CAST(sum(np) OVER (ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+                   CAST(sum(nn) OVER (ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp
+            FROM g)
+      SELECT CAST(sum(np) AS BIGINT) AS p_count,
+             CAST(sum(nn) AS BIGINT) AS n_count,
+             CAST(sum(CAST(np AS HUGEINT)
+                      * (cum_tp * 1000000 // (cum_tp + cum_fp)))
+                  // sum(np) AS BIGINT) AS ap_ppm
+      FROM w"""))
+
+  // ---------------------------------------------------------------- M16
+  /** Threshold-sweep confusion matrix: TP/FP/TN/FN plus exact ppm
+    * accuracy and F1 at the fixed 100..900 per-mille threshold ladder —
+    * the operating-point table a filter-model owner picks a cutoff
+    * from. One score-grouped pass, then a 9-threshold explode over the
+    * ≤1001-row frame (never over the corpus). F1 ppm = 2·TP·10⁶ div
+    * (2·TP + FP + FN), all integer. */
+  private val evalConfusion = QueryDef(
+    "eval_confusion",
+    (s, d) => {
+      val g = scored(s, d).groupBy("score").agg(
+        F.sum("lbl").as("np"), F.sum(F.expr("1L - lbl")).as("nn"))
+      g.select(F.col("score"), F.col("np"), F.col("nn"),
+        F.explode(F.expr(
+          "transform(sequence(1, 9), k -> k * 100L)")).as("th"))
+        .groupBy("th")
+        .agg(
+          F.sum(F.expr("CASE WHEN score >= th THEN np ELSE 0L END")).as("tp"),
+          F.sum(F.expr("CASE WHEN score >= th THEN nn ELSE 0L END")).as("fp"),
+          F.sum(F.expr("CASE WHEN score < th THEN nn ELSE 0L END")).as("tn"),
+          F.sum(F.expr("CASE WHEN score < th THEN np ELSE 0L END")).as("fn"))
+        .select(F.col("th"), F.col("tp"), F.col("fp"), F.col("tn"),
+          F.col("fn"),
+          F.expr("(tp + tn) * 1000000L div (tp + fp + tn + fn)")
+            .as("accuracy_ppm"),
+          F.expr("CASE WHEN 2*tp + fp + fn > 0 " +
+            "THEN 2 * tp * 1000000L div (2*tp + fp + fn) END")
+            .as("f1_ppm"))
+        .orderBy("th")
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      g AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np,
+                   CAST(sum(1 - lbl) AS BIGINT) AS nn
+            FROM sc GROUP BY 1),
+      c AS (
+        SELECT CAST(k * 100 AS BIGINT) AS th,
+               CAST(sum(CASE WHEN score >= k * 100 THEN np ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= k * 100 THEN nn ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score < k * 100 THEN nn ELSE 0 END)
+                    AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN score < k * 100 THEN np ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM g, unnest(generate_series(1, 9)) AS u(k) GROUP BY 1)
+      SELECT th, tp, fp, tn, fn,
+             CAST((tp + tn) * 1000000 // (tp + fp + tn + fn) AS BIGINT)
+               AS accuracy_ppm,
+             CAST(CASE WHEN 2*tp + fp + fn > 0
+                  THEN 2 * tp * 1000000 // (2*tp + fp + fn) END AS BIGINT)
+               AS f1_ppm
+      FROM c ORDER BY th"""))
+
   val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
-    ksDrift, giniConcentration, seasonalityDow, autocorrLag)
+    ksDrift, giniConcentration, seasonalityDow, autocorrLag,
+    evalPrCurve, evalPrAuc, evalConfusion)
 }

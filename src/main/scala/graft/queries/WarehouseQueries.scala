@@ -261,6 +261,93 @@ object WarehouseQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  // ---------------------------------------------------------------- E71
+  /** t-closeness audit (the step after E40's k-anonymity: a class can
+    * be k-anonymous yet leak because its SENSITIVE distribution differs
+    * from the table's): per quasi-identifier class (nation, segment),
+    * the ordinal EMD between the class's order-priority distribution
+    * and the global one — EMD = Σ|cumdiff| / (V−1) over the ordered
+    * categories, computed EXACTLY by cross-multiplying the cumulative
+    * counts (|cumc·n − cumg·n_c| through DECIMAL(38,0)/HUGEINT, ONE
+    * integral division at the end). Every frame is category-bounded
+    * (nations × segments × 5 priorities); the fact shuffles once into
+    * the cell counts. */
+  private val tCloseness = QueryDef(
+    "t_closeness",
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.expr("CAST(c_nationkey AS BIGINT)").as("nation"),
+          F.col("c_mktsegment").as("segment"),
+          F.col("o_orderpriority").as("pri"))
+      val cells = base.groupBy("nation", "segment", "pri")
+        .agg(F.count(F.lit(1)).as("n_cv"))
+      val classes = cells.groupBy("nation", "segment")
+        .agg(F.sum("n_cv").as("n_c"))
+      val pris = cells.groupBy("pri").agg(F.sum("n_cv").as("n_v"))
+      val tot = pris.agg(F.sum("n_v").as("n"),
+        F.count(F.lit(1)).as("v"))
+      val prisCum = pris // 5-row frame: the window is category-bounded
+        .withColumn("cumg", F.sum("n_v").over(
+          Window.orderBy("pri").rowsBetween(Window.unboundedPreceding, 0)))
+        .select("pri", "cumg")
+      val grid = classes.crossJoin(F.broadcast(prisCum))
+        .join(cells, Seq("nation", "segment", "pri"), "left")
+        .na.fill(0L, Seq("n_cv"))
+      grid
+        .withColumn("cumc", F.sum("n_cv").over(
+          Window.partitionBy("nation", "segment").orderBy("pri")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment")
+        .agg(F.max("n_c").as("n_c"), F.max("n").as("n"),
+          F.max("v").as("v"),
+          F.sum(F.expr(
+            "abs(CAST(cumc AS DECIMAL(38,0)) * n - " +
+              "CAST(cumg AS DECIMAL(38,0)) * n_c)")).as("_num"))
+        .select(F.col("nation"), F.col("segment"), F.col("n_c"),
+          F.expr("CAST(1000000 * _num div (CAST(n_c AS DECIMAL(38,0)) " +
+            "* n * (v - 1)) AS BIGINT)").as("t_micro"))
+        .orderBy("nation", "segment")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment, o_orderpriority AS pri
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (
+        SELECT nation, segment, pri, CAST(count(*) AS BIGINT) AS n_cv
+        FROM base GROUP BY 1, 2, 3),
+      classes AS (
+        SELECT nation, segment, CAST(sum(n_cv) AS BIGINT) AS n_c
+        FROM cells GROUP BY 1, 2),
+      pris AS (
+        SELECT pri, CAST(sum(n_cv) AS BIGINT) AS n_v FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS v FROM pris),
+      pcum AS (
+        SELECT pri, CAST(sum(n_v) OVER (ORDER BY pri
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg
+        FROM pris),
+      grid AS (
+        SELECT c.nation, c.segment, c.n_c, p.pri, p.cumg,
+               coalesce(ce.n_cv, 0) AS n_cv
+        FROM classes c CROSS JOIN pcum p
+             LEFT JOIN cells ce ON ce.nation = c.nation
+                  AND ce.segment = c.segment AND ce.pri = p.pri),
+      cum AS (
+        SELECT nation, segment, n_c, cumg,
+               CAST(sum(n_cv) OVER (PARTITION BY nation, segment
+                 ORDER BY pri ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+        FROM grid)
+      SELECT nation, segment, CAST(max(n_c) AS BIGINT) AS n_c,
+             CAST(1000000 * sum(abs(CAST(cumc AS HUGEINT) * n
+                                    - CAST(cumg AS HUGEINT) * n_c))
+                  // (CAST(max(n_c) AS HUGEINT) * max(n) * (max(v) - 1))
+                  AS BIGINT) AS t_micro
+      FROM cum, tot GROUP BY nation, segment ORDER BY nation, segment"""))
+
   // ---------------------------------------------------------------- C41
   /** Point-in-time dimension lookup: the C34 SCD2 table sliced at one
     * timestamp (valid_from ≤ t < valid_to, open current rows included).
@@ -640,6 +727,6 @@ object WarehouseQueries {
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
-    scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
+    tCloseness, scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
     rfm, basketAffinity)
 }

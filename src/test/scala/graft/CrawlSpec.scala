@@ -60,4 +60,27 @@ class CrawlSpec extends SparkSpec {
       "utm_|#|www\\.|:80(/|$)|:443(/|$)|/$|[A-Z]")).count()
     assert(bad == 0L)
   }
+
+  test("host_policy verdicts are consistent with the published metrics") {
+    val rows = SparkEntry.queries("host_policy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getLong(r.fieldIndex("n_docs"))
+      val nu = r.getLong(r.fieldIndex("n_urls"))
+      assert(nu >= 1L && nu <= nd)
+      assert(r.getLong(r.fieldIndex("dup_ppm")) ==
+        (nd - nu) * 1000000L / nd)
+      val expect =
+        if (r.getLong(r.fieldIndex("avg_q_micro")) < 210000L) "drop"
+        else if (r.getLong(r.fieldIndex("dup_ppm")) > 400000L)
+          "dedup_first"
+        else if (r.getLong(r.fieldIndex("share_ppm")) > 20000L)
+          "throttle"
+        else "keep"
+      assert(r.getString(r.fieldIndex("verdict")) == expect)
+    }
+    // corpus shares cover the table up to per-host floor loss
+    val tot = rows.map(_.getLong(rows.head.fieldIndex("share_ppm"))).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length)
+  }
 }

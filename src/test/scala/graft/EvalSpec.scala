@@ -146,4 +146,65 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-4, s"got=$got expect=$expect")
     assert(got >= -1.0 && got <= 1.0)
   }
+
+  /** Score-grouped (score, n_pos, n_neg) descending — the frame the PR
+    * family cumulates over. */
+  private def byScoreDesc(): Seq[(Long, Long, Long)] =
+    scoredPairs().groupBy(_._2).toSeq.map { case (s2, ps) =>
+      (s2, ps.count(_._1 == 1L).toLong, ps.count(_._1 == 0L).toLong)
+    }.sortBy(-_._1)
+
+  test("eval_pr_curve matches the brute-force descending cumulation") {
+    val p = scoredPairs().count(_._1 == 1L).toLong
+    var tp = 0L; var fp = 0L
+    val expect = byScoreDesc().map { case (s2, np, nn) =>
+      tp += np; fp += nn
+      (s2, tp, fp, tp * 1000000L / (tp + fp), tp * 1000000L / p)
+    }
+    val rows = q("eval_pr_curve").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows == expect)
+  }
+
+  test("eval_pr_auc equals the brute-force average precision") {
+    val pairs = scoredPairs()
+    val p = pairs.count(_._1 == 1L).toLong
+    var tp = 0L; var fp = 0L; var num = BigInt(0)
+    byScoreDesc().foreach { case (_, np, nn) =>
+      tp += np; fp += nn
+      num += BigInt(np) * (tp * 1000000L / (tp + fp))
+    }
+    val r = q("eval_pr_auc").collect().head
+    assert(r.getLong(r.fieldIndex("p_count")) == p)
+    assert(r.getLong(r.fieldIndex("n_count")) ==
+      pairs.length.toLong - p)
+    assert(r.getLong(r.fieldIndex("ap_ppm")) == (num / p).toLong)
+    // AP of a weak-but-positive scorer sits strictly between the
+    // positive base rate (random) and perfection
+    assert(r.getLong(r.fieldIndex("ap_ppm")) <= 1000000L)
+  }
+
+  test("eval_confusion: counts partition the corpus at every threshold") {
+    val pairs = scoredPairs()
+    val rows = q("eval_confusion").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 100L))
+    rows.foreach { r =>
+      val th = r.getLong(r.fieldIndex("th"))
+      val tp = pairs.count(x => x._2 >= th && x._1 == 1L).toLong
+      val fp = pairs.count(x => x._2 >= th && x._1 == 0L).toLong
+      val tn = pairs.count(x => x._2 < th && x._1 == 0L).toLong
+      val fn = pairs.count(x => x._2 < th && x._1 == 1L).toLong
+      assert(r.getLong(r.fieldIndex("tp")) == tp)
+      assert(r.getLong(r.fieldIndex("fp")) == fp)
+      assert(r.getLong(r.fieldIndex("tn")) == tn)
+      assert(r.getLong(r.fieldIndex("fn")) == fn)
+      assert(r.getLong(r.fieldIndex("accuracy_ppm")) ==
+        (tp + tn) * 1000000L / pairs.length)
+      if (2 * tp + fp + fn > 0)
+        assert(r.getLong(r.fieldIndex("f1_ppm")) ==
+          2 * tp * 1000000L / (2 * tp + fp + fn))
+      else assert(r.isNullAt(r.fieldIndex("f1_ppm")))
+    }
+  }
 }
