@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import Tables.t
+
+/** Wave-45 inventory (r7): behavioral audits over the event stream and
+  * the canonical causal-inference estimator over orders. */
+object BehaviorQueries {
+
+  // ---------------------------------------------------------------- C86
+  /** Bot-likeness score per user: event volume, type diversity, and the
+    * REGULARITY of inter-arrival gaps — bots fire on timers (squared
+    * coefficient of variation ≈ 0) where humans are bursty (cv² ≈ 1 for
+    * Poisson arrivals). cv² in exact ppm by integer cross-multiplication
+    * ((m·Σg² − (Σg)²)·10⁶ div (Σg)², non-negative by Cauchy–Schwarz,
+    * wide products through DECIMAL(38,0)/HUGEINT — gaps are epoch-micro
+    * differences, so (Σg)² alone overflows int64). The lag window is
+    * PARTITIONED BY user (per-partition sorts bounded by one user's
+    * events — never a global sort); one grouped pass after it. The flag
+    * thresholds are policy constants; on this corpus's synthetic Poisson
+    * arrivals finding NO bots is the expected (and audited) answer. */
+  private val botScore = QueryDef(
+    "bot_score",
+    (s, d) => {
+      val ev = t(s, d, "events").select(F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("us"), F.col("event_id"),
+        F.col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev.withColumn("prev", F.lag("us", 1).over(w))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("event_type").as("n_types"),
+          F.count("prev").as("m"),
+          F.sum(F.expr(
+            "CASE WHEN prev IS NULL THEN 0L ELSE us - prev END"))
+            .as("sg"),
+          F.sum(F.expr(
+            "CAST(CASE WHEN prev IS NULL THEN 0 ELSE us - prev END " +
+              "AS DECIMAL(38,0)) * " +
+              "CASE WHEN prev IS NULL THEN 0 ELSE us - prev END"))
+            .as("sg2"))
+        .select(F.col("user_id"), F.col("n_events"), F.col("n_types"),
+          F.expr("CASE WHEN m > 0 THEN sg div m ELSE 0L END")
+            .as("mean_gap_us"),
+          F.expr("CASE WHEN m > 1 AND sg > 0 THEN " +
+            "CAST((CAST(m AS DECIMAL(38,0)) * sg2 - " +
+            "CAST(sg AS DECIMAL(38,0)) * sg) * 1000000 div " +
+            "(CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT) ELSE 0L END")
+            .as("cv2_ppm"))
+        .withColumn("is_bot",
+          F.expr("n_events >= 60 AND cv2_ppm < 250000"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        FROM events),
+      g AS (
+        SELECT user_id, event_type, us,
+               lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS prev
+        FROM e),
+      per AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(prev) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN prev IS NULL THEN 0 ELSE us - prev END)
+                    AS BIGINT) AS sg,
+               sum(CAST(CASE WHEN prev IS NULL THEN 0 ELSE us - prev END
+                        AS HUGEINT)
+                   * CASE WHEN prev IS NULL THEN 0 ELSE us - prev END)
+                 AS sg2
+        FROM g GROUP BY 1),
+      sc AS (
+        SELECT user_id, n_events, n_types,
+               CAST(CASE WHEN m > 0 THEN sg // m ELSE 0 END AS BIGINT)
+                 AS mean_gap_us,
+               CAST(CASE WHEN m > 1 AND sg > 0 THEN
+                 (CAST(m AS HUGEINT) * sg2 - CAST(sg AS HUGEINT) * sg)
+                   * 1000000 // (CAST(sg AS HUGEINT) * sg)
+                 ELSE 0 END AS BIGINT) AS cv2_ppm
+        FROM per)
+      SELECT user_id, n_events, n_types, mean_gap_us, cv2_ppm,
+             n_events >= 60 AND cv2_ppm < 250000 AS is_bot
+      FROM sc ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- M19
+  /** Difference-in-differences on average order value: treated =
+    * BUILDING-segment customers, intervention at 1995-06-01 (mid-range
+    * of the order calendar). The four cell means in exact micro-cents
+    * (Σcents·10⁶ div n, sums through DECIMAL(38,0)/HUGEINT — corpus
+    * cent-sums overflow int64 when multiplied by 10⁶ at SF100), DiD =
+    * (post−pre)_treated − (post−pre)_control as plain integer
+    * subtraction. ONE conditional-sum aggregate over the broadcast-dim
+    * join — the 2×2 grid never materializes as separate passes. */
+  private val diffInDiff = QueryDef(
+    "diff_in_diff",
+    (s, d) => {
+      t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(
+          F.expr("c_mktsegment = 'BUILDING'").as("tr"),
+          F.expr("to_date(o_orderdate) >= DATE '1995-06-01'").as("po"),
+          F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .agg(
+          F.sum(F.expr("CASE WHEN tr AND NOT po THEN 1L ELSE 0L END")).as("n_t0"),
+          F.sum(F.expr("CASE WHEN tr AND po THEN 1L ELSE 0L END")).as("n_t1"),
+          F.sum(F.expr("CASE WHEN NOT tr AND NOT po THEN 1L ELSE 0L END")).as("n_c0"),
+          F.sum(F.expr("CASE WHEN NOT tr AND po THEN 1L ELSE 0L END")).as("n_c1"),
+          F.sum(F.expr("CASE WHEN tr AND NOT po THEN cents ELSE 0L END")).as("s_t0"),
+          F.sum(F.expr("CASE WHEN tr AND po THEN cents ELSE 0L END")).as("s_t1"),
+          F.sum(F.expr("CASE WHEN NOT tr AND NOT po THEN cents ELSE 0L END")).as("s_c0"),
+          F.sum(F.expr("CASE WHEN NOT tr AND po THEN cents ELSE 0L END")).as("s_c1"))
+        .select(F.col("n_t0"), F.col("n_t1"), F.col("n_c0"), F.col("n_c1"),
+          F.expr("CAST(CAST(s_t0 AS DECIMAL(38,0)) * 1000000 div n_t0 AS BIGINT)").as("m_t0_micro"),
+          F.expr("CAST(CAST(s_t1 AS DECIMAL(38,0)) * 1000000 div n_t1 AS BIGINT)").as("m_t1_micro"),
+          F.expr("CAST(CAST(s_c0 AS DECIMAL(38,0)) * 1000000 div n_c0 AS BIGINT)").as("m_c0_micro"),
+          F.expr("CAST(CAST(s_c1 AS DECIMAL(38,0)) * 1000000 div n_c1 AS BIGINT)").as("m_c1_micro"))
+        .withColumn("did_micro",
+          F.expr("(m_t1_micro - m_t0_micro) - (m_c1_micro - m_c0_micro)"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT c_mktsegment = 'BUILDING' AS tr,
+               CAST(o_orderdate AS DATE) >= DATE '1995-06-01' AS po,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      a AS (
+        SELECT
+          CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+          CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+          CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+          CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+          CAST(sum(CASE WHEN tr AND NOT po THEN cents ELSE 0 END) AS BIGINT) AS s_t0,
+          CAST(sum(CASE WHEN tr AND po THEN cents ELSE 0 END) AS BIGINT) AS s_t1,
+          CAST(sum(CASE WHEN NOT tr AND NOT po THEN cents ELSE 0 END) AS BIGINT) AS s_c0,
+          CAST(sum(CASE WHEN NOT tr AND po THEN cents ELSE 0 END) AS BIGINT) AS s_c1
+        FROM b),
+      m AS (
+        SELECT n_t0, n_t1, n_c0, n_c1,
+               CAST(CAST(s_t0 AS HUGEINT) * 1000000 // n_t0 AS BIGINT) AS m_t0_micro,
+               CAST(CAST(s_t1 AS HUGEINT) * 1000000 // n_t1 AS BIGINT) AS m_t1_micro,
+               CAST(CAST(s_c0 AS HUGEINT) * 1000000 // n_c0 AS BIGINT) AS m_c0_micro,
+               CAST(CAST(s_c1 AS HUGEINT) * 1000000 // n_c1 AS BIGINT) AS m_c1_micro
+        FROM a)
+      SELECT n_t0, n_t1, n_c0, n_c1,
+             m_t0_micro, m_t1_micro, m_c0_micro, m_c1_micro,
+             (m_t1_micro - m_t0_micro) - (m_c1_micro - m_c0_micro)
+               AS did_micro
+      FROM m"""))
+
+  val all: Seq[QueryDef] = Seq(botScore, diffInDiff)
+}

@@ -559,7 +559,32 @@ object EvalQueries {
                AS f1_ppm
       FROM c ORDER BY th"""))
 
+  // ---------------------------------------------------------------- M18
+  /** Brier score of the per-mille scorer, EXACTLY: with score ∈ [0,1000]
+    * and label ∈ {0,1}, each squared error (score − 1000·lbl)² is an
+    * integer in per-mille² (= micro-probability²) units, so the corpus
+    * sum is order-independent and the mean is ONE integral division —
+    * brier = brier_micro/10⁶. The proper-scoring-rule complement of
+    * M2's reliability table (calibration + refinement in one number).
+    * Sum routed through DECIMAL(38,0)/HUGEINT (n·10⁶ exceeds int64 at
+    * trillion-doc scale). One map-side-combined aggregate. */
+  private val evalBrier = QueryDef(
+    "eval_brier",
+    (s, d) => scored(s, d)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.expr("CAST((score - 1000*lbl) * (score - 1000*lbl) " +
+          "AS DECIMAL(38,0))")).as("_se"))
+      .select(F.col("n"),
+        F.expr("CAST(_se div n AS BIGINT)").as("brier_micro")),
+    Some(s"""
+      WITH sc AS ($scoredSql)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((score - 1000*lbl) * (score - 1000*lbl)
+                           AS HUGEINT)) // count(*) AS BIGINT)
+               AS brier_micro
+      FROM sc"""))
+
   val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
-    evalPrCurve, evalPrAuc, evalConfusion)
+    evalPrCurve, evalPrAuc, evalConfusion, evalBrier)
 }

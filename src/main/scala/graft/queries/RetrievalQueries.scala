@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.operators.{Ivf, Similarity}
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-44 inventory (r7): retrieval-quality summary for the ANN stack.
+  * D34 (`embed_ivf_recall`) publishes per-query recall; production index
+  * tuning wants the ONE-ROW ranking summary — MRR, precision@k, hit
+  * rate — computed against the brute-force truth in exact rational
+  * arithmetic (reciprocal ranks are rational, so the whole metric stays
+  * integer-exact: per-query rr_micro = 10⁶ div first_hit_rank, the mean
+  * is one closing integral division — no floats anywhere). */
+object RetrievalQueries {
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  private val centroidCtes = s"""cent AS (
+        SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2),
+      cvec AS (
+        SELECT ckey, list_transform(list(cv ORDER BY i), x -> CAST(x AS REAL)) AS centroid
+        FROM cent GROUP BY ckey)"""
+
+  // ---------------------------------------------------------------- M17
+  /** MRR / precision@5 / hit-rate of IVF(nprobe=2) search against the
+    * exact top-5 truth over a deterministic ~2% query slice (vec_id ≡ 3
+    * mod 50 — the query set grows with the corpus, unlike D34's fixed 3
+    * probes). Queries the ANN missed entirely (no candidate in any
+    * probed list) still count in every denominator via the left join
+    * from the query set. Scale shape: the truth pass is the documented
+    * tune-before-run exact audit (queries broadcast, corpus scanned
+    * once); the IVF side is the production plan. */
+  private val searchMrr = QueryDef(
+    "search_mrr",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(F.expr("vec_id % 50 = 3"))
+      val exact = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id").as("eq"), F.col("match_id").as("em"))
+      val approx = Ivf.search(emb,
+        Ivf.centroidsByKey(emb, "label", "embedding"),
+        qs, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(F.col("query_id"), F.col("rank"), F.col("match_id"))
+      val perq = qs.select(F.col("vec_id").as("query_id"))
+        .join(approx, Seq("query_id"), "left")
+        .join(exact,
+          F.col("query_id") === F.col("eq") &&
+            F.col("match_id") === F.col("em"), "left")
+        .groupBy("query_id")
+        .agg(
+          F.min(F.when(F.col("em").isNotNull, F.col("rank"))).as("fr"),
+          F.sum(F.when(F.col("em").isNotNull, 1L).otherwise(0L)).as("nh"))
+      perq.agg(F.count(F.lit(1)).as("n_queries"),
+        F.sum(F.expr(
+          "CASE WHEN fr IS NULL THEN 0L ELSE 1000000L div fr END"))
+          .as("_srr"),
+        F.sum("nh").as("_snh"),
+        F.sum(F.expr("CASE WHEN fr IS NOT NULL THEN 1L ELSE 0L END"))
+          .as("_nhit"))
+        .select(F.col("n_queries"),
+          F.expr("_srr div n_queries").as("mrr_micro"),
+          F.expr("_snh * 1000000L div (5 * n_queries)").as("prec_ppm"),
+          F.expr("_nhit * 1000000L div n_queries").as("hit_ppm"))
+    },
+    Some(s"""
+      WITH $centroidCtes,
+      assigned AS (
+        SELECT vec_id AS match_id, ckey AS centroid_label FROM (
+          SELECT vec_id, ckey,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+                FROM embeddings, cvec)) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, centroid_label FROM (
+          SELECT query_id, ckey AS centroid_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT e.vec_id AS query_id, ckey,
+                       ${cosSql("e.embedding", "centroid")} AS cos
+                FROM embeddings e, cvec WHERE e.vec_id % 50 = 3)) WHERE rn <= 2),
+      approx AS (
+        SELECT query_id, match_id, rank FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT p.query_id, a.match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM probes p
+                     JOIN assigned a ON p.centroid_label = a.centroid_label
+                     JOIN embeddings q ON q.vec_id = p.query_id
+                     JOIN embeddings c ON c.vec_id = a.match_id
+                WHERE p.query_id != a.match_id))
+        WHERE rank <= 5),
+      exact AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id % 50 = 3 AND q.vec_id != c.vec_id))
+        WHERE rank <= 5),
+      qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 3),
+      perq AS (
+        SELECT q.query_id,
+               min(CASE WHEN e.match_id IS NOT NULL THEN a.rank END) AS fr,
+               CAST(sum(CASE WHEN e.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nh
+        FROM qs q
+             LEFT JOIN approx a ON a.query_id = q.query_id
+             LEFT JOIN exact e ON e.query_id = a.query_id
+                  AND e.match_id = a.match_id
+        GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN fr IS NULL THEN 0
+                      ELSE 1000000 // fr END) // count(*) AS BIGINT)
+               AS mrr_micro,
+             CAST(sum(nh) * 1000000 // (5 * count(*)) AS BIGINT)
+               AS prec_ppm,
+             CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT) AS hit_ppm
+      FROM perq"""))
+
+  // ---------------------------------------------------------------- D40
+  /** IVF nprobe tuning sweep (the D35 threshold-sweep discipline applied
+    * to the ANN index): recall@5 against the exact truth at nprobe ∈
+    * {1,2,4} side by side — the recall-vs-cost curve an index owner
+    * reads before fixing the production probe count. Each sweep point
+    * reuses the SAME staged centroids (persisted k-row frame) and the
+    * SAME truth pass; only the probe fan-out varies. Query set is D34's
+    * fixed small slice (vec_id < 5): the sweep is a tune-before-run
+    * audit, its cost deliberately bounded by #queries · nprobe_max. */
+  private val ivfNprobeSweep = QueryDef(
+    "ivf_nprobe_sweep",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 5)
+      val cents = Ivf.centroidsByKey(emb, "label", "embedding")
+      val exact = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id").as("eq"), F.col("match_id").as("em"))
+      val sweeps = Seq(1, 2, 4).map { np =>
+        Ivf.search(emb, cents, qs, "vec_id", "embedding",
+          k = 5, nprobe = np)
+          .select(F.lit(np.toLong).as("nprobe"), F.col("query_id"),
+            F.col("match_id"))
+      }.reduce(_ unionByName _)
+      val nq = qs.agg(F.count(F.lit(1)).as("n_queries"))
+      sweeps
+        .join(exact, F.col("query_id") === F.col("eq") &&
+          F.col("match_id") === F.col("em"), "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.when(F.col("em").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(F.col("nprobe"), F.col("n_queries"), F.col("n_hits"),
+          F.expr("n_hits * 1000000L div (5 * n_queries)")
+            .as("recall_ppm"))
+        .orderBy("nprobe")
+    },
+    Some(s"""
+      WITH $centroidCtes,
+      assigned AS (
+        SELECT vec_id AS match_id, ckey AS centroid_label FROM (
+          SELECT vec_id, ckey,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+                FROM embeddings, cvec)) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, centroid_label, rn AS pr FROM (
+          SELECT query_id, ckey AS centroid_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT e.vec_id AS query_id, ckey,
+                       ${cosSql("e.embedding", "centroid")} AS cos
+                FROM embeddings e, cvec WHERE e.vec_id < 5)) WHERE rn <= 4),
+      approx AS (
+        SELECT np, query_id, match_id FROM (
+          SELECT np, query_id, match_id,
+                 row_number() OVER (PARTITION BY np, query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT v.np, p.query_id, a.match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM probes p
+                     JOIN (VALUES (1), (2), (4)) v(np) ON p.pr <= v.np
+                     JOIN assigned a ON p.centroid_label = a.centroid_label
+                     JOIN embeddings q ON q.vec_id = p.query_id
+                     JOIN embeddings c ON c.vec_id = a.match_id
+                WHERE p.query_id != a.match_id))
+        WHERE rank <= 5),
+      exact AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND q.vec_id != c.vec_id))
+        WHERE rank <= 5),
+      nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+             FROM embeddings WHERE vec_id < 5)
+      SELECT CAST(a.np AS BIGINT) AS nprobe, nq.n_queries,
+             CAST(sum(CASE WHEN e.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN e.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000 // (5 * nq.n_queries) AS BIGINT) AS recall_ppm
+      FROM approx a
+           LEFT JOIN exact e ON e.query_id = a.query_id
+                AND e.match_id = a.match_id, nq
+      GROUP BY a.np, nq.n_queries ORDER BY nprobe"""))
+
+  val all: Seq[QueryDef] = Seq(searchMrr, ivfNprobeSweep)
+}

@@ -372,6 +372,19 @@ object ScaleTest {
       "rfm", "drift_psi", "gini_concentration", "sample_systematic",
       "url_normalize", "url_dedup", "host_rollup", "ivf_incremental")
       .foreach(timeQ)
+    // r7 wave-43..45 probes: category-bounded EMD (t_closeness), the
+    // host-bounded crawl policy, the one-scan data card, the per-user
+    // split audit and gap-regularity score (lag windows PARTITIONED BY
+    // user — must scale with data, not blow a single partition), the
+    // score-frame eval additions and the 2×2 DiD single aggregate.
+    // (search_mrr / ivf_nprobe_sweep are excluded BY DESIGN: their
+    // exact-truth pass is the documented tune-before-run audit whose
+    // cost is #queries·corpus — quadratic on purpose, never the
+    // production path.)
+    Seq("t_closeness", "host_policy", "corpus_datacard",
+      "time_split_audit", "bot_score", "eval_pr_curve",
+      "eval_confusion", "eval_brier", "diff_in_diff", "embed_coverage")
+      .foreach(timeQ)
     spark.stop()
   }
 }

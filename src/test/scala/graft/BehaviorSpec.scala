@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Wave-45 behavioral/causal queries re-derived driver-side. */
+class BehaviorSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("bot_score equals a driver-side gap replay (exact cv2 arithmetic)") {
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("us"),
+        F.col("event_id"), F.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = q("bot_score").collect()
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val uid = r.getLong(r.fieldIndex("user_id"))
+      val es = ev.filter(_._1 == uid).sortBy(e => (e._2, e._3))
+      val gaps = es.sliding(2).collect {
+        case Array(a, b) => b._2 - a._2
+      }.toSeq
+      val m = gaps.length.toLong
+      val sg = gaps.sum
+      val sg2 = gaps.map(g => BigInt(g) * g).sum
+      assert(r.getLong(r.fieldIndex("n_events")) == es.length)
+      assert(r.getLong(r.fieldIndex("n_types")) ==
+        es.map(_._4).distinct.length)
+      assert(r.getLong(r.fieldIndex("mean_gap_us")) ==
+        (if (m > 0) sg / m else 0L))
+      val cv2 = if (m > 1 && sg > 0)
+        ((BigInt(m) * sg2 - BigInt(sg) * sg) * 1000000 /
+          (BigInt(sg) * sg)).toLong
+      else 0L
+      assert(r.getLong(r.fieldIndex("cv2_ppm")) == cv2)
+      assert(cv2 >= 0L) // Cauchy–Schwarz
+      assert(r.getBoolean(r.fieldIndex("is_bot")) ==
+        (es.length >= 60 && cv2 < 250000L))
+    }
+  }
+
+  test("diff_in_diff equals a driver-side 2x2 cell replay") {
+    val o = graft.queries.Tables.t(spark, sf, "orders")
+      .join(graft.queries.Tables.t(spark, sf, "customer"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .select(F.expr("c_mktsegment = 'BUILDING'"),
+        F.expr("to_date(o_orderdate) >= DATE '1995-06-01'"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2)))
+    def cell(tr: Boolean, po: Boolean) = {
+      val c = o.filter(x => x._1 == tr && x._2 == po)
+      (c.length.toLong, c.map(_._3).sum)
+    }
+    val (nt0, st0) = cell(tr = true, po = false)
+    val (nt1, st1) = cell(tr = true, po = true)
+    val (nc0, sc0) = cell(tr = false, po = false)
+    val (nc1, sc1) = cell(tr = false, po = true)
+    def mean(s: Long, n: Long) = (BigInt(s) * 1000000 / n).toLong
+    val r = q("diff_in_diff").collect().head
+    assert(r.getLong(r.fieldIndex("n_t0")) == nt0)
+    assert(r.getLong(r.fieldIndex("n_t1")) == nt1)
+    assert(r.getLong(r.fieldIndex("n_c0")) == nc0)
+    assert(r.getLong(r.fieldIndex("n_c1")) == nc1)
+    assert(r.getLong(r.fieldIndex("m_t0_micro")) == mean(st0, nt0))
+    assert(r.getLong(r.fieldIndex("m_t1_micro")) == mean(st1, nt1))
+    assert(r.getLong(r.fieldIndex("m_c0_micro")) == mean(sc0, nc0))
+    assert(r.getLong(r.fieldIndex("m_c1_micro")) == mean(sc1, nc1))
+    assert(r.getLong(r.fieldIndex("did_micro")) ==
+      (mean(st1, nt1) - mean(st0, nt0)) -
+        (mean(sc1, nc1) - mean(sc0, nc0)))
+  }
+}

@@ -207,4 +207,17 @@ class EvalSpec extends SparkSpec {
       else assert(r.isNullAt(r.fieldIndex("f1_ppm")))
     }
   }
+
+  test("eval_brier equals the brute-force mean squared error") {
+    val pairs = scoredPairs()
+    val se = pairs.map { case (lbl, sc) =>
+      BigInt(sc - 1000L * lbl) * (sc - 1000L * lbl)
+    }.sum
+    val r = q("eval_brier").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == pairs.length)
+    assert(r.getLong(r.fieldIndex("brier_micro")) ==
+      (se / pairs.length).toLong)
+    // per-mille² units: a [0,1] probability scorer can never exceed 10⁶
+    assert(r.getLong(r.fieldIndex("brier_micro")) <= 1000000L)
+  }
 }
