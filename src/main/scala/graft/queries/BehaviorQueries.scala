@@ -152,5 +152,89 @@ object BehaviorQueries {
                AS did_micro
       FROM m"""))
 
-  val all: Seq[QueryDef] = Seq(botScore, diffInDiff)
+  // ---------------------------------------------------------------- C87
+  /** Behavioral predictability per user: Shannon entropy of the
+    * event-type distribution (F5's integer-micro discipline — each
+    * c·log2(c) term rounded to micros BEFORE the sum so the aggregate
+    * is order-independent, H = log2(n) − Σ/n in pure int64), plus the
+    * dominant type and its exact-ppm share. Low entropy + high top
+    * share = scripted single-purpose account; the behavioral complement
+    * of C86's timing regularity. Frame bounded by users × 5 types. */
+  private val userEntropy = QueryDef(
+    "user_entropy",
+    (s, d) => {
+      val cnt = t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).as("c"))
+      cnt.groupBy("user_id")
+        .agg(F.sum("c").as("n"),
+          F.count(F.lit(1)).as("n_types"),
+          F.expr("sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))")
+            .as("s"),
+          F.max(F.struct(F.col("c"), F.col("event_type"))).as("_top"))
+        .select(F.col("user_id"), F.col("n"), F.col("n_types"),
+          F.expr("CAST(round(log2(n) * 1000000) AS BIGINT) - s div n")
+            .as("entropy_micro"),
+          F.col("_top.event_type").as("top_type"),
+          F.expr("_top.c * 1000000L div n").as("top_share_ppm"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      top AS (
+        SELECT user_id, event_type, c FROM (
+          SELECT user_id, event_type, c,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY c DESC, event_type DESC) AS rn
+          FROM cnt) WHERE rn = 1),
+      per AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM cnt GROUP BY 1)
+      SELECT p.user_id, p.n, p.n_types,
+             CAST(round(log2(p.n) * 1000000) AS BIGINT) - p.s // p.n
+               AS entropy_micro,
+             t.event_type AS top_type,
+             CAST(t.c * 1000000 // p.n AS BIGINT) AS top_share_ppm
+      FROM per p JOIN top t USING (user_id) ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- C88
+  /** Day-of-week × hour traffic heatmap: events and distinct users per
+    * (isodow, hour) cell with exact-ppm corpus share — the capacity/
+    * on-call planning grid. One map-side-combined aggregate to a ≤168-
+    * row frame + 1-row broadcast total; `weekday()+1 == isodow` pinned
+    * across engines exactly as M6 does. */
+  private val eventHeatmap = QueryDef(
+    "event_heatmap",
+    (s, d) => {
+      val g = t(s, d, "events")
+        .groupBy(F.expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+          F.expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"))
+      val tot = g.agg(F.sum("n_events").as("t"))
+      g.crossJoin(F.broadcast(tot))
+        .select(F.col("dow"), F.col("hr"), F.col("n_events"),
+          F.col("n_users"),
+          F.expr("n_events * 1000000L div t").as("share_ppm"))
+        .orderBy("dow", "hr")
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2),
+      tt AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM g)
+      SELECT dow, hr, n_events, n_users,
+             CAST(n_events * 1000000 // t AS BIGINT) AS share_ppm
+      FROM g, tt ORDER BY dow, hr"""))
+
+  val all: Seq[QueryDef] = Seq(botScore, diffInDiff, userEntropy,
+    eventHeatmap)
 }

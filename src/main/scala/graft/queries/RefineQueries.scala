@@ -284,7 +284,11 @@ object RefineQueries {
     * round 2, the seed only for round 1) — matching
     * `Ivf.kmeansCentroids`' "empty clusters keep their previous
     * centroid", for any data, not just data where no cluster empties. */
-  private def pqCtes: String = {
+  private def pqCtes: String = pqCtesFrom("embeddings")
+
+  /** Same chain trained on an arbitrary source CTE/table (D41 trains on
+    * the STANDING corpus only). */
+  private def pqCtesFrom(src: String): String = {
     def slice(s: Int, col: String = "embedding") =
       s"list_slice($col, ${s * PQ_SUBDIM + 1}, ${(s + 1) * PQ_SUBDIM})"
     def assignCte(s: Int, from: String): String = {
@@ -309,10 +313,10 @@ object RefineQueries {
          |             AS ck, embedding
          |    FROM (SELECT vec_id,
          |                 ${Hashing.hash60Sql("CAST(vec_id AS VARCHAR)")} AS h,
-         |                 embedding FROM embeddings)) WHERE ck < $PQ_K)"""
+         |                 embedding FROM $src)) WHERE ck < $PQ_K)"""
         .stripMargin
     val perSub = (0 until PQ_M).map { s =>
-      s"""es$s AS (SELECT vec_id, ${slice(s)} AS sv FROM embeddings),
+      s"""es$s AS (SELECT vec_id, ${slice(s)} AS sv FROM $src),
          |sd$s AS (SELECT ck, ${slice(s)} AS centroid FROM seedv),
          |a1_$s AS ${assignCte(s, s"sd$s")},
          |c1_$s AS ${meansCte(s, s"a1_$s")},
@@ -517,7 +521,92 @@ object RefineQueries {
          |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  // ---------------------------------------------------------------- D41
+  /** Incremental PQ index maintenance (D39's IVF pattern on the product
+    * quantizer): tonight's vector batch (vec_id ≡ 7 mod 10) is ENCODED
+    * against codebooks trained on the STANDING corpus only — O(batch·
+    * m·k) work, the standing corpus is read once at train time, never
+    * re-encoded. Per (subspace, codeword): batch assignment count and
+    * mean squared quantization distortion in exact integer micros²
+    * (per-dim micro-floored diffs squared and summed — deterministic
+    * integer arithmetic both engines; batch sums through
+    * DECIMAL(38,0)/HUGEINT). Rising distortion on a codeword is the
+    * per-subspace retrain signal — the PQ complement of D39's centroid
+    * drift gate. */
+  private val pqIncremental = QueryDef(
+    "pq_incremental",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val standing = emb.where(F.expr("vec_id % 10 != 7"))
+      val batch = emb.where(F.expr("vec_id % 10 = 7"))
+      import s.implicits._
+      val rows = cbCache.computeIfAbsent(d + "#standing", _ =>
+        Pq.codebooks(standing, "vec_id", "embedding",
+          PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+          .collect().toSeq.map(r =>
+            (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
+      val cb = rows.toDF("sub", "ckey", "centroid")
+        .select(F.col("sub"), F.col("ckey"),
+          F.col("centroid").cast("array<float>"))
+      val asg = Pq.encode(batch, cb, "vec_id", "embedding",
+        PQ_M, PQ_SUBDIM)
+        .select(F.col("vec_id"),
+          F.posexplode(F.col("codes")).as(Seq("sub", "ckey")))
+      val subvecs = batch.select(F.col("vec_id"),
+        F.posexplode(F.array((0 until PQ_M).map(s2 =>
+          F.slice(F.col("embedding"), s2 * PQ_SUBDIM + 1, PQ_SUBDIM)): _*))
+          .as(Seq("sub", "sv")))
+      asg.join(subvecs, Seq("vec_id", "sub"))
+        .join(F.broadcast(cb), Seq("sub", "ckey"))
+        .select(F.col("sub").cast("long").as("sub"),
+          F.col("ckey").cast("long").as("ckey"),
+          F.expr("aggregate(zip_with(sv, centroid, (x, c) -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) - " +
+            "CAST(floor(CAST(c AS DOUBLE) * 1000000) AS BIGINT)), " +
+            "0L, (acc, v) -> acc + v * v)").as("dist"))
+        .groupBy("sub", "ckey")
+        .agg(F.count(F.lit(1)).as("n_batch"),
+          F.sum(F.expr("CAST(dist AS DECIMAL(38,0))")).as("sd"))
+        .select(F.col("sub"), F.col("ckey"), F.col("n_batch"),
+          F.expr("CAST(sd div n_batch AS BIGINT)").as("avg_dist_micro2"))
+        .orderBy("sub", "ckey")
+    },
+    Some {
+      def bslice(s2: Int) =
+        s"list_slice(embedding, ${s2 * PQ_SUBDIM + 1}, ${(s2 + 1) * PQ_SUBDIM})"
+      val perSub = (0 until PQ_M).map { s2 =>
+        val cos = cos16Sql("e.sv", "c.centroid")
+        val dif = s"(CAST(floor(CAST(e.sv[i] AS DOUBLE) * 1000000) AS BIGINT)" +
+          s" - CAST(floor(CAST(c.centroid[i] AS DOUBLE) * 1000000) AS BIGINT))"
+        s"""bs$s2 AS (SELECT vec_id, ${bslice(s2)} AS sv FROM embeddings
+           |          WHERE vec_id % 10 = 7),
+           |ba$s2 AS (SELECT vec_id, ck FROM (
+           |    SELECT e.vec_id, c.ck,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY $cos DESC, c.ck) AS rn
+           |    FROM bs$s2 e, c2f_$s2 c) WHERE rn = 1),
+           |bd$s2 AS (
+           |  SELECT $s2 AS sub, a.ck AS ckey,
+           |         list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
+           |           i -> $dif * $dif)) AS dist
+           |  FROM ba$s2 a JOIN bs$s2 e USING (vec_id)
+           |       JOIN c2f_$s2 c ON c.ck = a.ck)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until PQ_M).map(s2 => s"SELECT * FROM bd$s2")
+        .mkString(" UNION ALL ")
+      s"""WITH embx AS (SELECT * FROM embeddings WHERE vec_id % 10 != 7),
+         |${pqCtesFrom("embx")},
+         |$perSub,
+         |bd AS ($unions)
+         |SELECT CAST(sub AS BIGINT) AS sub, CAST(ckey AS BIGINT) AS ckey,
+         |       CAST(count(*) AS BIGINT) AS n_batch,
+         |       CAST(sum(CAST(dist AS HUGEINT)) // count(*) AS BIGINT)
+         |         AS avg_dist_micro2
+         |FROM bd GROUP BY sub, ckey ORDER BY sub, ckey""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
-    cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank)
+    cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank,
+    pqIncremental)
 }

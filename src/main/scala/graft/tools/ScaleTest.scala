@@ -383,7 +383,8 @@ object ScaleTest {
     // production path.)
     Seq("t_closeness", "host_policy", "corpus_datacard",
       "time_split_audit", "bot_score", "eval_pr_curve",
-      "eval_confusion", "eval_brier", "diff_in_diff", "embed_coverage")
+      "eval_confusion", "eval_brier", "diff_in_diff", "embed_coverage",
+      "pq_incremental", "user_entropy", "event_heatmap")
       .foreach(timeQ)
     spark.stop()
   }

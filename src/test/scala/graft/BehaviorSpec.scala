@@ -71,4 +71,49 @@ class BehaviorSpec extends SparkSpec {
       (mean(st1, nt1) - mean(st0, nt0)) -
         (mean(sc1, nc1) - mean(sc0, nc0)))
   }
+
+  test("user_entropy equals a driver-side replay with micro-rounded terms") {
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val rows = q("user_entropy").collect()
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val uid = r.getLong(r.fieldIndex("user_id"))
+      val cnts = ev.filter(_._1 == uid).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val n = cnts.values.sum
+      val s = cnts.values
+        .map(c => math.round(c * log2(c.toDouble) * 1e6)).sum
+      assert(r.getLong(r.fieldIndex("n")) == n)
+      assert(r.getLong(r.fieldIndex("n_types")) == cnts.size)
+      assert(r.getLong(r.fieldIndex("entropy_micro")) ==
+        math.round(log2(n.toDouble) * 1e6) - s / n)
+      // dominant type: max count, then max type name
+      val top = cnts.toSeq.maxBy(p => (p._2, p._1))
+      assert(r.getString(r.fieldIndex("top_type")) == top._1)
+      assert(r.getLong(r.fieldIndex("top_share_ppm")) ==
+        top._2 * 1000000L / n)
+      // entropy of a <=5-symbol alphabet is bounded by log2(5)
+      assert(r.getLong(r.fieldIndex("entropy_micro")) >= 0L)
+      assert(r.getLong(r.fieldIndex("entropy_micro")) <= 2321929L)
+    }
+  }
+
+  test("event_heatmap cells partition the corpus; shares floor-sum") {
+    val rows = q("event_heatmap").collect()
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum
+    val ev = graft.queries.Tables.t(spark, sf, "events").count()
+    assert(total == ev)
+    rows.foreach { r =>
+      val dow = r.getLong(r.fieldIndex("dow"))
+      val hr = r.getLong(r.fieldIndex("hr"))
+      assert(dow >= 1L && dow <= 7L && hr >= 0L && hr <= 23L)
+      assert(r.getLong(r.fieldIndex("n_users")) <=
+        r.getLong(r.fieldIndex("n_events")))
+      assert(r.getLong(r.fieldIndex("share_ppm")) ==
+        r.getLong(r.fieldIndex("n_events")) * 1000000L / total)
+    }
+  }
 }

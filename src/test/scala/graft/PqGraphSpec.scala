@@ -101,6 +101,44 @@ class PqGraphSpec extends SparkSpec {
       .select("n_triangles").as[Long].head() == 2L)
   }
 
+  test("pq_incremental distortion equals a driver-side integer replay") {
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+    val standing = emb.where(F.expr("vec_id % 10 != 7"))
+    val batch = emb.where(F.expr("vec_id % 10 = 7"))
+    val cb = Pq.codebooks(standing, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 8, iters = 2)
+    val cbMap = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val codes = Pq.encode(batch, cb, "vec_id", "embedding", 4, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val vecs = batch.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val agg = collection.mutable.Map[(Long, Long), (Long, BigInt)]()
+      .withDefaultValue((0L, BigInt(0)))
+    codes.foreach { case (vid, cs) =>
+      cs.zipWithIndex.foreach { case (ck, sub) =>
+        val sv = vecs(vid).slice(sub * 16, sub * 16 + 16)
+        val cent = cbMap((sub, ck.toInt))
+        val dist = sv.zip(cent).map { case (x, c) =>
+          val dd = math.floor(x.toDouble * 1e6).toLong -
+            math.floor(c.toDouble * 1e6).toLong
+          BigInt(dd) * dd
+        }.sum
+        val (n0, s0) = agg((sub.toLong, ck))
+        agg((sub.toLong, ck)) = (n0 + 1, s0 + dist)
+      }
+    }
+    val rows = SparkEntry.queries("pq_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_batch"))).sum ==
+      codes.length * 4L) // every batch vector encodes in all 4 subspaces
+    rows.foreach { r =>
+      val (n, sd) = agg((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(r.fieldIndex("n_batch")) == n)
+      assert(r.getLong(r.fieldIndex("avg_dist_micro2")) == (sd / n).toLong)
+    }
+  }
+
   test("triangleCount matches brute force on deterministic random graphs") {
     import spark.implicits._
     for (seed <- 1 to 3) {
