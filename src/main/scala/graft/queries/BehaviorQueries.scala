@@ -88,8 +88,8 @@ object BehaviorQueries {
 
   // ---------------------------------------------------------------- M19
   /** Difference-in-differences on average order value: treated =
-    * BUILDING-segment customers, intervention at 1995-06-01 (mid-range
-    * of the order calendar). The four cell means in exact micro-cents
+    * BUILDING-segment customers, intervention at 1998-06-01 (mid-range of
+    * the 1995-2001 order calendar). The four cell means in exact micro-cents
     * (Σcents·10⁶ div n, sums through DECIMAL(38,0)/HUGEINT — corpus
     * cent-sums overflow int64 when multiplied by 10⁶ at SF100), DiD =
     * (post−pre)_treated − (post−pre)_control as plain integer
@@ -103,7 +103,7 @@ object BehaviorQueries {
           F.col("o_custkey") === F.col("c_custkey"))
         .select(
           F.expr("c_mktsegment = 'BUILDING'").as("tr"),
-          F.expr("to_date(o_orderdate) >= DATE '1995-06-01'").as("po"),
+          F.expr("to_date(o_orderdate) >= DATE '1998-06-01'").as("po"),
           F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
         .agg(
           F.sum(F.expr("CASE WHEN tr AND NOT po THEN 1L ELSE 0L END")).as("n_t0"),
@@ -125,7 +125,7 @@ object BehaviorQueries {
     Some("""
       WITH b AS (
         SELECT c_mktsegment = 'BUILDING' AS tr,
-               CAST(o_orderdate AS DATE) >= DATE '1995-06-01' AS po,
+               CAST(o_orderdate AS DATE) >= DATE '1998-06-01' AS po,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders JOIN customer ON o_custkey = c_custkey),
       a AS (

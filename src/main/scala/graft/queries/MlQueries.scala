@@ -314,6 +314,62 @@ object MlQueries {
       WHERE cum // (tot // 100) - (cum - w) // (tot // 100) > 0
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- M22
+  /** Churn-label construction (the supervised-dataset prep step a churn
+    * model trains on): observation window 1996 → features (frequency,
+    * monetary cents, recency days from the window end), outcome window
+    * 1997 → label (churned = zero 1997 orders). ONE conditional-sum
+    * aggregate per customer builds both windows — the fact table is
+    * scanned once, never per-window; cohort = customers active in the
+    * observation window. Frame bounded by customers. */
+  private val churnLabels = QueryDef(
+    "churn_labels",
+    (s, d) => {
+      t(s, d, "orders")
+        .select(F.col("o_custkey").as("ck"),
+          F.to_date(F.col("o_orderdate")).as("dt"),
+          F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("ck")
+        .agg(
+          F.sum(F.expr("CASE WHEN year(dt) = 1996 THEN 1L ELSE 0L END"))
+            .as("f96"),
+          F.sum(F.expr("CASE WHEN year(dt) = 1996 THEN cents ELSE 0L END"))
+            .as("m96"),
+          F.max(F.expr("CASE WHEN year(dt) = 1996 THEN dt END"))
+            .as("last96"),
+          F.sum(F.expr("CASE WHEN year(dt) = 1997 THEN 1L ELSE 0L END"))
+            .as("f97"))
+        .where(F.col("f96") > 0)
+        .select(F.col("ck").as("c_custkey"),
+          F.col("f96").as("n_orders_obs"),
+          F.col("m96").as("cents_obs"),
+          F.expr("CAST(datediff(DATE '1996-12-31', last96) AS BIGINT)")
+            .as("recency_days"),
+          F.expr("CASE WHEN f97 = 0 THEN 1L ELSE 0L END").as("churned"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      g AS (
+        SELECT ck,
+               CAST(sum(CASE WHEN year(dt) = 1996 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f96,
+               CAST(sum(CASE WHEN year(dt) = 1996 THEN cents ELSE 0 END)
+                    AS BIGINT) AS m96,
+               max(CASE WHEN year(dt) = 1996 THEN dt END) AS last96,
+               CAST(sum(CASE WHEN year(dt) = 1997 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f97
+        FROM o GROUP BY 1)
+      SELECT ck AS c_custkey, f96 AS n_orders_obs, m96 AS cents_obs,
+             CAST(date_diff('day', last96, DATE '1996-12-31') AS BIGINT)
+               AS recency_days,
+             CAST(CASE WHEN f97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS churned
+      FROM g WHERE f96 > 0 ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(fuzzyMatch, targetEncode, foldAssign,
-    asofNearest, windowCumeDist, sampleSystematic)
+    asofNearest, windowCumeDist, sampleSystematic, churnLabels)
 }

@@ -128,7 +128,7 @@ object RetrievalQueries {
                   * 1000000 // count(*) AS BIGINT) AS hit_ppm
       FROM perq"""))
 
-  // ---------------------------------------------------------------- D40
+  // ---------------------------------------------------------------- D44
   /** IVF nprobe tuning sweep (the D35 threshold-sweep discipline applied
     * to the ANN index): recall@5 against the exact truth at nprobe ∈
     * {1,2,4} side by side — the recall-vs-cost curve an index owner

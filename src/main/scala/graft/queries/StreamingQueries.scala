@@ -1162,10 +1162,35 @@ object StreamingQueries {
              CAST(min(keep_doc) AS BIGINT) AS first_doc
       FROM per GROUP BY u_host ORDER BY u_host"""))
 
+  // ----------------------------------------------------------------- G27
+  /** The M21 sample-ratio-mismatch guardrail EXECUTED on live traffic:
+    * streamed order shards hash into folds through the identical
+    * portable-hash projection, per-fold counts accumulate as streaming
+    * state (complete mode — pure counts, arrival-order independent by
+    * construction), and the drained 5-row frame flows through the SAME
+    * chi-square assembly (`ClusterEvalQueries.srmAssemble`) against the
+    * SAME oracle. State is 5 rows regardless of traffic volume. */
+  private val streamSrm = QueryDef(
+    "stream_srm",
+    (s, d) => {
+      val dir = stage(s, d, "orders")
+      val stream = s.readStream
+        .schema(s.read.parquet(dir).schema).parquet(dir)
+      val folds = stream
+        .select(F.pmod(graft.operators.Hashing.hash60(
+          F.col("o_orderkey").cast("string")), F.lit(5))
+          .cast("long").as("fold"))
+        .groupBy("fold").agg(F.count(F.lit(1)).as("n_fold"))
+      val drained = withStatePartitions(s, 5) { drain(folds, "complete") }
+      ClusterEvalQueries.srmAssemble(drained)
+    },
+    Some(ClusterEvalQueries.srmOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
-    streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup)
+    streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
+    streamSrm)
 }

@@ -386,6 +386,10 @@ object ScaleTest {
       "eval_confusion", "eval_brier", "diff_in_diff", "embed_coverage",
       "pq_incremental", "user_entropy", "event_heatmap")
       .foreach(timeQ)
+    // r7 wave-47/48 probes (knn_accuracy / hard_negatives excluded:
+    // quadratic-by-design exact-truth audits, like search_mrr above)
+    Seq("centroid_purity", "srm_check", "churn_labels")
+      .foreach(timeQ)
     spark.stop()
   }
 }

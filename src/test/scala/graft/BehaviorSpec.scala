@@ -45,7 +45,7 @@ class BehaviorSpec extends SparkSpec {
       .join(graft.queries.Tables.t(spark, sf, "customer"),
         F.col("o_custkey") === F.col("c_custkey"))
       .select(F.expr("c_mktsegment = 'BUILDING'"),
-        F.expr("to_date(o_orderdate) >= DATE '1995-06-01'"),
+        F.expr("to_date(o_orderdate) >= DATE '1998-06-01'"),
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
       .collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2)))
