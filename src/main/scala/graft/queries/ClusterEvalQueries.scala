@@ -24,36 +24,30 @@ object ClusterEvalQueries {
     * (vec_id ≡ 1 mod 25, corpus-proportional); the truth pass is the
     * documented tune-before-run exact audit (probes broadcast, corpus
     * scanned once). */
-  private val knnAccuracy = QueryDef(
-    "knn_accuracy",
-    (s, d) => {
-      val emb = t(s, d, "embeddings")
-      val lbl = emb.select(F.col("vec_id"),
-        F.col("label").cast("long").as("label"))
-      val qs = emb.filter(F.expr("vec_id % 25 = 1"))
-      val pred = Similarity.bruteForceTopK(
-        emb, qs, "vec_id", "embedding", k = 5)
-        .join(lbl.select(F.col("vec_id").as("match_id"),
-          F.col("label").as("nlabel")), "match_id")
-        .groupBy("query_id", "nlabel")
-        .agg(F.count(F.lit(1)).as("c"))
-        .groupBy("query_id")
-        .agg(F.max(F.struct(F.col("c"), F.expr("-nlabel").as("nl")))
-          .as("_t"))
-        .select(F.col("query_id"), F.expr("-_t.nl").as("pred"))
-      pred
-        .join(lbl.select(F.col("vec_id").as("query_id"),
-          F.col("label").as("truth")), "query_id")
-        .groupBy("truth")
-        .agg(F.count(F.lit(1)).as("n_queries"),
-          F.sum(F.expr("CASE WHEN pred = truth THEN 1L ELSE 0L END"))
-            .as("n_correct"))
-        .select(F.col("truth"), F.col("n_queries"), F.col("n_correct"),
-          F.expr("n_correct * 1000000L div n_queries").as("acc_ppm"))
-        .orderBy("truth")
-    },
-    Some(s"""
-      WITH nb AS (
+  /** (query_id, pred, truth) for the deterministic probe slice — shared
+    * by M20 (accuracy) and D45 (full confusion matrix). */
+  private def knnPredictions(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val lbl = emb.select(F.col("vec_id"),
+      F.col("label").cast("long").as("label"))
+    val qs = emb.filter(F.expr("vec_id % 25 = 1"))
+    Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      .join(lbl.select(F.col("vec_id").as("match_id"),
+        F.col("label").as("nlabel")), "match_id")
+      .groupBy("query_id", "nlabel")
+      .agg(F.count(F.lit(1)).as("c"))
+      .groupBy("query_id")
+      .agg(F.max(F.struct(F.col("c"), F.expr("-nlabel").as("nl")))
+        .as("_t"))
+      .select(F.col("query_id"), F.expr("-_t.nl").as("pred"))
+      .join(lbl.select(F.col("vec_id").as("query_id"),
+        F.col("label").as("truth")), "query_id")
+  }
+
+  /** Shared oracle CTE chain: probes → 5-NN votes → majority label. */
+  private def knnPredCtes: String = s"""
+      nb AS (
         SELECT query_id, match_id FROM (
           SELECT query_id, match_id,
                  row_number() OVER (PARTITION BY query_id
@@ -73,7 +67,22 @@ object ClusterEvalQueries {
           SELECT query_id, nlabel,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY c DESC, nlabel) AS rn
-          FROM votes) WHERE rn = 1)
+          FROM votes) WHERE rn = 1)"""
+
+  private val knnAccuracy = QueryDef(
+    "knn_accuracy",
+    (s, d) => {
+      knnPredictions(s, d)
+        .groupBy("truth")
+        .agg(F.count(F.lit(1)).as("n_queries"),
+          F.sum(F.expr("CASE WHEN pred = truth THEN 1L ELSE 0L END"))
+            .as("n_correct"))
+        .select(F.col("truth"), F.col("n_queries"), F.col("n_correct"),
+          F.expr("n_correct * 1000000L div n_queries").as("acc_ppm"))
+        .orderBy("truth")
+    },
+    Some(s"""
+      WITH $knnPredCtes
       SELECT CAST(e.label AS BIGINT) AS truth,
              CAST(count(*) AS BIGINT) AS n_queries,
              CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
@@ -243,6 +252,39 @@ object ClusterEvalQueries {
                 AND q.label != c.label))
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------------- D45
+  /** Full kNN confusion matrix (M20's off-diagonal detail): (truth,
+    * pred, count) cells with each cell's share of its truth row in
+    * exact ppm — the label-noise localizer (a heavy off-diagonal cell
+    * is a systematically confusable label pair: candidate annotation
+    * errors or genuinely overlapping classes). Same shared prediction
+    * frame and oracle CTE chain as M20; output bounded by labels². */
+  private val knnConfusion = QueryDef(
+    "knn_confusion",
+    (s, d) => {
+      val cells = knnPredictions(s, d)
+        .groupBy("truth", "pred").agg(F.count(F.lit(1)).as("n"))
+      val rowTot = cells.groupBy("truth")
+        .agg(F.sum("n").as("row_n"))
+      cells.join(rowTot, "truth")
+        .select(F.col("truth"), F.col("pred"), F.col("n"),
+          F.expr("n * 1000000L div row_n").as("row_share_ppm"))
+        .orderBy("truth", "pred")
+    },
+    Some(s"""
+      WITH $knnPredCtes,
+      cells AS (
+        SELECT CAST(e.label AS BIGINT) AS truth, p.pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        GROUP BY 1, 2),
+      rt AS (SELECT truth, CAST(sum(n) AS BIGINT) AS row_n
+             FROM cells GROUP BY 1)
+      SELECT c.truth, c.pred, c.n,
+             CAST(c.n * 1000000 // r.row_n AS BIGINT) AS row_share_ppm
+      FROM cells c JOIN rt r ON c.truth = r.truth
+      ORDER BY c.truth, c.pred"""))
+
   val all: Seq[QueryDef] = Seq(knnAccuracy, centroidPurity, srmCheck,
-    hardNegatives)
+    hardNegatives, knnConfusion)
 }

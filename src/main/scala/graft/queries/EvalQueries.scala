@@ -584,7 +584,129 @@ object EvalQueries {
                AS brier_micro
       FROM sc"""))
 
+  // ---------------------------------------------------------------- M23
+  /** Split-conformal prediction threshold [Vovk et al. 2005]: on a
+    * deterministic 20% calibration slice (hash60(doc_id) % 5 = 0),
+    * nonconformity s = |score − 1000·lbl| (per-mille "how wrong"), and
+    * the finite-sample threshold is the ⌈(n+1)(1−α)⌉-th smallest s at
+    * α = 0.1 — computed by a cumulative count over the SCORE-GROUPED
+    * ascending frame (≤1001 distinct nonconformity values), never a
+    * corpus sort. Published with the empirical coverage on the held-out
+    * 80% in exact ppm (the ≈90% guarantee made checkable). ⌈(n+1)·9/10⌉
+    * = ((n+1)·9 + 9) div 10 — exact integer ceiling both engines. */
+  private val conformalThreshold = QueryDef(
+    "conformal_threshold",
+    (s, d) => {
+      val sc = scored(s, d).withColumn("cal",
+        F.pmod(graft.operators.Hashing.hash60(
+          F.col("doc_id").cast("string")), F.lit(5)) === 0)
+        .withColumn("nc", F.expr("abs(score - 1000 * lbl)"))
+      val calG = sc.where(F.col("cal"))
+        .groupBy("nc").agg(F.count(F.lit(1)).as("c"))
+      val w = Window.orderBy("nc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nCal = calG.agg(F.sum("c").as("n_cal"))
+      val thr = calG.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(nCal))
+        .where(F.expr("cum >= ((n_cal + 1) * 9 + 9) div 10"))
+        .agg(F.max("n_cal").as("n_cal"),
+          F.max(F.expr("((n_cal + 1) * 9 + 9) div 10")).as("k_rank"),
+          F.min("nc").as("q_threshold"))
+      val test = sc.where(!F.col("cal"))
+        .agg(F.count(F.lit(1)).as("n_test"))
+      val testCov = sc.where(!F.col("cal")).crossJoin(F.broadcast(thr))
+        .agg(F.sum(F.expr(
+          "CASE WHEN nc <= q_threshold THEN 1L ELSE 0L END"))
+          .as("n_covered"))
+      thr.crossJoin(test).crossJoin(testCov)
+        .select(F.col("n_cal"), F.col("k_rank"), F.col("q_threshold"),
+          F.col("n_test"), F.col("n_covered"),
+          F.expr("n_covered * 1000000L div n_test").as("coverage_ppm"))
+    },
+    Some {
+      val h = graft.operators.Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH sc AS ($scoredSql),
+      f AS (SELECT doc_id, abs(score - 1000 * lbl) AS nc,
+                   $h % 5 = 0 AS cal
+            FROM sc),
+      calg AS (SELECT nc, CAST(count(*) AS BIGINT) AS c
+               FROM f WHERE cal GROUP BY 1),
+      ncal AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM calg),
+      cum AS (SELECT nc, CAST(sum(c) OVER (ORDER BY nc
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM calg),
+      thr AS (
+        SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+               CAST(max(((n_cal + 1) * 9 + 9) // 10) AS BIGINT) AS k_rank,
+               CAST(min(nc) AS BIGINT) AS q_threshold
+        FROM cum, ncal WHERE cum >= ((n_cal + 1) * 9 + 9) // 10),
+      test AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                      CAST(sum(CASE WHEN nc <= t.q_threshold
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+               FROM f, thr t WHERE NOT cal)
+      SELECT n_cal, k_rank, q_threshold, n_test, n_covered,
+             CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+      FROM thr, test"""
+    })
+
+  // ---------------------------------------------------------------- M24
+  /** Two-proportion power analysis (the "how long must this A/B run"
+    * table): baseline conversion measured from the corpus (purchase
+    * share of events in exact ppm), required n per arm at α = .05
+    * two-sided / 80% power for relative lifts of 5/10/20% — z values
+    * HARDCODED as integer micros (1.959964, 0.841621 — no inverse-CDF
+    * in either engine, the E42 hardcoded-constant discipline), one
+    * closing double formula (sqrt is correctly-rounded IEEE on both
+    * engines) with the result ceiling'd to whole users. The corpus
+    * contributes ONE aggregate row; the 3-row ladder is a literal. */
+  private val powerSampleSize = QueryDef(
+    "power_sample_size",
+    (s, d) => {
+      val base = t(s, d, "events").agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.sum(F.expr(
+          "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END"))
+          .as("n_conv"))
+        .select(F.col("n_events"), F.col("n_conv"),
+          F.expr("n_conv * 1000000L div n_events").as("p1_ppm"))
+      base.select(F.col("p1_ppm"),
+        F.explode(F.expr("array(5L, 10L, 20L)")).as("lift_pct"))
+        .select(F.col("lift_pct"), F.col("p1_ppm"),
+          F.expr("p1_ppm * (100 + lift_pct) div 100").as("p2_ppm"))
+        .withColumn("n_per_arm", F.expr(
+          """CAST(ceil(
+            |  pow(1.959964 * sqrt(2 * ((p1_ppm + p2_ppm) / 2e6) *
+            |        (1 - (p1_ppm + p2_ppm) / 2e6))
+            |    + 0.841621 * sqrt((p1_ppm / 1e6) * (1 - p1_ppm / 1e6)
+            |        + (p2_ppm / 1e6) * (1 - p2_ppm / 1e6)), 2)
+            |  / pow((p2_ppm - p1_ppm) / 1e6, 2)) AS BIGINT)""".stripMargin))
+        .orderBy("lift_pct")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_conv
+        FROM events),
+      p AS (SELECT CAST(n_conv * 1000000 // n_events AS BIGINT) AS p1_ppm
+            FROM b),
+      l AS (SELECT CAST(unnest(ARRAY[5, 10, 20]) AS BIGINT) AS lift_pct),
+      g AS (SELECT lift_pct, p1_ppm,
+                   CAST(p1_ppm * (100 + lift_pct) // 100 AS BIGINT)
+                     AS p2_ppm
+            FROM p, l)
+      SELECT lift_pct, p1_ppm, p2_ppm,
+             CAST(ceil(
+               pow(1.959964 * sqrt(2 * ((p1_ppm + p2_ppm) / 2e6) *
+                     (1 - (p1_ppm + p2_ppm) / 2e6))
+                 + 0.841621 * sqrt((p1_ppm / 1e6) * (1 - p1_ppm / 1e6)
+                     + (p2_ppm / 1e6) * (1 - p2_ppm / 1e6)), 2)
+               / pow((p2_ppm - p1_ppm) / 1e6, 2)) AS BIGINT) AS n_per_arm
+      FROM g ORDER BY lift_pct"""))
+
   val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
-    evalPrCurve, evalPrAuc, evalConfusion, evalBrier)
+    evalPrCurve, evalPrAuc, evalConfusion, evalBrier,
+    conformalThreshold, powerSampleSize)
 }

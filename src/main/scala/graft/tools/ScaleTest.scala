@@ -388,7 +388,8 @@ object ScaleTest {
       .foreach(timeQ)
     // r7 wave-47/48 probes (knn_accuracy / hard_negatives excluded:
     // quadratic-by-design exact-truth audits, like search_mrr above)
-    Seq("centroid_purity", "srm_check", "churn_labels")
+    Seq("centroid_purity", "srm_check", "churn_labels",
+      "conformal_threshold", "power_sample_size")
       .foreach(timeQ)
     spark.stop()
   }

@@ -153,4 +153,40 @@ class ClusterEvalSpec extends SparkSpec {
     val b = q("stream_srm").collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("knn_confusion cells re-aggregate the prediction frame; rows sum to knn_accuracy") {
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nb = Similarity.bruteForceTopK(emb,
+      emb.filter(F.expr("vec_id % 25 = 1")), "vec_id", "embedding", 5)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val preds = nb.groupBy(_._1).view.mapValues { ms =>
+      val votes = ms.map(m => labels(m._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      votes.toSeq.minBy(p => (-p._2, p._1))._1
+    }.toMap
+    val cells = preds.toSeq
+      .groupBy(p => (labels(p._1), p._2)).view.mapValues(_.size.toLong)
+      .toMap
+    val rows = q("knn_confusion").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      cells.keySet)
+    val rowTot = cells.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(r.fieldIndex("n")) == cells(key))
+      assert(r.getLong(r.fieldIndex("row_share_ppm")) ==
+        cells(key) * 1000000L / rowTot(key._1))
+    }
+    // diagonal totals equal knn_accuracy's n_correct per truth
+    val acc = q("knn_accuracy").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_correct")))
+      .toMap
+    acc.foreach { case (truth, nc) =>
+      assert(cells.getOrElse((truth, truth), 0L) == nc)
+    }
+  }
 }

@@ -208,6 +208,58 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("conformal_threshold equals a driver-side order-statistic replay") {
+    val stop = Set("the", "and", "of", "to", "in", "a", "is")
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect().map { r =>
+        val toks = r.getString(2).toLowerCase.split(" +").filter(_.nonEmpty)
+        val score =
+          1000L * toks.count(stop) / math.max(toks.length, 1).toLong
+        val lbl = if (r.getString(1) == "en") 1L else 0L
+        (r.getLong(0), math.abs(score - 1000L * lbl))
+      }
+    val (cal, test) = docs.partition(d =>
+      graft.operators.Hashing.hash60(d._1.toString) % 5 == 0)
+    val n = cal.length.toLong
+    val k = ((n + 1) * 9 + 9) / 10
+    val qThr = cal.map(_._2).sorted.apply((k - 1).toInt)
+    val covered = test.count(_._2 <= qThr).toLong
+    val r = q("conformal_threshold").collect().head
+    assert(r.getLong(r.fieldIndex("n_cal")) == n)
+    assert(r.getLong(r.fieldIndex("k_rank")) == k)
+    assert(r.getLong(r.fieldIndex("q_threshold")) == qThr)
+    assert(r.getLong(r.fieldIndex("n_test")) == test.length)
+    assert(r.getLong(r.fieldIndex("n_covered")) == covered)
+    assert(r.getLong(r.fieldIndex("coverage_ppm")) ==
+      covered * 1000000L / test.length)
+    // the conformal guarantee: coverage should sit near 1-alpha
+    assert(r.getLong(r.fieldIndex("coverage_ppm")) >= 800000L)
+  }
+
+  test("power_sample_size equals the closed-form replay; monotone in lift") {
+    val rows = q("power_sample_size").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 10L, 20L))
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+      .select("event_type").collect().map(_.getString(0))
+    val p1ppm = ev.count(_ == "purchase").toLong * 1000000L / ev.length
+    rows.foreach { r =>
+      val lift = r.getLong(r.fieldIndex("lift_pct"))
+      assert(r.getLong(r.fieldIndex("p1_ppm")) == p1ppm)
+      val p2ppm = p1ppm * (100 + lift) / 100
+      assert(r.getLong(r.fieldIndex("p2_ppm")) == p2ppm)
+      val p1 = p1ppm / 1e6; val p2 = p2ppm / 1e6
+      val pbar = (p1ppm + p2ppm) / 2e6
+      val expect = math.ceil(
+        math.pow(1.959964 * math.sqrt(2 * pbar * (1 - pbar)) +
+          0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2) /
+          math.pow(p2 - p1, 2)).toLong
+      assert(r.getLong(r.fieldIndex("n_per_arm")) == expect)
+    }
+    // bigger detectable lift needs fewer users
+    val ns = rows.map(_.getLong(rows.head.fieldIndex("n_per_arm")))
+    assert(ns(0) > ns(1) && ns(1) > ns(2))
+  }
+
   test("eval_brier equals the brute-force mean squared error") {
     val pairs = scoredPairs()
     val se = pairs.map { case (lbl, sc) =>
