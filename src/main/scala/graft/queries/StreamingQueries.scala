@@ -1186,11 +1186,60 @@ object StreamingQueries {
     },
     Some(ClusterEvalQueries.srmOracleSql))
 
+  // ----------------------------------------------------------------- G28
+  /** Point-in-time dimension enrichment ON INGEST: streamed purchase
+    * events pick up the user's SCD2 state (C34's table, built batch-
+    * side from the staged corpus) valid AT EVENT TIME via a stream-
+    * static interval join — the join is STATELESS (static side
+    * broadcast per micro-batch, segments partition time so exactly one
+    * row matches), which is why dimension enrichment belongs on ingest
+    * while stream-stream state belongs to G8/G9. Same C41 as-of
+    * semantics: valid_from ≤ ts < valid_to, open rows included. */
+  private val streamAsof = QueryDef(
+    "stream_asof",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val batch = s.read.parquet(dir)
+      val dim = graft.operators.Warehouse.scd2Build(
+        batch, "user_id", "ts", "event_id", "event_type")
+        .select(F.col("user_id").as("du"), F.col("attr"),
+          F.col("valid_from"), F.col("valid_to"), F.col("version"))
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+        .where(F.expr("event_type = 'purchase'"))
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"))
+      val joined = stream.join(F.broadcast(dim), F.expr(
+        "user_id = du AND ts >= valid_from AND " +
+          "(valid_to IS NULL OR ts < valid_to)"))
+        .select("event_id", "user_id", "attr", "version")
+      drain(joined, "append").orderBy("event_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT user_id, ts, event_id, event_type FROM o
+             WHERE prev IS NULL OR prev <> event_type),
+      scd AS (
+        SELECT user_id AS du, event_type AS attr, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, s.attr, s.version
+      FROM p JOIN scd s ON p.user_id = s.du
+           AND p.ts >= s.valid_from
+           AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+      ORDER BY p.event_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
-    streamSrm)
+    streamSrm, streamAsof)
 }

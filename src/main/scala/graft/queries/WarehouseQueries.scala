@@ -76,6 +76,97 @@ object WarehouseQueries {
       FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
       ORDER BY channel"""))
 
+  // ---------------------------------------------------------------- C89
+  /** Position-based (U-shaped) multi-touch attribution beside C35's
+    * equal split and C65's decay: first and last touch in the 24 h
+    * lookback take 40% each, middles split the remaining 20% evenly
+    * (1 touch → 100%, 2 touches → 50/50). Every share is an exact
+    * integer division of the micro-floored value (remainders stay
+    * deliberately unallocated — C35's reconciliation discipline); the
+    * position windows PARTITION BY conversion, so each sort is bounded
+    * by one conversion's lookback touches, never the corpus. Same
+    * join shape as C35: one equi-join on the user key with a range
+    * predicate. */
+  private val attributionPosition = QueryDef(
+    "attribution_position",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val conv = ev.where(F.expr("event_type = 'purchase'"))
+        .select(F.col("user_id").as("cu"), F.col("ts").as("pts"),
+          F.col("event_id").as("pid"),
+          F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("vmicro"))
+      val tch = ev.where(
+        F.expr("event_type IN ('click', 'view', 'signup')"))
+        .select(F.col("user_id").as("tu"), F.col("ts").as("tts"),
+          F.col("event_id").as("tid"), F.col("event_type").as("channel"))
+      val pairs = tch.join(conv, F.expr(
+        "tu = cu AND tts <= pts AND tts > pts - INTERVAL 24 HOURS"))
+      val w = Window.partitionBy("pid")
+      val wa = Window.partitionBy("pid").orderBy("tts", "tid")
+      val wd = Window.partitionBy("pid")
+        .orderBy(F.col("tts").desc, F.col("tid").desc)
+      val att = pairs
+        .withColumn("ntouch", F.count(F.lit(1)).over(w))
+        .withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .withColumn("share_micro", F.expr(
+          """CASE WHEN ntouch = 1 THEN vmicro
+            |     WHEN ntouch = 2 THEN vmicro div 2
+            |     WHEN ra = 1 OR rd = 1 THEN vmicro * 2 div 5
+            |     ELSE vmicro div 5 div (ntouch - 2) END""".stripMargin))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).as("n_touches"),
+          F.countDistinct("pid").as("n_conversions"),
+          F.sum("share_micro").as("attr_micro"))
+      val none = conv.join(
+        pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+        .agg(F.count(F.lit(1)).as("n_conversions"),
+          F.coalesce(F.sum("vmicro"), F.lit(0L)).as("attr_micro"))
+        .select(F.lit("(none)").as("channel"),
+          F.lit(0L).as("n_touches"), F.col("n_conversions"),
+          F.col("attr_micro"))
+      att.unionByName(none)
+        .withColumn("attr_value",
+          F.round(F.col("attr_micro") / 1e6, 6))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH conv AS (SELECT user_id AS cu, ts AS pts, event_id AS pid,
+                           CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+                    FROM events WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id AS tu, ts AS tts, event_id AS tid,
+                     event_type AS channel
+              FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      pairs AS (SELECT channel, pid, vmicro, tts, tid
+                FROM tch JOIN conv ON tu = cu AND tts <= pts
+                     AND tts > pts - INTERVAL 24 HOUR),
+      pos AS (SELECT channel, pid, vmicro,
+                     count(*) OVER (PARTITION BY pid) AS ntouch,
+                     row_number() OVER (PARTITION BY pid
+                       ORDER BY tts, tid) AS ra,
+                     row_number() OVER (PARTITION BY pid
+                       ORDER BY tts DESC, tid DESC) AS rd
+              FROM pairs),
+      sh AS (SELECT channel, pid,
+                    CASE WHEN ntouch = 1 THEN vmicro
+                         WHEN ntouch = 2 THEN vmicro // 2
+                         WHEN ra = 1 OR rd = 1 THEN vmicro * 2 // 5
+                         ELSE vmicro // 5 // (ntouch - 2) END AS share_micro
+             FROM pos),
+      att AS (SELECT channel,
+                     CAST(count(*) AS BIGINT) AS n_touches,
+                     CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+                     CAST(sum(share_micro) AS BIGINT) AS attr_micro
+              FROM sh GROUP BY 1),
+      un AS (SELECT '(none)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+                    CAST(count(*) AS BIGINT) AS n_conversions,
+                    CAST(coalesce(sum(vmicro), 0) AS BIGINT) AS attr_micro
+             FROM conv WHERE pid NOT IN (SELECT pid FROM pairs))
+      SELECT channel, n_touches, n_conversions, attr_micro,
+             round(attr_micro / 1e6, 6) AS attr_value
+      FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
+      ORDER BY channel"""))
+
   // ---------------------------------------------------------------- C36
   private val runningDistinct = QueryDef(
     "running_distinct",
@@ -728,5 +819,5 @@ object WarehouseQueries {
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
     tCloseness, scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
-    rfm, basketAffinity)
+    rfm, basketAffinity, attributionPosition)
 }
