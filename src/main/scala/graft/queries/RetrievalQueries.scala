@@ -216,5 +216,188 @@ object RetrievalQueries {
                 AND e.match_id = a.match_id, nq
       GROUP BY a.np, nq.n_queries ORDER BY nprobe"""))
 
-  val all: Seq[QueryDef] = Seq(searchMrr, ivfNprobeSweep)
+  // ---------------------------------------------------------------- D46
+  /** ColBERT-style late interaction [Khattab & Zaharia 2020]: each
+    * vector is treated as 4 token-vectors (16-dim chunks — the PQ
+    * slicing), MaxSim score = Σ_i max_j dot(q_i, d_j), top-5 per probe.
+    * Exactness discipline: each chunk dot rounds to INTEGER MICROS
+    * before the max (selection over integers), the 4 maxes sum as
+    * integers — the whole score is hash-portable where a float MaxSim
+    * would drift. Scale shape: the chunk join multiplies the standard
+    * truth-pass by a CONSTANT 16 (4 query × 4 doc chunks); probes
+    * broadcast; per-(probe, doc, chunk) state collapses map-side. */
+  private val lateInteraction = QueryDef(
+    "late_interaction",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      def chunked(df: org.apache.spark.sql.DataFrame, idName: String,
+          posName: String, vecName: String) =
+        df.select(F.col("vec_id").as(idName),
+          F.posexplode(F.array((0 until 4).map(i =>
+            F.slice(F.col("embedding"), i * 16 + 1, 16)): _*))
+            .as(Seq(posName, vecName)))
+      val qc = chunked(emb.filter(F.expr("vec_id % 25 = 1")),
+        "query_id", "qi", "qv")
+      val cc = chunked(emb, "match_id", "di", "dv")
+      val scored = cc.join(F.broadcast(qc),
+        F.col("query_id") =!= F.col("match_id"))
+        .select(F.col("query_id"), F.col("match_id"), F.col("qi"),
+          F.round(Similarity.dot(F.col("qv"), F.col("dv")) * 1000000)
+            .cast("long").as("dm"))
+        .groupBy("query_id", "match_id", "qi")
+        .agg(F.max("dm").as("mx"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("mx").as("score_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(F.col("score_micro").desc, F.col("match_id"))
+      scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "match_id", "score_micro")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH qc AS (
+        SELECT vec_id AS query_id, i AS qi,
+               list_slice(embedding, (i-1)*16 + 1, i*16) AS qv
+        FROM embeddings, generate_series(1, 4) AS t(i)
+        WHERE vec_id % 25 = 1),
+      cc AS (
+        SELECT vec_id AS match_id, i AS di,
+               list_slice(embedding, (i-1)*16 + 1, i*16) AS dv
+        FROM embeddings, generate_series(1, 4) AS t(i)),
+      dm AS (
+        SELECT query_id, match_id, qi,
+               CAST(round(list_sum(list_transform(generate_series(1, 16),
+                 k -> CAST(qv[k] AS DOUBLE) * CAST(dv[k] AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS dmv
+        FROM qc, cc WHERE query_id != match_id),
+      mx AS (SELECT query_id, match_id, qi, max(dmv) AS mx
+             FROM dm GROUP BY 1, 2, 3),
+      sc AS (SELECT query_id, match_id, CAST(sum(mx) AS BIGINT)
+               AS score_micro
+             FROM mx GROUP BY 1, 2)
+      SELECT query_id, rank, match_id, score_micro FROM (
+        SELECT query_id, match_id, score_micro,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, match_id) AS INTEGER) AS rank
+        FROM sc) WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // ---------------------------------------------------------------- D47
+  /** Reciprocal-rank fusion [Cormack et al. 2009] of two genuinely
+    * different scorers over the same probes — full-vector cosine and
+    * D46's MaxSim: rrf_micro = Σ_lists 10⁶ div (60 + rank) over each
+    * list's top-10 (absent from a list ⇒ no contribution) — all
+    * integer, hash-portable, the standard hybrid-search merge that
+    * needs no score calibration between lists. Both input rankings are
+    * metadata-sized (n_probes·10); the fusion is a tiny full-outer
+    * join. */
+  private val rrfFusion = QueryDef(
+    "rrf_fusion",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(F.expr("vec_id % 25 = 1"))
+      val cosL = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 10)
+        .select(F.col("query_id"), F.col("match_id"),
+          F.col("rank").as("r_cos"))
+      def chunked(df: org.apache.spark.sql.DataFrame, idName: String,
+          posName: String, vecName: String) =
+        df.select(F.col("vec_id").as(idName),
+          F.posexplode(F.array((0 until 4).map(i =>
+            F.slice(F.col("embedding"), i * 16 + 1, 16)): _*))
+            .as(Seq(posName, vecName)))
+      val qc = chunked(qs, "query_id", "qi", "qv")
+      val cc = chunked(emb, "match_id", "di", "dv")
+      val ms = cc.join(F.broadcast(qc),
+        F.col("query_id") =!= F.col("match_id"))
+        .select(F.col("query_id"), F.col("match_id"), F.col("qi"),
+          F.round(Similarity.dot(F.col("qv"), F.col("dv")) * 1000000)
+            .cast("long").as("dm"))
+        .groupBy("query_id", "match_id", "qi")
+        .agg(F.max("dm").as("mx"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("mx").as("score_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(F.col("score_micro").desc, F.col("match_id"))
+      val maxL = ms.withColumn("r_max", F.row_number().over(w))
+        .filter(F.col("r_max") <= 10)
+        .select("query_id", "match_id", "r_max")
+      val fused = cosL.join(maxL, Seq("query_id", "match_id"), "full_outer")
+        .select(F.col("query_id"), F.col("match_id"),
+          F.expr("coalesce(CASE WHEN r_cos IS NOT NULL THEN " +
+            "1000000L div (60 + r_cos) END, 0L) + " +
+            "coalesce(CASE WHEN r_max IS NOT NULL THEN " +
+            "1000000L div (60 + r_max) END, 0L)").as("rrf_micro"),
+          F.expr("CAST(r_cos AS BIGINT)").as("r_cos"),
+          F.expr("CAST(r_max AS BIGINT)").as("r_max"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(F.col("rrf_micro").desc, F.col("match_id"))
+      fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "match_id", "rrf_micro",
+          "r_cos", "r_max")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH cosl AS (
+        SELECT query_id, match_id, rank AS r_cos FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id % 25 = 1 AND q.vec_id != c.vec_id))
+        WHERE rank <= 10),
+      qc AS (
+        SELECT vec_id AS query_id, i AS qi,
+               list_slice(embedding, (i-1)*16 + 1, i*16) AS qv
+        FROM embeddings, generate_series(1, 4) AS t(i)
+        WHERE vec_id % 25 = 1),
+      cc AS (
+        SELECT vec_id AS match_id, i AS di,
+               list_slice(embedding, (i-1)*16 + 1, i*16) AS dv
+        FROM embeddings, generate_series(1, 4) AS t(i)),
+      dm AS (
+        SELECT query_id, match_id, qi,
+               CAST(round(list_sum(list_transform(generate_series(1, 16),
+                 k -> CAST(qv[k] AS DOUBLE) * CAST(dv[k] AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS dmv
+        FROM qc, cc WHERE query_id != match_id),
+      mx AS (SELECT query_id, match_id, qi, max(dmv) AS mx
+             FROM dm GROUP BY 1, 2, 3),
+      sc AS (SELECT query_id, match_id, CAST(sum(mx) AS BIGINT)
+               AS score_micro
+             FROM mx GROUP BY 1, 2),
+      maxl AS (
+        SELECT query_id, match_id, r_max FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, match_id) AS r_max
+          FROM sc) WHERE r_max <= 10),
+      fused AS (
+        SELECT coalesce(c.query_id, m.query_id) AS query_id,
+               coalesce(c.match_id, m.match_id) AS match_id,
+               coalesce(CASE WHEN c.r_cos IS NOT NULL
+                 THEN 1000000 // (60 + c.r_cos) END, 0)
+               + coalesce(CASE WHEN m.r_max IS NOT NULL
+                 THEN 1000000 // (60 + m.r_max) END, 0) AS rrf_micro,
+               CAST(c.r_cos AS BIGINT) AS r_cos,
+               CAST(m.r_max AS BIGINT) AS r_max
+        FROM cosl c FULL OUTER JOIN maxl m
+          ON c.query_id = m.query_id AND c.match_id = m.match_id)
+      SELECT query_id, rank, match_id,
+             CAST(rrf_micro AS BIGINT) AS rrf_micro, r_cos, r_max
+      FROM (
+        SELECT query_id, match_id, rrf_micro, r_cos, r_max,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micro DESC, match_id) AS INTEGER) AS rank
+        FROM fused) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(searchMrr, ivfNprobeSweep,
+    lateInteraction, rrfFusion)
 }

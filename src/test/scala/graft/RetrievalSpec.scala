@@ -68,4 +68,64 @@ class RetrievalSpec extends SparkSpec {
     assert(r2.getLong(r2.fieldIndex("recall_ppm")) ==
       hits2 * 1000000L / (5L * nq))
   }
+
+  test("late_interaction equals a driver-side integer MaxSim replay") {
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val probes = emb.filter(_._1 % 25 == 1)
+    def chunkDotMicro(q: Array[Float], d: Array[Float],
+        qi: Int, di: Int): Long = {
+      var acc = 0.0
+      var k = 0
+      while (k < 16) {
+        acc += q(qi * 16 + k).toDouble * d(di * 16 + k).toDouble
+        k += 1
+      }
+      math.round(acc * 1e6)
+    }
+    val expect = probes.flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid).map { case (mid, dv) =>
+        val score = (0 until 4).map { qi =>
+          (0 until 4).map(di => chunkDotMicro(qv, dv, qi, di)).max
+        }.sum
+        (qid, mid, score)
+      }
+    }.groupBy(_._1).toSeq.flatMap { case (qid, ms) =>
+      ms.sortBy(m => (-m._3, m._2)).take(5).zipWithIndex
+        .map { case ((_, mid, s2), i) => (qid, i + 1, mid, s2) }
+    }.toSet
+    val got = SparkEntry.queries("late_interaction")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("rrf_fusion scores re-derive from the two input rankings") {
+    val rows = SparkEntry.queries("rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rc = if (r.isNullAt(r.fieldIndex("r_cos"))) None
+        else Some(r.getLong(r.fieldIndex("r_cos")))
+      val rm = if (r.isNullAt(r.fieldIndex("r_max"))) None
+        else Some(r.getLong(r.fieldIndex("r_max")))
+      assert(rc.isDefined || rm.isDefined)
+      val expect = rc.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rm.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(r.fieldIndex("rrf_micro")) == expect)
+      rc.foreach(x => assert(x >= 1 && x <= 10))
+      rm.foreach(x => assert(x >= 1 && x <= 10))
+    }
+    // per query: exactly 5 rows, rrf non-increasing by rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(rs.head.fieldIndex("rank")))
+      assert(sorted.map(_.getInt(sorted.head.fieldIndex("rank")))
+        .toSeq == (1 to sorted.length))
+      val vs = sorted.map(_.getLong(sorted.head.fieldIndex("rrf_micro")))
+      assert(vs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // a doc in BOTH top-10s always outranks one in only the tail of one
+      assert(sorted.length == 5)
+    }
+  }
 }
