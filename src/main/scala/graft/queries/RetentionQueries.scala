@@ -477,6 +477,75 @@ object RetentionQueries {
                AS drift_micros2
       FROM agg WHERE n0 > 0 AND n1 > 0 ORDER BY label"""))
 
+  // ---------------------------------------------------------------- D48
+  /** Newman modularity of the BRAND partition over the co-purchase
+    * graph ("do customers co-purchase within brands?"): per community c,
+    * Q_c = e_c/m − (d_c/2m)² computed EXACTLY as (4m·e_c − d_c²)·10⁶
+    * div (4m²) through DECIMAL(38,0)/HUGEINT (d_c² ·10⁶ exceeds int64),
+    * each term truncated to micros independently (both engines' integer
+    * division truncates toward zero, so negative terms agree too;
+    * near-zero terms are the expected answer on uniform synthetic
+    * baskets — the honesty discipline). Communities come from the part
+    * DIMENSION (broadcast), never a corpus clustering pass; edges are
+    * the staged deduped co-purchase graph (one shuffle, shared with
+    * D23/D29/D31). */
+  private val graphModularity = QueryDef(
+    "graph_modularity",
+    (s, d) => {
+      val edges = Staged.coPurchaseEdges(s, d)
+      val brand = t(s, d, "part")
+        .select(F.col("p_partkey").as("node"), F.col("p_brand"))
+      val lbl = edges
+        .join(F.broadcast(brand.select(F.col("node").as("pa"),
+          F.col("p_brand").as("ba"))), "pa")
+        .join(F.broadcast(brand.select(F.col("node").as("pb"),
+          F.col("p_brand").as("bb"))), "pb")
+      val m = lbl.agg(F.count(F.lit(1)).as("m"))
+      val eIn = lbl.where(F.col("ba") === F.col("bb"))
+        .groupBy(F.col("ba").as("brand"))
+        .agg(F.count(F.lit(1)).as("e_in"))
+      val deg = lbl.select(F.col("pa").as("node"), F.col("ba").as("brand"))
+        .unionAll(lbl.select(F.col("pb").as("node"),
+          F.col("bb").as("brand")))
+        .groupBy("brand").agg(F.count(F.lit(1)).as("d_c"),
+          F.countDistinct("node").as("n_nodes"))
+      deg.join(eIn, Seq("brand"), "left").na.fill(0L, Seq("e_in"))
+        .crossJoin(F.broadcast(m))
+        .select(F.col("brand"), F.col("n_nodes"), F.col("e_in"),
+          F.col("d_c"),
+          F.expr("CAST((4 * CAST(m AS DECIMAL(38,0)) * e_in - " +
+            "CAST(d_c AS DECIMAL(38,0)) * d_c) * 1000000 div " +
+            "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")
+            .as("q_term_micro"))
+        .orderBy("brand")
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      lbl AS (
+        SELECT e.pa, e.pb, x.p_brand AS ba, y.p_brand AS bb
+        FROM e0 e JOIN part x ON x.p_partkey = e.pa
+             JOIN part y ON y.p_partkey = e.pb),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lbl),
+      ein AS (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_in
+              FROM lbl WHERE ba = bb GROUP BY 1),
+      deg AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS d_c,
+               CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+        FROM (SELECT pa AS node, ba AS brand FROM lbl
+              UNION ALL SELECT pb, bb FROM lbl)
+        GROUP BY 1)
+      SELECT d.brand, d.n_nodes, coalesce(e.e_in, 0) AS e_in, d.d_c,
+             CAST((4 * CAST(m AS HUGEINT) * coalesce(e.e_in, 0)
+                   - CAST(d.d_c AS HUGEINT) * d.d_c) * 1000000
+                  // (4 * CAST(m AS HUGEINT) * m) AS BIGINT)
+               AS q_term_micro
+      FROM deg d LEFT JOIN ein e ON d.brand = e.brand, mm
+      ORDER BY d.brand"""))
+
   val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
-    kcore, funnelTimeStats, abWilson, topkOthers, embedDrift)
+    kcore, funnelTimeStats, abWilson, topkOthers, embedDrift,
+    graphModularity)
 }

@@ -167,6 +167,62 @@ object WarehouseQueries {
       FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
       ORDER BY channel"""))
 
+  // ---------------------------------------------------------------- E76
+  /** Differentially-private count release (ε = 1, Laplace mechanism),
+    * completing the privacy ladder E40 → E58 → E71: per-segment order
+    * counts released with additive Laplace(1/ε) noise whose draw is the
+    * C68 bootstrap discipline — the unit draw comes from the portable
+    * 60-bit hash of the release key and maps through a HARDCODED
+    * 16-entry integer inverse-CDF table (micros of the Laplace quantile
+    * at (i+½)/16 — no ln() at query time, both engines read identical
+    * literals), so every "random" release is bit-reproducible and
+    * oracle-checkable. Sensitivity of a disjoint-partition count is 1 ⇒
+    * scale b = 1/ε. The true count is published BESIDE the release for
+    * the audit (a production release would drop it — documented here so
+    * the noise magnitude is itself verifiable). One map-side-combined
+    * aggregate to a 5-row frame. */
+  private val dpRelease = QueryDef(
+    "dp_release",
+    (s, d) => {
+      val lap = Seq(-2772589L, -1673976L, -1163151L, -826679L, -575364L,
+        -374693L, -207639L, -64539L, 64539L, 207639L, 374693L, 575364L,
+        826679L, 1163151L, 1673976L, 2772589L)
+      val arr = lap.mkString("array(", "L, ", "L)")
+      t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").as("segment"))
+        .agg(F.count(F.lit(1)).as("n_true"))
+        .withColumn("_h", F.pmod(
+          Hashing.hash60(F.concat(F.lit("dp:"), F.col("segment"))),
+          F.lit(16)).cast("int"))
+        .withColumn("noise_micro",
+          F.expr(s"element_at($arr, _h + 1)"))
+        .select(F.col("segment"), F.col("n_true"), F.col("noise_micro"),
+          F.expr("n_true * 1000000L + noise_micro").as("released_micro"),
+          F.lit(1000000L).as("epsilon_micro"))
+        .orderBy("segment")
+    },
+    Some {
+      val lap = Seq(-2772589L, -1673976L, -1163151L, -826679L, -575364L,
+        -374693L, -207639L, -64539L, 64539L, 207639L, 374693L, 575364L,
+        826679L, 1163151L, 1673976L, 2772589L).mkString("[", ", ", "]")
+      s"""
+      WITH g AS (
+        SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_true
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1)
+      SELECT segment, n_true,
+             CAST((ARRAY$lap)[CAST(
+               ${Hashing.hash60Sql("'dp:' || segment")} % 16 AS INTEGER)
+               + 1] AS BIGINT) AS noise_micro,
+             CAST(n_true * 1000000 + (ARRAY$lap)[CAST(
+               ${Hashing.hash60Sql("'dp:' || segment")} % 16 AS INTEGER)
+               + 1] AS BIGINT) AS released_micro,
+             CAST(1000000 AS BIGINT) AS epsilon_micro
+      FROM g ORDER BY segment"""
+    })
+
   // ---------------------------------------------------------------- C36
   private val runningDistinct = QueryDef(
     "running_distinct",
@@ -819,5 +875,5 @@ object WarehouseQueries {
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
     tCloseness, scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
-    rfm, basketAffinity, attributionPosition)
+    rfm, basketAffinity, attributionPosition, dpRelease)
 }
