@@ -391,6 +391,10 @@ object ScaleTest {
     Seq("centroid_purity", "srm_check", "churn_labels",
       "conformal_threshold", "power_sample_size")
       .foreach(timeQ)
+    // r7 wave-50..52 probes (late_interaction / rrf_fusion excluded:
+    // constant-multiple variants of the documented quadratic truth pass)
+    Seq("attribution_position", "dp_release", "graph_modularity")
+      .foreach(timeQ)
     spark.stop()
   }
 }
