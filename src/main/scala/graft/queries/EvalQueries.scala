@@ -705,8 +705,151 @@ object EvalQueries {
                / pow((p2_ppm - p1_ppm) / 1e6, 2)) AS BIGINT) AS n_per_arm
       FROM g ORDER BY lift_pct"""))
 
+  // ---------------------------------------------------------------- M25
+  /** Inverse-propensity-score off-policy evaluation [Horvitz–Thompson;
+    * Li et al. 2011]: events are (action = event_type, reward = value)
+    * from the logged behavior policy; the target policy is UNIFORM over
+    * the 5 actions. IPS estimate = mean(reward · π(a)/μ(a)) with
+    * μ(a) = n_a/n empirical, so the per-action term collapses to
+    * Σr_micro div (5·n_a) — one exact integral division per action, no
+    * per-row weighting pass at all. Published per action
+    * (the diagnostic: max weight = n/(5·n_a) is the variance alarm)
+    * plus the behavior-policy mean beside it. Two aggregates over the
+    * corpus, both map-side combined. */
+  private val ipsEval = QueryDef(
+    "ips_eval",
+    (s, d) => {
+      val ev = t(s, d, "events").select(F.col("event_type").as("action"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("r_micro"))
+      val per = ev.groupBy("action").agg(
+        F.count(F.lit(1)).as("n_a"), F.sum("r_micro").as("sr"))
+      val tot = per.agg(F.sum("n_a").as("n"),
+        F.sum("sr").as("sr_all"))
+      per.crossJoin(F.broadcast(tot))
+        .select(F.col("action"), F.col("n_a"),
+          F.expr("CAST(sr div n_a AS BIGINT)").as("mean_reward_micro"),
+          F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div " +
+            "(5 * n_a) AS BIGINT)").as("ips_weight_ppm"),
+          F.expr("CAST(sr div (5 * n_a) AS BIGINT)")
+            .as("ips_term_micro"),
+          F.expr("CAST(sr_all div n AS BIGINT)")
+            .as("behavior_mean_micro"))
+        .orderBy("action")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type AS action,
+               CAST(floor(value * 1e6) AS BIGINT) AS r_micro
+        FROM events),
+      per AS (
+        SELECT action, CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(r_micro) AS BIGINT) AS sr
+        FROM e GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS n,
+                    CAST(sum(sr) AS BIGINT) AS sr_all FROM per)
+      SELECT action, n_a,
+             CAST(sr // n_a AS BIGINT) AS mean_reward_micro,
+             CAST(CAST(n AS HUGEINT) * 1000000 // (5 * n_a) AS BIGINT)
+               AS ips_weight_ppm,
+             CAST(sr // (5 * n_a) AS BIGINT) AS ips_term_micro,
+             CAST(sr_all // n AS BIGINT) AS behavior_mean_micro
+      FROM per, tt ORDER BY action"""))
+
+  // ---------------------------------------------------------------- M26
+  /** Per-subgroup fairness audit of a scorer (the responsible-AI table
+    * every model release reads): label = long-doc (n_chars > 1000),
+    * score = the E2 quality per-mille, subgroups = language. Per group:
+    * exact positive rate, the parity gap vs the corpus rate (signed
+    * ppm), and the within-group ROC AUC via M1's rank-sum identity
+    * computed from score-GROUPED counts PARTITIONED BY group (each
+    * group's frame ≤ 1001 score rows — the window never sees the
+    * corpus). Degenerate groups (single-class) publish NULL AUC rather
+    * than a fabricated number. */
+  private val fairnessAudit = QueryDef(
+    "fairness_audit",
+    (s, d) => {
+      val cols = graft.operators.TextOps.qualityColumns(F.col("text")).toMap
+      val sc = t(s, d, "documents").select(F.col("lang"),
+        F.expr("CASE WHEN n_chars > 1000 THEN 1L ELSE 0L END").as("lbl"),
+        F.round(cols("quality") * 1000).cast("long").as("score"))
+      val g = sc.groupBy("lang", "score").agg(
+        F.sum("lbl").as("np"), F.sum(F.expr("1L - lbl")).as("nn"))
+      val w = Window.partitionBy("lang").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val u = g
+        .withColumn("nn_below",
+          F.coalesce(F.sum("nn").over(w), F.lit(0L)))
+        .groupBy("lang")
+        .agg(F.sum("np").as("p_count"), F.sum("nn").as("n_count"),
+          F.sum(F.expr("np * (2 * nn_below + nn)")).as("u2"))
+      val tot = sc.agg(F.sum("lbl").as("gp"),
+        F.count(F.lit(1)).as("gn"))
+      u.crossJoin(F.broadcast(tot))
+        .select(F.col("lang"),
+          F.expr("p_count + n_count").as("n_docs"),
+          F.col("p_count"),
+          F.expr("p_count * 1000000L div (p_count + n_count)")
+            .as("pos_rate_ppm"),
+          F.expr("p_count * 1000000L div (p_count + n_count) - " +
+            "gp * 1000000L div gn").as("parity_gap_ppm"),
+          F.expr("CASE WHEN p_count > 0 AND n_count > 0 THEN " +
+            "CAST(CAST(u2 AS DECIMAL(38,0)) * 500000 div " +
+            "(CAST(p_count AS DECIMAL(38,0)) * n_count) AS BIGINT) " +
+            "END").as("auc_micros"))
+        .orderBy("lang")
+    },
+    Some {
+      val stop = graft.operators.TextOps.stopwords
+        .map(m => s"x = '$m'").mkString(" OR ")
+      val toksSql = "regexp_split_to_array(lower(text), ' +')"
+      s"""
+      WITH f AS (
+        SELECT lang,
+               CAST(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS BIGINT)
+                 AS lbl,
+               CAST(len($toksSql) AS BIGINT) AS nt,
+               len(list_filter($toksSql, x -> $stop)) AS n_stop,
+               CAST(len(regexp_extract_all(text, '[.,!?;]')) AS BIGINT)
+                 AS n_punct,
+               CAST(length(text) AS BIGINT) AS nc
+        FROM documents),
+      sc AS (
+        SELECT lang, lbl,
+               CAST(round(round((n_stop * 1.0 / nt) * 0.5
+                     + (n_punct * 1.0 / nc) * 0.3
+                     + least(nt / 100.0, 1.0) * 0.2, 6) * 1000)
+                 AS BIGINT) AS score
+        FROM f),
+      g AS (SELECT lang, score, CAST(sum(lbl) AS BIGINT) AS np,
+                   CAST(sum(1 - lbl) AS BIGINT) AS nn
+            FROM sc GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, score, np, nn,
+               CAST(coalesce(sum(nn) OVER (PARTITION BY lang
+                 ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS nn_below
+        FROM g),
+      u AS (
+        SELECT lang, CAST(sum(np) AS BIGINT) AS p_count,
+               CAST(sum(nn) AS BIGINT) AS n_count,
+               CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+        FROM cum GROUP BY 1),
+      tt AS (SELECT CAST(sum(lbl) AS BIGINT) AS gp,
+                    CAST(count(*) AS BIGINT) AS gn FROM sc)
+      SELECT lang, p_count + n_count AS n_docs, p_count,
+             CAST(p_count * 1000000 // (p_count + n_count) AS BIGINT)
+               AS pos_rate_ppm,
+             CAST(p_count * 1000000 // (p_count + n_count)
+                  - gp * 1000000 // gn AS BIGINT) AS parity_gap_ppm,
+             CAST(CASE WHEN p_count > 0 AND n_count > 0 THEN
+               CAST(u2 AS HUGEINT) * 500000 //
+               (CAST(p_count AS HUGEINT) * n_count) END AS BIGINT)
+               AS auc_micros
+      FROM u, tt ORDER BY lang"""
+    })
+
   val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
     evalPrCurve, evalPrAuc, evalConfusion, evalBrier,
-    conformalThreshold, powerSampleSize)
+    conformalThreshold, powerSampleSize, ipsEval, fairnessAudit)
 }

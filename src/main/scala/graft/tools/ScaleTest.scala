@@ -393,7 +393,8 @@ object ScaleTest {
       .foreach(timeQ)
     // r7 wave-50..52 probes (late_interaction / rrf_fusion excluded:
     // constant-multiple variants of the documented quadratic truth pass)
-    Seq("attribution_position", "dp_release", "graph_modularity")
+    Seq("attribution_position", "dp_release", "graph_modularity",
+      "ips_eval", "fairness_audit")
       .foreach(timeQ)
     spark.stop()
   }

@@ -260,6 +260,68 @@ class EvalSpec extends SparkSpec {
     assert(ns(0) > ns(1) && ns(1) > ns(2))
   }
 
+  test("ips_eval equals a driver-side Horvitz-Thompson replay") {
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+      .select(F.col("event_type"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = ev.length.toLong
+    val srAll = ev.map(_._2).sum
+    val rows = q("ips_eval").collect()
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val a = r.getString(r.fieldIndex("action"))
+      val mine = ev.filter(_._1 == a)
+      val na = mine.length.toLong
+      val sr = mine.map(_._2).sum
+      assert(r.getLong(r.fieldIndex("n_a")) == na)
+      assert(r.getLong(r.fieldIndex("mean_reward_micro")) == sr / na)
+      assert(r.getLong(r.fieldIndex("ips_weight_ppm")) ==
+        (BigInt(n) * 1000000 / (5 * na)).toLong)
+      assert(r.getLong(r.fieldIndex("ips_term_micro")) == sr / (5 * na))
+      assert(r.getLong(r.fieldIndex("behavior_mean_micro")) == srAll / n)
+    }
+    // identity: if the behavior policy were uniform, Sigma terms would
+    // equal the behavior mean; with near-uniform logging they are close
+    val ipsTotal = rows
+      .map(_.getLong(rows.head.fieldIndex("ips_term_micro"))).sum
+    assert(math.abs(ipsTotal - srAll / n) < srAll / n / 10)
+  }
+
+  test("fairness_audit AUC matches a per-group pairwise count") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select(F.col("lang"),
+        F.expr("CASE WHEN n_chars > 1000 THEN 1L ELSE 0L END"),
+        F.round(graft.operators.TextOps
+          .qualityColumns(F.col("text")).toMap.apply("quality") * 1000)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = q("fairness_audit").collect()
+    val gp = docs.count(_._2 == 1L).toLong
+    val gn = docs.length.toLong
+    rows.foreach { r =>
+      val lang = r.getString(r.fieldIndex("lang"))
+      val mine = docs.filter(_._1 == lang)
+      val pos = mine.filter(_._2 == 1L).map(_._3)
+      val neg = mine.filter(_._2 == 0L).map(_._3)
+      assert(r.getLong(r.fieldIndex("n_docs")) == mine.length)
+      assert(r.getLong(r.fieldIndex("p_count")) == pos.length)
+      assert(r.getLong(r.fieldIndex("pos_rate_ppm")) ==
+        pos.length.toLong * 1000000L / mine.length)
+      assert(r.getLong(r.fieldIndex("parity_gap_ppm")) ==
+        pos.length.toLong * 1000000L / mine.length -
+          gp * 1000000L / gn)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        var u2 = 0L
+        for (p <- pos; q2 <- neg)
+          u2 += (if (p > q2) 2L else if (p == q2) 1L else 0L)
+        assert(r.getLong(r.fieldIndex("auc_micros")) ==
+          (BigInt(u2) * 500000 /
+            (BigInt(pos.length) * neg.length)).toLong, s"lang=$lang")
+      } else assert(r.isNullAt(r.fieldIndex("auc_micros")))
+    }
+  }
+
   test("eval_brier equals the brute-force mean squared error") {
     val pairs = scoredPairs()
     val se = pairs.map { case (lbl, sc) =>
