@@ -848,8 +848,110 @@ object EvalQueries {
       FROM u, tt ORDER BY lang"""
     })
 
+  // ---------------------------------------------------------------- M27
+  /** CROSS-FITTED doubly-robust off-policy evaluation [Dudík et al.
+    * 2011]: the reward model q̂(a) = per-action mean is fit on the
+    * hash-split MODEL half and evaluated on the EVAL half (in-sample DR
+    * would make the correction vanish by construction — cross-fitting
+    * is what keeps it honest). Per action: q̂ from the model half,
+    * direct term q̂ div 5 (uniform target), correction
+    * (sr_E − n_E·q̂) div (5·n_E) from eval-half residuals, dr_term =
+    * their sum — all exact integer micros, both halves aggregated in
+    * the SAME single pass via conditional sums. */
+  private val drEval = QueryDef(
+    "dr_eval",
+    (s, d) => {
+      val ev = t(s, d, "events").select(F.col("event_type").as("action"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("r_micro"),
+        F.pmod(graft.operators.Hashing.hash60(
+          F.col("event_id").cast("string")), F.lit(2)).as("half"))
+      ev.groupBy("action")
+        .agg(
+          F.sum(F.expr("CASE WHEN half = 0 THEN 1L ELSE 0L END")).as("n_m"),
+          F.sum(F.expr("CASE WHEN half = 0 THEN r_micro ELSE 0L END")).as("sr_m"),
+          F.sum(F.expr("CASE WHEN half = 1 THEN 1L ELSE 0L END")).as("n_e"),
+          F.sum(F.expr("CASE WHEN half = 1 THEN r_micro ELSE 0L END")).as("sr_e"))
+        .select(F.col("action"), F.col("n_m"), F.col("n_e"),
+          F.expr("sr_m div n_m").as("q_hat_micro"),
+          F.expr("(sr_m div n_m) div 5").as("direct_micro"),
+          F.expr("(sr_e - n_e * (sr_m div n_m)) div (5 * n_e)")
+            .as("correction_micro"))
+        .withColumn("dr_term_micro",
+          F.expr("direct_micro + correction_micro"))
+        .orderBy("action")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type AS action,
+               CAST(floor(value * 1e6) AS BIGINT) AS r_micro,
+               ${graft.operators.Hashing.hash60Sql(
+                 "CAST(event_id AS VARCHAR)")} % 2 AS half
+        FROM events),
+      g AS (
+        SELECT action,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_m,
+               CAST(sum(CASE WHEN half = 0 THEN r_micro ELSE 0 END)
+                    AS BIGINT) AS sr_m,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_e,
+               CAST(sum(CASE WHEN half = 1 THEN r_micro ELSE 0 END)
+                    AS BIGINT) AS sr_e
+        FROM e GROUP BY 1)
+      SELECT action, n_m, n_e,
+             CAST(sr_m // n_m AS BIGINT) AS q_hat_micro,
+             CAST((sr_m // n_m) // 5 AS BIGINT) AS direct_micro,
+             CAST((sr_e - n_e * (sr_m // n_m)) // (5 * n_e) AS BIGINT)
+               AS correction_micro,
+             CAST((sr_m // n_m) // 5
+                  + (sr_e - n_e * (sr_m // n_m)) // (5 * n_e) AS BIGINT)
+               AS dr_term_micro
+      FROM g ORDER BY action"""))
+
+  // ---------------------------------------------------------------- M28
+  /** Expected / maximum calibration error scalars over M2's fixed-bin
+    * reliability table: ECE = Σ_b n_b·|rate_b − mid_b| div n, MCE =
+    * max_b |rate_b − mid_b| — both in exact integer micros (bucket
+    * midpoint = (100b+50)·10³ micros of probability, rate exact from
+    * counts). The one-number calibration summary beside M2's full
+    * table; single grouped pass to an 11-row frame. */
+  private val calibrationEce = QueryDef(
+    "calibration_ece",
+    (s, d) => {
+      val b = scored(s, d)
+        .groupBy(F.expr("score div 100").as("bucket"))
+        .agg(F.count(F.lit(1)).as("n_b"), F.sum("lbl").as("p_b"))
+        .select(F.col("bucket"), F.col("n_b"),
+          F.expr("abs(p_b * 1000000L div n_b - " +
+            "(bucket * 100 + 50) * 1000)").as("gap_micro"))
+      b.agg(F.sum("n_b").as("n"),
+        F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * gap_micro")).as("_w"),
+        F.max("gap_micro").as("mce_micro"))
+        .select(F.col("n"),
+          F.expr("CAST(_w div n AS BIGINT)").as("ece_micro"),
+          F.col("mce_micro"))
+    },
+    Some(s"""
+      WITH sc AS ($scoredSql),
+      b AS (
+        SELECT CAST(score // 100 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(lbl) AS BIGINT) AS p_b
+        FROM sc GROUP BY 1),
+      g AS (
+        SELECT bucket, n_b,
+               abs(p_b * 1000000 // n_b - (bucket * 100 + 50) * 1000)
+                 AS gap_micro
+        FROM b)
+      SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             CAST(sum(CAST(n_b AS HUGEINT) * gap_micro) // sum(n_b)
+                  AS BIGINT) AS ece_micro,
+             CAST(max(gap_micro) AS BIGINT) AS mce_micro
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(evalAuc, evalCalibration, evalLift,
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
     evalPrCurve, evalPrAuc, evalConfusion, evalBrier,
-    conformalThreshold, powerSampleSize, ipsEval, fairnessAudit)
+    conformalThreshold, powerSampleSize, ipsEval, fairnessAudit,
+    drEval, calibrationEce)
 }

@@ -322,6 +322,49 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("dr_eval equals a driver-side cross-fitted replay") {
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+      .select(F.col("event_type"), F.col("event_id"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)"))
+      .collect().map(r => (r.getString(0),
+        graft.operators.Hashing.hash60(r.getLong(1).toString) % 2,
+        r.getLong(2)))
+    val rows = q("dr_eval").collect()
+    rows.foreach { r =>
+      val a = r.getString(r.fieldIndex("action"))
+      val m = ev.filter(e => e._1 == a && e._2 == 0L)
+      val e2 = ev.filter(e => e._1 == a && e._2 == 1L)
+      val qhat = m.map(_._3).sum / m.length
+      assert(r.getLong(r.fieldIndex("n_m")) == m.length)
+      assert(r.getLong(r.fieldIndex("n_e")) == e2.length)
+      assert(r.getLong(r.fieldIndex("q_hat_micro")) == qhat)
+      assert(r.getLong(r.fieldIndex("direct_micro")) == qhat / 5)
+      val resid = e2.map(_._3).sum - e2.length * qhat
+      assert(r.getLong(r.fieldIndex("correction_micro")) ==
+        resid / (5 * e2.length))
+      assert(r.getLong(r.fieldIndex("dr_term_micro")) ==
+        qhat / 5 + resid / (5 * e2.length))
+    }
+  }
+
+  test("calibration_ece equals a replay and reconciles with eval_calibration") {
+    val cal = q("eval_calibration").collect().map(r =>
+      (r.getLong(r.fieldIndex("bucket")),
+        r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("pos_rate_micros"))))
+    val n = cal.map(_._2).sum
+    val gaps = cal.map { case (b, nb, rate) =>
+      (nb, math.abs(rate - (b * 100 + 50) * 1000))
+    }
+    val ece = gaps.map { case (nb, g) => BigInt(nb) * g }.sum / n
+    val r = q("calibration_ece").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == n)
+    assert(r.getLong(r.fieldIndex("ece_micro")) == ece.toLong)
+    assert(r.getLong(r.fieldIndex("mce_micro")) == gaps.map(_._2).max)
+    assert(r.getLong(r.fieldIndex("ece_micro")) <=
+      r.getLong(r.fieldIndex("mce_micro")))
+  }
+
   test("eval_brier equals the brute-force mean squared error") {
     val pairs = scoredPairs()
     val se = pairs.map { case (lbl, sc) =>
