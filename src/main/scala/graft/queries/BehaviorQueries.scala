@@ -235,6 +235,105 @@ object BehaviorQueries {
              CAST(n_events * 1000000 // t AS BIGINT) AS share_ppm
       FROM g, tt ORDER BY dow, hr"""))
 
+  // ---------------------------------------------------------------- M29
+  /** CUPED variance reduction [Deng et al. 2013] beside M19's DiD:
+    * metric y = 1997 spend per customer, covariate x = 1996 spend,
+    * θ = cov(x,y)/var(x) fit POOLED over the cohort; per group
+    * (treated = BUILDING) the adjusted mean ŷ = ȳ_g − θ(x̄_g − x̄). All
+    * sums exact (cross-products through DECIMAL(38,0)/HUGEINT), means
+    * in exact micro-cents, the θ / adjusted-mean / ρ² closing formulas
+    * one string-routed double each (M9's §5 discipline); ρ² is the
+    * published variance-reduction fraction. One per-customer
+    * conditional aggregate + one group rollup + a 1-row pooled
+    * broadcast. */
+  private val abCuped = QueryDef(
+    "ab_cuped",
+    (s, d) => {
+      val per = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select(F.col("o_custkey").as("ck"),
+          F.expr("c_mktsegment = 'BUILDING'").as("treated"),
+          F.expr("year(to_date(o_orderdate))").as("yr"),
+          F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("ck", "treated")
+        .agg(
+          F.sum(F.expr("CASE WHEN yr = 1996 THEN cents ELSE 0L END")).as("x"),
+          F.sum(F.expr("CASE WHEN yr = 1997 THEN cents ELSE 0L END")).as("y"),
+          F.sum(F.expr("CASE WHEN yr = 1996 THEN 1L ELSE 0L END")).as("f96"))
+        .where(F.col("f96") > 0)
+      val pooled = per.agg(F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"), F.sum("y").as("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      val groups = per.groupBy("treated").agg(
+        F.count(F.lit(1)).as("n_g"),
+        F.sum("x").as("sx_g"), F.sum("y").as("sy_g"))
+      val num = "CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy " +
+        "AS STRING) AS DOUBLE)"
+      val dx = "CAST(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx " +
+        "AS STRING) AS DOUBLE)"
+      val dy = "CAST(CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy " +
+        "AS STRING) AS DOUBLE)"
+      groups.crossJoin(F.broadcast(pooled))
+        .select(F.col("treated"), F.col("n_g"),
+          F.expr("CAST(CAST(sx_g AS DECIMAL(38,0)) * 1000000 div n_g " +
+            "AS BIGINT)").as("mean_x_micro"),
+          F.expr("CAST(CAST(sy_g AS DECIMAL(38,0)) * 1000000 div n_g " +
+            "AS BIGINT)").as("mean_y_micro"),
+          F.expr(s"round($num / $dx, 6)").as("theta"),
+          F.expr(s"round(CAST(sy_g AS DOUBLE) / n_g - ($num / $dx) * " +
+            "(CAST(sx_g AS DOUBLE) / n_g - CAST(sx AS DOUBLE) / n), 6)")
+            .as("adj_mean_y_cents"),
+          F.expr(s"round(($num / $dx) * ($num / $dy), 6)").as("rho2"))
+        .orderBy("treated")
+    },
+    Some {
+      val num = "CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy " +
+        "AS VARCHAR) AS DOUBLE)"
+      val dx = "CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx " +
+        "AS VARCHAR) AS DOUBLE)"
+      val dy = "CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy " +
+        "AS VARCHAR) AS DOUBLE)"
+      s"""
+      WITH per AS (
+        SELECT o_custkey AS ck, c_mktsegment = 'BUILDING' AS treated,
+               CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) AS BIGINT) AS f96
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2 HAVING f96 > 0),
+      pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM per),
+      g AS (
+        SELECT treated, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS sx_g,
+               CAST(sum(y) AS BIGINT) AS sy_g
+        FROM per GROUP BY 1)
+      SELECT treated, n_g,
+             CAST(CAST(sx_g AS HUGEINT) * 1000000 // n_g AS BIGINT)
+               AS mean_x_micro,
+             CAST(CAST(sy_g AS HUGEINT) * 1000000 // n_g AS BIGINT)
+               AS mean_y_micro,
+             round($num / $dx, 6) AS theta,
+             round(CAST(sy_g AS DOUBLE) / n_g - ($num / $dx) *
+                   (CAST(sx_g AS DOUBLE) / n_g - CAST(sx AS DOUBLE) / n),
+                   6) AS adj_mean_y_cents,
+             round(($num / $dx) * ($num / $dy), 6) AS rho2
+      FROM g, pooled ORDER BY treated"""
+    })
+
   val all: Seq[QueryDef] = Seq(botScore, diffInDiff, userEntropy,
-    eventHeatmap)
+    eventHeatmap, abCuped)
 }

@@ -594,38 +594,48 @@ object EvalQueries {
     * corpus sort. Published with the empirical coverage on the held-out
     * 80% in exact ppm (the ≈90% guarantee made checkable). ⌈(n+1)·9/10⌉
     * = ((n+1)·9 + 9) div 10 — exact integer ceiling both engines. */
-  private val conformalThreshold = QueryDef(
-    "conformal_threshold",
-    (s, d) => {
-      val sc = scored(s, d).withColumn("cal",
-        F.pmod(graft.operators.Hashing.hash60(
-          F.col("doc_id").cast("string")), F.lit(5)) === 0)
-        .withColumn("nc", F.expr("abs(score - 1000 * lbl)"))
-      val calG = sc.where(F.col("cal"))
-        .groupBy("nc").agg(F.count(F.lit(1)).as("c"))
-      val w = Window.orderBy("nc")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val nCal = calG.agg(F.sum("c").as("n_cal"))
-      val thr = calG.withColumn("cum", F.sum("c").over(w))
-        .crossJoin(F.broadcast(nCal))
-        .where(F.expr("cum >= ((n_cal + 1) * 9 + 9) div 10"))
-        .agg(F.max("n_cal").as("n_cal"),
-          F.max(F.expr("((n_cal + 1) * 9 + 9) div 10")).as("k_rank"),
-          F.min("nc").as("q_threshold"))
-      val test = sc.where(!F.col("cal"))
-        .agg(F.count(F.lit(1)).as("n_test"))
-      val testCov = sc.where(!F.col("cal")).crossJoin(F.broadcast(thr))
-        .agg(F.sum(F.expr(
-          "CASE WHEN nc <= q_threshold THEN 1L ELSE 0L END"))
-          .as("n_covered"))
-      thr.crossJoin(test).crossJoin(testCov)
-        .select(F.col("n_cal"), F.col("k_rank"), F.col("q_threshold"),
-          F.col("n_test"), F.col("n_covered"),
-          F.expr("n_covered * 1000000L div n_test").as("coverage_ppm"))
-    },
-    Some {
-      val h = graft.operators.Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
-      s"""
+  /** The (cal, nc) projection every conformal consumer starts from. */
+  private[queries] def conformalInput(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    scored(s, d).withColumn("cal",
+      F.pmod(graft.operators.Hashing.hash60(
+        F.col("doc_id").cast("string")), F.lit(5)) === 0)
+      .withColumn("nc", F.expr("abs(score - 1000 * lbl)"))
+      .select("cal", "nc")
+
+  /** Threshold + held-out coverage assembly over the (cal, nc, c)
+    * grouped-count frame (≤ 2·1002 rows) — shared by the batch query
+    * and the G29 streaming twin. */
+  private[queries] def conformalAssemble(
+      grouped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val calG = grouped.where(F.col("cal")).select("nc", "c")
+    val w = Window.orderBy("nc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nCal = calG.agg(F.sum("c").as("n_cal"))
+    val thr = calG.withColumn("cum", F.sum("c").over(w))
+      .crossJoin(F.broadcast(nCal))
+      .where(F.expr("cum >= ((n_cal + 1) * 9 + 9) div 10"))
+      .agg(F.max("n_cal").as("n_cal"),
+        F.max(F.expr("((n_cal + 1) * 9 + 9) div 10")).as("k_rank"),
+        F.min("nc").as("q_threshold"))
+    val testG = grouped.where(!F.col("cal"))
+    val test = testG.agg(F.sum("c").as("n_test"))
+    val testCov = testG.crossJoin(F.broadcast(thr))
+      .agg(F.sum(F.expr(
+        "CASE WHEN nc <= q_threshold THEN c ELSE 0L END"))
+        .as("n_covered"))
+    thr.crossJoin(test).crossJoin(testCov)
+      .select(F.col("n_cal"), F.col("k_rank"), F.col("q_threshold"),
+        F.col("n_test"), F.col("n_covered"),
+        F.expr("n_covered * 1000000L div n_test").as("coverage_ppm"))
+  }
+
+  /** Shared with G29. */
+  private[queries] val conformalOracleSql: String = {
+    val h = graft.operators.Hashing.hash60Sql("CAST(doc_id AS VARCHAR)")
+    s"""
       WITH sc AS ($scoredSql),
       f AS (SELECT doc_id, abs(score - 1000 * lbl) AS nc,
                    $h % 5 = 0 AS cal
@@ -648,7 +658,15 @@ object EvalQueries {
       SELECT n_cal, k_rank, q_threshold, n_test, n_covered,
              CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
       FROM thr, test"""
-    })
+  }
+
+  private val conformalThreshold = QueryDef(
+    "conformal_threshold",
+    (s, d) => conformalAssemble(
+      conformalInput(s, d).groupBy("cal", "nc")
+        .agg(F.count(F.lit(1)).as("c"))),
+    Some(conformalOracleSql))
+
 
   // ---------------------------------------------------------------- M24
   /** Two-proportion power analysis (the "how long must this A/B run"

@@ -398,6 +398,72 @@ object RetrievalQueries {
         FROM fused) WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------------- D49
+  /** Retrieval exposure / catalog-coverage audit: over the probe
+    * slice's exact top-5 lists — how much of the catalog is ever
+    * surfaced (coverage ppm), how concentrated exposure is (max
+    * appearances, top-10-item share of all exposures in exact ppm).
+    * The recommender-health numbers that catch popularity collapse
+    * before users do. The exposure frame is bounded by n_probes·k;
+    * the only corpus-sized input is the catalog count. */
+  private val recCoverage = QueryDef(
+    "rec_coverage",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(F.expr("vec_id % 25 = 1"))
+      val exp = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5)
+        .groupBy("match_id").agg(F.count(F.lit(1)).as("nexp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("nexp").desc, F.col("match_id"))
+      val top10 = exp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .agg(F.sum("nexp").as("top10_exp"))
+      val sums = exp.agg(F.count(F.lit(1)).as("n_exposed"),
+        F.sum("nexp").as("total_exp"), F.max("nexp").as("max_exposure"))
+      val cat = emb.agg(F.count(F.lit(1)).as("n_catalog"))
+      val nq = qs.agg(F.count(F.lit(1)).as("n_queries"))
+      sums.crossJoin(F.broadcast(cat)).crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(top10))
+        .select(F.col("n_catalog"), F.col("n_queries"),
+          F.col("n_exposed"),
+          F.expr("n_exposed * 1000000L div n_catalog").as("coverage_ppm"),
+          F.col("max_exposure"),
+          F.expr("top10_exp * 1000000L div total_exp")
+            .as("top10_share_ppm"))
+    },
+    Some(s"""
+      WITH nb AS (
+        SELECT query_id, match_id FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id % 25 = 1 AND q.vec_id != c.vec_id))
+        WHERE rank <= 5),
+      exp AS (SELECT match_id, CAST(count(*) AS BIGINT) AS nexp
+              FROM nb GROUP BY 1),
+      t10 AS (SELECT CAST(sum(nexp) AS BIGINT) AS top10_exp FROM (
+                SELECT nexp FROM exp
+                ORDER BY nexp DESC, match_id LIMIT 10)),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_exposed,
+                   CAST(sum(nexp) AS BIGINT) AS total_exp,
+                   CAST(max(nexp) AS BIGINT) AS max_exposure
+            FROM exp),
+      cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog
+              FROM embeddings),
+      nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+             FROM embeddings WHERE vec_id % 25 = 1)
+      SELECT n_catalog, n_queries, n_exposed,
+             CAST(n_exposed * 1000000 // n_catalog AS BIGINT)
+               AS coverage_ppm,
+             max_exposure,
+             CAST(top10_exp * 1000000 // total_exp AS BIGINT)
+               AS top10_share_ppm
+      FROM s, cat, nq, t10"""))
+
   val all: Seq[QueryDef] = Seq(searchMrr, ivfNprobeSweep,
-    lateInteraction, rrfFusion)
+    lateInteraction, rrfFusion, recCoverage)
 }

@@ -1235,11 +1235,42 @@ object StreamingQueries {
            AND (s.valid_to IS NULL OR p.ts < s.valid_to)
       ORDER BY p.event_id"""))
 
+  // ----------------------------------------------------------------- G29
+  /** The M23 split-conformal guardrail ON LIVE TRAFFIC: streamed
+    * documents project to (calibration?, nonconformity) — a stateless
+    * narrow map — and accumulate as grouped counts (state ≤ 2·1002
+    * rows regardless of volume, complete mode, arrival-order
+    * independent); the drained frame flows through the SAME threshold +
+    * held-out-coverage assembly (`EvalQueries.conformalAssemble`)
+    * against the SAME oracle. The online shape of "is the deployed
+    * threshold still covering ≈90%". */
+  private val streamConformal = QueryDef(
+    "stream_conformal",
+    (s, d) => {
+      val dir = stage(s, d, "documents")
+      val stream = s.readStream
+        .schema(s.read.parquet(dir).schema).parquet(dir)
+      val stop = "('the','and','of','to','in','a','is')"
+      val toks = "filter(split(lower(text), ' +'), x -> length(x) > 0)"
+      val in = stream.select(
+        F.pmod(graft.operators.Hashing.hash60(
+          F.col("doc_id").cast("string")), F.lit(5)).===(0).as("cal"),
+        F.expr(
+          s"abs(1000L * size(filter($toks, x -> x IN $stop)) div " +
+            s"greatest(size($toks), 1) - 1000 * " +
+            s"CASE WHEN lang = 'en' THEN 1L ELSE 0L END)").as("nc"))
+      val grouped = in.groupBy("cal", "nc")
+        .agg(F.count(F.lit(1)).as("c"))
+      val drained = withStatePartitions(s, 5) { drain(grouped, "complete") }
+      EvalQueries.conformalAssemble(drained)
+    },
+    Some(EvalQueries.conformalOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
-    streamSrm, streamAsof)
+    streamSrm, streamAsof, streamConformal)
 }

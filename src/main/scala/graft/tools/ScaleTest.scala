@@ -394,7 +394,8 @@ object ScaleTest {
     // r7 wave-50..52 probes (late_interaction / rrf_fusion excluded:
     // constant-multiple variants of the documented quadratic truth pass)
     Seq("attribution_position", "dp_release", "graph_modularity",
-      "ips_eval", "fairness_audit", "dr_eval", "calibration_ece")
+      "ips_eval", "fairness_audit", "dr_eval", "calibration_ece",
+      "ab_cuped")
       .foreach(timeQ)
     spark.stop()
   }

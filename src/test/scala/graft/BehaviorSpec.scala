@@ -101,6 +101,58 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("ab_cuped equals a driver-side exact-sums replay") {
+    val per = graft.queries.Tables.t(spark, sf, "orders")
+      .join(graft.queries.Tables.t(spark, sf, "customer"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .select(F.col("o_custkey"),
+        F.expr("c_mktsegment = 'BUILDING'"),
+        F.expr("year(to_date(o_orderdate))"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getLong(3)))
+      .groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((_, tr), es) =>
+        (tr, es.filter(_._3 == 1996).map(_._4).sum,
+          es.filter(_._3 == 1997).map(_._4).sum,
+          es.count(_._3 == 1996))
+      }
+      .filter(_._4 > 0)
+    val n = per.length.toLong
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(p => BigInt(p._2) * p._3).sum
+    val sxx = per.map(p => BigInt(p._2) * p._2).sum
+    val syy = per.map(p => BigInt(p._3) * p._3).sum
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy).toString.toDouble
+    val dx = (BigInt(n) * sxx - BigInt(sx) * sx).toString.toDouble
+    val dy = (BigInt(n) * syy - BigInt(sy) * sy).toString.toDouble
+    val rows = q("ab_cuped").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val tr = r.getBoolean(r.fieldIndex("treated"))
+      val g = per.filter(_._1 == tr)
+      val ng = g.length.toLong
+      val sxg = g.map(_._2).sum; val syg = g.map(_._3).sum
+      assert(r.getLong(r.fieldIndex("n_g")) == ng)
+      assert(r.getLong(r.fieldIndex("mean_x_micro")) ==
+        (BigInt(sxg) * 1000000 / ng).toLong)
+      assert(r.getLong(r.fieldIndex("mean_y_micro")) ==
+        (BigInt(syg) * 1000000 / ng).toLong)
+      assert(r.getDouble(r.fieldIndex("theta")) ==
+        BigDecimal(num / dx).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val adj = syg.toDouble / ng - (num / dx) *
+        (sxg.toDouble / ng - sx.toDouble / n)
+      assert(math.abs(r.getDouble(r.fieldIndex("adj_mean_y_cents")) -
+        adj) < 1e-4)
+      assert(r.getDouble(r.fieldIndex("rho2")) >= 0.0 &&
+        r.getDouble(r.fieldIndex("rho2")) <= 1.0)
+      // rho2 equals the replay
+      assert(math.abs(r.getDouble(r.fieldIndex("rho2")) -
+        (num / dx) * (num / dy)) < 1e-4)
+    }
+  }
+
   test("event_heatmap cells partition the corpus; shares floor-sum") {
     val rows = q("event_heatmap").collect()
     val total = rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum

@@ -148,6 +148,12 @@ class ClusterEvalSpec extends SparkSpec {
     }
   }
 
+  test("stream_conformal matches the batch conformal_threshold row") {
+    val a = q("conformal_threshold").collect().map(_.toString).toSeq
+    val b = q("stream_conformal").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("stream_srm matches the batch srm_check row for row") {
     val a = q("srm_check").collect().map(_.toString).sorted.toSeq
     val b = q("stream_srm").collect().map(_.toString).sorted.toSeq

@@ -102,6 +102,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("rec_coverage equals re-aggregation of the exposure frame") {
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+    val nCat = emb.count()
+    val qs = emb.filter(F.expr("vec_id % 25 = 1"))
+    val nq = qs.count()
+    val exp = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("match_id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = SparkEntry.queries("rec_coverage")(spark, sf).collect().head
+    assert(r.getLong(r.fieldIndex("n_catalog")) == nCat)
+    assert(r.getLong(r.fieldIndex("n_queries")) == nq)
+    assert(r.getLong(r.fieldIndex("n_exposed")) == exp.size)
+    assert(r.getLong(r.fieldIndex("coverage_ppm")) ==
+      exp.size.toLong * 1000000L / nCat)
+    assert(r.getLong(r.fieldIndex("max_exposure")) == exp.values.max)
+    val total = exp.values.sum
+    assert(total == 5L * nq)
+    val top10 = exp.values.toSeq.sorted(Ordering[Long].reverse)
+      .take(10).sum
+    assert(r.getLong(r.fieldIndex("top10_share_ppm")) ==
+      top10 * 1000000L / total)
+  }
+
   test("rrf_fusion scores re-derive from the two input rankings") {
     val rows = SparkEntry.queries("rrf_fusion")(spark, sf).collect()
     assert(rows.nonEmpty)
