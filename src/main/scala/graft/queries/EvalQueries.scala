@@ -734,27 +734,27 @@ object EvalQueries {
     * (the diagnostic: max weight = n/(5·n_a) is the variance alarm)
     * plus the behavior-policy mean beside it. Two aggregates over the
     * corpus, both map-side combined. */
-  private val ipsEval = QueryDef(
-    "ips_eval",
-    (s, d) => {
-      val ev = t(s, d, "events").select(F.col("event_type").as("action"),
-        F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("r_micro"))
-      val per = ev.groupBy("action").agg(
-        F.count(F.lit(1)).as("n_a"), F.sum("r_micro").as("sr"))
-      val tot = per.agg(F.sum("n_a").as("n"),
-        F.sum("sr").as("sr_all"))
-      per.crossJoin(F.broadcast(tot))
-        .select(F.col("action"), F.col("n_a"),
-          F.expr("CAST(sr div n_a AS BIGINT)").as("mean_reward_micro"),
-          F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div " +
-            "(5 * n_a) AS BIGINT)").as("ips_weight_ppm"),
-          F.expr("CAST(sr div (5 * n_a) AS BIGINT)")
-            .as("ips_term_micro"),
-          F.expr("CAST(sr_all div n AS BIGINT)")
-            .as("behavior_mean_micro"))
-        .orderBy("action")
-    },
-    Some("""
+  /** IPS assembly over the per-action (n_a, sr) frame — shared by the
+    * batch query and the G30 streaming twin. */
+  private[queries] def ipsAssemble(
+      per: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = per.agg(F.sum("n_a").as("n"),
+      F.sum("sr").as("sr_all"))
+    per.crossJoin(F.broadcast(tot))
+      .select(F.col("action"), F.col("n_a"),
+        F.expr("CAST(sr div n_a AS BIGINT)").as("mean_reward_micro"),
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div " +
+          "(5 * n_a) AS BIGINT)").as("ips_weight_ppm"),
+        F.expr("CAST(sr div (5 * n_a) AS BIGINT)")
+          .as("ips_term_micro"),
+        F.expr("CAST(sr_all div n AS BIGINT)")
+          .as("behavior_mean_micro"))
+      .orderBy("action")
+  }
+
+  /** Shared with G30. */
+  private[queries] val ipsOracleSql: String = """
       WITH e AS (
         SELECT event_type AS action,
                CAST(floor(value * 1e6) AS BIGINT) AS r_micro
@@ -771,7 +771,17 @@ object EvalQueries {
                AS ips_weight_ppm,
              CAST(sr // (5 * n_a) AS BIGINT) AS ips_term_micro,
              CAST(sr_all // n AS BIGINT) AS behavior_mean_micro
-      FROM per, tt ORDER BY action"""))
+      FROM per, tt ORDER BY action"""
+
+  private val ipsEval = QueryDef(
+    "ips_eval",
+    (s, d) => ipsAssemble(
+      t(s, d, "events").select(F.col("event_type").as("action"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("r_micro"))
+        .groupBy("action").agg(
+          F.count(F.lit(1)).as("n_a"), F.sum("r_micro").as("sr"))),
+    Some(ipsOracleSql))
+
 
   // ---------------------------------------------------------------- M26
   /** Per-subgroup fairness audit of a scorer (the responsible-AI table

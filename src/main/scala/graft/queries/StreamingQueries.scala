@@ -1266,11 +1266,33 @@ object StreamingQueries {
     },
     Some(EvalQueries.conformalOracleSql))
 
+  // ----------------------------------------------------------------- G30
+  /** M25's off-policy value ON LIVE TRAFFIC: streamed events accumulate
+    * per-action (count, reward-sum) as 5 rows of streaming state
+    * (complete mode, arrival-order independent — pure sums), and the
+    * drained frame flows through the SAME IPS assembly
+    * (`EvalQueries.ipsAssemble`) against the SAME oracle — the online
+    * "what would the uniform policy be earning right now" read. */
+  private val streamIps = QueryDef(
+    "stream_ips",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = s.readStream
+        .schema(s.read.parquet(dir).schema).parquet(dir)
+      val per = stream.select(F.col("event_type").as("action"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").as("r_micro"))
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).as("n_a"), F.sum("r_micro").as("sr"))
+      val drained = withStatePartitions(s, 5) { drain(per, "complete") }
+      EvalQueries.ipsAssemble(drained)
+    },
+    Some(EvalQueries.ipsOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
-    streamSrm, streamAsof, streamConformal)
+    streamSrm, streamAsof, streamConformal, streamIps)
 }

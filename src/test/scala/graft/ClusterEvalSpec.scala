@@ -154,6 +154,12 @@ class ClusterEvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream_ips matches the batch ips_eval row for row") {
+    val a = q("ips_eval").collect().map(_.toString).toSeq
+    val b = q("stream_ips").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("stream_srm matches the batch srm_check row for row") {
     val a = q("srm_check").collect().map(_.toString).sorted.toSeq
     val b = q("stream_srm").collect().map(_.toString).sorted.toSeq
