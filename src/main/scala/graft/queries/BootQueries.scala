@@ -137,8 +137,12 @@ object BootQueries {
         F.expr("sum(CASE WHEN is_a THEN CAST(0 AS DECIMAL(38,0)) " +
           "ELSE CAST(cents AS DECIMAL(38,0)) * cents END)").as("qb"))
       sums.select(F.col("segment"), F.col("na"), F.col("nb"),
-        F.expr("CAST(sa * 1000000 div na AS BIGINT)").as("mean_a_micro"),
-        F.expr("CAST(sb * 1000000 div nb AS BIGINT)").as("mean_b_micro"),
+        // sum×10⁶ through DECIMAL(38,0): per-segment cents sums are
+        // unbounded int64 at design scale (§5 wide-product rule)
+        F.expr("CAST(CAST(sa AS DECIMAL(38,0)) * 1000000 div na " +
+          "AS BIGINT)").as("mean_a_micro"),
+        F.expr("CAST(CAST(sb AS DECIMAL(38,0)) * 1000000 div nb " +
+          "AS BIGINT)").as("mean_b_micro"),
         F.expr(
           "round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / " +
             "sqrt((CAST(CAST(na * qa - CAST(sa AS DECIMAL(38,0)) * sa " +
@@ -165,8 +169,10 @@ object BootQueries {
                         ELSE CAST(cents AS HUGEINT) * cents END) AS qb
         FROM o GROUP BY 1)
       SELECT segment, na, nb,
-             CAST(sa * 1000000 // na AS BIGINT) AS mean_a_micro,
-             CAST(sb * 1000000 // nb AS BIGINT) AS mean_b_micro,
+             CAST(CAST(sa AS HUGEINT) * 1000000 // na AS BIGINT)
+               AS mean_a_micro,
+             CAST(CAST(sb AS HUGEINT) * 1000000 // nb AS BIGINT)
+               AS mean_b_micro,
              round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
                    sqrt((CAST(CAST(na * qa - CAST(sa AS HUGEINT) * sa
                           AS VARCHAR) AS DOUBLE)) /
@@ -307,11 +313,13 @@ object BootQueries {
       strata.agg(
         F.expr("CAST(sum(n_pop) AS BIGINT)").as("n_pop"),
         F.expr("CAST(sum(n_samp) AS BIGINT)").as("n_samp"),
-        F.expr("CAST(sum(s_samp) * 1000000 div sum(n_samp) AS BIGINT)")
-          .as("mean_naive_micro"),
+        // cents sums × 10⁶ routed through DECIMAL(38,0) — unbounded
+        // int64 sums at design scale (§5 wide-product rule)
+        F.expr("CAST(CAST(sum(s_samp) AS DECIMAL(38,0)) * 1000000 " +
+          "div sum(n_samp) AS BIGINT)").as("mean_naive_micro"),
         F.expr("CAST(sum(CAST(n_pop AS DECIMAL(38,0)) * " +
-          "(s_samp * 1000000 div n_samp)) div sum(n_pop) AS BIGINT)")
-          .as("mean_ps_micro"))
+          "(CAST(s_samp AS DECIMAL(38,0)) * 1000000 div n_samp)) " +
+          "div sum(n_pop) AS BIGINT)").as("mean_ps_micro"))
     },
     Some("""
       WITH o AS (
@@ -327,11 +335,11 @@ object BootQueries {
         FROM o GROUP BY 1)
       SELECT CAST(sum(n_pop) AS BIGINT) AS n_pop,
              CAST(sum(n_samp) AS BIGINT) AS n_samp,
-             CAST(sum(s_samp) * 1000000 // sum(n_samp) AS BIGINT)
-               AS mean_naive_micro,
+             CAST(CAST(sum(s_samp) AS HUGEINT) * 1000000
+                  // sum(n_samp) AS BIGINT) AS mean_naive_micro,
              CAST(sum(CAST(n_pop AS HUGEINT) *
-                      (s_samp * 1000000 // n_samp)) // sum(n_pop)
-                  AS BIGINT) AS mean_ps_micro
+                      (CAST(s_samp AS HUGEINT) * 1000000 // n_samp))
+                  // sum(n_pop) AS BIGINT) AS mean_ps_micro
       FROM st"""))
 
   val all: Seq[QueryDef] = Seq(bootstrapCi, ttestWelch, windowFirstLast,

@@ -727,11 +727,14 @@ object EvalQueries {
   /** Inverse-propensity-score off-policy evaluation [Horvitz–Thompson;
     * Li et al. 2011]: events are (action = event_type, reward = value)
     * from the logged behavior policy; the target policy is UNIFORM over
-    * the 5 actions. IPS estimate = mean(reward · π(a)/μ(a)) with
-    * μ(a) = n_a/n empirical, so the per-action term collapses to
-    * Σr_micro div (5·n_a) — one exact integral division per action, no
-    * per-row weighting pass at all. Published per action
-    * (the diagnostic: max weight = n/(5·n_a) is the variance alarm)
+    * the k logged actions (k DERIVED from the frame and published as
+    * n_actions — an arm that logged zero events has no per-action row,
+    * so a hardcoded k would silently drop its term). IPS estimate =
+    * mean(reward · π(a)/μ(a)) with μ(a) = n_a/n empirical, so the
+    * per-action term collapses to Σr_micro div (k·n_a) — one exact
+    * integral division per action, no per-row weighting pass at all.
+    * Published per action
+    * (the diagnostic: max weight = n/(k·n_a) is the variance alarm)
     * plus the behavior-policy mean beside it. Two aggregates over the
     * corpus, both map-side combined. */
   /** IPS assembly over the per-action (n_a, sr) frame — shared by the
@@ -739,14 +742,19 @@ object EvalQueries {
   private[queries] def ipsAssemble(
       per: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // the action count is DERIVED from the frame (one row per logged
+    // action) and published: an arm with zero logged events cannot
+    // contribute a per-action row, so a hardcoded count would silently
+    // drop that arm's term — n_actions in the output makes it visible
     val tot = per.agg(F.sum("n_a").as("n"),
-      F.sum("sr").as("sr_all"))
+      F.sum("sr").as("sr_all"),
+      F.count(F.lit(1)).as("n_actions"))
     per.crossJoin(F.broadcast(tot))
-      .select(F.col("action"), F.col("n_a"),
+      .select(F.col("action"), F.col("n_a"), F.col("n_actions"),
         F.expr("CAST(sr div n_a AS BIGINT)").as("mean_reward_micro"),
         F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div " +
-          "(5 * n_a) AS BIGINT)").as("ips_weight_ppm"),
-        F.expr("CAST(sr div (5 * n_a) AS BIGINT)")
+          "(n_actions * n_a) AS BIGINT)").as("ips_weight_ppm"),
+        F.expr("CAST(sr div (n_actions * n_a) AS BIGINT)")
           .as("ips_term_micro"),
         F.expr("CAST(sr_all div n AS BIGINT)")
           .as("behavior_mean_micro"))
@@ -764,12 +772,13 @@ object EvalQueries {
                CAST(sum(r_micro) AS BIGINT) AS sr
         FROM e GROUP BY 1),
       tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS n,
-                    CAST(sum(sr) AS BIGINT) AS sr_all FROM per)
-      SELECT action, n_a,
+                    CAST(sum(sr) AS BIGINT) AS sr_all,
+                    CAST(count(*) AS BIGINT) AS n_actions FROM per)
+      SELECT action, n_a, n_actions,
              CAST(sr // n_a AS BIGINT) AS mean_reward_micro,
-             CAST(CAST(n AS HUGEINT) * 1000000 // (5 * n_a) AS BIGINT)
-               AS ips_weight_ppm,
-             CAST(sr // (5 * n_a) AS BIGINT) AS ips_term_micro,
+             CAST(CAST(n AS HUGEINT) * 1000000 // (n_actions * n_a)
+                  AS BIGINT) AS ips_weight_ppm,
+             CAST(sr // (n_actions * n_a) AS BIGINT) AS ips_term_micro,
              CAST(sr_all // n AS BIGINT) AS behavior_mean_micro
       FROM per, tt ORDER BY action"""
 
@@ -941,13 +950,18 @@ object EvalQueries {
     * reliability table: ECE = Σ_b n_b·|rate_b − mid_b| div n, MCE =
     * max_b |rate_b − mid_b| — both in exact integer micros (bucket
     * midpoint = (100b+50)·10³ micros of probability, rate exact from
-    * counts). The one-number calibration summary beside M2's full
-    * table; single grouped pass to an 11-row frame. */
+    * counts). The top bin is INCLUSIVE (least(score div 100, 9)) so a
+    * perfect score of 1000 lands in bin 9 with midpoint 0.95 —
+    * standard 10-bin ECE; an unclamped 11th bin's midpoint 1.05 sits
+    * outside [0,1] and would charge perfectly-confident correct
+    * predictions a 50 000-micro gap. The one-number calibration
+    * summary beside M2's full table; single grouped pass to a 10-row
+    * frame. */
   private val calibrationEce = QueryDef(
     "calibration_ece",
     (s, d) => {
       val b = scored(s, d)
-        .groupBy(F.expr("score div 100").as("bucket"))
+        .groupBy(F.expr("least(score div 100, 9)").as("bucket"))
         .agg(F.count(F.lit(1)).as("n_b"), F.sum("lbl").as("p_b"))
         .select(F.col("bucket"), F.col("n_b"),
           F.expr("abs(p_b * 1000000L div n_b - " +
@@ -962,7 +976,7 @@ object EvalQueries {
     Some(s"""
       WITH sc AS ($scoredSql),
       b AS (
-        SELECT CAST(score // 100 AS BIGINT) AS bucket,
+        SELECT CAST(least(score // 100, 9) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_b,
                CAST(sum(lbl) AS BIGINT) AS p_b
         FROM sc GROUP BY 1),

@@ -64,14 +64,20 @@ object IndexQueries {
         .join(newDim, Seq("centroid_label", "dim"))
         .groupBy("centroid_label")
         .agg(F.max("n_old").as("n_old"), F.max("n_new").as("n_new"),
+          // operands widened BEFORE multiplying: s·n products and
+          // (n_old·n_new)² overflow int64 once a list's n_old·n_new
+          // passes ~3e9 — which the 100 TB framing implies
           F.sum(F.expr(
-            "CAST(s_old*n_new - s_new*n_old AS DECIMAL(38,0)) * " +
-              "CAST(s_old*n_new - s_new*n_old AS DECIMAL(38,0))"))
+            "(CAST(s_old AS DECIMAL(38,0))*n_new - " +
+              "CAST(s_new AS DECIMAL(38,0))*n_old) * " +
+              "(CAST(s_old AS DECIMAL(38,0))*n_new - " +
+              "CAST(s_new AS DECIMAL(38,0))*n_old)"))
             .as("_num"))
         .select(F.col("centroid_label").cast("long").as("centroid_label"),
           F.col("n_old"), F.col("n_new"),
           F.expr(
-            "CAST(_num div CAST(n_old*n_new*n_old*n_new AS DECIMAL(38,0)) " +
+            "CAST(_num div ((CAST(n_old AS DECIMAL(38,0))*n_new) * " +
+              "(CAST(n_old AS DECIMAL(38,0))*n_new)) " +
               "AS BIGINT)").as("drift_micros2"))
       val cosAgg = asg.groupBy(
         F.col("centroid_label").cast("long").as("centroid_label"))
@@ -123,8 +129,10 @@ object IndexQueries {
       dr AS (
         SELECT od.centroid_label,
                max(n_old) AS n_old, max(n_new) AS n_new,
-               sum(CAST(s_old*n_new - s_new*n_old AS HUGEINT)
-                   * CAST(s_old*n_new - s_new*n_old AS HUGEINT)) AS num
+               sum((CAST(s_old AS HUGEINT)*n_new
+                    - CAST(s_new AS HUGEINT)*n_old)
+                   * (CAST(s_old AS HUGEINT)*n_new
+                      - CAST(s_new AS HUGEINT)*n_old)) AS num
         FROM od JOIN nd ON od.centroid_label = nd.centroid_label
                        AND od.dim = nd.dim
         GROUP BY 1),
@@ -135,9 +143,9 @@ object IndexQueries {
         FROM asg GROUP BY 1)
       SELECT CAST(dr.centroid_label AS BIGINT) AS centroid_label,
              n_old, n_new, sum_cos_micro,
-             CAST(num // CAST(n_old*n_new*n_old*n_new AS HUGEINT)
+             CAST(num // ((CAST(n_old AS HUGEINT)*n_new) * (CAST(n_old AS HUGEINT)*n_new))
                   AS BIGINT) AS drift_micros2,
-             CAST(CASE WHEN num // CAST(n_old*n_new*n_old*n_new AS HUGEINT)
+             CAST(CASE WHEN num // ((CAST(n_old AS HUGEINT)*n_new) * (CAST(n_old AS HUGEINT)*n_new))
                         > 200000000000 THEN 1 ELSE 0 END AS BIGINT)
                AS retrain
       FROM dr JOIN ca ON dr.centroid_label = ca.centroid_label

@@ -129,9 +129,14 @@ object OpsQueries {
     * detail rows are the gaps — a real reconciliation condition): keys
     * partition into 1024-wide blocks; within-block gaps come from a
     * lead() window PARTITIONED BY block (each partition sorts ≤1024
-    * keys), cross-block gaps from a lead() over the per-block min/max
-    * summary (one row per non-empty block — runs of wholly-missing
-    * blocks collapse into the summary gap). Union == the global-sort
+    * keys). Cross-block gaps recurse the SAME blocking one level up:
+    * the per-block (min,max) summary is itself blocked into 1024-block
+    * superblocks — lead(mn) PARTITIONED BY superblock (≤1024 summary
+    * rows per partition) catches block-boundary gaps inside a
+    * superblock, and the final lead over per-superblock (min,max)
+    * rows (one row per 2²⁰ keys — metadata-sized at any SF, and the
+    * recursion admits a third level before that stops being true)
+    * catches superblock-boundary gaps. Union == the global-sort
     * answer, which is what the oracle computes the naive way. Output:
     * every missing run with its width. */
   private val idGaps = QueryDef(
@@ -148,13 +153,22 @@ object OpsQueries {
           F.expr("nxt - 1").as("gap_end"))
       val summary = keys.groupBy("blk")
         .agg(F.min("k").as("mn"), F.max("k").as("mx"))
-      val cross = summary
-        .withColumn("nxt_mn",
-          F.lead("mn", 1).over(Window.orderBy("blk")))
+        .withColumn("sblk", F.expr("blk div 1024"))
+      val wsb = Window.partitionBy("sblk").orderBy("blk")
+      val crossBlk = summary
+        .withColumn("nxt_mn", F.lead("mn", 1).over(wsb))
         .where(F.expr("nxt_mn IS NOT NULL AND nxt_mn - mx > 1"))
         .select(F.expr("mx + 1").as("gap_start"),
           F.expr("nxt_mn - 1").as("gap_end"))
-      within.unionByName(cross)
+      val ssummary = summary.groupBy("sblk")
+        .agg(F.min("mn").as("smn"), F.max("mx").as("smx"))
+      val crossSblk = ssummary
+        .withColumn("nxt_smn",
+          F.lead("smn", 1).over(Window.orderBy("sblk")))
+        .where(F.expr("nxt_smn IS NOT NULL AND nxt_smn - smx > 1"))
+        .select(F.expr("smx + 1").as("gap_start"),
+          F.expr("nxt_smn - 1").as("gap_end"))
+      within.unionByName(crossBlk).unionByName(crossSblk)
         .select(F.col("gap_start"), F.col("gap_end"),
           F.expr("gap_end - gap_start + 1").as("n_missing"))
         .orderBy("gap_start")

@@ -268,17 +268,22 @@ class EvalSpec extends SparkSpec {
     val n = ev.length.toLong
     val srAll = ev.map(_._2).sum
     val rows = q("ips_eval").collect()
-    assert(rows.length == ev.map(_._1).distinct.length)
+    val nActions = ev.map(_._1).distinct.length.toLong
+    assert(rows.length == nActions)
     rows.foreach { r =>
       val a = r.getString(r.fieldIndex("action"))
       val mine = ev.filter(_._1 == a)
       val na = mine.length.toLong
       val sr = mine.map(_._2).sum
       assert(r.getLong(r.fieldIndex("n_a")) == na)
+      // the uniform-target action count is derived from the logged
+      // frame, not hardcoded — a silent zero-event arm would show here
+      assert(r.getLong(r.fieldIndex("n_actions")) == nActions)
       assert(r.getLong(r.fieldIndex("mean_reward_micro")) == sr / na)
       assert(r.getLong(r.fieldIndex("ips_weight_ppm")) ==
-        (BigInt(n) * 1000000 / (5 * na)).toLong)
-      assert(r.getLong(r.fieldIndex("ips_term_micro")) == sr / (5 * na))
+        (BigInt(n) * 1000000 / (nActions * na)).toLong)
+      assert(r.getLong(r.fieldIndex("ips_term_micro")) ==
+        sr / (nActions * na))
       assert(r.getLong(r.fieldIndex("behavior_mean_micro")) == srAll / n)
     }
     // identity: if the behavior policy were uniform, Sigma terms would
@@ -347,16 +352,22 @@ class EvalSpec extends SparkSpec {
     }
   }
 
-  test("calibration_ece equals a replay and reconciles with eval_calibration") {
-    val cal = q("eval_calibration").collect().map(r =>
-      (r.getLong(r.fieldIndex("bucket")),
-        r.getLong(r.fieldIndex("n_docs")),
-        r.getLong(r.fieldIndex("pos_rate_micros"))))
+  test("calibration_ece equals a replay with an inclusive top bin") {
+    // replay from raw (label, score) pairs: bin = min(score div 100, 9)
+    // — score 1000 joins bin 9 (midpoint 0.95), standard 10-bin ECE
+    val pairs = scoredPairs()
+    val cal = pairs.groupBy { case (_, sc) => math.min(sc / 100, 9L) }
+      .map { case (b, xs) =>
+        val nb = xs.length.toLong
+        val rate = xs.map(_._1).sum * 1000000L / nb
+        (b, nb, rate)
+      }.toArray
     val n = cal.map(_._2).sum
     val gaps = cal.map { case (b, nb, rate) =>
       (nb, math.abs(rate - (b * 100 + 50) * 1000))
     }
     val ece = gaps.map { case (nb, g) => BigInt(nb) * g }.sum / n
+    assert(cal.forall(_._1 <= 9L)) // inclusive top bin, 10 bins max
     val r = q("calibration_ece").collect().head
     assert(r.getLong(r.fieldIndex("n")) == n)
     assert(r.getLong(r.fieldIndex("ece_micro")) == ece.toLong)
