@@ -281,7 +281,8 @@ object CurationQueries {
       }.reduce(_ unionByName _)
         .select(F.col("n"), F.col("n_docs"), F.col("total_grams"),
           F.col("hit_grams"), F.col("n_flagged"),
-          F.expr("hit_grams * 1000000 div total_grams").as("hit_ppm"))
+          F.expr("CAST(CAST(hit_grams AS DECIMAL(38,0)) * 1000000 div " +
+            "total_grams AS BIGINT)").as("hit_ppm"))
         .orderBy("n")
     },
     Some {
@@ -291,8 +292,8 @@ object CurationQueries {
                CAST(sum(n_grams) AS BIGINT) AS total_grams,
                CAST(sum(n_hit) AS BIGINT) AS hit_grams,
                CAST(sum(flg) AS BIGINT) AS n_flagged,
-               CAST(sum(n_hit) * 1000000 // sum(n_grams) AS BIGINT)
-                 AS hit_ppm
+               CAST(CAST(sum(n_hit) AS HUGEINT) * 1000000
+                    // sum(n_grams) AS BIGINT) AS hit_ppm
         FROM (
           SELECT doc_id, count(*) AS n_grams, count(bg.shingle) AS n_hit,
                  CASE WHEN count(bg.shingle) * 1.0 / count(*) >= 0.5

@@ -40,7 +40,8 @@ object CurriculumQueries {
       per.crossJoin(F.broadcast(tot))
         .select(F.col("centroid_label"), F.col("n_vectors"),
           F.expr("n_vectors * 1000000L div t").as("share_ppm"),
-          F.expr("n_vectors * k * 1000000L div t").as("imbalance_ppm"))
+          F.expr("CAST(CAST(n_vectors AS DECIMAL(38,0)) * k * 1000000 div " +
+            "t AS BIGINT)").as("imbalance_ppm"))
         .orderBy("centroid_label")
     },
     Some(s"""
@@ -67,7 +68,8 @@ object CurriculumQueries {
                     CAST(count(*) AS BIGINT) AS k FROM per)
       SELECT centroid_label, n_vectors,
              CAST(n_vectors * 1000000 // t AS BIGINT) AS share_ppm,
-             CAST(n_vectors * k * 1000000 // t AS BIGINT) AS imbalance_ppm
+             CAST(CAST(n_vectors AS HUGEINT) * k * 1000000 // t AS BIGINT)
+               AS imbalance_ppm
       FROM per, tt ORDER BY centroid_label"""))
 
   // ---------------------------------------------------------------- E69

@@ -75,11 +75,15 @@ object ReadabilityQueries {
         .groupBy("source")
         .agg(F.count(F.lit(1)).as("n_docs"),
           F.sum("n").as("chars"),
-          F.expr("sum(alpha) * 1000000 div sum(n)").as("alpha_ppm"),
-          F.expr("sum(digit) * 1000000 div sum(n)").as("digit_ppm"),
-          F.expr("sum(ws) * 1000000 div sum(n)").as("ws_ppm"),
-          F.expr("(sum(n) - sum(alpha) - sum(digit) - sum(ws)) " +
-            "* 1000000 div sum(n)").as("other_ppm"))
+          F.expr("CAST(CAST(sum(alpha) AS DECIMAL(38,0)) * 1000000 div " +
+            "sum(n) AS BIGINT)").as("alpha_ppm"),
+          F.expr("CAST(CAST(sum(digit) AS DECIMAL(38,0)) * 1000000 div " +
+            "sum(n) AS BIGINT)").as("digit_ppm"),
+          F.expr("CAST(CAST(sum(ws) AS DECIMAL(38,0)) * 1000000 div " +
+            "sum(n) AS BIGINT)").as("ws_ppm"),
+          F.expr("CAST(CAST(sum(n) - sum(alpha) - sum(digit) - sum(ws) " +
+            "AS DECIMAL(38,0)) * 1000000 div sum(n) AS BIGINT)")
+            .as("other_ppm"))
         .orderBy("source")
     },
     Some("""
@@ -94,11 +98,15 @@ object ReadabilityQueries {
         FROM documents)
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n) AS BIGINT) AS chars,
-             CAST(sum(alpha) * 1000000 // sum(n) AS BIGINT) AS alpha_ppm,
-             CAST(sum(digit) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
-             CAST(sum(ws) * 1000000 // sum(n) AS BIGINT) AS ws_ppm,
-             CAST((sum(n) - sum(alpha) - sum(digit) - sum(ws)) * 1000000
-                  // sum(n) AS BIGINT) AS other_ppm
+             CAST(CAST(sum(alpha) AS HUGEINT) * 1000000 // sum(n)
+                  AS BIGINT) AS alpha_ppm,
+             CAST(CAST(sum(digit) AS HUGEINT) * 1000000 // sum(n)
+                  AS BIGINT) AS digit_ppm,
+             CAST(CAST(sum(ws) AS HUGEINT) * 1000000 // sum(n)
+                  AS BIGINT) AS ws_ppm,
+             CAST(CAST(sum(n) - sum(alpha) - sum(digit) - sum(ws)
+                       AS HUGEINT) * 1000000 // sum(n)
+                  AS BIGINT) AS other_ppm
       FROM c GROUP BY source ORDER BY source"""))
 
   val all: Seq[QueryDef] = Seq(readingLevel, charclassProfile)

@@ -45,10 +45,12 @@ object RobustQueries {
       val pairs = daily.as("a")
         .join(daily.as("b"), F.expr("a.month = b.month AND a.x < b.x"))
         .select(F.col("a.month").as("month"),
-          F.expr("(b.cents - a.cents) * 1000000L").as("dy"),
+          F.expr("CAST(b.cents - a.cents AS DECIMAL(38,0)) * 1000000")
+            .as("dy"),
           F.expr("b.x - a.x").as("dx"))
         .select(F.col("month"),
-          F.expr("(dy - ((dy % dx) + dx) % dx) div dx").as("slope_micro"))
+          F.expr("CAST((dy - ((dy % dx) + dx) % dx) div dx AS BIGINT)")
+            .as("slope_micro"))
       val grouped = pairs.groupBy("month", "slope_micro")
         .agg(F.count(F.lit(1)).as("c"))
       val w = Window.partitionBy("month").orderBy("slope_micro")
@@ -71,7 +73,8 @@ object RobustQueries {
         GROUP BY 1, 2),
       pr AS (
         SELECT a.month,
-               (b.cents - a.cents) * 1000000 AS dy, b.x - a.x AS dx
+               CAST(b.cents - a.cents AS HUGEINT) * 1000000 AS dy,
+               b.x - a.x AS dx
         FROM daily a JOIN daily b ON a.month = b.month AND a.x < b.x),
       sl AS (
         SELECT month,

@@ -50,8 +50,10 @@ object SeriesQueries {
       val scored = cum
         .where(F.expr("rn >= 10 AND rn <= n - 10"))
         .select(F.col("segment"), F.col("x"),
-          F.expr("cs * 1000000 div rn").as("mean_l_micro"),
-          F.expr("(tot - cs) * 1000000 div (n - rn)").as("mean_r_micro"))
+          F.expr("CAST(CAST(cs AS DECIMAL(38,0)) * 1000000 div rn " +
+            "AS BIGINT)").as("mean_l_micro"),
+          F.expr("CAST(CAST(tot - cs AS DECIMAL(38,0)) * 1000000 div " +
+            "(n - rn) AS BIGINT)").as("mean_r_micro"))
         .withColumn("delta_micro",
           F.expr("abs(mean_l_micro - mean_r_micro)"))
       scored
@@ -83,12 +85,12 @@ object SeriesQueries {
         FROM daily),
       sc AS (
         SELECT segment, x,
-               CAST(cs * 1000000 // rn AS BIGINT) AS mean_l_micro,
-               CAST((tot - cs) * 1000000 // (n - rn) AS BIGINT)
-                 AS mean_r_micro,
-               CAST(abs(cs * 1000000 // rn -
-                        (tot - cs) * 1000000 // (n - rn)) AS BIGINT)
-                 AS delta_micro
+               CAST(CAST(cs AS HUGEINT) * 1000000 // rn AS BIGINT) AS mean_l_micro,
+               CAST(CAST(tot - cs AS HUGEINT) * 1000000 // (n - rn)
+                    AS BIGINT) AS mean_r_micro,
+               CAST(abs(CAST(cs AS HUGEINT) * 1000000 // rn -
+                        CAST(tot - cs AS HUGEINT) * 1000000 // (n - rn))
+                    AS BIGINT) AS delta_micro
         FROM cu WHERE rn >= 10 AND rn <= n - 10),
       pk AS (
         SELECT *, row_number() OVER (PARTITION BY segment
@@ -124,16 +126,17 @@ object SeriesQueries {
         .select(F.col("a.segment").as("segment"),
           F.expr("a.cents - b.cents").as("err"),
           F.expr("abs(a.cents - b.cents)").as("aerr"),
-          F.expr("abs(a.cents - b.cents) * 1000000L div a.cents")
-            .as("ape_micro"))
+          F.expr("CAST(CAST(abs(a.cents - b.cents) AS DECIMAL(38,0)) " +
+            "* 1000000 div a.cents AS BIGINT)").as("ape_micro"))
       paired.groupBy("segment")
         .agg(F.count(F.lit(1)).as("n_days"),
-          F.expr("CAST(sum(aerr) * 1000000 div count(*) AS BIGINT)")
-            .as("mae_micro"),
+          F.expr("CAST(CAST(sum(aerr) AS DECIMAL(38,0)) * 1000000 " +
+            "div count(*) AS BIGINT)").as("mae_micro"),
           // bias can be negative: explicit floor-division (C64's portable
           // form) — pins true floor semantics regardless of either
           // engine's truncation choice (both natives truncate to zero)
-          F.expr("CAST((sum(err) * 1000000 - ((sum(err) * 1000000 % " +
+          F.expr("CAST((CAST(sum(err) AS DECIMAL(38,0)) * 1000000 - " +
+            "((CAST(sum(err) AS DECIMAL(38,0)) * 1000000 % " +
             "count(*)) + count(*)) % count(*)) div count(*) AS BIGINT)")
             .as("bias_micro"),
           F.expr("CAST(sum(ape_micro) div count(*) AS BIGINT)")
@@ -153,13 +156,16 @@ object SeriesQueries {
       p AS (
         SELECT a.segment, a.cents - b.cents AS err,
                abs(a.cents - b.cents) AS aerr,
-               abs(a.cents - b.cents) * 1000000 // a.cents AS ape_micro
+               CAST(abs(a.cents - b.cents) AS HUGEINT) * 1000000
+                 // a.cents AS ape_micro
         FROM daily a JOIN daily b
           ON a.segment = b.segment AND a.x = b.x + 7)
       SELECT segment, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(aerr) * 1000000 // count(*) AS BIGINT) AS mae_micro,
-             CAST((sum(err) * 1000000 - ((sum(err) * 1000000 % count(*))
-                   + count(*)) % count(*)) // count(*) AS BIGINT)
+             CAST(CAST(sum(aerr) AS HUGEINT) * 1000000 // count(*)
+                  AS BIGINT) AS mae_micro,
+             CAST((CAST(sum(err) AS HUGEINT) * 1000000
+                   - ((CAST(sum(err) AS HUGEINT) * 1000000 % count(*))
+                      + count(*)) % count(*)) // count(*) AS BIGINT)
                AS bias_micro,
              CAST(sum(ape_micro) // count(*) AS BIGINT) AS mape_micro
       FROM p GROUP BY segment ORDER BY segment"""))

@@ -76,7 +76,8 @@ object TrendQueries {
         F.sum(F.expr("CASE WHEN cohort = 1 THEN 1 ELSE 0 END")).as("c1"))
         .where(F.expr("c0 + c1 >= 10"))
         .withColumn("ratio_micros",
-          F.expr("(c1 + 1) * 1000000 div (c0 + 1)"))
+          F.expr("CAST(CAST(c1 + 1 AS DECIMAL(38,0)) * 1000000 div " +
+            "(c0 + 1) AS BIGINT)"))
         .orderBy(F.col("ratio_micros").desc, F.col("term"))
         .limit(20)
     },
@@ -91,7 +92,8 @@ object TrendQueries {
                CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
         FROM toks GROUP BY 1)
       SELECT term, c0, c1,
-             CAST((c1 + 1) * 1000000 // (c0 + 1) AS BIGINT) AS ratio_micros
+             CAST(CAST(c1 + 1 AS HUGEINT) * 1000000 // (c0 + 1) AS BIGINT)
+               AS ratio_micros
       FROM tc WHERE c0 + c1 >= 10
       ORDER BY ratio_micros DESC, term LIMIT 20"""))
 

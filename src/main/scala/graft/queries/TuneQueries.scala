@@ -36,7 +36,8 @@ object TuneQueries {
           F.sum("chars").as("total_chars"),
           F.sum("toks").as("total_tokens"))
         .withColumn("fertility_ppm",
-          F.expr("total_chars * 1000000L div total_tokens"))
+          F.expr("CAST(CAST(total_chars AS DECIMAL(38,0)) * 1000000 div " +
+            "total_tokens AS BIGINT)"))
         .orderBy("lang", "source")
     },
     Some("""
@@ -49,7 +50,8 @@ object TuneQueries {
       SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(chars) AS BIGINT) AS total_chars,
              CAST(sum(toks) AS BIGINT) AS total_tokens,
-             CAST(sum(chars) * 1000000 // sum(toks) AS BIGINT)
+             CAST(CAST(sum(chars) AS HUGEINT) * 1000000 // sum(toks)
+                  AS BIGINT)
                AS fertility_ppm
       FROM tk WHERE toks > 0
       GROUP BY lang, source ORDER BY lang, source"""))
