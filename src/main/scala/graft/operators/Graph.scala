@@ -112,4 +112,45 @@ object Graph {
       .crossJoin(wedges.agg(F.count(F.lit(1)).as("n_wedges")))
       .crossJoin(tri.agg(F.count(F.lit(1)).as("n_triangles")))
   }
+
+  /** Community DETECTION by synchronous label propagation [Raghavan et
+    * al. 2007], made deterministic: label₀(v) = v; each round every
+    * vertex adopts the label most frequent among its NEIGHBORS, ties
+    * broken by the SMALLEST label — the same min(struct(−count, label))
+    * argmax C28's exact mode uses, so no engine- or order-dependent
+    * choice anywhere. A fixed round count (no convergence test) keeps
+    * the iterate count — and therefore the result — reproducible, the
+    * same contract as [[pageRank]].
+    *
+    * Scale shape: one (edges ⋈ labels) shuffle plus two map-side-
+    * combined aggregates per round; edges persisted once; per-round
+    * labels lazily checkpointed (iterative-join lineage otherwise grows
+    * linearly in rounds). Synchronous updates + fixed rounds instead of
+    * the paper's asynchronous sweep: async is inherently order-
+    * dependent — exactly what a distributed, oracle-checked operator
+    * must not be. Returns (v, community). */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    var labels = edges.select(F.col("src").as("v")).distinct()
+      .select(F.col("v"), F.col("v").as("lbl"))
+    for (_ <- 1 to iters) {
+      val nextPlan = edges
+        .join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(F.col("src").as("v"), F.col("lbl"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .groupBy("v")
+        .agg(F.min(F.struct(F.negate(F.col("c")), F.col("lbl"))).as("_m"))
+        .select(F.col("v"), F.col("_m.lbl").as("lbl"))
+      labels =
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          nextPlan.checkpoint(eager = false)
+        else nextPlan.localCheckpoint(eager = false)
+    }
+    labels.select(F.col("v"), F.col("lbl").as("community"))
+  }
 }

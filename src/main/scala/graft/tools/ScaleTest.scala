@@ -397,6 +397,11 @@ object ScaleTest {
       "ips_eval", "fairness_audit", "dr_eval", "calibration_ece",
       "ab_cuped")
       .foreach(timeQ)
+    // r8 probes: label-propagation communities (k bounded rounds of
+    // edges⋈labels shuffles — must scale with the edge list, like
+    // pagerank) and the modularity of the detected partition.
+    Seq("community_lpa", "community_modularity")
+      .foreach(timeQ)
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** D50/D51 invariants: label propagation on a hand-built graph with a
+  * known community structure, determinism, and the modularity identity
+  * between the detected-partition query and a driver-side replay. */
+class CommunitySpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("labelPropagation separates two cliques joined by one bridge edge") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {11..14}, bridged by (4, 11)
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)).toDF("pa", "pb")
+    val out = graft.operators.Graph
+      .labelPropagation(edges, "pa", "pb", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges onto ONE label, and the two differ
+    val left = Seq(1L, 2L, 3L, 4L).map(out)
+    val right = Seq(11L, 12L, 13L, 14L).map(out)
+    assert(left.distinct.size == 1, s"left clique split: $out")
+    assert(right.distinct.size == 1, s"right clique split: $out")
+    assert(left.head != right.head, s"cliques merged: $out")
+  }
+
+  test("community_lpa is deterministic and covers every graph node") {
+    val a = q("community_lpa").collect().map(_.toString).toSeq
+    val b = q("community_lpa").collect().map(_.toString).toSeq
+    assert(a == b)
+    val nodes = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .select(F.explode(F.array("pa", "pb")).as("v"))
+      .distinct().count()
+    assert(a.size.toLong == nodes)
+  }
+
+  test("community_modularity matches a driver-side replay on detected labels") {
+    val lbl = q("community_lpa").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    // degree mass per community: each edge endpoint contributes 1
+    val dC = (edges.map(e => lbl(e._1)) ++ edges.map(e => lbl(e._2)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val num = dC.map { case (c, d) =>
+      val ein = edges.count { case (a, b) => lbl(a) == c && lbl(b) == c }
+      BigInt(4) * m * ein - BigInt(d) * d
+    }.sum
+    val qMicro = (num * 1000000 / (BigInt(4) * m * m)).toLong
+    val r = q("community_modularity").collect().head
+    assert(r.getLong(r.fieldIndex("m")) == m)
+    assert(r.getLong(r.fieldIndex("n_nodes")) == lbl.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_communities")) ==
+      lbl.values.toSet.size.toLong)
+    assert(r.getLong(r.fieldIndex("q_micro")) == qMicro)
+    // a detected partition on a real co-purchase graph should be valid
+    val qm = r.getLong(r.fieldIndex("q_micro"))
+    assert(qm >= -500000L && qm <= 1000000L)
+  }
+}
