@@ -104,4 +104,84 @@ object Pq {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "match_id", "score_micro")
   }
+
+  /** The composed production ANN index — FAISS-style IVFPQ [Jégou et
+    * al. 2011 §V]: route each query to its `nprobe` nearest IVF lists,
+    * ADC-score ONLY those lists' PQ codes, then exact-rerank the
+    * shortlist. Each stage is an existing staged part (D9 list
+    * centroids / routing, D14 codebooks / ADC, D14d rerank) — this
+    * composes them end-to-end, which is the shape a 100 TB vector
+    * index actually serves queries in:
+    *
+    *  - routing touches k_list centroids per query (broadcast);
+    *  - ADC touches |probed lists| codes instead of the corpus — the
+    *    list restriction happens BEFORE the lookup join, so the
+    *    per-query candidate fan-out is bounded by nprobe·list-size,
+    *    never corpus size;
+    *  - the exact float rerank touches shortlistK candidates per query
+    *    (broadcast ids joined against the corpus vectors, which stream
+    *    once).
+    *
+    * Determinism: identical ingredients as the parts — integer-micro
+    * ADC partial dots, (score DESC, id) / (cos DESC, ckey) tie-breaks
+    * everywhere. Returns (query_id, rank, match_id, cos) with rank ≤ k
+    * by EXACT cosine over the ADC shortlist. */
+  def ivfpqTopK(corpus: DataFrame, listCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    // 1. route queries to their nprobe nearest lists
+    val probes = queries.crossJoin(F.broadcast(listCentroids))
+      .select(F.col(idCol).as("query_id"),
+        F.col("ckey").as("centroid_label"),
+        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"))
+      .withColumn("_rn", F.row_number().over(
+        w.orderBy(F.col("_qc").desc, F.col("centroid_label"))))
+      .filter(F.col("_rn") <= nprobe)
+      .select("query_id", "centroid_label")
+    // 2. the standing index: per-vector list assignment + PQ codes
+    val asg = Ivf.assign(corpus, listCentroids, idCol, vecCol)
+      .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
+    val ccodes = encode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .select(F.col("vec_id").as("match_id"),
+        F.posexplode(F.col("codes")).as(Seq("sub", "code")))
+      .join(asg, "match_id")
+    // 3. ADC lookup table per (query, sub, code) — m·k rows per query
+    val qsub = queries.select(F.col(idCol).as("query_id"),
+      F.posexplode(F.array((0 until m).map(s =>
+        F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "_qv")))
+    val table = qsub.join(F.broadcast(codebooks), "sub")
+      .select(F.col("query_id"), F.col("sub"),
+        F.col("ckey").cast("long").as("code"),
+        F.floor(Similarity.dot(F.col("_qv"), F.col("centroid")) * 1e6)
+          .cast("long").as("_p"))
+    // 4. restrict to probed lists FIRST, then lookup-join and sum
+    val scored = ccodes
+      .join(F.broadcast(probes), "centroid_label")
+      .join(F.broadcast(table), Seq("query_id", "sub", "code"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .groupBy("query_id", "match_id")
+      .agg(F.sum("_p").as("score_micro"))
+    val shortlist = scored.withColumn("_rn", F.row_number().over(
+      w.orderBy(F.col("score_micro").desc, F.col("match_id"))))
+      .filter(F.col("_rn") <= shortlistK)
+      .select("query_id", "match_id")
+    // 5. exact rerank of the shortlist only
+    val qv = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("_qvec"))
+    val cv = corpus.select(F.col(idCol).as("match_id"),
+      F.col(vecCol).as("_cvec"))
+    F.broadcast(shortlist.join(qv, "query_id"))
+      .join(cv, "match_id")
+      .select(F.col("query_id"), F.col("match_id"),
+        Similarity.cosine(F.col("_qvec"), F.col("_cvec")).as("cos"))
+      .withColumn("rank", F.row_number().over(
+        w.orderBy(F.col("cos").desc, F.col("match_id"))))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "cos")
+  }
 }

@@ -605,8 +605,159 @@ object RefineQueries {
          |FROM bd GROUP BY sub, ckey ORDER BY sub, ckey""".stripMargin
     })
 
+  // --------------------------------------------------------------- D52
+  /** End-to-end IVFPQ ([[Pq.ivfpqTopK]]): route each query to its 3
+    * nearest IVF lists (the D9 label centroids), ADC-score ONLY those
+    * lists' PQ codes (the D14 codebooks via the shared memoized
+    * pipeline), exact-rerank the 20-candidate shortlist (D14d's step) —
+    * the production FAISS-style index shape composed from the staged
+    * parts the suite already maintains. Oracle computes the identical
+    * values the naive way: full ADC `scored` filtered to probed lists
+    * (restrict-then-rank == rank-over-restricted). */
+  private val ivfpqSearch = QueryDef(
+    "ivfpq_search",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      val cents = graft.operators.Ivf
+        .centroidsByKey(emb, "label", "embedding")
+      Pq.ivfpqTopK(emb, cents, cb, emb.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20,
+        PQ_M, PQ_SUBDIM)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      s"""WITH $pqCtes,
+         |$adcScoredCtes,
+         |$ivfCtes,
+         |scl AS (SELECT s.query_id, s.match_id, s.score_micro
+         |        FROM scored s JOIN iasg a ON a.vec_id = s.match_id
+         |             JOIN probes p ON p.query_id = s.query_id
+         |                          AND p.ckey = a.ckey),
+         |shortlist AS (SELECT query_id, match_id FROM (
+         |               SELECT query_id, match_id,
+         |                      row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY score_micro DESC, match_id)
+         |                        AS rank
+         |               FROM scl) WHERE rank <= 20),
+         |rescored AS (
+         |  SELECT s.query_id, s.match_id,
+         |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings m ON m.vec_id = s.match_id),
+         |reranked AS (SELECT query_id, match_id, cos,
+         |                    CAST(row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, match_id) AS INTEGER)
+         |                      AS rank
+         |             FROM rescored)
+         |SELECT query_id, rank, match_id, cos
+         |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
+  /** Shared oracle fragment for D52/D52b: label-centroid IVF lists
+    * (`cent`/`cvec` — identical to D39/D40's), every corpus vector's
+    * nearest list (`iasg`), and each query's top-3 probed lists
+    * (`probes`). */
+  private def ivfCtes: String = {
+    val cosQ = cos64Sql("q.embedding", "centroid")
+    val cosE = cos64Sql("e.embedding", "centroid")
+    s"""cent AS (
+       |  SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+       |  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+       |cvec AS (
+       |  SELECT ckey, list_transform(list(cv ORDER BY i),
+       |           x -> CAST(x AS REAL)) AS centroid
+       |  FROM cent GROUP BY ckey),
+       |iasg AS (SELECT vec_id, ckey FROM (
+       |          SELECT e.vec_id, ckey,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY $cosE DESC, ckey) AS rn
+       |          FROM embeddings e, cvec) WHERE rn = 1),
+       |probes AS (SELECT query_id, ckey FROM (
+       |            SELECT q.vec_id AS query_id, ckey,
+       |                   row_number() OVER (PARTITION BY q.vec_id
+       |                     ORDER BY $cosQ DESC, ckey) AS rn
+       |            FROM embeddings q, cvec WHERE q.vec_id < 5)
+       |           WHERE rn <= 3)""".stripMargin
+  }
+
+  // -------------------------------------------------------------- D52b
+  /** Recall@5 of the composed IVFPQ index against exact brute force —
+    * the D14c audit re-run on the full composition, so routing loss
+    * (true neighbor in an unprobed list) and quantization loss (ADC
+    * misranks within probed lists) are measured TOGETHER; compare to
+    * D14c (PQ-only) and D34 (IVF-only) to attribute which stage costs
+    * recall. Metadata-sized: n_queries·k rows per side. */
+  private val ivfpqRecall = QueryDef(
+    "ivfpq_recall",
+    (s, d) => {
+      val (emb, cb) = pqPipeline(s, d)
+      val cents = graft.operators.Ivf
+        .centroidsByKey(emb, "label", "embedding")
+      val queries = emb.where(F.col("vec_id") < 5)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id"), F.col("match_id"))
+      val approx = Pq.ivfpqTopK(emb, cents, cb, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20,
+        PQ_M, PQ_SUBDIM)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(F.col("query_id"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      val cos64 = cos64Sql("e.embedding", "q.embedding")
+      s"""WITH $pqCtes,
+         |$adcScoredCtes,
+         |$ivfCtes,
+         |exact AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cos64 DESC, e.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings q
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
+         |scl AS (SELECT s.query_id, s.match_id, s.score_micro
+         |        FROM scored s JOIN iasg a ON a.vec_id = s.match_id
+         |             JOIN probes p ON p.query_id = s.query_id
+         |                          AND p.ckey = a.ckey),
+         |shortlist AS (SELECT query_id, match_id FROM (
+         |               SELECT query_id, match_id,
+         |                      row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY score_micro DESC, match_id)
+         |                        AS rank
+         |               FROM scl) WHERE rank <= 20),
+         |rescored AS (
+         |  SELECT s.query_id, s.match_id,
+         |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings m ON m.vec_id = s.match_id),
+         |approx AS (SELECT query_id, match_id FROM (
+         |             SELECT query_id, match_id,
+         |                    row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, match_id) AS rank
+         |             FROM rescored) WHERE rank <= 5)
+         |SELECT e.query_id,
+         |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
+         |                END) AS BIGINT) AS n_hits,
+         |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
+         |                 END) / 5.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.match_id = a.match_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
     cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank,
-    pqIncremental)
+    pqIncremental, ivfpqSearch, ivfpqRecall)
 }

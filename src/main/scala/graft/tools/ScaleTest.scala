@@ -402,6 +402,11 @@ object ScaleTest {
     // pagerank) and the modularity of the detected partition.
     Seq("community_lpa", "community_modularity")
       .foreach(timeQ)
+    // ivfpq_search: routing + restricted ADC + bounded rerank — must
+    // scale with the probed lists, not the corpus. (ivfpq_recall
+    // excluded: contains the quadratic-by-design exact-truth audit,
+    // like search_mrr / knn_accuracy above.)
+    timeQ("ivfpq_search")
     spark.stop()
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.operators.{Ivf, Pq}
+import graft.queries.Tables.t
+
+/** D52/D52b invariants for the composed IVFPQ index. */
+class IvfpqSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val emb = t(spark, sf, "embeddings")
+  private lazy val cents = Ivf.centroidsByKey(emb, "label", "embedding")
+  private lazy val cb = Pq.codebooks(emb, "vec_id", "embedding", 4, 16, 8, 2)
+  private lazy val queries = emb.where(F.col("vec_id") < 5)
+
+  test("ivfpq with nprobe = all lists equals the unrouted ADC rerank") {
+    // restricting to EVERY list is no restriction: the composition must
+    // then reproduce the D14d shortlist-rerank exactly
+    val nLists = cents.count().toInt
+    val full = Pq.ivfpqTopK(emb, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = nLists, shortlistK = 20)
+      .collect().map(_.toString).sorted.toSeq
+    val rerank = q("embed_pq_rerank").collect()
+      .map(r => org.apache.spark.sql.Row(
+        r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("match_id")),
+        r.getDouble(r.fieldIndex("cos"))).toString)
+      .sorted.toSeq
+    assert(full == rerank)
+  }
+
+  test("every ivfpq_search match lies in one of its query's probed lists") {
+    val asg = Ivf.assign(emb, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // replay the routing: top-3 lists per query by (cos DESC, ckey)
+    val centRows = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val probed = queries.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      r.getLong(0) -> centRows
+        .map { case (ck, c) => (ck, cos(v, c)) }
+        .sortBy { case (ck, s) => (-s, ck) }.take(3).map(_._1).toSet
+    }.toMap
+    q("ivfpq_search").collect().foreach { r =>
+      val qid = r.getLong(r.fieldIndex("query_id"))
+      val mid = r.getLong(r.fieldIndex("match_id"))
+      assert(probed(qid).contains(asg(mid)),
+        s"match $mid (list ${asg(mid)}) outside query $qid's " +
+          s"probed lists ${probed(qid)}")
+    }
+  }
+
+  test("ivfpq_recall is bounded by 1 and consistent with its hits") {
+    q("ivfpq_recall").collect().foreach { r =>
+      val hits = r.getLong(r.fieldIndex("n_hits"))
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getDouble(r.fieldIndex("recall")) == hits / 5.0)
+    }
+  }
+}
