@@ -1,15 +1,28 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Per-session registry of the intermediates graft operators persist
   * (banded minhash signatures, simhash frames, shingle indexes, IVF
-  * centroids, set-op inputs, …), so callers get a per-job release
+  * centroids, set-op inputs, …) OR checkpoint (the per-round frames of
+  * the iterative graph operators), so callers get a per-job release
   * handle instead of the session-wide `spark.catalog.clearCache()`.
   *
-  * Operators call [[persist]]; a pipeline driver calls [[release]]
-  * after the consuming action (Verify/Bench do, per query).
+  * Operators call [[persist]] / [[checkpoint]]; a pipeline driver calls
+  * [[release]] after the consuming action (Verify/Bench do, per query).
+  *
+  * Checkpoints need their own tracking because `Dataset.unpersist` only
+  * covers CacheManager entries: a `localCheckpoint` pins its blocks at
+  * the RDD level (the `LogicalRDD` the checkpointed Dataset wraps), so
+  * a registry of Datasets alone leaks every iterative operator's
+  * per-round blocks past release() — measured in the r8 bench as a
+  * regression of every query that RAN AFTER the LPA pair while their
+  * plans were unchanged. [[release]] therefore runs arbitrary
+  * release thunks, and [[checkpoint]] registers one that unpersists the
+  * checkpoint's underlying RDD.
   *
   * Reference discipline: frames are held STRONGLY between persist and
   * release — deliberately. GC'ing the Dataset wrapper does NOT free
@@ -31,17 +44,56 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
   private val tracked =
-    new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.ArrayList[() => Unit]]()
+
+  private def track(spark: SparkSession, thunk: () => Unit): Unit =
+    tracked.synchronized {
+      tracked.computeIfAbsent(spark,
+        _ => new java.util.ArrayList[() => Unit]()).add(thunk)
+    }
 
   /** Persist MEMORY_AND_DISK and track for later [[release]]. */
   private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.synchronized {
-      tracked.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[DataFrame]()).add(p)
-    }
+    track(df.sparkSession, () => p.unpersist(blocking = false))
     p
   }
+
+  /** Checkpoint (reliable when the context has a checkpoint dir, local
+    * otherwise — the same dispatch every iterative operator used
+    * inline) and track the checkpoint's RDD blocks for [[release]].
+    * Iterative loops additionally call [[unpersistCheckpoint]] on each
+    * SUPERSEDED round as soon as its successor materializes, so
+    * in-flight state is two node-frames, not rounds × node-frame; the
+    * registry entry then makes the double-unpersist a no-op and covers
+    * the FINAL round the loop itself never supersedes. */
+  private[graft] def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    track(df.sparkSession, () => unpersistCheckpoint(cp))
+    cp
+  }
+
+  /** The block-holding RDD of a checkpointed Dataset: its plan is the
+    * `LogicalRDD` leaf Spark's checkpoint wraps around the materialized
+    * rows. (For a RELIABLE checkpoint the RDD was never persisted —
+    * unpersist is then a no-op and the files age out with the context.) */
+  private def checkpointRdd(cp: DataFrame): Option[RDD[_]] =
+    cp.queryExecution.logical match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
+
+  /** Free a checkpointed Dataset's blocks (non-blocking, idempotent).
+    * Callers must only free checkpoints whose successor has already
+    * MATERIALIZED — an un-materialized dependent plan would recompute
+    * from a truncated lineage and fail. */
+  private[graft] def unpersistCheckpoint(cp: DataFrame): Unit =
+    checkpointRdd(cp).foreach { r =>
+      try r.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
 
   /** Number of sessions currently tracked (test observability). */
   private[graft] def trackedSessions: Int =
@@ -55,12 +107,13 @@ object CacheScope {
     }
 
   /** Unpersist (non-blocking) everything tracked on this session since
-    * the last release. Safe to call at any time: frames still needed by
-    * an in-flight plan recompute instead of failing. */
+    * the last release — persisted frames AND checkpoint blocks. Safe to
+    * call at any time: frames still needed by an in-flight plan
+    * recompute instead of failing. */
   def release(spark: SparkSession): Unit = {
     val list = tracked.synchronized(tracked.remove(spark))
-    if (list != null) list.forEach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    if (list != null) list.forEach { thunk =>
+      try thunk() catch { case _: Throwable => () }
     }
   }
 }

@@ -459,16 +459,21 @@ object Dedup {
       // materializing action, so each round stays ONE job (an eager
       // checkpoint would run a second, measured 3× slower end-to-end at
       // the 10× probe)
-      val next =
-        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          nextPlan.checkpoint(eager = false)
-        else nextPlan.localCheckpoint(eager = false)
+      val next = CacheScope.checkpoint(nextPlan, eager = false)
       // one action per round: did any label improve? (metadata-sized;
       // materializes the checkpoint, later rounds read its partitions,
       // not the join lineage)
       converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
         .head().getBoolean(0) == false
+      // `next` is now materialized, so the superseded round can be
+      // freed in full: Dataset.unpersist covers the round-0 persisted
+      // frame (CacheManager), unpersistCheckpoint the later rounds'
+      // RDD-level checkpoint blocks Dataset.unpersist never touches
+      // (the r8 suite-pollution leak); each is a no-op on the other's
+      // rounds, and CacheScope's registry makes release()'s second
+      // free idempotent
       labels.unpersist(blocking = false)
+      CacheScope.unpersistCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -586,13 +591,13 @@ object Dedup {
         .select(F.col("v"),
           F.least(F.col("lbl"), F.coalesce(F.col("_nlbl"), F.col("lbl"))).as("lbl"),
           (F.col("_c1") || (F.col("_nlbl") < F.col("lbl"))).as("_changed"))
-      val next =
-        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          nextPlan.checkpoint(eager = false)
-        else nextPlan.localCheckpoint(eager = false)
+      val next = CacheScope.checkpoint(nextPlan, eager = false)
       converged = next.agg(F.coalesce(F.max(F.col("_changed")), F.lit(false)))
         .head().getBoolean(0) == false
+      // free the superseded round in full once `next` materialized —
+      // see connectedComponents for why both calls are needed
       labels.unpersist(blocking = false)
+      CacheScope.unpersistCheckpoint(labels)
       labels = next
       round += 1
     }

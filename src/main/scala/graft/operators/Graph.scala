@@ -32,9 +32,11 @@ object Graph {
     *
     * Scale shape: one shuffle per round (edges ⋈ ranks, map-side
     * combined sum per dst); edges and degrees are persisted once; each
-    * round's ranks are LAZILY checkpointed exactly like
-    * [[Dedup.connectedComponents]] — iterative self-join lineage
-    * otherwise grows linearly in rounds. Rounds are a fixed count (no
+    * round's ranks are EAGERLY checkpointed and the superseded round's
+    * blocks freed at once ([[CacheScope.checkpoint]]) — iterative
+    * self-join lineage otherwise grows linearly in rounds, and lazy
+    * per-round blocks would all stay pinned until the caller's
+    * release. Rounds are a fixed count (no
     * convergence action needed — fixed-point iterates are deterministic,
     * so callers pick iters once and results are reproducible). */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
@@ -49,6 +51,7 @@ object Graph {
       edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("deg")))
     val teleport = (dampDen - dampNum) * SCALE / dampDen
     var ranks = degrees.select(F.col("v"), F.lit(SCALE).as("rank"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "src"), "src")
@@ -62,10 +65,13 @@ object Graph {
         .select(F.col("v"),
           (F.lit(teleport) +
             F.expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("rank"))
-      val next =
-        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          nextPlan.checkpoint(eager = false)
-        else nextPlan.localCheckpoint(eager = false)
+      // EAGER: materializing round r is what makes round r−1's blocks
+      // safe to free — the r8 bench showed lazy per-round checkpoints
+      // accumulating all rounds' blocks past the query (every query
+      // that ran after the graph pair regressed with unchanged plans)
+      val next = CacheScope.checkpoint(nextPlan, eager = true)
+      if (prev != null) CacheScope.unpersistCheckpoint(prev)
+      prev = next
       ranks = next
     }
     ranks.select(F.col("v").as("doc_id"), F.col("rank").as("rank_fp"),
@@ -124,8 +130,10 @@ object Graph {
     *
     * Scale shape: one (edges ⋈ labels) shuffle plus two map-side-
     * combined aggregates per round; edges persisted once; per-round
-    * labels lazily checkpointed (iterative-join lineage otherwise grows
-    * linearly in rounds). Synchronous updates + fixed rounds instead of
+    * labels eagerly checkpointed with the predecessor's blocks freed
+    * immediately (iterative-join lineage otherwise grows linearly in
+    * rounds; state in flight stays at two node-frames). Synchronous
+    * updates + fixed rounds instead of
     * the paper's asynchronous sweep: async is inherently order-
     * dependent — exactly what a distributed, oracle-checked operator
     * must not be. Returns (v, community). */
@@ -138,6 +146,7 @@ object Graph {
         .distinct())
     var labels = edges.select(F.col("src").as("v")).distinct()
       .select(F.col("v"), F.col("v").as("lbl"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val nextPlan = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
@@ -146,10 +155,11 @@ object Graph {
         .groupBy("v")
         .agg(F.min(F.struct(F.negate(F.col("c")), F.col("lbl"))).as("_m"))
         .select(F.col("v"), F.col("_m.lbl").as("lbl"))
-      labels =
-        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          nextPlan.checkpoint(eager = false)
-        else nextPlan.localCheckpoint(eager = false)
+      // eager + free-the-predecessor: see pageRank's loop
+      val next = CacheScope.checkpoint(nextPlan, eager = true)
+      if (prev != null) CacheScope.unpersistCheckpoint(prev)
+      prev = next
+      labels = next
     }
     labels.select(F.col("v"), F.col("lbl").as("community"))
   }

@@ -125,10 +125,25 @@ object Ivf {
 
   /** ANN search: probe the `nprobe` centroid lists nearest each query,
     * rank candidates by true cosine. Corpus shuffles once on its
-    * assigned list; queries (small) broadcast. */
+    * assigned list; queries (small) broadcast. Builds the list
+    * assignment inline — production serving should prefer
+    * [[searchAssigned]] against a PERSISTED assignment (build once,
+    * serve many; at 100 TB the assign pass is a full-corpus broadcast
+    * map you don't want under every query batch). */
   def search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    searchAssigned(corpus, assign(corpus, centroids, idCol, vecCol),
+      centroids, queries, idCol, vecCol, k, nprobe)
+
+  /** [[search]] against a PREBUILT per-vector list assignment
+    * (`assignments`: vec_id, centroid_label — e.g. a staged parquet of
+    * a prior [[assign]] pass): the serve half of the build/serve split.
+    * Same result as [[search]] given the same centroids. */
+  def searchAssigned(corpus: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(corpus, centroids, idCol, vecCol)
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val assigned = assignments
       .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
       .join(corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec")), "match_id")
     val qProbes = assign(queries, centroids, idCol, vecCol) // nearest-1 fallback

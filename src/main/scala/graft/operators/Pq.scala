@@ -129,6 +129,26 @@ object Pq {
   def ivfpqTopK(corpus: DataFrame, listCentroids: DataFrame,
       codebooks: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
+      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame =
+    ivfpqServe(corpus,
+      Ivf.assign(corpus, listCentroids, idCol, vecCol),
+      encode(corpus, codebooks, idCol, vecCol, m, subDim),
+      listCentroids, codebooks, queries,
+      idCol, vecCol, k, nprobe, shortlistK, m, subDim)
+
+  /** [[ivfpqTopK]] against a PREBUILT index: `assignments` (vec_id,
+    * centroid_label — a prior [[Ivf.assign]]) and `codes` (vec_id,
+    * codes — a prior [[encode]]), e.g. staged parquet artifacts. This
+    * is the serve half of the build/serve split a production index
+    * runs: the corpus-sided build (assign pass + encode pass) happens
+    * ONCE at index-build time; each query batch touches only the
+    * routed lists' codes plus the broadcast shortlist rerank. Same
+    * result as [[ivfpqTopK]] given artifacts built from the same
+    * centroids/codebooks. */
+  def ivfpqServe(corpus: DataFrame, assignments: DataFrame,
+      codes: DataFrame, listCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
       shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
@@ -143,9 +163,9 @@ object Pq {
       .filter(F.col("_rn") <= nprobe)
       .select("query_id", "centroid_label")
     // 2. the standing index: per-vector list assignment + PQ codes
-    val asg = Ivf.assign(corpus, listCentroids, idCol, vecCol)
+    val asg = assignments
       .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
-    val ccodes = encode(corpus, codebooks, idCol, vecCol, m, subDim)
+    val ccodes = codes
       .select(F.col("vec_id").as("match_id"),
         F.posexplode(F.col("codes")).as(Seq("sub", "code")))
       .join(asg, "match_id")

@@ -133,7 +133,10 @@ object Sketch {
       .agg(bottomKDistinctLong(F.col("_h"), k).as("_mins"))
     val a = mins.where(F.col("_cohort") === 0).select(F.col("_mins").as("_a"))
     val b = mins.where(F.col("_cohort") === 1).select(F.col("_mins").as("_b"))
-    val merged = a.crossJoin(b).select(
+    // both sides are <=1 row (one aggregate row per cohort), but only a
+    // BROADCAST hint makes that visible to the planner at any corpus
+    // size — unhinted, this is a cartesian shuffle (PlanAuditSpec)
+    val merged = a.crossJoin(F.broadcast(b)).select(
       F.col("_a"), F.col("_b"),
       F.slice(F.array_sort(F.array_distinct(F.concat(F.col("_a"), F.col("_b")))),
         1, k).as("_u"))

@@ -1,8 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{functions => F}
-import graft.operators.Graph
-import Tables.t
 
 /** Wave-57 inventory (r8): community DETECTION over the staged
   * co-purchase graph — the r7 verdict's gap: D48 scored the modularity
@@ -20,7 +18,10 @@ import Tables.t
   */
 object CommunityQueries {
 
-  private val iters = 4
+  /** LPA round count, shared with [[Staged.communityLabels]] so the
+    * staged artifact and the oracle CTE unroll can never drift. */
+  private[queries] val lpaIters = 4
+  private def iters = lpaIters
 
   /** Shared unrolled-LPA CTE chain: e0 (deduped co-purchase edges),
     * both-direction edges, l0..l4 label frames. The per-round argmax is
@@ -51,14 +52,15 @@ object CommunityQueries {
     * adoption with the smallest-label tie-break (fully deterministic —
     * no async sweep order, no RNG). One edges⋈labels shuffle + two
     * map-side-combined aggregates per round over the STAGED deduped
-    * edge list ([[Staged.coPurchaseEdges]]); labels lazily checkpointed
-    * per round like D15's pagerank. Output: every part with its
-    * detected community id (= the propagated minimum-ish hub label). */
+    * edge list ([[Staged.coPurchaseEdges]]); labels eagerly
+    * checkpointed per round like D15's pagerank, and the DETECTED
+    * partition is itself staged ([[Staged.communityLabels]]) so D51
+    * scores it instead of re-propagating — this query pays the build.
+    * Output: every part with its detected community id (= the
+    * propagated minimum-ish hub label). */
   private val communityLpa = QueryDef(
     "community_lpa",
-    (s, d) => Graph
-      .labelPropagation(Staged.coPurchaseEdges(s, d), "pa", "pb", iters)
-      .orderBy("v"),
+    (s, d) => Staged.communityLabels(s, d).orderBy("v"),
     Some(s"""
       WITH $lpaCtesSql
       SELECT v, lbl AS community FROM l$iters ORDER BY v"""))
@@ -78,7 +80,7 @@ object CommunityQueries {
     "community_modularity",
     (s, d) => {
       val edges = Staged.coPurchaseEdges(s, d)
-      val comm = Graph.labelPropagation(edges, "pa", "pb", iters)
+      val comm = Staged.communityLabels(s, d)
       val lbl = edges
         .join(comm.select(F.col("v").as("pa"), F.col("community").as("ca")),
           "pa")
@@ -101,8 +103,11 @@ object CommunityQueries {
         .crossJoin(F.broadcast(nums))
         .crossJoin(F.broadcast(m))
         .select(F.col("n_nodes"), F.col("n_communities"), F.col("m"),
-          F.expr("CAST(_num * 1000000 div " +
-            "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")
+          // degenerate guard: a corpus with no multi-item orders has
+          // m = 0 edges — modularity of the empty graph is defined 0
+          // here rather than a division-by-zero null/error
+          F.expr("CAST(IF(m = 0, 0, _num * 1000000 div " +
+            "(4 * CAST(m AS DECIMAL(38,0)) * m)) AS BIGINT)")
             .as("q_micro"))
     },
     Some(s"""
@@ -126,8 +131,9 @@ object CommunityQueries {
         FROM deg d LEFT JOIN ein e ON d.community = e.community, mm)
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM l$iters) AS n_nodes,
              n_communities, m,
-             CAST(num * 1000000 // (4 * CAST(m AS HUGEINT) * m)
-                  AS BIGINT) AS q_micro
+             CAST(CASE WHEN m = 0 THEN 0
+                  ELSE num * 1000000 // (4 * CAST(m AS HUGEINT) * m)
+                  END AS BIGINT) AS q_micro
       FROM ag, mm"""))
 
   val all: Seq[QueryDef] = Seq(communityLpa, communityModularity)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{DistRank, Ivf, TextOps}
+import graft.operators.{DistRank, TextOps}
 import org.apache.spark.sql.{functions => F}
 import Tables.t
 
@@ -28,10 +28,7 @@ object CurriculumQueries {
   private val ivfBalance = QueryDef(
     "ivf_balance",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
-      val asg = Ivf.assign(emb,
-        Ivf.centroidsByKey(emb, "label", "embedding"),
-        "vec_id", "embedding")
+      val asg = Staged.ivfAssignments(s, d)
       val per = asg.groupBy(
         F.col("centroid_label").cast("long").as("centroid_label"))
         .agg(F.count(F.lit(1)).as("n_vectors"))

@@ -450,12 +450,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------- D9
   private val embedIvfAssign = QueryDef(
     "embed_ivf_assign",
-    (s, d) => {
-      val emb = t(s, d, "embeddings")
-      Ivf.assign(emb, Ivf.centroidsByKey(emb, "label", "embedding"),
-        "vec_id", "embedding")
-        .orderBy("vec_id")
-    },
+    (s, d) => Staged.ivfAssignments(s, d).orderBy("vec_id"),
     Some(s"""
       WITH cent AS (
         SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
@@ -486,7 +481,8 @@ object PipelineQueries {
     "embed_ivf_search",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      Ivf.search(emb, Ivf.centroidsByKey(emb, "label", "embedding"),
+      Ivf.searchAssigned(emb, Staged.ivfAssignments(s, d),
+        Staged.ivfCentroids(s, d),
         emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
@@ -1812,8 +1808,8 @@ object PipelineQueries {
       val exact = graft.operators.Similarity.bruteForceTopK(
         emb, queries, "vec_id", "embedding", k = 5)
         .select(F.col("query_id"), F.col("match_id"))
-      val approx = Ivf.search(emb,
-        Ivf.centroidsByKey(emb, "label", "embedding"),
+      val approx = Ivf.searchAssigned(emb, Staged.ivfAssignments(s, d),
+        Staged.ivfCentroids(s, d),
         queries, "vec_id", "embedding", k = 5, nprobe = 2)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       exact

@@ -234,8 +234,16 @@ object RefineQueries {
       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
 
   // ----------------------------------------------------------- D14/D14b
-  private val PQ_M = 4; private val PQ_SUBDIM = 16
-  private val PQ_K = 8; private val PQ_ITERS = 2
+  private[queries] val PQ_M = 4; private[queries] val PQ_SUBDIM = 16
+
+  /** Composed-IVFPQ parameters, shared between D52's search, D52b's
+    * recall audit and its spec — the recall denominator is DERIVED
+    * from the same k both top-k calls receive, so changing k changes
+    * the audit with it instead of silently mis-scaling recall. */
+  private[graft] val IVFPQ_K = 5
+  private[graft] val IVFPQ_NPROBE = 3
+  private[graft] val IVFPQ_SHORTLIST = 20
+  private[queries] val PQ_K = 8; private[queries] val PQ_ITERS = 2
 
   private def dotSql(dim: Int, a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $dim), " +
@@ -333,44 +341,32 @@ object RefineQueries {
     s"$seedv,\n$perSub"
   }
 
-  /** Codebooks memoized per sf dir AS RAW DRIVER DATA (the trained
-    * centroids are m·k tiny vectors the training already collected):
-    * caching the rows rather than a DataFrame keeps the memo free of
-    * any SparkSession reference — a weak-keyed frame cache would be
-    * inert, since the cached Dataset strongly references its session
-    * through its own map entry. Each call rebuilds the local-relation
-    * frame on the CALLING session (cheap: m·k rows). Train once,
-    * encode/search many — retraining per query tripled the Lloyd jobs
-    * in the bench. */
+  /** Standing-corpus codebooks memoized AS RAW DRIVER DATA for D41's
+    * incremental audit (its training slice differs from the full-corpus
+    * artifact): caching the rows rather than a DataFrame keeps the memo
+    * free of any SparkSession reference — a weak-keyed frame cache
+    * would be inert, since the cached Dataset strongly references its
+    * session through its own map entry. */
   private val cbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Float])]]()
 
-  private def pqPipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val emb = t(s, d, "embeddings")
-    val rows = cbCache.computeIfAbsent(d, _ =>
-      Pq.codebooks(emb, "vec_id", "embedding", PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
-        .collect().toSeq.map(r =>
-          (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
-    import s.implicits._
-    val cb = rows.toDF("sub", "ckey", "centroid")
-      .select(F.col("sub"), F.col("ckey"),
-        F.col("centroid").cast("array<float>"))
-    (emb, cb)
-  }
+  /** The serving inputs of the PQ suite: the corpus plus the STAGED
+    * full-corpus codebook artifact ([[Staged.pqCodebooks]] — trained
+    * once per JVM+sf dir, persisted, read by every consumer: the
+    * build-once/serve-many split). */
+  private def pqPipeline(s: org.apache.spark.sql.SparkSession, d: String) =
+    (t(s, d, "embeddings"), Staged.pqCodebooks(s, d))
 
   private val embedPq = QueryDef(
     "embed_pq",
     // PQ codes are small exact integers; comma-joined they compare
     // byte-identically in any engine (the driver's pandas comparison
     // cannot sort/hash array cells — r4 verdict #1).
-    (s, d) => {
-      val (emb, cb) = pqPipeline(s, d)
-      Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM)
-        .select(F.col("vec_id"),
-          F.array_join(F.transform(F.col("codes"), _.cast("string")), ",")
-            .as("codes_str"))
-        .orderBy("vec_id")
-    },
+    (s, d) => Staged.pqCodes(s, d)
+      .select(F.col("vec_id"),
+        F.array_join(F.transform(F.col("codes"), _.cast("string")), ",")
+          .as("codes_str"))
+      .orderBy("vec_id"),
     Some {
       val cols = (0 until PQ_M)
         .map(s => s"CAST(CAST(a3_$s.ck AS BIGINT) AS VARCHAR)").mkString(", ")
@@ -385,8 +381,7 @@ object RefineQueries {
     "embed_pq_topk",
     (s, d) => {
       val (emb, cb) = pqPipeline(s, d)
-      val codes = Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM)
-      Pq.adcTopK(codes, cb, emb.where(F.col("vec_id") < 5),
+      Pq.adcTopK(Staged.pqCodes(s, d), cb, emb.where(F.col("vec_id") < 5),
         "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
         .orderBy("query_id", "rank")
     },
@@ -422,10 +417,9 @@ object RefineQueries {
       val (emb, cb) = pqPipeline(s, d)
       val queries = emb.where(F.col("vec_id") < 5)
       val exact = graft.operators.Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = 5)
+        emb, queries, "vec_id", "embedding", k = IVFPQ_K)
         .select(F.col("query_id"), F.col("match_id"))
-      val approx = Pq.adcTopK(
-        Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM),
+      val approx = Pq.adcTopK(Staged.pqCodes(s, d),
         cb, queries, "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       exact
@@ -435,7 +429,7 @@ object RefineQueries {
         .groupBy(exact("query_id"))
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
         .select(F.col("query_id"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / IVFPQ_K, 6).as("recall"))
         .orderBy("query_id")
     },
     Some {
@@ -447,7 +441,7 @@ object RefineQueries {
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY $cos64 DESC, e.vec_id) AS rn
          |    FROM embeddings e JOIN embeddings q
-         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= $IVFPQ_K),
          |$adcScoredCtes,
          |approx AS (SELECT query_id, match_id FROM (
          |             SELECT query_id, match_id,
@@ -478,8 +472,7 @@ object RefineQueries {
     (s, d) => {
       val (emb, cb) = pqPipeline(s, d)
       val queries = emb.where(F.col("vec_id") < 5)
-      val shortlist = Pq.adcTopK(
-        Pq.encode(emb, cb, "vec_id", "embedding", PQ_M, PQ_SUBDIM),
+      val shortlist = Pq.adcTopK(Staged.pqCodes(s, d),
         cb, queries, "vec_id", "embedding", k = 20, PQ_M, PQ_SUBDIM)
         .select(F.col("query_id"), F.col("match_id"))
       val qv = queries.select(F.col("vec_id").as("query_id"),
@@ -518,7 +511,7 @@ object RefineQueries {
          |                      ORDER BY cos DESC, match_id) AS INTEGER) AS rank
          |             FROM rescored)
          |SELECT query_id, rank, match_id, cos
-         |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM reranked WHERE rank <= $IVFPQ_K ORDER BY query_id, rank""".stripMargin
     })
 
   // ---------------------------------------------------------------- D41
@@ -618,11 +611,10 @@ object RefineQueries {
     "ivfpq_search",
     (s, d) => {
       val (emb, cb) = pqPipeline(s, d)
-      val cents = graft.operators.Ivf
-        .centroidsByKey(emb, "label", "embedding")
-      Pq.ivfpqTopK(emb, cents, cb, emb.where(F.col("vec_id") < 5),
-        "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20,
-        PQ_M, PQ_SUBDIM)
+      Pq.ivfpqServe(emb, Staged.ivfAssignments(s, d), Staged.pqCodes(s, d),
+        Staged.ivfCentroids(s, d), cb, emb.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = IVFPQ_K, nprobe = IVFPQ_NPROBE,
+        shortlistK = IVFPQ_SHORTLIST, PQ_M, PQ_SUBDIM)
         .orderBy("query_id", "rank")
     },
     Some {
@@ -638,7 +630,7 @@ object RefineQueries {
          |                      row_number() OVER (PARTITION BY query_id
          |                        ORDER BY score_micro DESC, match_id)
          |                        AS rank
-         |               FROM scl) WHERE rank <= 20),
+         |               FROM scl) WHERE rank <= $IVFPQ_SHORTLIST),
          |rescored AS (
          |  SELECT s.query_id, s.match_id,
          |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
@@ -651,7 +643,7 @@ object RefineQueries {
          |                      AS rank
          |             FROM rescored)
          |SELECT query_id, rank, match_id, cos
-         |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM reranked WHERE rank <= $IVFPQ_K ORDER BY query_id, rank""".stripMargin
     })
 
   /** Shared oracle fragment for D52/D52b: label-centroid IVF lists
@@ -678,7 +670,7 @@ object RefineQueries {
        |                   row_number() OVER (PARTITION BY q.vec_id
        |                     ORDER BY $cosQ DESC, ckey) AS rn
        |            FROM embeddings q, cvec WHERE q.vec_id < 5)
-       |           WHERE rn <= 3)""".stripMargin
+       |           WHERE rn <= $IVFPQ_NPROBE)""".stripMargin
   }
 
   // -------------------------------------------------------------- D52b
@@ -692,15 +684,14 @@ object RefineQueries {
     "ivfpq_recall",
     (s, d) => {
       val (emb, cb) = pqPipeline(s, d)
-      val cents = graft.operators.Ivf
-        .centroidsByKey(emb, "label", "embedding")
       val queries = emb.where(F.col("vec_id") < 5)
       val exact = graft.operators.Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = 5)
+        emb, queries, "vec_id", "embedding", k = IVFPQ_K)
         .select(F.col("query_id"), F.col("match_id"))
-      val approx = Pq.ivfpqTopK(emb, cents, cb, queries,
-        "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20,
-        PQ_M, PQ_SUBDIM)
+      val approx = Pq.ivfpqServe(emb, Staged.ivfAssignments(s, d),
+        Staged.pqCodes(s, d), Staged.ivfCentroids(s, d), cb, queries,
+        "vec_id", "embedding", k = IVFPQ_K, nprobe = IVFPQ_NPROBE,
+        shortlistK = IVFPQ_SHORTLIST, PQ_M, PQ_SUBDIM)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       exact
         .join(approx,
@@ -710,7 +701,7 @@ object RefineQueries {
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
           .as("n_hits"))
         .select(F.col("query_id"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / IVFPQ_K, 6).as("recall"))
         .orderBy("query_id")
     },
     Some {
@@ -724,7 +715,7 @@ object RefineQueries {
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY $cos64 DESC, e.vec_id) AS rn
          |    FROM embeddings e JOIN embeddings q
-         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= $IVFPQ_K),
          |scl AS (SELECT s.query_id, s.match_id, s.score_micro
          |        FROM scored s JOIN iasg a ON a.vec_id = s.match_id
          |             JOIN probes p ON p.query_id = s.query_id
@@ -734,7 +725,7 @@ object RefineQueries {
          |                      row_number() OVER (PARTITION BY query_id
          |                        ORDER BY score_micro DESC, match_id)
          |                        AS rank
-         |               FROM scl) WHERE rank <= 20),
+         |               FROM scl) WHERE rank <= $IVFPQ_SHORTLIST),
          |rescored AS (
          |  SELECT s.query_id, s.match_id,
          |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
@@ -745,12 +736,12 @@ object RefineQueries {
          |             SELECT query_id, match_id,
          |                    row_number() OVER (PARTITION BY query_id
          |                      ORDER BY cos DESC, match_id) AS rank
-         |             FROM rescored) WHERE rank <= 5)
+         |             FROM rescored) WHERE rank <= $IVFPQ_K)
          |SELECT e.query_id,
          |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
          |                END) AS BIGINT) AS n_hits,
          |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
-         |                 END) / 5.0, 6) AS recall
+         |                 END) / $IVFPQ_K.0, 6) AS recall
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.match_id = a.match_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin

@@ -44,8 +44,8 @@ object RetrievalQueries {
       val exact = Similarity.bruteForceTopK(
         emb, qs, "vec_id", "embedding", k = 5)
         .select(F.col("query_id").as("eq"), F.col("match_id").as("em"))
-      val approx = Ivf.search(emb,
-        Ivf.centroidsByKey(emb, "label", "embedding"),
+      val approx = Ivf.searchAssigned(emb, Staged.ivfAssignments(s, d),
+        Staged.ivfCentroids(s, d),
         qs, "vec_id", "embedding", k = 5, nprobe = 2)
         .select(F.col("query_id"), F.col("rank"), F.col("match_id"))
       val perq = qs.select(F.col("vec_id").as("query_id"))
@@ -142,12 +142,13 @@ object RetrievalQueries {
     (s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(F.col("vec_id") < 5)
-      val cents = Ivf.centroidsByKey(emb, "label", "embedding")
+      val cents = Staged.ivfCentroids(s, d)
+      val asg = Staged.ivfAssignments(s, d)
       val exact = Similarity.bruteForceTopK(
         emb, qs, "vec_id", "embedding", k = 5)
         .select(F.col("query_id").as("eq"), F.col("match_id").as("em"))
       val sweeps = Seq(1, 2, 4).map { np =>
-        Ivf.search(emb, cents, qs, "vec_id", "embedding",
+        Ivf.searchAssigned(emb, asg, cents, qs, "vec_id", "embedding",
           k = 5, nprobe = np)
           .select(F.lit(np.toLong).as("nprobe"), F.col("query_id"),
             F.col("match_id"))

@@ -52,8 +52,11 @@ object StatQueries {
         .withColumn("b", F.expr("h div 4503599627370496L")) // >> 52
         .withColumn("w", F.expr("h % 4503599627370496L"))
         .groupBy("flag", "b").agg(F.min("w").as("min_w"))
+      // broadcast the fixed 256-bucket spine: the distinct-flag side
+      // stays distributed, each flag pairs with the broadcast buckets —
+      // unhinted this planned as a cartesian shuffle (PlanAuditSpec)
       val spine = li.select(F.col("l_returnflag").as("flag")).distinct()
-        .crossJoin(s.range(256).select(F.col("id").as("b")))
+        .crossJoin(F.broadcast(s.range(256).select(F.col("id").as("b"))))
       val regs = spine.join(reg, Seq("flag", "b"), "left")
         .withColumn("r", F.expr(
           "CASE WHEN min_w IS NULL THEN 0 WHEN min_w = 0 THEN 53 " +

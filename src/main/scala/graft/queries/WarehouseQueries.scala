@@ -772,13 +772,14 @@ object WarehouseQueries {
     * corpus max date — data-derived so the query is reproducible),
     * frequency, exact-decimal monetary, each scored 1–5 with a
     * customer-key tie-break (bit-stable quintiles). One fact aggregate;
-    * each quintile is an exact distributed rank
-    * ([[graft.operators.DistRank.globalRowNumber]]) closed by the
-    * ntile arithmetic ([[graft.operators.DistRank.ntileExpr]]) — the
-    * customer dimension is range-partitioned three times, never pushed
-    * through a single-partition ntile window (billions of customers at
-    * 100 TB would serialize on one task). Oracle stays plain ntile(5):
-    * the rank+formula is bit-identical to the window. */
+    * all three quintiles ride ONE exact distributed rank
+    * ([[graft.operators.DistRank.globalRowNumber]] over exploded
+    * (dimension, sort-value) rows with dim-leading range keys) closed
+    * by the ntile arithmetic ([[graft.operators.DistRank.ntileExpr]])
+    * — one range shuffle of 3n rows instead of three chained full
+    * passes, and never a single-partition ntile window (billions of
+    * customers at 100 TB would serialize on one task). Oracle stays
+    * plain ntile(5): the rank+formula is bit-identical per dim. */
   private val rfm = QueryDef(
     "rfm",
     (s, d) => {
@@ -793,24 +794,40 @@ object WarehouseQueries {
           F.datediff(F.col("mx"), F.col("last_day")).cast("long").as("r"),
           F.col("f"), F.col("m"))
       val nC = base.agg(F.count(F.lit(1)).as("nc"))
-      def score(df: org.apache.spark.sql.DataFrame, c: String,
-          asc: Boolean, out: String) = {
-        val keys =
-          if (asc) Seq(F.col(c).asc, F.col("custkey").asc)
-          else Seq(F.col(c).desc, F.col("custkey").asc)
-        graft.operators.DistRank.globalRowNumber(df, "_rn", keys: _*)
-          .withColumn(out,
-            graft.operators.DistRank.ntileExpr("_rn", "nc", 5)
-              .cast("long"))
-          .drop("_rn")
-      }
-      val scored = score(score(score(
-        base.crossJoin(F.broadcast(nC)),
-        "r", asc = true, "r_score"),    // low recency = best
-        "f", asc = false, "f_score"),
-        "m", asc = false, "m_score")
-      scored.select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
-        F.col("r_score"), F.col("f_score"), F.col("m_score"))
+      // All three quintiles in ONE range shuffle (r7/r8 advice: the
+      // three chained DistRank passes re-shuffled the customer frame
+      // three times): explode each customer into one (dim, sort-value)
+      // row per dimension — descending dims negate their value — and
+      // range-partition ONCE on (dim, sv, custkey). dim leads the range
+      // keys, so within the single total order every dim-d row precedes
+      // every dim-(d+1) row and the per-dim rank is just
+      // global_rownumber − dim·n_customers. r/f are small exact longs
+      // and m is already the exact-decimal double, so the double sort
+      // value preserves each dimension's exact order.
+      val exploded = base.crossJoin(F.broadcast(nC)).select(
+        F.col("custkey"), F.col("r"), F.col("f"), F.col("m"), F.col("nc"),
+        F.explode(F.array(
+          F.struct(F.lit(0).as("dim"),
+            F.col("r").cast("double").as("sv")),         // recency asc
+          F.struct(F.lit(1).as("dim"),
+            (-F.col("f")).cast("double").as("sv")),      // frequency desc
+          F.struct(F.lit(2).as("dim"),
+            (-F.col("m")).cast("double").as("sv"))))     // monetary desc
+          .as("t")
+      ).select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
+        F.col("nc"), F.col("t.dim").as("dim"), F.col("t.sv").as("sv"))
+      val ranked = graft.operators.DistRank.globalRowNumber(exploded,
+        "_grn", F.col("dim").asc, F.col("sv").asc, F.col("custkey").asc)
+        .withColumn("_rn", F.expr("_grn - dim * nc"))
+        .withColumn("_score",
+          graft.operators.DistRank.ntileExpr("_rn", "nc", 5).cast("long"))
+      ranked.groupBy("custkey")
+        .agg(F.max("r").as("r"), F.max("f").as("f"), F.max("m").as("m"),
+          F.max(F.when(F.col("dim") === 0, F.col("_score"))).as("r_score"),
+          F.max(F.when(F.col("dim") === 1, F.col("_score"))).as("f_score"),
+          F.max(F.when(F.col("dim") === 2, F.col("_score"))).as("m_score"))
+        .select(F.col("custkey"), F.col("r"), F.col("f"), F.col("m"),
+          F.col("r_score"), F.col("f_score"), F.col("m_score"))
         .orderBy("custkey")
     },
     Some("""

@@ -42,6 +42,31 @@ class CacheScopeSpec extends SparkSpec {
     assert(CacheScope.trackedFrames(spark) == 0)
   }
 
+  test("iterative checkpoint blocks are freed — superseded mid-loop, rest at release") {
+    // the r8 leak: localCheckpoint pins RDD-level blocks that
+    // Dataset.unpersist / the old frame registry never touched, so every
+    // query running AFTER an iterative graph op inherited its blocks.
+    // localCheckpoint registers its RDD in sc.getPersistentRDDs, which
+    // makes both halves of the fix observable.
+    val sc = spark.sparkContext
+    CacheScope.release(spark)
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = spark.range(40).selectExpr("id AS a", "(id + 1) % 40 AS b")
+    val labels = graft.operators.Graph.labelPropagation(pairs, "a", "b", 4)
+    assert(labels.count() == 40)
+    val during = sc.getPersistentRDDs.keySet -- before
+    // 4 rounds ran, but superseded rounds are freed as soon as their
+    // successor materializes: only the FINAL round's checkpoint plus the
+    // persisted edge frame's cache-buffer RDD may remain registered —
+    // without the mid-loop free this set holds every round (5 entries)
+    assert(during.size <= 2,
+      s"expected at most edges + the final round's checkpoint, got $during")
+    CacheScope.release(spark)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release() must clear checkpoint RDD registrations, got $after")
+  }
+
   test("a derived session's caches release independently") {
     val s2 = spark.newSession()
     val d1 = CacheScope.persist(spark.range(10).toDF("a"))
