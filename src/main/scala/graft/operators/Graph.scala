@@ -163,4 +163,75 @@ object Graph {
     }
     labels.select(F.col("v"), F.col("lbl").as("community"))
   }
+
+  /** One deterministic Louvain-style local-move round [Blondel et al.
+    * 2008 §2] applied to a GIVEN partition (e.g. [[labelPropagation]]'s
+    * output): every vertex evaluates the exact modularity gain of
+    * moving to each NEIGHBOR community and takes the best
+    * strictly-positive one, ties broken by the smallest target label.
+    * The gain is the standard ΔQ with the whole comparison multiplied
+    * through by 2m² so it stays exact integer arithmetic
+    * (DECIMAL(38,0) — degree sums at 100 TB overflow a long product):
+    *
+    *   gain(v: a→c) · 2m² = 2m·(k_{v,c} − k_{v,a}) − k_v·(d_c − d_a + k_v)
+    *
+    * with k_{v,c} = v's edges into community c, k_v = v's degree,
+    * d_c = community c's total degree (v counted in its own a-terms).
+    *
+    * Moves are SYNCHRONOUS (all vertices decide against the same input
+    * partition, then all move) — the standard distributed-Louvain
+    * compromise: sequential sweeps are order-dependent, which an
+    * oracle-checked distributed operator cannot be. Synchronized moves
+    * make each individual gain exact but their SUM unrealized (two
+    * adjacent vertices can cross), so callers publish the recomputed
+    * before/after modularity rather than trusting Σgain; one round over
+    * an LPA partition is the bounded refinement step, not a full
+    * Louvain descent.
+    *
+    * Scale shape: three map-side-combined aggregates (degrees, per-
+    * (vertex, neighbor-community) counts, per-community degree totals)
+    * plus vertex-keyed joins; the candidate frame is bounded by
+    * Σ_v |neighbor communities of v| ≤ |directed edges| — never
+    * vertices × communities. Returns (v, community). */
+  def louvainMoveRound(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    val lab = labels.select(F.col("v"), F.col("community").as("lbl"))
+    val deg = CacheScope.persist(
+      edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("k")))
+    val kvc = CacheScope.persist(edges
+      .join(lab.select(F.col("v").as("dst"), F.col("lbl").as("c")), "dst")
+      .groupBy(F.col("src").as("v"), F.col("c"))
+      .agg(F.count(F.lit(1)).as("kv")))
+    val dtot = CacheScope.persist(lab.join(deg, "v")
+      .groupBy(F.col("lbl").as("c")).agg(F.sum("k").as("dt")))
+    // m = undirected edge count; edges holds both directions
+    val m = edges.agg((F.count(F.lit(1)) / 2).cast("long").as("m"))
+    val base = lab
+      .join(deg, "v")
+      .join(kvc.select(F.col("v"), F.col("c").as("lbl"),
+        F.col("kv").as("kva")), Seq("v", "lbl"), "left")
+      .na.fill(0L, Seq("kva"))
+      .join(dtot.select(F.col("c").as("lbl"), F.col("dt").as("dta")), "lbl")
+      .crossJoin(F.broadcast(m))
+    val cand = base
+      .join(kvc, "v")
+      .where(F.col("c") =!= F.col("lbl"))
+      .join(dtot, "c")
+      .select(F.col("v"), F.col("c"),
+        F.expr("2 * CAST(m AS DECIMAL(38,0)) * (kv - kva) - " +
+          "CAST(k AS DECIMAL(38,0)) * (dt - dta + k)").as("gain"))
+    val best = cand.groupBy("v")
+      .agg(F.min(F.struct(F.negate(F.col("gain")).as("ng"), F.col("c")))
+        .as("_b"))
+      .select(F.col("v"), F.col("_b.c").as("_tc"),
+        F.negate(F.col("_b.ng")).as("_gain"))
+    lab.join(best, Seq("v"), "left")
+      .select(F.col("v"),
+        F.when(F.col("_gain") > 0, F.col("_tc")).otherwise(F.col("lbl"))
+          .as("community"))
+  }
 }

@@ -37,6 +37,48 @@ class CommunitySpec extends SparkSpec {
     assert(a.size.toLong == nodes)
   }
 
+  test("louvainMoveRound repatriates a mislabeled clique member and " +
+    "leaves a correct partition alone") {
+    import spark.implicits._
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)).toDF("pa", "pb")
+    // node 3 deliberately mislabeled into the right clique's community
+    val bad = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 100L),
+      (11L, 200L), (12L, 200L), (13L, 200L), (14L, 200L))
+      .toDF("v", "community")
+    val moved = graft.operators.Graph
+      .louvainMoveRound(edges, "pa", "pb", bad)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(moved(3L) == 100L, s"node 3 should rejoin its clique: $moved")
+    assert(Seq(1L, 2L, 4L).forall(moved(_) == 100L), moved.toString)
+    assert(Seq(11L, 12L, 13L, 14L).forall(moved(_) == 200L), moved.toString)
+    // the already-correct partition is a local optimum: nothing moves
+    val good = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (11L, 200L), (12L, 200L), (13L, 200L), (14L, 200L))
+      .toDF("v", "community")
+    val stable = graft.operators.Graph
+      .louvainMoveRound(edges, "pa", "pb", good)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stable == Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      11L -> 200L, 12L -> 200L, 13L -> 200L, 14L -> 200L).toMap,
+      s"correct partition must be stable: $stable")
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("community_refine publishes exact before/after modularity of the move") {
+    val r = q("community_refine").collect().head
+    val before = q("community_modularity").collect().head
+    assert(r.getLong(r.fieldIndex("q_before_micro")) ==
+      before.getLong(before.fieldIndex("q_micro")),
+      "q_before must equal the D51 score of the same partition")
+    assert(r.getLong(r.fieldIndex("n_nodes")) ==
+      before.getLong(before.fieldIndex("n_nodes")))
+    val moved = r.getLong(r.fieldIndex("n_moved"))
+    assert(moved >= 0 && moved <= r.getLong(r.fieldIndex("n_nodes")))
+  }
+
   test("community_modularity matches a driver-side replay on detected labels") {
     val lbl = q("community_lpa").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
