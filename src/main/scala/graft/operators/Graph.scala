@@ -195,10 +195,13 @@ object Graph {
     * vertices × communities. Returns (v, community). */
   def louvainMoveRound(pairs: DataFrame, aCol: String, bCol: String,
       labels: DataFrame): DataFrame = {
+    // contract as [[triangleCount]]: `pairs` holds each undirected edge
+    // ONCE with aCol < bCol (the staged deduped list) — the two-
+    // direction union is then distinct by construction, so no dedup
+    // shuffle is spent re-proving it
     val edges = CacheScope.persist(
       pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
-        .distinct())
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst"))))
     val lab = labels.select(F.col("v"), F.col("community").as("lbl"))
     val deg = CacheScope.persist(
       edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("k")))

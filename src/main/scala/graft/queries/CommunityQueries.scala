@@ -76,12 +76,16 @@ object CommunityQueries {
     * community-bounded frame. Returns (n_communities, m, q_micro);
     * shared by D51 (the detected partition) and D53 (before/after the
     * refinement move). */
-  private def modularityCore(edges: DataFrame, comm: DataFrame): DataFrame = {
-    val lbl = edges
+  private[graft] def modularityCore(edges: DataFrame, comm: DataFrame): DataFrame = {
+    // persisted: FOUR consumers read the labeled edge list (the m
+    // broadcast, e_in, the two degree-union branches) — unpersisted,
+    // the two endpoint joins re-execute per branch (profiled ~3× the
+    // query cost at sf0.1); released per query by the driver
+    val lbl = graft.operators.CacheScope.persist(edges
       .join(comm.select(F.col("v").as("pa"), F.col("community").as("ca")),
         "pa")
       .join(comm.select(F.col("v").as("pb"), F.col("community").as("cb")),
-        "pb")
+        "pb"))
     val m = lbl.agg(F.count(F.lit(1)).as("m"))
     val eIn = lbl.where(F.col("ca") === F.col("cb"))
       .groupBy(F.col("ca").as("community"))
@@ -173,7 +177,12 @@ object CommunityQueries {
     (s, d) => {
       val edges = Staged.coPurchaseEdges(s, d)
       val before = Staged.communityLabels(s, d)
-      val after = Graph.louvainMoveRound(edges, "pa", "pb", before)
+      // persisted: the moved partition feeds TWO consumers (the n_moved
+      // comparison and the after-modularity) — unpersisted, the whole
+      // move-round join pipeline executes twice (measured 5.7 s → ~3 s
+      // at sf0.1)
+      val after = graft.operators.CacheScope.persist(
+        Graph.louvainMoveRound(edges, "pa", "pb", before))
       val nNodes = before.agg(F.count(F.lit(1)).as("n_nodes"))
       val nMoved = before.select(F.col("v"), F.col("community").as("_cb"))
         .join(after.select(F.col("v"), F.col("community").as("_ca")), "v")
