@@ -407,6 +407,10 @@ object ScaleTest {
     // excluded: contains the quadratic-by-design exact-truth audit,
     // like search_mrr / knn_accuracy above.)
     timeQ("ivfpq_search")
+    // r9 probe: one Louvain local-move round + two exact modularity
+    // evaluations — edge-linear (candidate frame ≤ directed edges),
+    // must scale like the LPA pair above.
+    timeQ("community_refine")
     spark.stop()
   }
 }
