@@ -61,10 +61,33 @@ class IvfpqSpec extends SparkSpec {
   }
 
   test("ivfpq_recall is bounded by 1 and consistent with its hits") {
+    val k = graft.queries.RefineQueries.IVFPQ_K
     q("ivfpq_recall").collect().foreach { r =>
       val hits = r.getLong(r.fieldIndex("n_hits"))
-      assert(hits >= 0L && hits <= 5L)
-      assert(r.getDouble(r.fieldIndex("recall")) == hits / 5.0)
+      assert(hits >= 0L && hits <= k.toLong)
+      assert(r.getDouble(r.fieldIndex("recall")) == hits.toDouble / k)
     }
+  }
+
+  test("serve paths on prebuilt artifacts equal the inline builds") {
+    // the build/serve split must be a pure refactoring of WHERE the
+    // index parts come from, never of the results
+    val asg = Ivf.assign(emb, cents, "vec_id", "embedding")
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", 4, 16)
+    val served = Pq.ivfpqServe(emb, asg, codes, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Pq.ivfpqTopK(emb, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlistK = 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == inline)
+    val sa = Ivf.searchAssigned(emb, asg, cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val s0 = Ivf.search(emb, cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sa == s0)
+    graft.operators.CacheScope.release(spark)
   }
 }
