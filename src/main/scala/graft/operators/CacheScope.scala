@@ -107,9 +107,13 @@ object CacheScope {
     }
 
   /** Unpersist (non-blocking) everything tracked on this session since
-    * the last release — persisted frames AND checkpoint blocks. Safe to
-    * call at any time: frames still needed by an in-flight plan
-    * recompute instead of failing. */
+    * the last release — persisted frames AND checkpoint blocks. For
+    * PERSISTED frames this is safe at any time (a later action
+    * recomputes from lineage). CHECKPOINTED frames have no lineage to
+    * recompute from — release() is the end of their life, so callers
+    * must release only after the consuming action (the Verify/Bench
+    * per-query discipline), not while a returned iterative-operator
+    * result still has readers. */
   def release(spark: SparkSession): Unit = {
     val list = tracked.synchronized(tracked.remove(spark))
     if (list != null) list.forEach { thunk =>

@@ -79,6 +79,23 @@ object Staged {
   private val staged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Build-once/read-many parquet staging shared by every artifact
+    * below: the first caller per (JVM, sf dir, name) writes, everyone
+    * reads back. A FAILED write removes the dir from the staged set
+    * before rethrowing — otherwise every later reader would hit the
+    * missing/partial parquet of a build that never completed (the
+    * truncate-then-crash class of bug). */
+  private def stagedParquet(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
+      s"${new java.io.File(d).getName}/$name"
+    if (staged.add(dir)) {
+      try build.write.mode("overwrite").parquet(dir)
+      catch { case e: Throwable => staged.remove(dir); throw e }
+    }
+    s.read.parquet(dir)
+  }
+
   /** Co-purchase pair list: one row per (order, unordered part pair),
     * pa < pb, built from (order, part)-DISTINCT lineitem. Multiplicity
     * of a (pa, pb) row = number of orders containing the pair — so
@@ -86,10 +103,8 @@ object Staged {
     * and D22's min-hop BFS (multiplicity-invariant) uses rows as raw
     * multi-edges. Fan-out is bounded by lines-per-order² (order size,
     * never catalog size) — the same per-order blocking at 100 TB. */
-  def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/pairs"
-    if (staged.add(dir)) {
+  def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pairs") {
       val li = Tables.t(s, d, "lineitem")
         .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
         .distinct()
@@ -97,10 +112,7 @@ object Staged {
       val b = li.select(F.col("ok"), F.col("pk").as("pb"))
       a.join(b, "ok").where(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** D3 banded-minhash candidate pairs (k=16, bands=4, shingleN=3)
     * over the documents table — the shared near-dup candidate graph
@@ -111,17 +123,12 @@ object Staged {
     * build, not a parquet read. At 100 TB this staged parquet is
     * exactly the candidate-graph checkpoint a production dedup run
     * writes between its candidate and clustering phases. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/minhash_pairs"
-    if (staged.add(dir)) {
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "minhash_pairs") {
       graft.operators.Dedup.minhashCandidatePairs(
         Tables.t(s, d, "documents"), "doc_id", "text",
         k = PipelineQueries.K, bands = PipelineQueries.BANDS, shingleN = 3)
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** Pre-stage shared builds (Bench's untimed warmup). */
   /** The DEDUPED co-purchase edge list (pa < pb, unique) — staged
@@ -131,35 +138,27 @@ object Staged {
     * replaces three per-bench-run shuffles. Consumers that need
     * multiplicity (C49 affinity weights, D22's raw-edge BFS) keep
     * reading [[coPurchasePairs]]. */
-  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/edges"
-    if (staged.add(dir)) {
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "edges") {
       coPurchasePairs(s, d).select("pa", "pb").distinct()
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** D50's DETECTED community labels (4-round deterministic LPA over
     * [[coPurchaseEdges]]), staged so the partition is computed ONCE per
     * (JVM, sf dir): `community_lpa` triggers the build on first touch
-    * (its bench cost is the detection, as it should be) and
+    * (under Bench's median-of-3 only run 1 pays it, so the committed
+    * per-query number is the read — detection cost is tracked by the
+    * single-shot `community_lpa_10x` ScaleTest probe instead) and
     * `community_modularity` SCORES the staged partition instead of
     * re-running the full propagation — the r8 verdict's double-LPA.
     * At 100 TB this parquet is the detect-once/score-and-join-many
     * community assignment a production pipeline persists anyway. */
-  def communityLabels(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/community_labels"
-    if (staged.add(dir)) {
+  def communityLabels(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "community_labels") {
       graft.operators.Graph
         .labelPropagation(coPurchaseEdges(s, d), "pa", "pb",
           CommunityQueries.lpaIters)
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   // ------------------------------------------------------------------
   // ANN index artifacts — the build-once/serve-many split a production
@@ -171,59 +170,39 @@ object Staged {
   // any of them per query batch would scan the corpus per query.
 
   /** IVF coarse quantizer: mean embedding per label → (ckey, centroid). */
-  def ivfCentroids(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/ivf_centroids"
-    if (staged.add(dir)) {
+  def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "ivf_centroids") {
       graft.operators.Ivf
         .centroidsByKey(Tables.t(s, d, "embeddings"), "label", "embedding")
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** Per-vector nearest-list assignment over [[ivfCentroids]] →
     * (vec_id, centroid_label, cos) — the IVF inverted-list membership. */
-  def ivfAssignments(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/ivf_assignments"
-    if (staged.add(dir)) {
+  def ivfAssignments(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "ivf_assignments") {
       graft.operators.Ivf
         .assign(Tables.t(s, d, "embeddings"), ivfCentroids(s, d),
           "vec_id", "embedding")
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** Trained PQ codebooks (full corpus, the D14 configuration) →
     * (sub, ckey, centroid). m·k tiny rows — broadcast by consumers. */
-  def pqCodebooks(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/pq_codebooks"
-    if (staged.add(dir)) {
+  def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pq_codebooks") {
       graft.operators.Pq
         .codebooks(Tables.t(s, d, "embeddings"), "vec_id", "embedding",
           RefineQueries.PQ_M, RefineQueries.PQ_SUBDIM,
           RefineQueries.PQ_K, RefineQueries.PQ_ITERS)
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   /** PQ-encoded corpus over [[pqCodebooks]] → (vec_id, codes[m]). */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_graph_${Harness.runId}_" +
-      s"${new java.io.File(d).getName}/pq_codes"
-    if (staged.add(dir)) {
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pq_codes") {
       graft.operators.Pq
         .encode(Tables.t(s, d, "embeddings"), pqCodebooks(s, d),
           "vec_id", "embedding",
           RefineQueries.PQ_M, RefineQueries.PQ_SUBDIM)
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
 
   def prewarm(s: SparkSession, d: String): Unit = {
     coPurchasePairs(s, d)

@@ -417,7 +417,7 @@ object RefineQueries {
       val (emb, cb) = pqPipeline(s, d)
       val queries = emb.where(F.col("vec_id") < 5)
       val exact = graft.operators.Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = IVFPQ_K)
+        emb, queries, "vec_id", "embedding", k = 5)
         .select(F.col("query_id"), F.col("match_id"))
       val approx = Pq.adcTopK(Staged.pqCodes(s, d),
         cb, queries, "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
@@ -429,7 +429,7 @@ object RefineQueries {
         .groupBy(exact("query_id"))
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
         .select(F.col("query_id"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / IVFPQ_K, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
         .orderBy("query_id")
     },
     Some {
@@ -441,7 +441,7 @@ object RefineQueries {
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY $cos64 DESC, e.vec_id) AS rn
          |    FROM embeddings e JOIN embeddings q
-         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= $IVFPQ_K),
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
          |$adcScoredCtes,
          |approx AS (SELECT query_id, match_id FROM (
          |             SELECT query_id, match_id,
@@ -511,7 +511,7 @@ object RefineQueries {
          |                      ORDER BY cos DESC, match_id) AS INTEGER) AS rank
          |             FROM rescored)
          |SELECT query_id, rank, match_id, cos
-         |FROM reranked WHERE rank <= $IVFPQ_K ORDER BY query_id, rank""".stripMargin
+         |FROM reranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
   // ---------------------------------------------------------------- D41

@@ -104,10 +104,11 @@ object StreamingQueries {
 
   private def deleteRecursively(path: java.nio.file.Path): Unit = {
     try {
-      java.nio.file.Files.walk(path)
-        .sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(path)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { try java.nio.file.Files.delete(p) catch {
           case _: Throwable => () } })
+      finally walk.close() // an unclosed walk leaks a directory fd
     } catch { case _: Throwable => () }
   }
 
@@ -122,12 +123,14 @@ object StreamingQueries {
       ckpt.foreach(w.option("checkpointLocation", _))
       w.start()
     }
-    q.awaitTermination()
-    val out = df.sparkSession.table(name)
-    // the drained checkpoint has no future reader (names are unique per
-    // drain), so free the tmpfs space eagerly
-    ckpt.foreach(c => deleteRecursively(java.nio.file.Paths.get(c)))
-    out
+    try q.awaitTermination()
+    finally
+      // the drained checkpoint has no future reader (names are unique
+      // per drain), so free the tmpfs space eagerly — also on failure,
+      // or a crashing query retried by the bench would accumulate
+      // state-store files in RAM-backed storage
+      ckpt.foreach(c => deleteRecursively(java.nio.file.Paths.get(c)))
+    df.sparkSession.table(name)
   }
 
   // ------------------------------------------------------------------ G2
