@@ -287,6 +287,11 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- D8
   private val PLANES = 8
+  /** Recall@k shared by the ANN audits in this file (D24 multiprobe,
+    * D27 matryoshka, D34 IVF) — one constant drives both top-k calls
+    * AND the recall denominator of each, so changing k cannot silently
+    * skew the measured recall (same fix as ivfpq_recall's IVFPQ_K). */
+  private val ANN_RECALL_K = 5
 
   /** DuckDB expression for the 8-plane hyperplane bucket of `embedding`. */
   private def bucketBitsSql: String = {
@@ -1588,10 +1593,11 @@ object PipelineQueries {
         .select(F.col("query_id"), F.col("match_id"),
           Similarity.cosine(F.col("qv"), F.col("cv")).as("cos"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= ANN_RECALL_K)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       val exact = Similarity.bruteForceTopK(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k = ANN_RECALL_K)
         .select(F.col("query_id"), F.col("match_id"))
       exact
         .join(approx,
@@ -1601,7 +1607,8 @@ object PipelineQueries {
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
         .join(nCand, "query_id")
         .select(F.col("query_id"), F.col("n_cand"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / ANN_RECALL_K, 6)
+            .as("recall"))
         .orderBy("query_id")
     },
     Some {
@@ -1626,7 +1633,7 @@ object PipelineQueries {
           SELECT query_id, match_id,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY ${cosSql("qv", "cv")} DESC, match_id) AS rn
-          FROM cand) WHERE rn <= 5),
+          FROM cand) WHERE rn <= $ANN_RECALL_K),
       exact AS (
         SELECT query_id, match_id FROM (
           SELECT q.vec_id AS query_id, e.vec_id AS match_id,
@@ -1634,12 +1641,13 @@ object PipelineQueries {
                    ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
                             e.vec_id) AS rn
           FROM embeddings e JOIN embeddings q
-            ON q.vec_id < 10 AND e.vec_id <> q.vec_id) WHERE rn <= 5)
+            ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rn <= $ANN_RECALL_K)
       SELECT e.query_id, n.n_cand,
              CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_hits,
              round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
-                   / 5.0, 6) AS recall
+                   / $ANN_RECALL_K.0, 6) AS recall
       FROM exact e
       LEFT JOIN approx a
         ON e.query_id = a.query_id AND e.match_id = a.match_id
@@ -1662,17 +1670,20 @@ object PipelineQueries {
     (s, d) => {
       val emb = t(s, d, "embeddings")
       val full = Similarity.bruteForceTopK(emb,
-        emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k = ANN_RECALL_K)
       val half = emb.withColumn("embedding",
         F.slice(F.col("embedding"), 1, 32))
       val halfTop = Similarity.bruteForceTopK(half,
-        half.filter(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        half.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k = ANN_RECALL_K)
       full.select("query_id", "match_id")
         .join(halfTop.select(F.col("query_id"), F.col("match_id"))
           .withColumn("_hit", F.lit(1L)), Seq("query_id", "match_id"), "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_overlap"))
-        .withColumn("recall_micros", F.expr("n_overlap * 1000000 div 5"))
+        .withColumn("recall_micros",
+          F.expr(s"n_overlap * 1000000 div $ANN_RECALL_K"))
         .orderBy("query_id")
     },
     Some(s"""
@@ -1686,7 +1697,7 @@ object PipelineQueries {
           SELECT query_id, match_id,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, match_id) AS rank
-          FROM sf) WHERE rank <= 5),
+          FROM sf) WHERE rank <= $ANN_RECALL_K),
       sh AS (
         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
                ${cosSqlDim("q.embedding", "c.embedding", 32)} AS cos
@@ -1696,10 +1707,11 @@ object PipelineQueries {
           SELECT query_id, match_id,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, match_id) AS rank
-          FROM sh) WHERE rank <= 5)
+          FROM sh) WHERE rank <= $ANN_RECALL_K)
       SELECT f.query_id AS query_id,
              CAST(count(h.match_id) AS BIGINT) AS n_overlap,
-             CAST(count(h.match_id) * 1000000 // 5 AS BIGINT) AS recall_micros
+             CAST(count(h.match_id) * 1000000 // $ANN_RECALL_K AS BIGINT)
+               AS recall_micros
       FROM f LEFT JOIN h ON f.query_id = h.query_id AND f.match_id = h.match_id
       GROUP BY f.query_id ORDER BY f.query_id"""))
 
@@ -1806,11 +1818,11 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(F.col("vec_id") < 3)
       val exact = graft.operators.Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = 5)
+        emb, queries, "vec_id", "embedding", k = ANN_RECALL_K)
         .select(F.col("query_id"), F.col("match_id"))
       val approx = Ivf.searchAssigned(emb, Staged.ivfAssignments(s, d),
         Staged.ivfCentroids(s, d),
-        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        queries, "vec_id", "embedding", k = ANN_RECALL_K, nprobe = 2)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       exact
         .join(approx,
@@ -1820,7 +1832,8 @@ object PipelineQueries {
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
           .as("n_hits"))
         .select(F.col("query_id"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / ANN_RECALL_K, 6)
+            .as("recall"))
         .orderBy("query_id")
     },
     Some(s"""
@@ -1850,7 +1863,7 @@ object PipelineQueries {
                      JOIN embeddings q ON q.vec_id = p.query_id
                      JOIN embeddings c ON c.vec_id = a.match_id
                 WHERE p.query_id != a.match_id))
-        WHERE rank <= 5),
+        WHERE rank <= $ANN_RECALL_K),
       exact AS (
         SELECT query_id, match_id FROM (
           SELECT query_id, match_id,
@@ -1860,12 +1873,12 @@ object PipelineQueries {
                        ${cosSql("q.embedding", "c.embedding")} AS cos
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 3 AND q.vec_id != c.vec_id))
-        WHERE rank <= 5)
+        WHERE rank <= $ANN_RECALL_K)
       SELECT e.query_id,
              CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_hits,
              round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
-                   / 5.0, 6) AS recall
+                   / $ANN_RECALL_K.0, 6) AS recall
       FROM exact e LEFT JOIN approx a
         ON e.query_id = a.query_id AND e.match_id = a.match_id
       GROUP BY e.query_id ORDER BY e.query_id"""))

@@ -78,20 +78,29 @@ object Staged {
 
   private val staged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build-once/read-many parquet staging shared by every artifact
     * below: the first caller per (JVM, sf dir, name) writes, everyone
     * reads back. A FAILED write removes the dir from the staged set
     * before rethrowing — otherwise every later reader would hit the
     * missing/partial parquet of a build that never completed (the
-    * truncate-then-crash class of bug). */
+    * truncate-then-crash class of bug). Serialized through a PER-DIR
+    * lock so a concurrent caller waits for the in-flight write instead
+    * of reading a half-written directory; per-dir (not computeIfAbsent
+    * on one map) because builds NEST — pqCodes builds pqCodebooks,
+    * edges build pairs — and the dependency order is a DAG, so the
+    * distinct locks cannot deadlock. */
   private def stagedParquet(s: SparkSession, d: String, name: String)(
       build: => DataFrame): DataFrame = {
     val dir = s"/tmp/graft_graph_${Harness.runId}_" +
       s"${new java.io.File(d).getName}/$name"
-    if (staged.add(dir)) {
-      try build.write.mode("overwrite").parquet(dir)
-      catch { case e: Throwable => staged.remove(dir); throw e }
+    locks.computeIfAbsent(dir, _ => new Object).synchronized {
+      if (staged.add(dir)) {
+        try build.write.mode("overwrite").parquet(dir)
+        catch { case e: Throwable => staged.remove(dir); throw e }
+      }
     }
     s.read.parquet(dir)
   }

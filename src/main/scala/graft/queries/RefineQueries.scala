@@ -244,6 +244,9 @@ object RefineQueries {
   private[graft] val IVFPQ_NPROBE = 3
   private[graft] val IVFPQ_SHORTLIST = 20
   private[queries] val PQ_K = 8; private[queries] val PQ_ITERS = 2
+  /** Recall@k audited by embed_pq_recall (D14c) — shared by both top-k
+    * calls and the recall denominator so changing k changes all three. */
+  private val PQ_RECALL_K = 5
 
   private def dotSql(dim: Int, a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $dim), " +
@@ -417,10 +420,10 @@ object RefineQueries {
       val (emb, cb) = pqPipeline(s, d)
       val queries = emb.where(F.col("vec_id") < 5)
       val exact = graft.operators.Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = 5)
+        emb, queries, "vec_id", "embedding", k = PQ_RECALL_K)
         .select(F.col("query_id"), F.col("match_id"))
       val approx = Pq.adcTopK(Staged.pqCodes(s, d),
-        cb, queries, "vec_id", "embedding", k = 5, PQ_M, PQ_SUBDIM)
+        cb, queries, "vec_id", "embedding", k = PQ_RECALL_K, PQ_M, PQ_SUBDIM)
         .select(F.col("query_id"), F.col("match_id").as("_am"))
       exact
         .join(approx,
@@ -429,7 +432,7 @@ object RefineQueries {
         .groupBy(exact("query_id"))
         .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L)).as("n_hits"))
         .select(F.col("query_id"), F.col("n_hits"),
-          F.round(F.col("n_hits").cast("double") / 5, 6).as("recall"))
+          F.round(F.col("n_hits").cast("double") / PQ_RECALL_K, 6).as("recall"))
         .orderBy("query_id")
     },
     Some {
@@ -441,18 +444,18 @@ object RefineQueries {
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY $cos64 DESC, e.vec_id) AS rn
          |    FROM embeddings e JOIN embeddings q
-         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= 5),
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rn <= $PQ_RECALL_K),
          |$adcScoredCtes,
          |approx AS (SELECT query_id, match_id FROM (
          |             SELECT query_id, match_id,
          |                    row_number() OVER (PARTITION BY query_id
          |                      ORDER BY score_micro DESC, match_id) AS rank
-         |             FROM scored) WHERE rank <= 5)
+         |             FROM scored) WHERE rank <= $PQ_RECALL_K)
          |SELECT e.query_id,
          |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
          |            AS BIGINT) AS n_hits,
          |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
-         |             / 5.0, 6) AS recall
+         |             / $PQ_RECALL_K.0, 6) AS recall
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.match_id = a.match_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin

@@ -19,6 +19,17 @@ object RetrievalQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** Pre-rounded integer nDCG discounts: round(10⁶ / log2(rank+1)) for
+    * ranks 1..5 — ONE Seq drives the Spark CASE, the DuckDB CASE and
+    * the ideal-DCG constant, so the metric needs no runtime log2 and
+    * both engines do identical integer arithmetic (M30). */
+  private val NDCG_DISC = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** Ideal DCG for graded relevance 5..1 at the ideal order:
+    * Σ (6−i)·disc(i) — every query has a full exact top-5. */
+  private val NDCG_IDCG: Long = NDCG_DISC.zipWithIndex
+    .map { case (dc, i) => (5L - i) * dc }.sum
+
   private val centroidCtes = s"""cent AS (
         SELECT label AS ckey, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
         FROM embeddings, generate_series(1, 64) AS t(i)
@@ -127,6 +138,104 @@ object RetrievalQueries {
              CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END)
                   * 1000000 // count(*) AS BIGINT) AS hit_ppm
       FROM perq"""))
+
+  // ---------------------------------------------------------------- M30
+  /** nDCG@5 of IVF(nprobe=2) search against the exact truth — the
+    * graded-relevance companion to M17's MRR (binary hit): the true
+    * top-5 carries graded relevance 5..1 (rel = 6 − exact rank), the
+    * ANN ranking is scored with the standard log2 position discount,
+    * and nDCG = DCG / ideal-DCG. Exactness discipline: the five
+    * discounts 10⁶/log2(rank+1) are PRE-ROUNDED INTEGER constants
+    * (one Scala Seq drives both engines' CASE and the ideal-DCG sum),
+    * so the whole metric is integer arithmetic — no runtime log2, no
+    * float drift. Queries the index missed entirely score 0 but stay
+    * in the frame via the left join from the query set. Scale shape
+    * identical to M17: truth pass is the documented tune-before-run
+    * audit; the scored side is the production IVF plan; the metric
+    * join is n_queries·k rows. */
+  private val searchNdcg = QueryDef(
+    "search_ndcg",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(F.expr("vec_id % 50 = 3"))
+      val exact = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5)
+        .select(F.col("query_id").as("eq"), F.col("match_id").as("em"),
+          (F.lit(6) - F.col("rank")).cast("long").as("rel"))
+      val approx = Ivf.searchAssigned(emb, Staged.ivfAssignments(s, d),
+        Staged.ivfCentroids(s, d),
+        qs, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(F.col("query_id"), F.col("rank"), F.col("match_id"))
+      val discCase = NDCG_DISC.zipWithIndex
+        .map { case (dc, i) => s"WHEN rank = ${i + 1} THEN ${dc}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+      qs.select(F.col("vec_id").as("query_id"))
+        .join(approx, Seq("query_id"), "left")
+        .join(exact,
+          F.col("query_id") === F.col("eq") &&
+            F.col("match_id") === F.col("em"), "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(
+          F.expr(discCase) * F.coalesce(F.col("rel"), F.lit(0L)),
+          F.lit(0L))).as("dcg_micro"))
+        .select(F.col("query_id"), F.col("dcg_micro"),
+          F.expr(s"dcg_micro * 1000000L div $NDCG_IDCG").as("ndcg_ppm"))
+        .orderBy("query_id")
+    },
+    Some {
+      val discCase = NDCG_DISC.zipWithIndex
+        .map { case (dc, i) => s"WHEN a.rank = ${i + 1} THEN $dc" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""
+      WITH $centroidCtes,
+      assigned AS (
+        SELECT vec_id AS match_id, ckey AS centroid_label FROM (
+          SELECT vec_id, ckey,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT vec_id, ckey, ${cosSql("embedding", "centroid")} AS cos
+                FROM embeddings, cvec)) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, centroid_label FROM (
+          SELECT query_id, ckey AS centroid_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, ckey) AS rn
+          FROM (SELECT e.vec_id AS query_id, ckey,
+                       ${cosSql("e.embedding", "centroid")} AS cos
+                FROM embeddings e, cvec WHERE e.vec_id % 50 = 3)) WHERE rn <= 2),
+      approx AS (
+        SELECT query_id, match_id, rank FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT p.query_id, a.match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM probes p
+                     JOIN assigned a ON p.centroid_label = a.centroid_label
+                     JOIN embeddings q ON q.vec_id = p.query_id
+                     JOIN embeddings c ON c.vec_id = a.match_id
+                WHERE p.query_id != a.match_id))
+        WHERE rank <= 5),
+      exact AS (
+        SELECT query_id, match_id, 6 - rank AS rel FROM (
+          SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, match_id) AS rank
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       ${cosSql("q.embedding", "c.embedding")} AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id % 50 = 3 AND q.vec_id != c.vec_id))
+        WHERE rank <= 5),
+      qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 3)
+      SELECT q.query_id,
+             CAST(coalesce(sum(($discCase) * coalesce(e.rel, 0)), 0)
+                  AS BIGINT) AS dcg_micro,
+             CAST(coalesce(sum(($discCase) * coalesce(e.rel, 0)), 0)
+                  * 1000000 // $NDCG_IDCG AS BIGINT) AS ndcg_ppm
+      FROM qs q
+           LEFT JOIN approx a ON a.query_id = q.query_id
+           LEFT JOIN exact e ON e.query_id = a.query_id
+                AND e.match_id = a.match_id
+      GROUP BY q.query_id ORDER BY q.query_id"""
+    })
 
   // ---------------------------------------------------------------- D44
   /** IVF nprobe tuning sweep (the D35 threshold-sweep discipline applied
@@ -465,6 +574,6 @@ object RetrievalQueries {
                AS top10_share_ppm
       FROM s, cat, nq, t10"""))
 
-  val all: Seq[QueryDef] = Seq(searchMrr, ivfNprobeSweep,
+  val all: Seq[QueryDef] = Seq(searchMrr, searchNdcg, ivfNprobeSweep,
     lateInteraction, rrfFusion, recCoverage)
 }
