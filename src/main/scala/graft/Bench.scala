@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // without this, a plan referencing a persisted frame recompiles
+      // the CACHED subtree with AQE off — static 32-partition SMJs and
+      // no runtime broadcast conversion; profiled 30–50% slower on the
+      // multi-consumer persist patterns (r10)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,33 +34,50 @@ object Bench {
     // optional: args restrict the run to named queries (local profiling);
     // the driver passes no args → full suite
     val only = args.toSet
+    // Timed action: a noop-sink WRITE, not count() — count() lets
+    // Catalyst prune every column and drop final sorts, so narrow
+    // projection queries (pii_redact, text_normalize) were timed as
+    // near-raw scans (r9 verdict's honesty item). The noop v2 sink
+    // executes the FULL plan — projections, sorts, everything — and
+    // discards rows at the sink. The r10 totals therefore step UP vs
+    // r9 by design; SURVEY §6 documents the change.
+    def run(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // released OUTSIDE the timed region: cache cleanup between runs
+      // is harness hygiene, not part of the query's cost
+      graft.operators.CacheScope.release(spark)
+      dt
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // released OUTSIDE the timed region: cache cleanup between runs
-        // is harness hygiene, not part of the query's cost
-        graft.operators.CacheScope.release(spark)
-        dt
+        name -> (1 to 3).map(_ => run(name, fn)).sorted.apply(1)
       }
-      name -> times.sorted.apply(1)
-    }
+    // Self-consistency guard (r10, from the r9 driver-vs-builder 287 vs
+    // 175 s divergence no in-repo check could see): re-run the 5
+    // slowest queries ISOLATED after the full sweep and publish both
+    // numbers. A big suite-vs-isolated gap on a query = cache/memory
+    // pollution from its neighbors, not its own plan.
+    val isolated = results.sortBy(-_._2).take(5)
+      .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
     // 3-decimal (ms) precision: full doubles made the 85-query JSON line
     // long enough that the driver's log capture truncated the tail.
     // Locale.ROOT: the f-interpolator is locale-dependent — a
     // comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonLine(rs: Seq[(String, Double)], total: Double,
-        extra: String = ""): String = {
-      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    def jsonLine(rs: Seq[(String, Double)], total: Double,
+        extra: String = ""): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""sf":"$sfDir"$extra,"queries":$qs}"""
-    }
+        s""""sf":"$sfDir"$extra,"queries":${jsonMap(rs)}}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // last line as JSON — a 200-query map is ~6 KB, so its head gets cut
@@ -71,11 +94,16 @@ object Bench {
       jsonLine(top.sortBy(_._1), total, meta(top.size)).length > 1600)
       top = top.dropRight(1)
     // Persisted only for FULL runs: an args-restricted profiling run
-    // must not clobber the committed full-suite record.
+    // must not clobber the committed full-suite record. `isolated`
+    // carries the guard numbers (suite-median vs isolated single-shot
+    // for the 5 slowest — SURVEY §6 documents the acceptable delta).
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
-        jsonLine(results, total) + "\n")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+          s""""sf":"$sfDir","action":"noop_write",""" +
+          s""""isolated":${jsonMap(isolated)},""" +
+          s""""queries":${jsonMap(results)}}""" + "\n")
       catch { case _: Throwable => () }
     println(jsonLine(top.sortBy(_._1), total, meta(top.size)))
     spark.stop()

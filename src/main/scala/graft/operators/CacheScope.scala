@@ -43,18 +43,39 @@ import org.apache.spark.storage.StorageLevel
   * is the only exit.
   */
 object CacheScope {
-  private val tracked =
-    new java.util.HashMap[SparkSession, java.util.ArrayList[() => Unit]]()
+  /** A tracked release thunk. `checkpointed` marks entries whose frame
+    * DIES at release (no lineage to recompute from) — [[releasePersisted]]
+    * skips them, so a caller can shed recomputable cache pressure
+    * mid-pipeline without killing live iterative-operator results. */
+  private final case class Entry(thunk: () => Unit, checkpointed: Boolean)
 
-  private def track(spark: SparkSession, thunk: () => Unit): Unit =
+  private val tracked =
+    new java.util.HashMap[SparkSession, java.util.ArrayList[Entry]]()
+
+  private def track(spark: SparkSession, thunk: () => Unit,
+      checkpointed: Boolean = false): Unit =
     tracked.synchronized {
       tracked.computeIfAbsent(spark,
-        _ => new java.util.ArrayList[() => Unit]()).add(thunk)
+        _ => new java.util.ArrayList[Entry]()).add(Entry(thunk, checkpointed))
     }
 
   /** Persist MEMORY_AND_DISK and track for later [[release]]. */
   private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    track(df.sparkSession, () => p.unpersist(blocking = false))
+    p
+  }
+
+  /** Persist MEMORY_AND_DISK_SER (compact serialized in-memory image)
+    * and track for later [[release]] — for CORPUS-PROPORTIONAL
+    * intermediates (labeled edge lists, banded signatures): the
+    * deserialized default's row objects are what evict into GC storms
+    * under co-located memory pressure (the r9 driver-bench pollution
+    * window); the serialized image trades a decode per read for a
+    * several-fold smaller, GC-inert footprint. Node-/community-sized
+    * frames keep the deserialized [[persist]]. */
+  private[graft] def persistSer(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
     track(df.sparkSession, () => p.unpersist(blocking = false))
     p
   }
@@ -72,7 +93,7 @@ object CacheScope {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager)
       else df.localCheckpoint(eager)
-    track(df.sparkSession, () => unpersistCheckpoint(cp))
+    track(df.sparkSession, () => unpersistCheckpoint(cp), checkpointed = true)
     cp
   }
 
@@ -110,14 +131,32 @@ object CacheScope {
     * the last release — persisted frames AND checkpoint blocks. For
     * PERSISTED frames this is safe at any time (a later action
     * recomputes from lineage). CHECKPOINTED frames have no lineage to
-    * recompute from — release() is the end of their life, so callers
-    * must release only after the consuming action (the Verify/Bench
-    * per-query discipline), not while a returned iterative-operator
-    * result still has readers. */
+    * recompute from — release() is the END OF THEIR LIFE: a read after
+    * release fails with a missing-block error instead of recomputing.
+    * Callers therefore release only after the consuming action (the
+    * Verify/Bench per-query discipline); a caller that must shed cache
+    * pressure while an iterative-operator result still has readers uses
+    * [[releasePersisted]] instead. */
   def release(spark: SparkSession): Unit = {
     val list = tracked.synchronized(tracked.remove(spark))
-    if (list != null) list.forEach { thunk =>
-      try thunk() catch { case _: Throwable => () }
+    if (list != null) list.forEach { e =>
+      try e.thunk() catch { case _: Throwable => () }
     }
+  }
+
+  /** Unpersist only the RECOMPUTABLE frames (persist entries); leave
+    * checkpointed frames — whose blocks are their only copy — tracked
+    * and alive for a later [[release]]. Safe at any time. */
+  def releasePersisted(spark: SparkSession): Unit = {
+    val toRun = new java.util.ArrayList[Entry]()
+    tracked.synchronized {
+      val list = tracked.remove(spark)
+      if (list != null) {
+        val keep = new java.util.ArrayList[Entry]()
+        list.forEach { e => if (e.checkpointed) keep.add(e) else toRun.add(e) }
+        if (!keep.isEmpty) tracked.put(spark, keep)
+      }
+    }
+    toRun.forEach { e => try e.thunk() catch { case _: Throwable => () } }
   }
 }

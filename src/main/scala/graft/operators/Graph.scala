@@ -196,23 +196,61 @@ object Graph {
   def louvainMoveRound(pairs: DataFrame, aCol: String, bCol: String,
       labels: DataFrame): DataFrame = {
     // contract as [[triangleCount]]: `pairs` holds each undirected edge
-    // ONCE with aCol < bCol (the staged deduped list) — the two-
-    // direction union is then distinct by construction, so no dedup
-    // shuffle is spent re-proving it
-    val edges = CacheScope.persist(
-      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst"))))
+    // ONCE with aCol < bCol (the staged deduped list). The labeled
+    // canonical edge list is the ONE corpus-scale intermediate the whole
+    // round needs — serialized persist, released by the caller's
+    // CacheScope.release (callers that sequence eagerly, e.g. D53,
+    // build the frame themselves and free it as soon as the moved
+    // labels materialize).
+    louvainMoveRoundLabeled(
+      CacheScope.persistSer(labelEdges(pairs, aCol, bCol, labels)), labels)
+  }
+
+  /** Canonical labeled edge list: one row per undirected edge (pa < pb)
+    * with BOTH endpoint communities attached — (pa, pb, ca, cb). Two
+    * node-keyed shuffles (labels are node-sized, NOT broadcast at
+    * 100 TB). This single frame carries everything the community
+    * operators derive per partition — m, e_in, degrees, per-(vertex,
+    * neighbor-community) counts, community degree totals — so callers
+    * build it ONCE per (edges, labels) pair and feed both the
+    * modularity score and the move round (the r9 bench showed the same
+    * edges⋈labels pipeline executing three times per D53 run). */
+  def labelEdges(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame =
+    pairs.select(F.col(aCol).as("pa"), F.col(bCol).as("pb"))
+      .join(labels.select(F.col("v").as("pa"),
+        F.col("community").as("ca")), "pa")
+      .join(labels.select(F.col("v").as("pb"),
+        F.col("community").as("cb")), "pb")
+
+  /** The move round computed FROM a prebuilt [[labelEdges]] frame. The
+    * frame is read EXACTLY ONCE (the two-sided neighbor union feeding
+    * k_vc) — degrees, community totals and m all derive from the k_vc
+    * aggregate, so a caller that persists lblEdges pays one serialized
+    * decode pass for the whole round. */
+  def louvainMoveRoundLabeled(lblEdges: DataFrame,
+      labels: DataFrame): DataFrame = {
     val lab = labels.select(F.col("v"), F.col("community").as("lbl"))
-    val deg = CacheScope.persist(
-      edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("k")))
-    val kvc = CacheScope.persist(edges
-      .join(lab.select(F.col("v").as("dst"), F.col("lbl").as("c")), "dst")
-      .groupBy(F.col("src").as("v"), F.col("c"))
-      .agg(F.count(F.lit(1)).as("kv")))
-    val dtot = CacheScope.persist(lab.join(deg, "v")
-      .groupBy(F.col("lbl").as("c")).agg(F.sum("k").as("dt")))
-    // m = undirected edge count; edges holds both directions
-    val m = edges.agg((F.count(F.lit(1)) / 2).cast("long").as("m"))
+    // directed neighbor view: each undirected edge contributes
+    // (pa sees cb) and (pb sees ca) — exploded in ONE scan of the edge
+    // frame (a two-select union would decode the persisted frame twice)
+    val dirNbr = lblEdges.select(F.explode(F.array(
+        F.struct(F.col("pa").as("v"), F.col("cb").as("c")),
+        F.struct(F.col("pb").as("v"), F.col("ca").as("c")))).as("x"))
+      .select(F.col("x.v").as("v"), F.col("x.c").as("c"))
+    // k_vc is the round's ONE corpus-scale aggregate (≤ directed edges;
+    // in practice vertices × their few neighbor communities). It feeds
+    // the gain base AND the candidate join, and everything else derives
+    // from it without another pass over the edge list (deg = Σ_c k_vc,
+    // d_c = Σ_{v∈c} deg(v), 2m = Σ_v deg) — NOT persisted: the
+    // identical aggregate subtrees share one shuffle via exchange reuse
+    // within the single consuming action, which profiling showed beats
+    // paying cache materialization for an intra-action-only reuse
+    val kvc = dirNbr.groupBy("v", "c").agg(F.count(F.lit(1)).as("kv"))
+    val deg = kvc.groupBy("v").agg(F.sum("kv").as("k"))
+    val dtot = lab.join(deg, "v")
+      .groupBy(F.col("lbl").as("c")).agg(F.sum("k").as("dt"))
+    val m = deg.agg(F.expr("sum(k) div 2").as("m"))
     val base = lab
       .join(deg, "v")
       .join(kvc.select(F.col("v"), F.col("c").as("lbl"),

@@ -78,28 +78,48 @@ object Staged {
 
   private val staged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build-once/read-many parquet staging shared by every artifact
     * below: the first caller per (JVM, sf dir, name) writes, everyone
     * reads back. A FAILED write removes the dir from the staged set
     * before rethrowing — otherwise every later reader would hit the
     * missing/partial parquet of a build that never completed (the
-    * truncate-then-crash class of bug). Serialized through a PER-DIR
-    * lock so a concurrent caller waits for the in-flight write instead
-    * of reading a half-written directory; per-dir (not computeIfAbsent
-    * on one map) because builds NEST — pqCodes builds pqCodebooks,
-    * edges build pairs — and the dependency order is a DAG, so the
-    * distinct locks cannot deadlock. */
+    * truncate-then-crash class of bug).
+    *
+    * Concurrency is a per-dir LATCH, not a monitor: the winning caller
+    * installs the latch and builds while holding NO lock, so nested
+    * builds (pqCodes builds pqCodebooks, edges build pairs) never stack
+    * monitors — the r9 review note that monitor nesting was deadlock-
+    * free only while every caller acquired in dependency-DAG order, an
+    * invariant no code enforced. Losers await the latch and then
+    * re-check: if the winner failed, the next caller through retries
+    * the build instead of reading a missing directory. */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
+
   private def stagedParquet(s: SparkSession, d: String, name: String)(
       build: => DataFrame): DataFrame = {
     val dir = s"/tmp/graft_graph_${Harness.runId}_" +
       s"${new java.io.File(d).getName}/$name"
-    locks.computeIfAbsent(dir, _ => new Object).synchronized {
-      if (staged.add(dir)) {
-        try build.write.mode("overwrite").parquet(dir)
-        catch { case e: Throwable => staged.remove(dir); throw e }
+    var done = staged.contains(dir)
+    while (!done) {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val prior = inflight.putIfAbsent(dir, latch)
+      if (prior == null) {
+        // winner: build lock-free, publish to `staged` only on success
+        // (a failed build propagates after the latch opens, and the
+        // next caller through becomes the new winner and retries)
+        try {
+          build.write.mode("overwrite").parquet(dir)
+          staged.add(dir)
+        } finally {
+          inflight.remove(dir)
+          latch.countDown()
+        }
+        done = true
+      } else {
+        prior.await()
+        done = staged.contains(dir)
       }
     }
     s.read.parquet(dir)
@@ -167,6 +187,18 @@ object Staged {
       graft.operators.Graph
         .labelPropagation(coPurchaseEdges(s, d), "pa", "pb",
           CommunityQueries.lpaIters)
+    }
+
+  /** One-row exact-integer modularity summary (n_communities, m,
+    * q_micro) of the DETECTED partition — a pure function of
+    * [[communityLabels]], so staged beside it: `community_modularity`
+    * pays the one scoring pass and D53's q_before is a 1-row parquet
+    * read instead of a third edges⋈labels pipeline (the r9 verdict's
+    * footprint item). */
+  def communityQ(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "community_q") {
+      CommunityQueries.modularityCore(
+        coPurchaseEdges(s, d), communityLabels(s, d))
     }
 
   // ------------------------------------------------------------------

@@ -16,7 +16,9 @@ object StreamProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dir = s"/tmp/graft_probe/events"
+    // runId-suffixed like every staging path: a fixed dir would let two
+    // concurrent probes (or a stale dir from another dataset) cross-read
+    val dir = s"/tmp/graft_probe_${graft.queries.Harness.runId}/events"
     graft.queries.Tables.t(spark, d, "events")
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema

@@ -67,6 +67,26 @@ class CacheScopeSpec extends SparkSpec {
       s"release() must clear checkpoint RDD registrations, got $after")
   }
 
+  test("releasePersisted frees recomputable frames but keeps checkpoints alive") {
+    CacheScope.release(spark)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val p = CacheScope.persist(spark.range(30).toDF("id"))
+    assert(p.count() == 30)
+    val cp = CacheScope.checkpoint(
+      spark.range(10).toDF("x"), eager = true)
+    assert(CacheScope.trackedFrames(spark) == 2)
+    CacheScope.releasePersisted(spark)
+    // the checkpoint entry survives — its blocks are its only copy
+    assert(CacheScope.trackedFrames(spark) == 1)
+    assert(cp.count() == 10, "checkpointed frame must still be readable")
+    // the persisted frame is gone from the cache but recomputes fine
+    assert(p.count() == 30)
+    CacheScope.release(spark)
+    assert(CacheScope.trackedFrames(spark) == 0)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("a derived session's caches release independently") {
     val s2 = spark.newSession()
     val d1 = CacheScope.persist(spark.range(10).toDF("a"))

@@ -103,4 +103,29 @@ class CommunitySpec extends SparkSpec {
     val qm = r.getLong(r.fieldIndex("q_micro"))
     assert(qm >= -500000L && qm <= 1000000L)
   }
+
+  test("community_weighted matches a driver-side weighted replay") {
+    val lbl = q("community_lpa").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights = co-purchase multiplicity from the staged multi-edge list
+    val w = graft.queries.Staged.coPurchasePairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (e, xs) => e -> xs.length.toLong }
+    val wTot = w.values.sum
+    val sC = w.toSeq.flatMap { case ((a, b), ww) =>
+      Seq(lbl(a) -> ww, lbl(b) -> ww) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val num = sC.map { case (c, s) =>
+      val win = w.collect {
+        case ((a, b), ww) if lbl(a) == c && lbl(b) == c => ww }.sum
+      BigInt(4) * wTot * win - BigInt(s) * s
+    }.sum
+    val qwMicro = (num * 1000000 / (BigInt(4) * wTot * wTot)).toLong
+    val r = q("community_weighted").collect().head
+    assert(r.getLong(r.fieldIndex("w_tot")) == wTot)
+    assert(r.getLong(r.fieldIndex("n_communities")) ==
+      lbl.values.toSet.size.toLong)
+    assert(r.getLong(r.fieldIndex("qw_micro")) == qwMicro)
+    graft.operators.CacheScope.release(spark)
+  }
 }

@@ -10,6 +10,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match Bench/Verify: cached subtrees keep AQE
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
