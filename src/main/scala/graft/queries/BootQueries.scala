@@ -42,7 +42,14 @@ object BootQueries {
   private val bootstrapCi = QueryDef(
     "bootstrap_ci",
     (s, d) => {
-      val thresholds = poisT.mkString(",")
+      // codegen-friendly Poisson weight: w = |{t : h ≥ t}| as a SUM OF
+      // IFs over the 6 constant thresholds — the previous
+      // size(filter(array(...), t -> h >= t)) is a higher-order
+      // function Spark evaluates INTERPRETED per row (no whole-stage
+      // codegen), which the r10 noop-write bench exposed as ~26 s of
+      // the suite (count() had pruned the whole bootstrap under the old
+      // action, timing it at 0.57 s)
+      val wSum = poisT.map(t => s"IF(h >= ${t}L, 1, 0)").mkString(" + ")
       val o = t(s, d, "orders")
         .join(F.broadcast(t(s, d, "customer")),
           F.col("o_custkey") === F.col("c_custkey"))
@@ -55,8 +62,7 @@ object BootQueries {
         .withColumn("h", Hashing.hash60(
           F.concat_ws(":", F.col("segment"), F.col("ok"),
             F.col("r").cast("string"))))
-        .withColumn("w", F.expr(
-          s"size(filter(array($thresholds), t -> h >= t))"))
+        .withColumn("w", F.expr(wSum))
       val means = weighted.groupBy("segment", "r")
         .agg(F.expr("sum(w * cents)").as("wc"),
           F.expr("sum(CAST(w AS BIGINT))").as("nw"))

@@ -36,7 +36,13 @@ object StreamingQueries {
   private def stage(s: SparkSession, d: String, table: String): String = {
     val dir = s"/tmp/graft_stream_${Harness.runId}_${new java.io.File(d).getName}/$table"
     if (staged.add(dir))
-      t(s, d, table).write.mode("overwrite").parquet(dir)
+      // 8 files, matching the state-partition cap: the driver tables
+      // read as ONE input partition at these sizes, and a one-file dir
+      // gives every micro-batch a SINGLE-TASK scan — the file source
+      // parallelizes by file, so the staged layout sets the batch's
+      // scan parallelism (at production scale the source is Kafka/many
+      // files and this is moot)
+      t(s, d, table).repartition(8).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -112,16 +118,38 @@ object StreamingQueries {
     } catch { case _: Throwable => () }
   }
 
+  /** Scoped session-conf override (binds at stream START, like
+    * [[withStatePartitions]]). */
+  private def withConf[T](s: SparkSession, key: String, value: String)(
+      body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val s = df.sparkSession
     val ckpt = ckptRoot.map(r => s"$r/$name")
+    // COMPLETE-mode drains skip the trailing no-data micro-batch: in
+    // complete mode the sink always holds the last FULL result and the
+    // watermark never evicts state, so an empty wrap-up batch re-emits
+    // the same table at ~0.5-0.8 s of state-store/plan overhead
+    // (StreamProbe). APPEND-mode stateful queries KEEP it — it is what
+    // emits their watermark-finalized rows.
+    val noData = if (mode == "complete") "false" else "true"
     val q = withStatePartitions(s,
       math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 8)) {
-      val w = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
-      ckpt.foreach(w.option("checkpointLocation", _))
-      w.start()
+      withConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", noData) {
+        val w = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow())
+        ckpt.foreach(w.option("checkpointLocation", _))
+        w.start()
+      }
     }
     try q.awaitTermination()
     finally
@@ -131,6 +159,30 @@ object StreamingQueries {
       // state-store files in RAM-backed storage
       ckpt.foreach(c => deleteRecursively(java.nio.file.Paths.get(c)))
     df.sparkSession.table(name)
+  }
+
+  /** Drain a LARGE-output append stream through the parquet FILE sink
+    * instead of the memory sink: the memory sink collects every result
+    * row into driver memory single-threaded (profiled ~1 s of the
+    * stream_validate floor at sf0.1 — 600 k validated rows), while the
+    * file sink writes partitions in parallel and the result reads back
+    * columnar. Append-mode only (the file sink's contract); also the
+    * production shape — a validation stream lands on storage, not in a
+    * driver table. */
+  private def drainFiles(df: DataFrame): DataFrame = {
+    val name = s"graft_fsink_${nameCounter.incrementAndGet()}"
+    val s = df.sparkSession
+    val outDir = s"/tmp/graft_stream_out_${Harness.runId}/$name"
+    val ckpt = ckptRoot.map(r => s"$r/$name").getOrElse(s"$outDir/_ckpt")
+    val q = withStatePartitions(s,
+      math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 8)) {
+      df.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    try q.awaitTermination()
+    finally deleteRecursively(java.nio.file.Paths.get(ckpt))
+    s.read.parquet(outDir)
   }
 
   // ------------------------------------------------------------------ G2
@@ -167,7 +219,17 @@ object StreamingQueries {
       val dir = stage(s, d, "lineitem")
       val stream = stagedStream(s, dir)
       val valid = graft.streaming.StreamOps.validateStream(stream, Schemas.lineitem)
-      drain(valid, "append").orderBy("l_orderkey", "l_linenumber")
+      // TOTAL order: (l_orderkey, l_linenumber) is NOT unique in the
+      // synthetic lineitem (up to 4 rows per pair), and the driver's
+      // compare is positional — before r10 the tie order held only
+      // because both engines scanned the same single file in the same
+      // order; the parallel staging/file-sink path surfaces ties, so
+      // the sort key is the full remaining column list, identically in
+      // the oracle
+      drainFiles(valid).orderBy("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
     },
     Some("""
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -181,7 +243,9 @@ object StreamingQueries {
         AND regexp_matches(l_returnflag, '^[ANR]$')
         AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
         AND l_extendedprice / l_quantity <= 2000.0
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate"""))
 
   // ------------------------------------------------------------------ G3
   /** Stateful streaming exact-dedup: dropDuplicates state persists

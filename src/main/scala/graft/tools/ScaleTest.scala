@@ -411,6 +411,9 @@ object ScaleTest {
     // evaluations — edge-linear (candidate frame ≤ directed edges),
     // must scale like the LPA pair above.
     timeQ("community_refine")
+    // r10 probe: weighted modularity — one pair re-aggregation over the
+    // staged multi-edge list + the one-pass explode score, edge-linear.
+    timeQ("community_weighted")
     spark.stop()
   }
 }
