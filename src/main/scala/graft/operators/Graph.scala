@@ -229,7 +229,7 @@ object Graph {
     * aggregate, so a caller that persists lblEdges pays one serialized
     * decode pass for the whole round. */
   def louvainMoveRoundLabeled(lblEdges: DataFrame,
-      labels: DataFrame): DataFrame = {
+      labels: DataFrame, kvcScratch: Option[String] = None): DataFrame = {
     val lab = labels.select(F.col("v"), F.col("community").as("lbl"))
     // directed neighbor view: each undirected edge contributes
     // (pa sees cb) and (pb sees ca) — exploded in ONE scan of the edge
@@ -242,11 +242,26 @@ object Graph {
     // in practice vertices × their few neighbor communities). It feeds
     // the gain base AND the candidate join, and everything else derives
     // from it without another pass over the edge list (deg = Σ_c k_vc,
-    // d_c = Σ_{v∈c} deg(v), 2m = Σ_v deg) — NOT persisted: the
-    // identical aggregate subtrees share one shuffle via exchange reuse
-    // within the single consuming action, which profiling showed beats
-    // paying cache materialization for an intra-action-only reuse
-    val kvc = dirNbr.groupBy("v", "c").agg(F.count(F.lit(1)).as("kv"))
+    // d_c = Σ_{v∈c} deg(v), 2m = Σ_v deg). Four consumer subtrees,
+    // though, and the r10 executed plan showed Catalyst duplicating
+    // the WHOLE kvc pipeline — edge scan and label joins included —
+    // under each one (22 parquet scans, zero static exchange reuse;
+    // AQE does not dedup them once the label joins become runtime
+    // broadcasts): 3–4 edge passes per round. Block-caching kvc is
+    // corpus-proportional residency (exactly r9's pollution class) and
+    // A/B'd as a wash. `kvcScratch` is the production answer:
+    // materialize the aggregate to storage ONCE — the inter-phase
+    // artifact a distributed Louvain writes anyway — and let all four
+    // consumers read the small columnar result. None keeps the pure
+    // single-plan form (tiny graphs, property tests).
+    val kvc = kvcScratch match {
+      case Some(dir) =>
+        dirNbr.groupBy("v", "c").agg(F.count(F.lit(1)).as("kv"))
+          .write.mode("overwrite").parquet(dir)
+        lblEdges.sparkSession.read.parquet(dir)
+      case None =>
+        dirNbr.groupBy("v", "c").agg(F.count(F.lit(1)).as("kv"))
+    }
     val deg = kvc.groupBy("v").agg(F.sum("kv").as("k"))
     val dtot = lab.join(deg, "v")
       .groupBy(F.col("lbl").as("c")).agg(F.sum("k").as("dt"))
@@ -256,12 +271,20 @@ object Graph {
       .join(kvc.select(F.col("v"), F.col("c").as("lbl"),
         F.col("kv").as("kva")), Seq("v", "lbl"), "left")
       .na.fill(0L, Seq("kva"))
-      .join(dtot.select(F.col("c").as("lbl"), F.col("dt").as("dta")), "lbl")
+      // dtot is COMMUNITY-sized (one row per community — ≪ nodes after
+      // any nontrivial detection, and the partition coarsens every
+      // round): broadcast explicitly, because a shuffle join on the
+      // community key funnels all node rows into #communities
+      // partitions — on a refined partition that is a handful of hot
+      // partitions regardless of cluster size (r10: the 2-community
+      // rung-2 move spent its time in exactly that skew)
+      .join(F.broadcast(
+        dtot.select(F.col("c").as("lbl"), F.col("dt").as("dta"))), "lbl")
       .crossJoin(F.broadcast(m))
     val cand = base
       .join(kvc, "v")
       .where(F.col("c") =!= F.col("lbl"))
-      .join(dtot, "c")
+      .join(F.broadcast(dtot), "c")
       .select(F.col("v"), F.col("c"),
         F.expr("2 * CAST(m AS DECIMAL(38,0)) * (kv - kva) - " +
           "CAST(k AS DECIMAL(38,0)) * (dt - dta + k)").as("gain"))

@@ -201,6 +201,38 @@ object Staged {
         coPurchaseEdges(s, d), communityLabels(s, d))
     }
 
+  /** Round-1 Louvain-moved labels — the ladder's first rung, a pure
+    * function of [[communityLabels]] + [[coPurchaseEdges]], staged so
+    * D53 (which computes the SAME round live — its bench number IS the
+    * move cost) and D55 (which continues the ladder from here) don't
+    * both pay it per execution. */
+  def communityMoved(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "community_moved") {
+      val l0 = communityLabels(s, d)
+      graft.operators.Graph.louvainMoveRoundLabeled(
+        graft.operators.Graph.labelEdges(
+          coPurchaseEdges(s, d), "pa", "pb", l0), l0,
+        kvcScratch = Some(s"/tmp/graft_graph_${Harness.runId}_" +
+          s"${new java.io.File(d).getName}/community_moved_kvc"))
+    }
+
+  /** One-row rung-1 summary — modularity of [[communityMoved]] PLUS
+    * the rung's n_moved (labels that changed vs [[communityLabels]]):
+    * both are pure functions of staged artifacts, and folding the move
+    * count in here spares D55 a live node-sized join per execution. */
+  def communityMovedQ(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "community_moved_q") {
+      val nm = communityLabels(s, d)
+        .select(F.col("v"), F.col("community").as("_x"))
+        .join(communityMoved(s, d)
+          .select(F.col("v"), F.col("community").as("_y")), "v")
+        .agg(F.sum(F.when(F.col("_x") =!= F.col("_y"), 1L).otherwise(0L))
+          .as("n_moved"))
+      CommunityQueries.modularityCore(
+        coPurchaseEdges(s, d), communityMoved(s, d))
+        .crossJoin(F.broadcast(nm))
+    }
+
   // ------------------------------------------------------------------
   // ANN index artifacts — the build-once/serve-many split a production
   // vector index runs. Every corpus-sided build pass (label-centroid

@@ -65,6 +65,43 @@ object StreamingQueries {
   def prewarm(s: SparkSession, d: String): Unit = {
     stage(s, d, "events"); stage(s, d, "lineitem"); stage(s, d, "documents")
     stage(s, d, "orders")
+    // Throwaway micro-drains over a 4-row frame: the FIRST streaming
+    // query of a JVM pays ~2-4 s of classloading/JIT for the whole
+    // micro-batch machinery (StreamExecution, state store providers,
+    // flatMapGroupsWithState exec, RocksDB native lib for state v2) —
+    // measured r10: an isolated G-suite run put that cost on whichever
+    // queries sorted first (stream_anomaly 2.2 → 4.8 s, stream_asof
+    // 1.8 → 7.0 s). One warmup per shape moves it to the untimed region.
+    try {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("event_id", LongType)))
+      val rows = (1 to 4).map(i => Row(i.toLong % 2,
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"), i.toLong))
+      val dir = s"/tmp/graft_stream_${Harness.runId}_warm/tiny"
+      s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), sch)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val src = stagedStream(s, dir)
+      drain(src.where(F.col("event_id") > 0), "append")
+      drain(src.withWatermark("ts", "1 minute")
+        .groupBy(F.window(F.col("ts"), "1 minute")).count(), "complete")
+      import s.implicits._
+      drain(graft.streaming.StreamOps.sessionizeStream(
+        src.select(F.col("user_id"), F.col("ts"))
+          .as[graft.streaming.StreamOps.SessionInput],
+        60000L, "1 minute").toDF(), "append")
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        drain(graft.streaming.StreamOps.balanceStream(
+          src.select(F.col("user_id"), F.col("ts"), F.col("event_id"),
+            F.col("event_id").as("deltaMicro"))
+            .as[graft.streaming.StreamOps.BalIn],
+          60000L, "1 minute").toDF(), "append")
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** Stateful-query partition sizing (the G8 lesson, measured 8.2 s →
@@ -131,6 +168,19 @@ object StreamingQueries {
     }
   }
 
+  /** Per-drain state-store hygiene confs (r10, A/B'd in
+    * tools/StreamSuiteProf): a 1–2 micro-batch AvailableNow drain never
+    * benefits from the defaults tuned for long-lived streams —
+    * maintenance (snapshot compaction) firing mid-drain contends with
+    * the batch itself, and retaining 100 checkpoint versions is dead
+    * weight for a checkpoint deleted milliseconds after the drain.
+    * Deployment-scope settings, not semantics. */
+  private def withDrainConfs[T](s: SparkSession)(body: => T): T =
+    withConf(s, "spark.sql.streaming.stateStore.maintenanceInterval",
+      "600s") {
+      withConf(s, "spark.sql.streaming.minBatchesToRetain", "2")(body)
+    }
+
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val s = df.sparkSession
@@ -142,13 +192,21 @@ object StreamingQueries {
     // (StreamProbe). APPEND-mode stateful queries KEEP it — it is what
     // emits their watermark-finalized rows.
     val noData = if (mode == "complete") "false" else "true"
+    // suite cap 8 → 4 (r10): each shuffle partition is a state store
+    // instantiated + committed per micro-batch, and no G-query's state
+    // needs more than a handful of stores at bench SF — A/B'd in
+    // StreamSuiteProf (tumbling 1.8 → 1.3 s, pii 1.15 → 0.6 s, suite
+    // −15–25%). Production sizes this to state volume via deployment
+    // conf, exactly like the previous 8.
     val q = withStatePartitions(s,
-      math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 8)) {
-      withConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", noData) {
-        val w = df.writeStream.format("memory").queryName(name)
-          .outputMode(mode).trigger(Trigger.AvailableNow())
-        ckpt.foreach(w.option("checkpointLocation", _))
-        w.start()
+      math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 4)) {
+      withDrainConfs(s) {
+        withConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", noData) {
+          val w = df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(Trigger.AvailableNow())
+          ckpt.foreach(w.option("checkpointLocation", _))
+          w.start()
+        }
       }
     }
     try q.awaitTermination()
@@ -175,10 +233,12 @@ object StreamingQueries {
     val outDir = s"/tmp/graft_stream_out_${Harness.runId}/$name"
     val ckpt = ckptRoot.map(r => s"$r/$name").getOrElse(s"$outDir/_ckpt")
     val q = withStatePartitions(s,
-      math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 8)) {
-      df.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      math.min(s.conf.get("spark.sql.shuffle.partitions").toInt, 4)) {
+      withDrainConfs(s) {
+        df.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     try q.awaitTermination()
     finally deleteRecursively(java.nio.file.Paths.get(ckpt))

@@ -414,6 +414,10 @@ object ScaleTest {
     // r10 probe: weighted modularity — one pair re-aggregation over the
     // staged multi-edge list + the one-pass explode score, edge-linear.
     timeQ("community_weighted")
+    // r10 probe: the two-rung ladder — rung 2 live = one k_vc build
+    // (scratch-parquet materialized, one edge pass) + one scoring pass;
+    // edge-linear like community_refine, roughly its cost + one score.
+    timeQ("community_ladder")
     spark.stop()
   }
 }

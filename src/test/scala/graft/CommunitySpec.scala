@@ -79,6 +79,46 @@ class CommunitySpec extends SparkSpec {
     assert(moved >= 0 && moved <= r.getLong(r.fieldIndex("n_nodes")))
   }
 
+  test("community_ladder rungs are consistent with the single-move family") {
+    val rows = q("community_ladder").collect()
+    assert(rows.length == 3)
+    val byRound = rows.map(r => r.getInt(r.fieldIndex("round")) -> r).toMap
+    assert(byRound.keySet == Set(0, 1, 2))
+    // rung 0 IS the detected partition's staged score
+    val d51 = q("community_modularity").collect().head
+    assert(byRound(0).getLong(byRound(0).fieldIndex("q_micro")) ==
+      d51.getLong(d51.fieldIndex("q_micro")))
+    assert(byRound(0).getLong(byRound(0).fieldIndex("n_moved")) == 0L)
+    // rung 1 IS D53's after-state: same n_moved, same after-Q
+    val d53 = q("community_refine").collect().head
+    assert(byRound(1).getLong(byRound(1).fieldIndex("n_moved")) ==
+      d53.getLong(d53.fieldIndex("n_moved")))
+    assert(byRound(1).getLong(byRound(1).fieldIndex("q_micro")) ==
+      d53.getLong(d53.fieldIndex("q_after_micro")))
+    // m never changes (moves relabel nodes, the graph is fixed)
+    assert(rows.map(r => r.getLong(r.fieldIndex("m"))).distinct.length == 1)
+    // a rung that moves nothing must keep Q exactly
+    rows.sortBy(_.getInt(0)).sliding(2).foreach {
+      case Array(a, b) =>
+        if (b.getLong(b.fieldIndex("n_moved")) == 0L)
+          assert(a.getLong(a.fieldIndex("q_micro")) ==
+            b.getLong(b.fieldIndex("q_micro")))
+      case _ => ()
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("staged rung-1 labels equal a live one-round move (build/serve parity)") {
+    val staged = graft.queries.Staged.communityMoved(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = graft.operators.Graph.louvainMoveRound(
+      graft.queries.Staged.coPurchaseEdges(spark, sf), "pa", "pb",
+      graft.queries.Staged.communityLabels(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == live)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("community_modularity matches a driver-side replay on detected labels") {
     val lbl = q("community_lpa").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
