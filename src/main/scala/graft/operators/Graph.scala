@@ -298,4 +298,42 @@ object Graph {
         F.when(F.col("_gain") > 0, F.col("_tc")).otherwise(F.col("lbl"))
           .as("community"))
   }
+
+  /** Per-node triangle participation via the same degree orientation as
+    * [[triangleCount]], with the wedge APEX kept so each closed triangle
+    * (apex, x, y) can be credited to all THREE of its vertices — the
+    * input to the local clustering coefficient t(v) / (d(v)·(d(v)−1)/2).
+    * One row per graph node: (v, dg, n_tri), n_tri = 0 for nodes in no
+    * triangle. Same scale shape as [[triangleCount]] (orientation bounds
+    * the wedge fan-out by ~√m) plus one explode(×3) + map-side-combined
+    * count over the triangle list, which is output-sized, not
+    * wedge-sized. `pairs` must hold each undirected edge once with
+    * `aCol < bCol`. */
+  def localClustering(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = CacheScope.persist(
+      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+    val deg = e.select(F.col("a").as("v"))
+      .unionByName(e.select(F.col("b").as("v")))
+      .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("dg", "_da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("dg", "_db"), "b")
+    val aFirst = F.col("_da") < F.col("_db") ||
+      (F.col("_da") === F.col("_db") && F.col("a") < F.col("b"))
+    val o = CacheScope.persist(withDeg.select(
+      F.when(aFirst, F.col("a")).otherwise(F.col("b")).as("src"),
+      F.when(aFirst, F.col("b")).otherwise(F.col("a")).as("dst")))
+    val o2 = o.select(F.col("src"), F.col("dst").as("dst2"))
+    val wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))
+      .select(F.col("src").as("apex"), F.col("dst").as("x"),
+        F.col("dst2").as("y"))
+    val eClose = e.select(F.col("a").as("x"), F.col("b").as("y"))
+    val tri = wedges.join(eClose, Seq("x", "y"), "left_semi")
+    val perNode = tri
+      .select(F.explode(F.array(F.col("apex"), F.col("x"), F.col("y")))
+        .as("v"))
+      .groupBy("v").agg(F.count(F.lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left").na.fill(0L, Seq("n_tri"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{functions => F}
+
+/** Wave-48 inventory (r10): local graph-shape metrics over the staged
+  * co-purchase part graph — the per-node refinement of D20's global
+  * triangle census (which runs on the near-dup pair graph; that graph's
+  * LSH clusters are cliques BY CONSTRUCTION, so its coefficient
+  * histogram is the degenerate {no-wedge, 1.0} pair — the co-purchase
+  * graph is where the distribution carries signal).
+  *
+  * Reference scope: flycatcher validates schemas/columns (fields.py);
+  * graph analytics over the curation graphs are part of the surface
+  * this engine adds on top. */
+object GraphMetricsQueries {
+
+  // ---------------------------------------------------------------- D57
+  /** Local clustering coefficient distribution over the co-purchase
+    * graph ([[graft.operators.Graph.localClustering]]): per node,
+    * c(v) = t(v) / (d(v)(d(v)−1)/2) — how clique-like each part's
+    * co-purchase neighborhood is (basket regulars vs long-tail parts),
+    * the standard small-world read next to the D23 degree histogram
+    * and D51's community modularity. Buckets are exact integer
+    * floor((100·t)/w) clipped to 99 — percent granularity (deg<2
+    * nodes, which have no wedge, report bucket −1) — and per-node
+    * coefficients are carried as integer
+    * MICROS so the per-bucket mean is one exact long sum + one closing
+    * double division — no cross-node double summation.
+    *
+    * Scale shape: degree orientation bounds the wedge fan-out by ~√m
+    * (41 M wedges from 1.2 M edges at sf0.1 — Σ d² would be 10× that);
+    * the per-node credit pass is triangle-output-sized (explode ×3 +
+    * map-side-combined count), and the histogram is ≤ 101 rows. The
+    * wedge enumeration is the deliberate exact cost — this is the
+    * per-node truth a sampled estimator would be validated against. */
+  private val clusteringCoeff = QueryDef(
+    "clustering_coeff",
+    (s, d) => {
+      val pn = graft.operators.Graph.localClustering(
+        Staged.coPurchaseEdges(s, d), "pa", "pb")
+      pn.withColumn("_w", F.expr("dg * (dg - 1) div 2"))
+        .withColumn("_micro", F.expr(
+          "CASE WHEN _w = 0 THEN 0L ELSE (n_tri * 1000000) div _w END"))
+        .withColumn("bucket", F.expr(
+          "CASE WHEN _w = 0 THEN -1L ELSE least(99L, (n_tri * 100) div _w) END"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_nodes"), F.sum("_micro").as("_sm"))
+        .select(F.col("bucket"), F.col("n_nodes"),
+          F.expr("round(CAST(_sm AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_coeff"))
+        .orderBy("bucket")
+    },
+    Some("""WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY 1),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN da.dg < db.dg
+                      OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.dg < db.dg
+                      OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst
+        FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v),
+      w AS (SELECT e1.src AS apex, e1.dst AS x, e2.dst AS y
+            FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+      tri AS MATERIALIZED (
+        SELECT apex, x, y FROM w
+        WHERE EXISTS (SELECT 1 FROM e
+                      WHERE e.pa = w.x AND e.pb = w.y)),
+      tv AS (SELECT apex AS v FROM tri UNION ALL SELECT x FROM tri
+             UNION ALL SELECT y FROM tri),
+      tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+             FROM tv GROUP BY 1),
+      pn AS (SELECT deg.v, deg.dg, coalesce(tc.n_tri, 0) AS n_tri,
+                    deg.dg * (deg.dg - 1) // 2 AS w_v
+             FROM deg LEFT JOIN tc ON deg.v = tc.v),
+      b AS (SELECT CASE WHEN w_v = 0 THEN -1
+                        ELSE least(99, (n_tri * 100) // w_v) END AS bucket,
+                   CASE WHEN w_v = 0 THEN 0
+                        ELSE (n_tri * 1000000) // w_v END AS micro
+            FROM pn)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_coeff
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[QueryDef] = Seq(clusteringCoeff)
+}

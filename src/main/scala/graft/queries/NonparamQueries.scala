@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{functions => F}
+import Tables.t
+
+/** Wave-47 inventory (r10): the nonparametric / classical test-statistic
+  * trio a distribution auditor runs beside the rank correlations (M31/
+  * M32) — Mann-Whitney U between two treatment arms, one-way ANOVA F
+  * across groups, and Cramér's V between two categoricals. All three
+  * follow the §5 exactness discipline: integer/decimal arithmetic end
+  * to end, ONE closing double division (via the string→double route),
+  * and — where a statistic needs an intermediate per-group division —
+  * the deterministic FLOOR form `(a - a % b) / b` that both engines
+  * compute identically (Spark decimal division of an exactly-divisible
+  * value is exact; DuckDB `//` is the same floor).
+  *
+  * Reference scope: flycatcher validates schemas/columns (fields.py);
+  * test statistics are part of the analytics surface this engine adds
+  * on top, same as the rest of the M suite. */
+object NonparamQueries {
+
+  // ---------------------------------------------------------------- M33
+  /** Mann-Whitney U (Wilcoxon rank-sum) between returned ('R') and
+    * pending ('N') line items on quantity — the standard two-sample
+    * location test when normality is off the table. Ranks are exact
+    * tie-corrected MIDRANKS (quantity has 50 distinct values over 400 k
+    * rows — the tie correction is the whole game here), computed
+    * DISTRIBUTIVELY: group by distinct value (map-side combined), one
+    * [[graft.operators.DistRank.globalCumSum]] range shuffle for the
+    * cumulative count below each value, midrank = cum_before +
+    * (cnt+1)/2. Everything rides ×2 so midranks stay integral
+    * (midrank2 = 2·cum − cnt + 1); rank sums and the tie term Σ(t³−t)
+    * widen through DECIMAL(38,0)/HUGEINT. Published: U₁, the
+    * rank-biserial effect size 1 − 2U₁/(n₁n₂), and the tie-corrected
+    * normal approximation z = (U₁ − n₁n₂/2)/σ with
+    * σ² = n₁n₂[(n³−n) − Σ(t³−t)]/(12n(n−1)).
+    *
+    * Scale shape: the distinct-value frame is |value domain| rows (50
+    * here, could be millions for continuous values — the cumsum is the
+    * scale-safe replacement for a global ORDER BY window); the corpus
+    * pass is one map-side-combined aggregate. */
+  private val mannWhitney = QueryDef(
+    "mann_whitney",
+    (s, d) => {
+      val vals = t(s, d, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(F.col("l_quantity").cast("long").as("q"),
+          F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"))
+        .groupBy("q")
+        .agg(F.sum("i1").as("n1v"),
+          F.sum(F.expr("1 - i1")).as("n2v"),
+          F.count(F.lit(1)).as("cnt"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        vals, "cnt", "cum", F.col("q").asc)
+      cum.agg(
+        F.sum("n1v").cast("long").as("n1"),
+          F.sum("n2v").cast("long").as("n2"),
+          F.sum(F.expr("CAST(n1v AS DECIMAL(38,0)) * (2 * cum - cnt + 1)"))
+            .as("_r1_2x"),
+          F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt"))
+            .as("_tie"))
+        .withColumn("_n", F.expr("n1 + n2"))
+        .withColumn("_u1_2x",
+          F.expr("_r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"))
+        .withColumn("_va", F.expr(
+          """CAST(n1 AS DECIMAL(38,0)) * n2 *
+            |(CAST(_n AS DECIMAL(38,0)) * _n * _n - _n - _tie)""".stripMargin))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("CAST(CAST(_u1_2x AS STRING) AS DOUBLE) / 2").as("u1"),
+          F.expr("""round((CAST(n1 AS DOUBLE) * n2
+            |         - CAST(CAST(_u1_2x AS STRING) AS DOUBLE))
+            |        / (CAST(n1 AS DOUBLE) * n2), 6)""".stripMargin)
+            .as("rank_biserial"),
+          F.expr("""CASE WHEN _va <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(CAST(_u1_2x AS STRING) AS DOUBLE)
+            |        - CAST(n1 AS DOUBLE) * n2)
+            |      / (2 * sqrt(CAST(CAST(_va AS STRING) AS DOUBLE)
+            |                  / (12.0 * _n * (_n - 1)))), 6) END""".stripMargin)
+            .as("z"))
+        .orderBy("n1")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1v,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      c AS (SELECT q, n1v, n2v, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY q) AS BIGINT) AS cum
+            FROM v),
+      a AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                   CAST(sum(n2v) AS BIGINT) AS n2,
+                   sum(CAST(n1v AS HUGEINT) * (2 * cum - cnt + 1)) AS r1_2x,
+                   sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+            FROM c),
+      b AS (SELECT n1, n2, n1 + n2 AS n,
+                   r1_2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_2x,
+                   CAST(n1 AS HUGEINT) * n2 *
+                     (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+                      - (n1 + n2) - tie_t) AS va
+            FROM a)
+      SELECT n1, n2,
+             CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE) / 2 AS u1,
+             round((CAST(n1 AS DOUBLE) * n2
+                     - CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial,
+             CASE WHEN va <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE)
+                       - CAST(n1 AS DOUBLE) * n2)
+                     / (2 * sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                                 / (12.0 * n * (n - 1)))), 6) END AS z
+      FROM b ORDER BY n1"""))
+
+  // ---------------------------------------------------------------- M34
+  /** One-way ANOVA F across order priorities on order value — the "is
+    * any group's mean different" gate run before pairwise tests. Values
+    * go to integer MYRIACENTS (DECIMAL(18,4) × 10⁴ — the engines' one
+    * proven double→decimal agreement point), so Σx, Σx² per group are
+    * exact integers; the per-group S_g²/n_g terms use the deterministic
+    * floor form (error ≤ 1 myriacent² per group, identical on both
+    * engines), and SSB/SSW stay exact DECIMAL(38,0) integers until the
+    * closing F division. One map-side-combined aggregate over the fact
+    * table; the k-row group frame carries everything else. */
+  private val anovaF = QueryDef(
+    "anova_f",
+    (s, d) => {
+      val g = t(s, d, "orders")
+        .select(F.col("o_orderpriority").as("grp"),
+          F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000" +
+            " AS DECIMAL(19,0))").as("x"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).as("n_g"),
+          F.sum(F.col("x").cast("decimal(38,0)")).as("s_g"),
+          F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).as("q_g"))
+        .withColumn("_s2", F.expr("s_g * s_g"))
+        .withColumn("_bg",
+          F.expr("CAST((_s2 - _s2 % n_g) / n_g AS DECIMAL(38,0))"))
+      g.agg(F.count(F.lit(1)).as("k_groups"),
+          F.sum("n_g").cast("long").as("n_rows"),
+          F.sum("s_g").as("_s"), F.sum("q_g").as("_q"), F.sum("_bg").as("_b"))
+        .withColumn("_s2t", F.expr("_s * _s"))
+        .withColumn("_ssb",
+          F.expr("_b - CAST((_s2t - _s2t % n_rows) / n_rows" +
+            " AS DECIMAL(38,0))"))
+        .withColumn("_ssw", F.expr("_q - _b"))
+        .select(F.col("k_groups"), F.col("n_rows"),
+          // no round(): at ~1e14 dollar² both engines' round-to-6
+          // multiplies past the 53-bit mantissa and diverges by an ulp;
+          // the raw IEEE division of identical inputs is deterministic
+          F.expr("CAST(CAST(_ssb AS STRING) AS DOUBLE) / 1e8").as("ssb"),
+          F.expr("CAST(CAST(_ssw AS STRING) AS DOUBLE) / 1e8").as("ssw"),
+          F.expr("""CASE WHEN _ssw <= 0 OR k_groups < 2 OR n_rows <= k_groups
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(CAST(_ssb AS STRING) AS DOUBLE) * (n_rows - k_groups))
+            |      / (CAST(CAST(_ssw AS STRING) AS DOUBLE) * (k_groups - 1)),
+            |      6) END""".stripMargin).as("f_stat"))
+        .orderBy("k_groups")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS BIGINT) AS n_g,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                        AS HUGEINT)) AS s_g,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                        AS HUGEINT)
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                          AS HUGEINT)) AS q_g
+        FROM orders GROUP BY 1),
+      b AS (SELECT grp, n_g, s_g, q_g, (s_g * s_g) // n_g AS b_g FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n_g) AS BIGINT) AS n_rows,
+                   sum(s_g) AS s_tot, sum(q_g) AS q_tot, sum(b_g) AS b_tot
+            FROM b),
+      f AS (SELECT k_groups, n_rows,
+                   b_tot - (s_tot * s_tot) // n_rows AS ssb_x,
+                   q_tot - b_tot AS ssw_x
+            FROM a)
+      SELECT k_groups, n_rows,
+             CAST(CAST(ssb_x AS VARCHAR) AS DOUBLE) / 1e8 AS ssb,
+             CAST(CAST(ssw_x AS VARCHAR) AS DOUBLE) / 1e8 AS ssw,
+             CASE WHEN ssw_x <= 0 OR k_groups < 2 OR n_rows <= k_groups
+               THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(CAST(ssb_x AS VARCHAR) AS DOUBLE)
+                       * (n_rows - k_groups))
+                     / (CAST(CAST(ssw_x AS VARCHAR) AS DOUBLE)
+                        * (k_groups - 1)), 6) END AS f_stat
+      FROM f ORDER BY k_groups"""))
+
+  // ---------------------------------------------------------------- M35
+  /** Cramér's V between order priority and customer market segment —
+    * the [0,1] normalization of χ² that makes categorical association
+    * comparable across tables (C47 publishes the per-cell terms; this
+    * is the one-number summary a datacard carries). χ² itself is summed
+    * as exact INTEGER MICROS: per cell, (obs·N − nr·nc)²·10⁶ floor-
+    * divided by (N·nr·nc) — all DECIMAL(38,0)/HUGEINT, no cross-cell
+    * double summation whose order could differ between engines. Margins
+    * broadcast (|priorities| × |segments| cells is metadata); the fact
+    * table aggregates once, map-side combined. */
+  private val cramersV = QueryDef(
+    "cramers_v",
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("o_orderpriority").as("priority"),
+          F.col("c_mktsegment").as("segment"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val rows = cells.groupBy("priority")
+        .agg(F.sum("n").cast("long").as("nr"))
+      val colsT = cells.groupBy("segment")
+        .agg(F.sum("n").cast("long").as("nc"))
+      val total = cells.agg(F.sum("n").cast("long").as("nt"))
+      val rcnt = rows.agg(F.count(F.lit(1)).as("r_levels"))
+      val ccnt = colsT.agg(F.count(F.lit(1)).as("c_levels"))
+      cells
+        .join(F.broadcast(rows), Seq("priority"))
+        .join(F.broadcast(colsT), Seq("segment"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_dev",
+          F.expr("CAST(n AS DECIMAL(38,0)) * nt" +
+            " - CAST(nr AS DECIMAL(38,0)) * nc"))
+        .withColumn("_num", F.expr("_dev * _dev * 1000000"))
+        .withColumn("_den", F.expr("CAST(nt AS DECIMAL(38,0)) * nr * nc"))
+        .withColumn("_term",
+          F.expr("CAST((_num - _num % _den) / _den AS DECIMAL(38,0))"))
+        .groupBy("nt")
+        .agg(F.sum("_term").as("_chi2_micro"))
+        .crossJoin(F.broadcast(rcnt))
+        .crossJoin(F.broadcast(ccnt))
+        .select(F.col("nt").as("n_rows"), F.col("r_levels"),
+          F.col("c_levels"),
+          F.expr("round(CAST(CAST(_chi2_micro AS STRING) AS DOUBLE) / 1e6, 6)")
+            .as("chi2"),
+          F.expr("""CASE WHEN least(r_levels, c_levels) < 2
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(sqrt((CAST(CAST(_chi2_micro AS STRING) AS DOUBLE) / 1e6)
+            |           / (CAST(nt AS DOUBLE)
+            |              * (least(r_levels, c_levels) - 1))), 6)
+            |END""".stripMargin).as("cramers_v"))
+        .orderBy("n_rows")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      r AS (SELECT priority, CAST(sum(n) AS BIGINT) AS nr
+            FROM cells GROUP BY 1),
+      c AS (SELECT segment, CAST(sum(n) AS BIGINT) AS nc
+            FROM cells GROUP BY 1),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+      term AS (SELECT
+          ((CAST(cells.n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
+           * (CAST(cells.n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
+           * 1000000) // (CAST(nt AS HUGEINT) * nr * nc) AS t_micro
+        FROM cells JOIN r USING (priority) JOIN c USING (segment), tt),
+      s AS (SELECT sum(t_micro) AS chi2_micro FROM term),
+      lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS r_levels,
+                    (SELECT CAST(count(*) AS BIGINT) FROM c) AS c_levels)
+      SELECT nt AS n_rows, r_levels, c_levels,
+             round(CAST(CAST(chi2_micro AS VARCHAR) AS DOUBLE) / 1e6, 6)
+               AS chi2,
+             CASE WHEN least(r_levels, c_levels) < 2
+               THEN CAST(0.0 AS DOUBLE) ELSE
+               round(sqrt((CAST(CAST(chi2_micro AS VARCHAR) AS DOUBLE) / 1e6)
+                          / (CAST(nt AS DOUBLE)
+                             * (least(r_levels, c_levels) - 1))), 6)
+             END AS cramers_v
+      FROM s, tt, lv ORDER BY n_rows"""))
+
+  def all: Seq[QueryDef] = Seq(mannWhitney, anovaF, cramersV)
+}

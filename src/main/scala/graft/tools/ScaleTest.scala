@@ -418,6 +418,15 @@ object ScaleTest {
     // (scratch-parquet materialized, one edge pass) + one scoring pass;
     // edge-linear like community_refine, roughly its cost + one score.
     timeQ("community_ladder")
+    // r10 probes: mann_whitney is one map-side-combined aggregate over
+    // the 10× lineitem + a value-domain-sized cumsum (50 rows here) —
+    // must be row-linear; clustering_coeff enumerates oriented wedges
+    // over the 10 disjoint co-purchase replicas — edge-linear ×10
+    // because orientation bounds fan-out per replica. (anova_f /
+    // cramers_v read the unreplicated orders table — single-aggregate
+    // shapes already covered by the agg_distinct probes above.)
+    timeQ("mann_whitney")
+    timeQ("clustering_coeff")
     spark.stop()
   }
 }

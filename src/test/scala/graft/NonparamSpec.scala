@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** M33/M34/M35 + D57 invariants: each statistic cross-checked against a
+  * driver-side brute-force replay at sf0.001, plus the hand-built-graph
+  * truth for the local clustering operator. */
+class NonparamSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("mann_whitney matches a brute-force midrank replay") {
+    val row = q("mann_whitney").collect().head
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(F.col("l_returnflag").isin("R", "N"))
+      .select(F.col("l_quantity").cast("long"), F.col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // brute force: sort all values, average rank per tie group
+    val sorted = raw.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+      i = j
+    }
+    val n1 = raw.count(_._2 == "R").toLong
+    val n2 = raw.count(_._2 == "N").toLong
+    val r1 = raw.filter(_._2 == "R").map(t => ranks(t._1)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("u1") - u1) < 1e-6,
+      s"u1 ${row.getAs[Double]("u1")} vs brute $u1")
+    val rb = row.getAs[Double]("rank_biserial")
+    assert(math.abs(rb - (1.0 - 2.0 * u1 / (n1.toDouble * n2))) < 1e-5)
+    assert(rb >= -1.0 && rb <= 1.0)
+  }
+
+  test("anova_f matches a brute-force decomposition and SSB+SSW=SST") {
+    val row = q("anova_f").collect().head
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .select(F.col("o_orderpriority"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = vals.length.toDouble
+    val grand = vals.map(_._2.toDouble).sum / n
+    val ssb = groups.values.map { xs =>
+      val m = xs.map(_.toDouble).sum / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum / 1e8
+    val ssw = groups.values.flatMap { xs =>
+      val m = xs.map(_.toDouble).sum / xs.length
+      xs.map(x => (x - m) * (x - m))
+    }.sum / 1e8
+    val k = groups.size
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k_groups") == k.toLong)
+    assert(math.abs(row.getAs[Double]("ssb") - ssb) / ssb < 1e-6,
+      s"ssb ${row.getAs[Double]("ssb")} vs brute $ssb")
+    assert(math.abs(row.getAs[Double]("ssw") - ssw) / ssw < 1e-6)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-4)
+  }
+
+  test("cramers_v matches a brute-force chi-square and sits in [0,1]") {
+    val row = q("cramers_v").collect().head
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .groupBy("o_orderpriority", "c_mktsegment").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val nt = cells.map(_._2).sum.toDouble
+    val nr = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nc = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val chi2 = cells.map { case ((p, s2), o) =>
+      val e = nr(p) * nc(s2) / nt
+      (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (nt * (math.min(nr.size, nc.size) - 1)))
+    // the query floors each cell term at micro granularity: ≤ 1e-6 per
+    // cell of downward bias, 25 cells → compare at 1e-4
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-4,
+      s"chi2 ${row.getAs[Double]("chi2")} vs brute $chi2")
+    assert(math.abs(row.getAs[Double]("cramers_v") - v) < 1e-4)
+    assert(row.getAs[Double]("cramers_v") >= 0.0 &&
+      row.getAs[Double]("cramers_v") <= 1.0)
+  }
+
+  test("localClustering credits each triangle to all three vertices") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1 + isolated edge 5–6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("pa", "pb")
+    val out = graft.operators.Graph.localClustering(edges, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((3L, 1L)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L)) && out(3L) == ((2L, 1L)))
+    assert(out(4L) == ((1L, 0L)) && out(5L) == ((1L, 0L)))
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("clustering_coeff buckets partition all graph nodes") {
+    val rows = q("clustering_coeff").collect()
+    val total = rows.map(_.getAs[Long]("n_nodes")).sum
+    val nodes = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .select(F.explode(F.array("pa", "pb")).as("v")).distinct().count()
+    assert(total == nodes, s"bucket total $total != $nodes nodes")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= -1L && b <= 99L)
+      val m = r.getAs[Double]("mean_coeff")
+      assert(m >= 0.0 && m <= 1.0)
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+}
