@@ -433,8 +433,106 @@ object SemanticQueries {
       JOIN sizes zb ON i.sb = zb.source
       ORDER BY sa, sb"""))
 
+  // ---------------------------------------------------------------- E77
+  /** Per-source Jensen-Shannon divergence between the source's token
+    * distribution and the CORPUS distribution — the datacard number
+    * that ranks domains by distributional skew before reweighting
+    * (E34's temperature and E35's DSIR decide HOW MUCH to sample; this
+    * says which domains are far from the mixture at all). JS is summed
+    * portably via the E1/C87 log2-micro discipline: every per-term
+    * contribution reduces to log2 of a RATIO OF INTEGERS —
+    * p/m = 2aC/(aC+cA), q/m = 2cA/(aC+cA) with a = term count in the
+    * source, A = source tokens, c/C the corpus pair — the BOUNDED
+    * log2(ratio) is rounded to integer micros per term and THEN
+    * multiplied by the exact integer count (libm ulp differences are
+    * absorbed by rounding a ≤~40-magnitude value; rounding count·log2
+    * would put ~1e11 magnitudes against the micro boundary), so the
+    * cross-term sum is exact integer arithmetic and the two closing
+    * divisions are integral (÷2A, ÷2C).
+    *
+    * Scale shape: one tokenize+explode pass (map-side combined to
+    * (source, term) counts); the scoring grid is |sources| × |vocab| —
+    * built by broadcasting the |sources|-row totals over the corpus
+    * term frame, never a corpus-row join — because absent terms
+    * (a = 0, q/m = 2) still contribute to the q-side sum. */
+  private val jsDivergence = QueryDef(
+    "js_divergence",
+    (s, d) => {
+      val st = t(s, d, "documents")
+        .select(F.col("source"),
+          F.explode(graft.operators.TextOps.tokens(F.col("text")))
+            .as("term"))
+        .where(F.length(F.col("term")) > 0)
+        .groupBy("source", "term").agg(F.count(F.lit(1)).as("a"))
+      val ct = st.groupBy("term").agg(F.sum("a").cast("long").as("c"))
+      val stot = st.groupBy("source").agg(F.sum("a").cast("long").as("atot"))
+      val ctot = ct.agg(F.sum("c").cast("long").as("ctot"))
+      ct.crossJoin(F.broadcast(stot))
+        .join(st, Seq("source", "term"), "left").na.fill(0L, Seq("a"))
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("_den", F.expr("a * ctot + c * atot"))
+        // round the BOUNDED log2 ratio to micros FIRST, then multiply
+        // by the exact integer count: rounding count·log2·1e6 (up to
+        // ~1e11) would let libm's per-engine log2 ulp cross a rounding
+        // boundary; the ratio's log2 is ≤ ~40 in magnitude, so its
+        // micro rounding has ~1e-9 boundary exposure per term
+        .withColumn("_t1", F.expr(
+          """CASE WHEN a = 0 THEN 0L ELSE
+            |a * CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / _den) * 1000000)
+            |         AS BIGINT) END""".stripMargin))
+        .withColumn("_t2", F.expr(
+          "c * CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / _den) * 1000000) AS BIGINT)"))
+        .groupBy("source")
+        .agg(F.max("atot").as("n_tokens"),
+          F.sum(F.expr("CASE WHEN a > 0 THEN 1L ELSE 0L END")).as("n_terms"),
+          F.max("ctot").as("_ct"),
+          F.sum("_t1").as("_s1"), F.sum("_t2").as("_s2"))
+        .select(F.col("source"), F.col("n_tokens"), F.col("n_terms"),
+          F.expr("_s1 div (2 * n_tokens) + _s2 div (2 * _ct)")
+            .as("js_micro"),
+          F.expr("CAST(_s1 div (2 * n_tokens) + _s2 div (2 * _ct)" +
+            " AS DOUBLE) / 1000000.0").as("js"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), ' +')) AS term
+        FROM documents),
+      st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS a
+             FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+      ct AS (SELECT term, CAST(sum(a) AS BIGINT) AS c FROM st GROUP BY 1),
+      stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS atot
+               FROM st GROUP BY 1),
+      ctot AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ct),
+      grid AS (SELECT s.source, s.atot, t.term, t.c, ctot.ctot,
+                      coalesce(x.a, 0) AS a
+               FROM stot s CROSS JOIN ct t CROSS JOIN ctot
+               LEFT JOIN st x ON x.source = s.source AND x.term = t.term),
+      terms AS (SELECT source, atot, ctot,
+                       a, c, a * ctot + c * atot AS den
+                FROM grid),
+      m AS (SELECT source,
+                   CAST(max(atot) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_terms,
+                   CAST(max(ctot) AS BIGINT) AS ct2,
+                   CAST(sum(CASE WHEN a = 0 THEN 0 ELSE
+                     a * CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / den) * 1000000)
+                              AS BIGINT) END) AS BIGINT) AS s1,
+                   CAST(sum(c * CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / den)
+                                           * 1000000) AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM terms GROUP BY 1)
+      SELECT source, n_tokens, n_terms,
+             CAST(s1 // (2 * n_tokens) + s2 // (2 * ct2) AS BIGINT)
+               AS js_micro,
+             CAST(s1 // (2 * n_tokens) + s2 // (2 * ct2) AS DOUBLE)
+               / 1000000.0 AS js
+      FROM m ORDER BY source"""))
+
   def all: Seq[QueryDef] = Seq(
     dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
     dsirWeights, bpePairs, heavyHittersCms, sketchSetOps, ccnetBuckets,
-    vocabOverlap)
+    vocabOverlap, jsDivergence)
 }

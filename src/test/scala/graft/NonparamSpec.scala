@@ -101,6 +101,37 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("js_divergence matches a brute-force replay and is bounded") {
+    val rows = q("js_divergence").collect()
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("source"),
+        F.explode(F.split(F.lower(F.col("text")), " +")).as("term"))
+      .where(F.length(F.col("term")) > 0)
+      .groupBy("source", "term").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val corpus = toks.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val cTot = corpus.values.sum.toDouble
+    val bySource = toks.groupBy(_._1._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val own = bySource(src).map { case ((_, t2), n) => t2 -> n }.toMap
+      val aTot = own.values.sum.toDouble
+      def h(p: Double, m: Double): Double =
+        if (p == 0.0) 0.0 else p * (math.log(p / m) / math.log(2.0))
+      val js = corpus.keysIterator.map { t2 =>
+        val p = own.getOrElse(t2, 0L) / aTot
+        val qd = corpus(t2) / cTot
+        val m = (p + qd) / 2.0
+        h(p, m) / 2.0 + h(qd, m) / 2.0
+      }.sum
+      val got = r.getAs[Double]("js")
+      assert(math.abs(got - js) < 1e-4, s"$src: $got vs brute $js")
+      assert(got >= 0.0 && got <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_tokens") == aTot.toLong)
+    }
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+  }
+
   test("clustering_coeff buckets partition all graph nodes") {
     val rows = q("clustering_coeff").collect()
     val total = rows.map(_.getAs[Long]("n_nodes")).sum
