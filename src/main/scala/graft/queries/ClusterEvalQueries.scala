@@ -285,6 +285,82 @@ object ClusterEvalQueries {
       FROM cells c JOIN rt r ON c.truth = r.truth
       ORDER BY c.truth, c.pred"""))
 
+  // ---------------------------------------------------------------- D58
+  /** Per-cluster simplified (centroid-based) silhouette of the shared
+    * k-means partition [Rousseeuw 1987; the medoid→centroid
+    * simplification is the standard large-N form — per-point
+    * pairwise-distance silhouette is O(N²) and is exactly what this
+    * replaces at scale]: a(v) = cosine distance to the OWN centroid,
+    * b(v) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b).
+    * Since assignment is nearest-centroid, only the TOP-2 centroid
+    * scores matter — one broadcast k-centroid cross join, a k-row
+    * per-vector window, no pairwise pass. All arithmetic on the 6dp
+    * cosine micro grid: s in exact integer ppm via one integral
+    * division, per-cluster mean/min/max from exact long sums — no
+    * cross-row double summation. Near-1 clusters are tight and far
+    * from rivals; near-0 clusters overlap a neighbor (k too high or
+    * the space does not separate). */
+  private val clusterSilhouette = QueryDef(
+    "cluster_silhouette",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ivf.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 4, iters = 2)
+      val scored = emb.crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id"), F.col("ckey"),
+          F.round(Similarity.cosine(F.col("embedding"), F.col("centroid"))
+            * 1000000).cast("long").as("cm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(F.col("cm").desc, F.col("ckey"))
+      scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(F.max(F.when(F.col("rn") === 1,
+            F.struct(F.col("ckey"), F.col("cm")))).as("_own"),
+          F.max(F.when(F.col("rn") === 2, F.col("cm"))).as("_cm2"))
+        .select(F.expr("CAST(_own.ckey AS BIGINT)").as("centroid_label"),
+          F.expr("1000000L - _own.cm").as("_a"),
+          F.expr("1000000L - _cm2").as("_b"))
+        .withColumn("_sppm",
+          F.expr("((_b - _a) * 1000000L) div greatest(_b, 1L)"))
+        .groupBy("centroid_label")
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.sum("_sppm").as("_ss"),
+          F.min("_sppm").as("_smin"), F.max("_sppm").as("_smax"))
+        .select(F.col("centroid_label"), F.col("n_members"),
+          F.expr("round(CAST(_ss AS DOUBLE) / n_members / 1000000.0, 6)")
+            .as("mean_silhouette"),
+          F.expr("round(CAST(_smin AS DOUBLE) / 1000000.0, 6)").as("min_silhouette"),
+          F.expr("round(CAST(_smax AS DOUBLE) / 1000000.0, 6)").as("max_silhouette"))
+        .orderBy("centroid_label")
+    },
+    Some {
+      val cos = ExtendedQueries.cosSql("e.embedding", "c.centroid")
+      s"""WITH ${ExtendedQueries.kmeansA3Ctes},
+         |sc AS (SELECT e.vec_id, c.ck,
+         |         CAST(round($cos * 1000000) AS BIGINT) AS cm
+         |       FROM embeddings e, c2f c),
+         |rk AS (SELECT vec_id, ck, cm,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cm DESC, ck) AS rn
+         |       FROM sc),
+         |pv AS (SELECT vec_id,
+         |         max(CASE WHEN rn = 1 THEN ck END) AS own_ck,
+         |         1000000 - max(CASE WHEN rn = 1 THEN cm END) AS a,
+         |         1000000 - max(CASE WHEN rn = 2 THEN cm END) AS b
+         |       FROM rk WHERE rn <= 2 GROUP BY 1),
+         |sv AS (SELECT own_ck,
+         |         ((b - a) * 1000000) // greatest(b, 1) AS sppm
+         |       FROM pv)
+         |SELECT CAST(own_ck AS BIGINT) AS centroid_label,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       round(CAST(sum(sppm) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |         AS mean_silhouette,
+         |       round(CAST(min(sppm) AS DOUBLE) / 1000000.0, 6) AS min_silhouette,
+         |       round(CAST(max(sppm) AS DOUBLE) / 1000000.0, 6) AS max_silhouette
+         |FROM sv GROUP BY 1 ORDER BY centroid_label""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(knnAccuracy, centroidPurity, srmCheck,
-    hardNegatives, knnConfusion)
+    hardNegatives, knnConfusion, clusterSilhouette)
 }

@@ -90,5 +90,71 @@ object GraphMetricsQueries {
                AS mean_coeff
       FROM b GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[QueryDef] = Seq(clusteringCoeff)
+  // ---------------------------------------------------------------- D59
+  /** Newman degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the symmetric directed edge
+    * list [Newman 2002]: r > 0 hubs prefer hubs (rich-club), r < 0
+    * hubs fan out to leaves (hub-and-spoke). Published beside D23's
+    * degree histogram and D57's clustering spectrum as the third
+    * standard topology read. Exact integers end to end: with x, y the
+    * endpoint degrees over the M = 2m directed edges,
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — both sides widened
+    * through DECIMAL(38,0)/HUGEINT, ONE §5 string-routed closing
+    * double division (the symmetric list makes Σx = Σy and Σx² = Σy²,
+    * collapsing Newman's four moments to three).
+    *
+    * Scale shape: two node-keyed joins (edges ⋈ degrees per endpoint —
+    * degrees are node-sized, NOT broadcast at 100 TB) + one map-side-
+    * combined aggregate to a single row. Edge-linear. */
+  private val degreeAssortativity = QueryDef(
+    "degree_assortativity",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val dir = e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+        .unionByName(e.select(F.col("pb").as("u"), F.col("pa").as("v")))
+      val deg = dir.groupBy("u").agg(F.count(F.lit(1)).as("dg"))
+      val nNodes = deg.agg(F.count(F.lit(1)).as("n_nodes"))
+      dir
+        .join(deg.select(F.col("u"), F.col("dg").as("x")), "u")
+        .join(deg.select(F.col("u").as("v"), F.col("dg").as("y")), "v")
+        .agg(F.count(F.lit(1)).as("_m"),
+          F.sum(F.col("x").cast("decimal(38,0)")).as("_sx"),
+          F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).as("_sxy"),
+          F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).as("_sxx"))
+        .crossJoin(F.broadcast(nNodes))
+        .withColumn("_num", F.expr("_m * _sxy - _sx * _sx"))
+        .withColumn("_den", F.expr("_m * _sxx - _sx * _sx"))
+        .select(F.col("n_nodes"), F.expr("_m div 2").as("n_edges"),
+          F.expr("""CASE WHEN _den <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(CAST(_num AS STRING) AS DOUBLE)
+            |      / CAST(CAST(_den AS STRING) AS DOUBLE), 6)
+            |END""".stripMargin).as("assortativity"))
+        .orderBy("n_nodes")
+    },
+    Some("""WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      dir AS (SELECT pa AS u, pb AS v FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+              FROM dir GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      j AS (SELECT du.dg AS x, dv.dg AS y
+            FROM dir JOIN deg du ON dir.u = du.u
+                     JOIN deg dv ON dir.v = dv.u),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM j)
+      SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+             CASE WHEN m * sxx - sx * sx <= 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(
+                 CAST(CAST(m * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(m * sxx - sx * sx AS VARCHAR) AS DOUBLE), 6)
+             END AS assortativity
+      FROM a, nn ORDER BY n_nodes"""))
+
+  def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity)
 }

@@ -427,6 +427,9 @@ object ScaleTest {
     // shapes already covered by the agg_distinct probes above.)
     timeQ("mann_whitney")
     timeQ("clustering_coeff")
+    // r10: assortativity must stay edge-linear (two degree joins + one
+    // aggregate over the 10 disjoint co-purchase replicas)
+    timeQ("degree_assortativity")
     spark.stop()
   }
 }

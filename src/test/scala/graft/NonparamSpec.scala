@@ -132,6 +132,69 @@ class NonparamSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
   }
 
+  test("cluster_silhouette matches a brute-force top-2 centroid replay") {
+    val rows = q("cluster_silhouette").collect()
+    // brute force: rescore every vector against the final centroids
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Ivf.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Float](1).toArray).sortBy(_._1)
+    val vecs = emb.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val agg = scala.collection.mutable.Map
+      .empty[Int, (Long, Long)] // ck -> (n, sum_sppm)
+    vecs.foreach { case (_, v) =>
+      val scores = cents.map { case (ck, c) =>
+        (math.round(cos(v, c) * 1e6), ck)
+      }.sortBy(t2 => (-t2._1, t2._2))
+      val (cm1, ck1) = scores(0); val cm2 = scores(1)._1
+      val a = 1000000L - cm1; val b = 1000000L - cm2
+      val sppm = (b - a) * 1000000L / math.max(b, 1L)
+      val (n, ss) = agg.getOrElse(ck1, (0L, 0L))
+      agg(ck1) = (n + 1, ss + sppm)
+    }
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("centroid_label").toInt
+      val (n, ss) = agg(ck)
+      assert(r.getAs[Long]("n_members") == n, s"ck $ck members")
+      val mean = math.rint(ss.toDouble / n / 1e6 * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - mean) < 2e-6,
+        s"ck $ck: ${r.getAs[Double]("mean_silhouette")} vs brute $mean")
+      assert(r.getAs[Double]("mean_silhouette") >= 0.0 &&
+        r.getAs[Double]("mean_silhouette") <= 1.0)
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("degree_assortativity matches a brute-force Pearson replay") {
+    val row = q("degree_assortativity").collect().head
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dir = edges ++ edges.map(e => (e._2, e._1))
+    val deg = dir.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = dir.map { case (u, v) => (deg(u).toDouble, deg(v).toDouble) }
+    val m = xs.length.toDouble
+    val sx = xs.map(_._1).sum
+    val sxy = xs.map(t2 => t2._1 * t2._2).sum
+    val sxx = xs.map(t2 => t2._1 * t2._1).sum
+    val r0 = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(math.abs(row.getAs[Double]("assortativity") - r0) < 1e-5,
+      s"${row.getAs[Double]("assortativity")} vs brute $r0")
+    assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("clustering_coeff buckets partition all graph nodes") {
     val rows = q("clustering_coeff").collect()
     val total = rows.map(_.getAs[Long]("n_nodes")).sum
