@@ -272,5 +272,175 @@ object NonparamQueries {
              END AS cramers_v
       FROM s, tt, lv ORDER BY n_rows"""))
 
-  def all: Seq[QueryDef] = Seq(mannWhitney, anovaF, cramersV)
+  // ---------------------------------------------------------------- M36
+  /** Exact two-sample Kolmogorov-Smirnov between the same two arms as
+    * M33 (returned vs pending quantities) — the distribution-shape
+    * complement to Mann-Whitney's location test (M4's ks_drift tracks
+    * the statistic over time windows; this is the one-shot two-sample
+    * form with the exact sup location). ENTIRELY integer until the
+    * closing divisions: over the value domain, the sup distance
+    * numerator is max_v |cum1(v)·n₂ − cum2(v)·n₁| — cumulative counts
+    * from the same DistRank.globalCumSum range-shuffle pattern as M33
+    * (two domain-frame cumsums, never a global row window), the argmax
+    * location tie-broken to the smallest value via min(struct). D and
+    * the asymptotic z = D·√(n₁n₂/(n₁+n₂)) are each one closing double. */
+  private val ks2Sample = QueryDef(
+    "ks_2sample",
+    (s, d) => {
+      val vals = t(s, d, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(F.col("l_quantity").cast("long").as("q"),
+          F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"))
+        .groupBy("q")
+        .agg(F.sum("i1").as("n1v"),
+          F.sum(F.expr("1 - i1")).as("n2v"),
+          F.count(F.lit(1)).as("cnt"))
+      val tot = vals.agg(F.sum("n1v").cast("long").as("n1"),
+        F.sum("n2v").cast("long").as("n2"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        graft.operators.DistRank.globalCumSum(
+          vals, "n1v", "cum1", F.col("q").asc),
+        "cnt", "cumt", F.col("q").asc)
+      cum.crossJoin(F.broadcast(tot))
+        .withColumn("_dn",
+          F.expr("abs(cum1 * n2 - (cumt - cum1) * n1)"))
+        .groupBy("n1", "n2")
+        .agg(F.min(F.struct(F.negate(F.col("_dn")).as("nd"), F.col("q")))
+          .as("_b"))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("_b.q").as("ks_at"),
+          F.expr("round(CAST(-_b.nd AS DOUBLE)" +
+            " / (CAST(n1 AS DOUBLE) * n2), 6)").as("ks_d"),
+          F.expr("""round(CAST(-_b.nd AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+            |* sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)"""
+            .stripMargin).as("ks_z"))
+        .orderBy("n1")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1v,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      tot AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                     CAST(sum(n2v) AS BIGINT) AS n2 FROM v),
+      c AS (SELECT q,
+                   CAST(sum(n1v) OVER (ORDER BY q) AS BIGINT) AS cum1,
+                   CAST(sum(cnt) OVER (ORDER BY q) AS BIGINT) AS cumt
+            FROM v),
+      dn AS (SELECT q, abs(cum1 * n2 - (cumt - cum1) * n1) AS d, n1, n2
+             FROM c, tot),
+      best AS (SELECT n1, n2, q, d FROM (
+                 SELECT n1, n2, q, d,
+                        row_number() OVER (ORDER BY d DESC, q) AS rn
+                 FROM dn) WHERE rn = 1)
+      SELECT n1, n2, q AS ks_at,
+             round(CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+               AS ks_d,
+             round(CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                   * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_z
+      FROM best ORDER BY n1"""))
+
+  // ---------------------------------------------------------------- M37
+  /** Brown-Forsythe (median-centered Levene) variance-homogeneity test
+    * across all three return flags on extended price — the gate run
+    * BEFORE trusting M34's equal-variance assumption. Two corpus
+    * passes: (1) per-flag discrete lower median via a flag-partitioned
+    * cumulative window over the (flag, cents)-DOMAIN frame (domain
+    * rows through the 3-partition window, never raw rows — the
+    * C56/C51 median discipline); (2) absolute deviations
+    * z = |cents − med_flag| are exact integers, and the one-way F on
+    * them reuses M34's machinery verbatim — Σz/Σz² exact, S_g²/n_g by
+    * the deterministic floor form, SSB/SSW exact DECIMAL(38,0),
+    * unrounded ssb/ssw, one closing F division. */
+  private val leveneBf = QueryDef(
+    "levene_bf",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        F.col("l_returnflag").as("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val dom = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("cents")
+      val med = dom
+        .withColumn("_cum", F.sum("c").over(w))
+        .withColumn("_tot",
+          F.sum("c").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("flag")))
+        .groupBy("flag")
+        .agg(F.min(F.when(F.expr("2 * _cum >= _tot"), F.col("cents")))
+          .as("med"))
+      val g = li.join(F.broadcast(med), "flag")
+        .select(F.col("flag"), F.expr("abs(cents - med)").as("z"))
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).as("n_g"),
+          F.sum(F.col("z").cast("decimal(38,0)")).as("s_g"),
+          F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).as("q_g"))
+        .withColumn("_s2", F.expr("s_g * s_g"))
+        .withColumn("_bg",
+          F.expr("CAST((_s2 - _s2 % n_g) / n_g AS DECIMAL(38,0))"))
+      g.agg(F.count(F.lit(1)).as("k_groups"),
+          F.sum("n_g").cast("long").as("n_rows"),
+          F.sum("s_g").as("_s"), F.sum("q_g").as("_q"), F.sum("_bg").as("_b"))
+        .withColumn("_s2t", F.expr("_s * _s"))
+        .withColumn("_ssb",
+          F.expr("_b - CAST((_s2t - _s2t % n_rows) / n_rows" +
+            " AS DECIMAL(38,0))"))
+        .withColumn("_ssw", F.expr("_q - _b"))
+        .select(F.col("k_groups"), F.col("n_rows"),
+          F.expr("CAST(CAST(_ssb AS STRING) AS DOUBLE) / 1e4").as("ssb"),
+          F.expr("CAST(CAST(_ssw AS STRING) AS DOUBLE) / 1e4").as("ssw"),
+          F.expr("""CASE WHEN _ssw <= 0 OR k_groups < 2 OR n_rows <= k_groups
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(CAST(_ssb AS STRING) AS DOUBLE) * (n_rows - k_groups))
+            |      / (CAST(CAST(_ssw AS STRING) AS DOUBLE) * (k_groups - 1)),
+            |      6) END""".stripMargin).as("f_stat"))
+        .orderBy("k_groups")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      dom AS (SELECT flag, cents, CAST(count(*) AS BIGINT) AS c
+              FROM li GROUP BY 1, 2),
+      cw AS (SELECT flag, cents,
+                    CAST(sum(c) OVER (PARTITION BY flag ORDER BY cents)
+                         AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS tot
+             FROM dom),
+      med AS (SELECT flag,
+                     min(CASE WHEN 2 * cum >= tot THEN cents END) AS med
+              FROM cw GROUP BY 1),
+      g AS (SELECT li.flag,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   sum(CAST(abs(cents - med) AS HUGEINT)) AS s_g,
+                   sum(CAST(abs(cents - med) AS HUGEINT)
+                       * abs(cents - med)) AS q_g
+            FROM li JOIN med ON li.flag = med.flag GROUP BY 1),
+      b AS (SELECT flag, n_g, s_g, q_g, (s_g * s_g) // n_g AS b_g FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n_g) AS BIGINT) AS n_rows,
+                   sum(s_g) AS s_tot, sum(q_g) AS q_tot, sum(b_g) AS b_tot
+            FROM b),
+      f AS (SELECT k_groups, n_rows,
+                   b_tot - (s_tot * s_tot) // n_rows AS ssb_x,
+                   q_tot - b_tot AS ssw_x
+            FROM a)
+      SELECT k_groups, n_rows,
+             CAST(CAST(ssb_x AS VARCHAR) AS DOUBLE) / 1e4 AS ssb,
+             CAST(CAST(ssw_x AS VARCHAR) AS DOUBLE) / 1e4 AS ssw,
+             CASE WHEN ssw_x <= 0 OR k_groups < 2 OR n_rows <= k_groups
+               THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(CAST(ssb_x AS VARCHAR) AS DOUBLE)
+                       * (n_rows - k_groups))
+                     / (CAST(CAST(ssw_x AS VARCHAR) AS DOUBLE)
+                        * (k_groups - 1)), 6) END AS f_stat
+      FROM f ORDER BY k_groups"""))
+
+  def all: Seq[QueryDef] =
+    Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf)
 }

@@ -101,6 +101,60 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("ks_2sample matches a brute-force ECDF sup replay") {
+    val row = q("ks_2sample").collect().head
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(F.col("l_returnflag").isin("R", "N"))
+      .select(F.col("l_quantity").cast("long"), F.col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val xs = raw.filter(_._2 == "R").map(_._1)
+    val ys = raw.filter(_._2 == "N").map(_._1)
+    val domain = (xs ++ ys).distinct.sorted
+    val (dBest, atBest) = domain.map { v =>
+      val f1 = xs.count(_ <= v).toDouble / xs.length
+      val f2 = ys.count(_ <= v).toDouble / ys.length
+      (math.abs(f1 - f2), v)
+    }.maxBy(t2 => (t2._1, -t2._2))
+    assert(row.getAs[Long]("n1") == xs.length.toLong)
+    assert(row.getAs[Long]("n2") == ys.length.toLong)
+    assert(math.abs(row.getAs[Double]("ks_d") - dBest) < 1e-6,
+      s"ks_d ${row.getAs[Double]("ks_d")} vs brute $dBest")
+    assert(row.getAs[Long]("ks_at") == atBest)
+    val z = dBest * math.sqrt(
+      xs.length.toDouble * ys.length / (xs.length + ys.length))
+    assert(math.abs(row.getAs[Double]("ks_z") - z) < 1e-4)
+  }
+
+  test("levene_bf matches a brute-force median-centered decomposition") {
+    val row = q("levene_bf").collect().head
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(F.col("l_returnflag"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowerMedian(v: Array[Long]): Long = {
+      val s2 = v.sorted; s2((v.length - 1) / 2) // min cents with 2cum>=tot
+    }
+    val devs = groups.map { case (f, v) =>
+      val m = lowerMedian(v); f -> v.map(x => math.abs(x - m).toDouble)
+    }
+    val n = raw.length.toDouble
+    val grand = devs.values.flatten.sum / n
+    val ssb = devs.values.map { z =>
+      val m = z.sum / z.length; z.length * (m - grand) * (m - grand)
+    }.sum / 1e4
+    val ssw = devs.values.flatMap { z =>
+      val m = z.sum / z.length; z.map(x => (x - m) * (x - m))
+    }.sum / 1e4
+    val k = devs.size
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k_groups") == k.toLong)
+    assert(math.abs(row.getAs[Double]("ssb") - ssb) / math.max(ssb, 1) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ssw") - ssw) / ssw < 1e-6)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-3,
+      s"f ${row.getAs[Double]("f_stat")} vs brute $f")
+  }
+
   test("js_divergence matches a brute-force replay and is bounded") {
     val rows = q("js_divergence").collect()
     val toks = spark.read.parquet(s"$sf/documents.parquet")
