@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the rank statistics: on ANY random small two-arm
+  * dataset with heavy ties, `mann_whitney` and `ks_2sample` must agree
+  * with driver-side replays computed from first principles (sorted-list
+  * midranks / raw ECDF sup), not just on the fixed synthetic corpus the
+  * brute-force specs in NonparamSpec use. Each generated dataset is
+  * written as a minimal lineitem.parquet and driven through the SHIPPED
+  * query fns. */
+class NonparamPropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.apply(params, s))
+      .collect { case Some(v) => v }
+      .take(n).toSeq
+  }
+
+  /** Random (quantity, flag) rows: values 1..5 (heavy ties), flags
+    * R/N/A with at least one R and one N (the queries' two arms). */
+  private def genRows(seed: Long): Seq[(Long, String)] = {
+    val n = 30 + (seed % 120).toInt
+    val qs = samples(Gen.chooseNum(1L, 5L), n, seed)
+    val fs = samples(Gen.oneOf("R", "N", "A"), n, seed + 7)
+    val rows = qs.zip(fs)
+    rows :+ (3L -> "R") :+ (2L -> "N") // both arms always present
+  }
+
+  private def writeDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nonparam_prop").toString
+    rows.toDF("l_quantity", "l_returnflag")
+      .selectExpr("CAST(l_quantity AS DOUBLE) AS l_quantity",
+        "l_returnflag")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("mann_whitney matches a first-principles midrank replay on " +
+    "random heavy-tie data") {
+    for (seed <- 1L to 6L) {
+      val rows = genRows(seed * 31)
+      val dir = writeDir(rows)
+      val row = SparkEntry.queries("mann_whitney")(spark, dir)
+        .collect().head
+      val both = rows.filter(r => r._2 == "R" || r._2 == "N")
+      val sorted = both.map(_._1).sorted
+      val ranks = scala.collection.mutable.Map.empty[Long, Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        ranks(sorted(i)) = (i + 1 + j) / 2.0
+        i = j
+      }
+      val n1 = both.count(_._2 == "R").toLong
+      val n2 = both.count(_._2 == "N").toLong
+      val u1 = both.filter(_._2 == "R").map(r => ranks(r._1)).sum -
+        n1 * (n1 + 1) / 2.0
+      assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2,
+        s"seed $seed counts")
+      assert(math.abs(row.getAs[Double]("u1") - u1) < 1e-9,
+        s"seed $seed: u1 ${row.getAs[Double]("u1")} vs replay $u1")
+      val rb = 1.0 - 2.0 * u1 / (n1.toDouble * n2)
+      assert(math.abs(row.getAs[Double]("rank_biserial") - rb) < 1e-5,
+        s"seed $seed rank_biserial")
+      // tie-corrected z from the definition
+      val n = (n1 + n2).toDouble
+      val tieT = both.map(_._1).groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val va = n1 * n2 * ((n * n * n - n) - tieT) / (12.0 * n * (n - 1))
+      if (va > 0) {
+        val z = (u1 - n1 * n2 / 2.0) / math.sqrt(va)
+        assert(math.abs(row.getAs[Double]("z") - z) < 1e-4,
+          s"seed $seed: z ${row.getAs[Double]("z")} vs replay $z")
+      } else assert(row.getAs[Double]("z") == 0.0, s"seed $seed z guard")
+    }
+  }
+
+  test("ks_2sample matches a raw-ECDF sup replay on random data") {
+    for (seed <- 1L to 6L) {
+      val rows = genRows(seed * 57 + 11)
+      val dir = writeDir(rows)
+      val row = SparkEntry.queries("ks_2sample")(spark, dir)
+        .collect().head
+      val xs = rows.filter(_._2 == "R").map(_._1)
+      val ys = rows.filter(_._2 == "N").map(_._1)
+      val (d, at) = (xs ++ ys).distinct.sorted.map { v =>
+        val f1 = xs.count(_ <= v).toDouble / xs.length
+        val f2 = ys.count(_ <= v).toDouble / ys.length
+        (math.abs(f1 - f2), v)
+      }.maxBy(t2 => (t2._1, -t2._2))
+      assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6,
+        s"seed $seed: ks_d ${row.getAs[Double]("ks_d")} vs replay $d")
+      assert(row.getAs[Long]("ks_at") == at, s"seed $seed sup location")
+      val z = d * math.sqrt(
+        xs.length.toDouble * ys.length / (xs.length + ys.length))
+      assert(math.abs(row.getAs[Double]("ks_z") - z) < 1e-4, s"seed $seed z")
+    }
+  }
+}
