@@ -531,8 +531,73 @@ object SemanticQueries {
                / 1000000.0 AS js
       FROM m ORDER BY source"""))
 
+  // ---------------------------------------------------------------- E78
+  /** Epoch plan under a fixed token budget — the data-constrained
+    * pre-training datacard [Muennighoff et al. 2023: repeating data up
+    * to ~4 epochs is near-free; beyond that returns decay]: given
+    * budget T = 3× the corpus and E34's temperature-flattened target
+    * shares, each domain's repeat factor is epochs = (share-weighted
+    * T)/d_i CAPPED at 4; the plan publishes per-domain target tokens,
+    * the capped epoch factor (exact integer micros — one floor division
+    * per domain), the planned tokens it actually yields, and the cap
+    * flag. The single-pass form: freed budget from capped domains is
+    * REPORTED as plan shortfall (Σ planned < T), not silently
+    * redistributed — rebalancing is a policy decision the datacard
+    * surfaces, not one it takes. One corpus aggregate to a
+    * domain-sized frame; everything downstream is metadata arithmetic
+    * on exact integers. */
+  private val epochPlan = QueryDef(
+    "epoch_plan",
+    (s, d) => {
+      val dt = t(s, d, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.expr("CAST(ceil(n_chars / 4.0) AS BIGINT)"))
+          .cast("long").as("d_tokens"))
+      val tot = dt.agg(F.sum("d_tokens").cast("long").as("total"))
+      val m = dt.crossJoin(F.broadcast(tot))
+        .withColumn("_flat", F.expr(
+          "CAST(floor(sqrt(CAST(d_tokens AS DOUBLE) / total) * 1e6)" +
+            " AS BIGINT)"))
+      val z = m.agg(F.sum("_flat").cast("long").as("z"))
+      m.crossJoin(F.broadcast(z))
+        .withColumn("_target", F.expr("3 * total * _flat div z"))
+        .withColumn("_em",
+          F.expr("least((_target * 1000000) div d_tokens, 4000000L)"))
+        .select(F.col("lang"), F.col("d_tokens"),
+          F.col("_target").as("target_tokens"),
+          F.expr("CAST(_em AS DOUBLE) / 1000000.0").as("epochs"),
+          F.expr("CASE WHEN (_target * 1000000) div d_tokens > 4000000" +
+            " THEN 1L ELSE 0L END").as("capped"),
+          F.expr("d_tokens * _em div 1000000").as("planned_tokens"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH dt AS (
+        SELECT lang,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                 AS d_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(d_tokens) AS BIGINT) AS total FROM dt),
+      m AS (SELECT lang, d_tokens, total,
+                   CAST(floor(sqrt(CAST(d_tokens AS DOUBLE) / total) * 1e6)
+                        AS BIGINT) AS flat
+            FROM dt, tot),
+      z AS (SELECT CAST(sum(flat) AS BIGINT) AS z FROM m),
+      p AS (SELECT lang, d_tokens,
+                   CAST(3 * total * flat // z AS BIGINT) AS target_tokens,
+                   CAST(least((3 * total * flat // z) * 1000000 // d_tokens,
+                              4000000) AS BIGINT) AS em,
+                   CASE WHEN (3 * total * flat // z) * 1000000 // d_tokens
+                             > 4000000 THEN 1 ELSE 0 END AS capped
+            FROM m, z)
+      SELECT lang, d_tokens, target_tokens,
+             CAST(em AS DOUBLE) / 1000000.0 AS epochs,
+             CAST(capped AS BIGINT) AS capped,
+             CAST(d_tokens * em // 1000000 AS BIGINT) AS planned_tokens
+      FROM p ORDER BY lang"""))
+
   def all: Seq[QueryDef] = Seq(
     dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
     dsirWeights, bpePairs, heavyHittersCms, sketchSetOps, ccnetBuckets,
-    vocabOverlap, jsDivergence)
+    vocabOverlap, jsDivergence, epochPlan)
 }

@@ -87,6 +87,25 @@ class NonparamSpec extends SparkSpec {
       row.getAs[Double]("cramers_v") <= 1.0)
   }
 
+  test("epoch_plan caps epochs at 4 and never plans past the target") {
+    val rows = q("epoch_plan").collect()
+    val dTot = rows.map(_.getAs[Long]("d_tokens")).sum
+    var planned = 0L
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      assert(e > 0.0 && e <= 4.0 + 1e-9, s"${r.getAs[String]("lang")}: $e")
+      val p = r.getAs[Long]("planned_tokens")
+      assert(p <= r.getAs[Long]("target_tokens"),
+        s"${r.getAs[String]("lang")} plans past its target")
+      if (r.getAs[Long]("capped") == 1L)
+        assert(math.abs(e - 4.0) < 1e-9, "capped row must sit at the cap")
+      planned += p
+    }
+    // single-pass plan: freed budget from capped domains is reported as
+    // shortfall, never redistributed — so Σ planned ≤ T = 3 × corpus
+    assert(planned <= 3L * dTot, s"planned $planned > budget ${3L * dTot}")
+  }
+
   test("localClustering credits each triangle to all three vertices") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4–1 + isolated edge 5–6
