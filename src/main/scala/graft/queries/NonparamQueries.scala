@@ -67,9 +67,10 @@ object NonparamQueries {
             |(CAST(_n AS DECIMAL(38,0)) * _n * _n - _n - _tie)""".stripMargin))
         .select(F.col("n1"), F.col("n2"),
           F.expr("CAST(CAST(_u1_2x AS STRING) AS DOUBLE) / 2").as("u1"),
-          F.expr("""round((CAST(n1 AS DOUBLE) * n2
+          F.expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(n1 AS DOUBLE) * n2
             |         - CAST(CAST(_u1_2x AS STRING) AS DOUBLE))
-            |        / (CAST(n1 AS DOUBLE) * n2), 6)""".stripMargin)
+            |        / (CAST(n1 AS DOUBLE) * n2), 6) END""".stripMargin)
             .as("rank_biserial"),
           F.expr("""CASE WHEN _va <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
             |round((CAST(CAST(_u1_2x AS STRING) AS DOUBLE)
@@ -104,9 +105,10 @@ object NonparamQueries {
             FROM a)
       SELECT n1, n2,
              CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE) / 2 AS u1,
-             round((CAST(n1 AS DOUBLE) * n2
-                     - CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE))
-                   / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial,
+             CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(n1 AS DOUBLE) * n2
+                       - CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * n2), 6) END AS rank_biserial,
              CASE WHEN va <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
                round((CAST(CAST(u1_2x AS VARCHAR) AS DOUBLE)
                        - CAST(n1 AS DOUBLE) * n2)
@@ -199,7 +201,11 @@ object NonparamQueries {
     * divided by (N·nr·nc) — all DECIMAL(38,0)/HUGEINT, no cross-cell
     * double summation whose order could differ between engines. Margins
     * broadcast (|priorities| × |segments| cells is metadata); the fact
-    * table aggregates once, map-side combined. */
+    * table aggregates once, map-side combined. The scoring frame is the
+    * FULL row×column grid (margin cross join, left join to observed
+    * cells): a zero-observed cell still contributes its expected count
+    * (0·N − nr·nc)²/(N·nr·nc) to χ² — summing only populated cells
+    * understates the statistic whenever any cell is empty. */
   private val cramersV = QueryDef(
     "cramers_v",
     (s, d) => {
@@ -216,9 +222,9 @@ object NonparamQueries {
       val total = cells.agg(F.sum("n").cast("long").as("nt"))
       val rcnt = rows.agg(F.count(F.lit(1)).as("r_levels"))
       val ccnt = colsT.agg(F.count(F.lit(1)).as("c_levels"))
-      cells
-        .join(F.broadcast(rows), Seq("priority"))
-        .join(F.broadcast(colsT), Seq("segment"))
+      rows.crossJoin(colsT)
+        .join(cells, Seq("priority", "segment"), "left")
+        .na.fill(0L, Seq("n"))
         .crossJoin(F.broadcast(total))
         .withColumn("_dev",
           F.expr("CAST(n AS DECIMAL(38,0)) * nt" +
@@ -253,11 +259,15 @@ object NonparamQueries {
       c AS (SELECT segment, CAST(sum(n) AS BIGINT) AS nc
             FROM cells GROUP BY 1),
       tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+      grid AS (SELECT priority, segment, nr, nc,
+                      CAST(coalesce(cells.n, 0) AS BIGINT) AS n
+               FROM r CROSS JOIN c
+               LEFT JOIN cells USING (priority, segment)),
       term AS (SELECT
-          ((CAST(cells.n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
-           * (CAST(cells.n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
+          ((CAST(n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
+           * (CAST(n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc)
            * 1000000) // (CAST(nt AS HUGEINT) * nr * nc) AS t_micro
-        FROM cells JOIN r USING (priority) JOIN c USING (segment), tt),
+        FROM grid, tt),
       s AS (SELECT sum(t_micro) AS chi2_micro FROM term),
       lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS r_levels,
                     (SELECT CAST(count(*) AS BIGINT) FROM c) AS c_levels)
@@ -301,18 +311,27 @@ object NonparamQueries {
         graft.operators.DistRank.globalCumSum(
           vals, "n1v", "cum1", F.col("q").asc),
         "cnt", "cumt", F.col("q").asc)
+      // cum1·n2 scales as n²: widen through DECIMAL(38,0) (Spark wraps
+      // int64 silently; DuckDB raises — the engines would diverge) and
+      // surface via the §5 string→double route; guard the n1·n2
+      // denominators against an empty arm like mann_whitney's z
       cum.crossJoin(F.broadcast(tot))
         .withColumn("_dn",
-          F.expr("abs(cum1 * n2 - (cumt - cum1) * n1)"))
+          F.expr("abs(CAST(cum1 AS DECIMAL(38,0)) * n2" +
+            " - (CAST(cumt AS DECIMAL(38,0)) - cum1) * n1)"))
         .groupBy("n1", "n2")
         .agg(F.min(F.struct(F.negate(F.col("_dn")).as("nd"), F.col("q")))
           .as("_b"))
         .select(F.col("n1"), F.col("n2"),
           F.expr("_b.q").as("ks_at"),
-          F.expr("round(CAST(-_b.nd AS DOUBLE)" +
-            " / (CAST(n1 AS DOUBLE) * n2), 6)").as("ks_d"),
-          F.expr("""round(CAST(-_b.nd AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
-            |* sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)"""
+          F.expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(CAST(-_b.nd AS STRING) AS DOUBLE)
+            |      / (CAST(n1 AS DOUBLE) * n2), 6) END""".stripMargin)
+            .as("ks_d"),
+          F.expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(CAST(-_b.nd AS STRING) AS DOUBLE)
+            |      / (CAST(n1 AS DOUBLE) * n2)
+            |      * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) END"""
             .stripMargin).as("ks_z"))
         .orderBy("n1")
     },
@@ -331,17 +350,24 @@ object NonparamQueries {
                    CAST(sum(n1v) OVER (ORDER BY q) AS BIGINT) AS cum1,
                    CAST(sum(cnt) OVER (ORDER BY q) AS BIGINT) AS cumt
             FROM v),
-      dn AS (SELECT q, abs(cum1 * n2 - (cumt - cum1) * n1) AS d, n1, n2
+      dn AS (SELECT q,
+                    abs(CAST(cum1 AS HUGEINT) * n2
+                        - (CAST(cumt AS HUGEINT) - cum1) * n1) AS d,
+                    n1, n2
              FROM c, tot),
       best AS (SELECT n1, n2, q, d FROM (
                  SELECT n1, n2, q, d,
                         row_number() OVER (ORDER BY d DESC, q) AS rn
                  FROM dn) WHERE rn = 1)
       SELECT n1, n2, q AS ks_at,
-             round(CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
-               AS ks_d,
-             round(CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
-                   * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_z
+             CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round(CAST(CAST(d AS VARCHAR) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+             CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round(CAST(CAST(d AS VARCHAR) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2)
+                     * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+             END AS ks_z
       FROM best ORDER BY n1"""))
 
   // ---------------------------------------------------------------- M37

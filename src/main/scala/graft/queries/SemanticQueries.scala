@@ -470,27 +470,40 @@ object SemanticQueries {
       ct.crossJoin(F.broadcast(stot))
         .join(st, Seq("source", "term"), "left").na.fill(0L, Seq("a"))
         .crossJoin(F.broadcast(ctot))
-        .withColumn("_den", F.expr("a * ctot + c * atot"))
+        // a·ctot scales as tokens²: widen through DECIMAL(38,0) (§5
+        // wide-product rule — int64 wraps silently on Spark, errors on
+        // DuckDB); the log2 ARGUMENT can stay a double ratio
+        .withColumn("_den", F.expr(
+          "CAST(a AS DECIMAL(38,0)) * ctot + CAST(c AS DECIMAL(38,0)) * atot"))
         // round the BOUNDED log2 ratio to micros FIRST, then multiply
         // by the exact integer count: rounding count·log2·1e6 (up to
         // ~1e11) would let libm's per-engine log2 ulp cross a rounding
         // boundary; the ratio's log2 is ≤ ~40 in magnitude, so its
         // micro rounding has ~1e-9 boundary exposure per term
         .withColumn("_t1", F.expr(
-          """CASE WHEN a = 0 THEN 0L ELSE
-            |a * CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / _den) * 1000000)
-            |         AS BIGINT) END""".stripMargin))
+          """CASE WHEN a = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE
+            |CAST(a AS DECIMAL(38,0))
+            |* CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / _den) * 1000000)
+            |       AS BIGINT) END""".stripMargin))
         .withColumn("_t2", F.expr(
-          "c * CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / _den) * 1000000) AS BIGINT)"))
+          """CAST(c AS DECIMAL(38,0))
+            |* CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / _den) * 1000000)
+            |       AS BIGINT)""".stripMargin))
         .groupBy("source")
         .agg(F.max("atot").as("n_tokens"),
           F.sum(F.expr("CASE WHEN a > 0 THEN 1L ELSE 0L END")).as("n_terms"),
           F.max("ctot").as("_ct"),
           F.sum("_t1").as("_s1"), F.sum("_t2").as("_s2"))
+        // the micro-rounded KL sums are only nonnegative up to per-term
+        // rounding noise; clamp at 0 so Spark's truncating `div` and
+        // DuckDB's flooring `//` agree on a slightly-negative sum (and
+        // because JS itself is nonnegative — the noise is not signal)
+        .withColumn("_c1", F.expr("greatest(_s1, CAST(0 AS DECIMAL(38,0)))"))
+        .withColumn("_c2", F.expr("greatest(_s2, CAST(0 AS DECIMAL(38,0)))"))
         .select(F.col("source"), F.col("n_tokens"), F.col("n_terms"),
-          F.expr("_s1 div (2 * n_tokens) + _s2 div (2 * _ct)")
+          F.expr("_c1 div (2 * n_tokens) + _c2 div (2 * _ct)")
             .as("js_micro"),
-          F.expr("CAST(_s1 div (2 * n_tokens) + _s2 div (2 * _ct)" +
+          F.expr("CAST(_c1 div (2 * n_tokens) + _c2 div (2 * _ct)" +
             " AS DOUBLE) / 1000000.0").as("js"))
         .orderBy("source")
     },
@@ -509,27 +522,33 @@ object SemanticQueries {
                       coalesce(x.a, 0) AS a
                FROM stot s CROSS JOIN ct t CROSS JOIN ctot
                LEFT JOIN st x ON x.source = s.source AND x.term = t.term),
-      terms AS (SELECT source, atot, ctot,
-                       a, c, a * ctot + c * atot AS den
+      terms AS (SELECT source, atot, ctot, a, c,
+                       CAST(a AS HUGEINT) * ctot
+                         + CAST(c AS HUGEINT) * atot AS den
                 FROM grid),
       m AS (SELECT source,
                    CAST(max(atot) AS BIGINT) AS n_tokens,
                    CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_terms,
                    CAST(max(ctot) AS BIGINT) AS ct2,
-                   CAST(sum(CASE WHEN a = 0 THEN 0 ELSE
-                     a * CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / den) * 1000000)
-                              AS BIGINT) END) AS BIGINT) AS s1,
-                   CAST(sum(c * CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / den)
-                                           * 1000000) AS BIGINT))
-                        AS BIGINT) AS s2
-            FROM terms GROUP BY 1)
+                   sum(CASE WHEN a = 0 THEN CAST(0 AS HUGEINT) ELSE
+                     CAST(a AS HUGEINT)
+                     * CAST(round(log2(CAST(2 AS DOUBLE) * a * ctot / den)
+                                  * 1000000) AS BIGINT) END) AS s1,
+                   sum(CAST(c AS HUGEINT)
+                       * CAST(round(log2(CAST(2 AS DOUBLE) * c * atot / den)
+                                    * 1000000) AS BIGINT)) AS s2
+            FROM terms GROUP BY 1),
+      cl AS (SELECT source, n_tokens, n_terms, ct2,
+                    greatest(s1, CAST(0 AS HUGEINT)) AS c1,
+                    greatest(s2, CAST(0 AS HUGEINT)) AS c2
+             FROM m)
       SELECT source, n_tokens, n_terms,
-             CAST(s1 // (2 * n_tokens) + s2 // (2 * ct2) AS BIGINT)
+             CAST(c1 // (2 * n_tokens) + c2 // (2 * ct2) AS BIGINT)
                AS js_micro,
-             CAST(s1 // (2 * n_tokens) + s2 // (2 * ct2) AS DOUBLE)
+             CAST(c1 // (2 * n_tokens) + c2 // (2 * ct2) AS DOUBLE)
                / 1000000.0 AS js
-      FROM m ORDER BY source"""))
+      FROM cl ORDER BY source"""))
 
   // ---------------------------------------------------------------- E78
   /** Epoch plan under a fixed token budget — the data-constrained

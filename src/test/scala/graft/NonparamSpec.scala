@@ -73,10 +73,15 @@ class NonparamSpec extends SparkSpec {
     val nt = cells.map(_._2).sum.toDouble
     val nr = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
     val nc = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
-    val chi2 = cells.map { case ((p, s2), o) =>
+    // full row×column grid: an empty cell still contributes its
+    // expected count (the query builds the same grid via margin cross
+    // join + left join — both sides must share the semantics)
+    val obs = cells.toMap
+    val chi2 = (for (p <- nr.keys; s2 <- nc.keys) yield {
+      val o = obs.getOrElse((p, s2), 0L).toDouble
       val e = nr(p) * nc(s2) / nt
       (o - e) * (o - e) / e
-    }.sum
+    }).sum
     val v = math.sqrt(chi2 / (nt * (math.min(nr.size, nc.size) - 1)))
     // the query floors each cell term at micro granularity: ≤ 1e-6 per
     // cell of downward bias, 25 cells → compare at 1e-4
@@ -85,6 +90,24 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("cramers_v") - v) < 1e-4)
     assert(row.getAs[Double]("cramers_v") >= 0.0 &&
       row.getAs[Double]("cramers_v") <= 1.0)
+  }
+
+  test("cramers_v charges empty cells their expected count") {
+    import spark.implicits._
+    // 2×2 grid with cell (P2,B) EMPTY: nt=6, nr={P1:4,P2:2}, nc={A:5,B:1}
+    // full-grid χ² = .0333+.1667+.0667+.3333 = 0.6 — observed-cells-only
+    // would understate it as 0.2667 (the r10 ADVICE defect)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cramers_empty").toString
+    Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(("P1", 1L), ("P1", 1L), ("P1", 1L), ("P1", 2L), ("P2", 1L),
+      ("P2", 1L)).toDF("o_orderpriority", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val row = SparkEntry.queries("cramers_v")(spark, dir).collect().head
+    assert(math.abs(row.getAs[Double]("chi2") - 0.6) < 1e-4,
+      s"chi2 ${row.getAs[Double]("chi2")} vs full-grid 0.6")
+    assert(math.abs(row.getAs[Double]("cramers_v") - math.sqrt(0.1)) < 1e-4)
   }
 
   test("epoch_plan caps epochs at 4 and never plans past the target") {
