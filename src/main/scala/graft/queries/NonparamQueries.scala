@@ -467,6 +467,118 @@ object NonparamQueries {
                         * (k_groups - 1)), 6) END AS f_stat
       FROM f ORDER BY k_groups"""))
 
+  // ---------------------------------------------------------------- M38
+  /** Kruskal-Wallis H across all order priorities on order value — the
+    * k-sample rank analog of M34's ANOVA F (the test to reach for when
+    * M37's variance gate or plain non-normality rules the F out), and
+    * the k-group generalization of M33's machinery: the SAME exact
+    * tie-corrected midranks from ONE DistRank.globalCumSum range
+    * shuffle over the value DOMAIN, midranks carried ×2 so they stay
+    * integral. Values go to integer myriacents (DECIMAL(18,4) × 10⁴ —
+    * the engines' one proven double→decimal agreement point, M34's
+    * discipline). Per group, the rank-sum term R_g²/n_g = R2_g²/(4n_g)
+    * splits into the exact integer quotient (deterministic floor form
+    * on DECIMAL(38,0)/HUGEINT — R2² ~ N⁴, int64 is gone by sf0.1) PLUS
+    * the remainder floor-divided at micro precision: a bare floor
+    * drops up to 1 per group, visible at small N (the property test
+    * caught it); the micro correction bounds the bias at k·10⁻⁶ with
+    * no overflow (remainder < 4N). H = 12·ΣR_g²/n_g/(N(N+1)) − 3(N+1)
+    * and the tie correction 1 − Σ(t³−t)/(N³−N) are each closing doubles
+    * from string-routed exact integers.
+    *
+    * Scale shape: one map-side-combined pass to the (group, value)
+    * frame, one domain-sized cumsum, k-row finish — never a global
+    * row-level rank window. */
+  private val kruskalWallis = QueryDef(
+    "kruskal_wallis",
+    (s, d) => {
+      val vals = t(s, d, "orders")
+        .select(F.col("o_orderpriority").as("grp"),
+          F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000" +
+            " AS BIGINT)").as("v"))
+        .groupBy("grp", "v").agg(F.count(F.lit(1)).as("n_gv"))
+      val dom = vals.groupBy("v").agg(F.sum("n_gv").cast("long").as("cnt"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        dom, "cnt", "cum", F.col("v").asc)
+      val ties = cum.agg(
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt"))
+          .as("_tie"))
+      val g = vals.join(cum, "v")
+        .groupBy("grp")
+        .agg(F.sum("n_gv").cast("long").as("n_g"),
+          F.sum(F.expr("CAST(n_gv AS DECIMAL(38,0)) * (2 * cum - cnt + 1)"))
+            .as("_r2"))
+        .withColumn("_r2sq", F.expr("_r2 * _r2"))
+        .withColumn("_den4", F.expr("4 * n_g"))
+        .withColumn("_sg", F.expr(
+          "CAST((_r2sq - _r2sq % _den4) / _den4 AS DECIMAL(38,0))"))
+        .withColumn("_rm", F.expr(
+          "CAST(_r2sq % _den4 AS DECIMAL(38,0)) * 1000000"))
+        .withColumn("_cg", F.expr(
+          "CAST((_rm - _rm % _den4) / _den4 AS BIGINT)"))
+      g.agg(F.count(F.lit(1)).as("k_groups"),
+          F.sum("n_g").cast("long").as("n_rows"),
+          F.sum("_sg").as("_s"),
+          F.sum("_cg").cast("long").as("_cc"))
+        .crossJoin(F.broadcast(ties))
+        .withColumn("_h", F.expr(
+          """(CAST(CAST(_s AS STRING) AS DOUBLE) * 12
+            | + CAST(_cc AS DOUBLE) * 12 / 1000000)
+            |/ (CAST(n_rows AS DOUBLE) * (n_rows + 1)) - 3 * (n_rows + 1)"""
+            .stripMargin))
+        .withColumn("_c", F.expr(
+          """1 - CAST(CAST(_tie AS STRING) AS DOUBLE)
+            |/ (CAST(n_rows AS DOUBLE) * n_rows * n_rows - n_rows)"""
+            .stripMargin))
+        .select(F.col("k_groups"), F.col("n_rows"),
+          F.expr("""CASE WHEN k_groups < 2 OR n_rows <= k_groups
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_h, 6) END""".stripMargin)
+            .as("h_stat"),
+          F.expr("""CASE WHEN k_groups < 2 OR n_rows <= k_groups OR _c <= 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_h / _c, 6) END"""
+            .stripMargin).as("h_corrected"))
+        .orderBy("k_groups")
+    },
+    Some("""
+      WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                 AS v,
+               CAST(count(*) AS BIGINT) AS n_gv
+        FROM orders GROUP BY 1, 2),
+      dom AS (SELECT v, CAST(sum(n_gv) AS BIGINT) AS cnt FROM v GROUP BY 1),
+      c AS (SELECT v, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+            FROM dom),
+      tie AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+              FROM dom),
+      g AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS n_g,
+                   sum(CAST(n_gv AS HUGEINT) * (2 * cum - cnt + 1)) AS r2
+            FROM v JOIN c USING (v) GROUP BY 1),
+      sg AS (SELECT grp, n_g, (r2 * r2) // (4 * n_g) AS s_g,
+                    ((r2 * r2) % (4 * n_g)) * 1000000 // (4 * n_g) AS c_g
+             FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n_g) AS BIGINT) AS n_rows,
+                   sum(s_g) AS s,
+                   CAST(sum(c_g) AS BIGINT) AS cc FROM sg),
+      h AS (SELECT k_groups, n_rows,
+                   (CAST(CAST(s AS VARCHAR) AS DOUBLE) * 12
+                     + CAST(cc AS DOUBLE) * 12 / 1000000)
+                     / (CAST(n_rows AS DOUBLE) * (n_rows + 1))
+                     - 3 * (n_rows + 1) AS h_raw,
+                   1 - CAST(CAST(tie_t AS VARCHAR) AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) * n_rows * n_rows - n_rows)
+                     AS corr
+            FROM a, tie)
+      SELECT k_groups, n_rows,
+             CASE WHEN k_groups < 2 OR n_rows <= k_groups
+               THEN CAST(0.0 AS DOUBLE) ELSE round(h_raw, 6) END AS h_stat,
+             CASE WHEN k_groups < 2 OR n_rows <= k_groups OR corr <= 0
+               THEN CAST(0.0 AS DOUBLE) ELSE round(h_raw / corr, 6)
+             END AS h_corrected
+      FROM h ORDER BY k_groups"""))
+
   def all: Seq[QueryDef] =
-    Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf)
+    Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis)
 }

@@ -426,6 +426,10 @@ object ScaleTest {
     // cramers_v read the unreplicated orders table — single-aggregate
     // shapes already covered by the agg_distinct probes above.)
     timeQ("mann_whitney")
+    // r11 probe: kruskal_wallis generalizes mann_whitney's shape to k
+    // groups — one map-side-combined (group, value) pass over the 10×
+    // orders + one value-domain cumsum + a k-row finish; row-linear.
+    timeQ("kruskal_wallis")
     timeQ("clustering_coeff")
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)

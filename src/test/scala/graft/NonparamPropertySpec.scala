@@ -83,6 +83,59 @@ class NonparamPropertySpec extends SparkSpec {
     }
   }
 
+  test("kruskal_wallis matches a first-principles replay on random " +
+    "heavy-tie k-group data") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val n = 30 + ((seed * 13) % 120).toInt
+      val cents = samples(Gen.chooseNum(100L, 112L), n, seed * 101)
+      val grps = samples(Gen.oneOf("1-URGENT", "2-HIGH", "3-MEDIUM"),
+        n, seed * 101 + 7)
+      // every group present so k is stable across seeds
+      val rows = cents.zip(grps) :+ (105L -> "1-URGENT") :+
+        (106L -> "2-HIGH") :+ (107L -> "3-MEDIUM")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_kw_prop").toString
+      rows.toDF("cents", "o_orderpriority")
+        .selectExpr("CAST(cents AS DOUBLE) / 100 AS o_totalprice",
+          "o_orderpriority")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/orders.parquet")
+      val row = SparkEntry.queries("kruskal_wallis")(spark, dir)
+        .collect().head
+      val sorted = rows.map(_._1).sorted
+      val ranks = scala.collection.mutable.Map.empty[Long, Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        ranks(sorted(i)) = (i + 1 + j) / 2.0
+        i = j
+      }
+      val groups = rows.groupBy(_._2)
+      val nn = rows.length.toDouble
+      val s = groups.values.map { g =>
+        val r = g.map(x => ranks(x._1)).sum; r * r / g.size
+      }.sum
+      val h = 12.0 / (nn * (nn + 1)) * s - 3 * (nn + 1)
+      val tie = rows.map(_._1).groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val corr = 1.0 - tie / (nn * nn * nn - nn)
+      assert(row.getAs[Long]("k_groups") == groups.size.toLong,
+        s"seed $seed k")
+      assert(row.getAs[Long]("n_rows") == rows.length.toLong,
+        s"seed $seed n")
+      assert(math.abs(row.getAs[Double]("h_stat") - h) < 1e-4,
+        s"seed $seed: h ${row.getAs[Double]("h_stat")} vs replay $h")
+      if (corr > 0)
+        assert(math.abs(row.getAs[Double]("h_corrected") - h / corr) < 1e-4,
+          s"seed $seed: hc ${row.getAs[Double]("h_corrected")}" +
+            s" vs replay ${h / corr}")
+      else assert(row.getAs[Double]("h_corrected") == 0.0,
+        s"seed $seed corr guard")
+    }
+  }
+
   test("ks_2sample matches a raw-ECDF sup replay on random data") {
     for (seed <- 1L to 6L) {
       val rows = genRows(seed * 57 + 11)

@@ -167,6 +167,38 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("ks_z") - z) < 1e-4)
   }
 
+  test("kruskal_wallis matches a brute-force midrank replay") {
+    val row = q("kruskal_wallis").collect().head
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .select(F.col("o_orderpriority"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = raw.map(_._2).sorted
+    val ranks = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      ranks(sorted(i)) = (i + 1 + j) / 2.0
+      i = j
+    }
+    val groups = raw.groupBy(_._1)
+    val n = raw.length.toDouble
+    val s = groups.values.map { g =>
+      val r = g.map(x => ranks(x._2)).sum; r * r / g.size
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    val tie = raw.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+    val hc = h / (1.0 - tie / (n * n * n - n))
+    assert(row.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_rows") == raw.length.toLong)
+    assert(math.abs(row.getAs[Double]("h_stat") - h) < 1e-3,
+      s"h ${row.getAs[Double]("h_stat")} vs brute $h")
+    assert(math.abs(row.getAs[Double]("h_corrected") - hc) < 1e-3,
+      s"hc ${row.getAs[Double]("h_corrected")} vs brute $hc")
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
