@@ -156,5 +156,200 @@ object GraphMetricsQueries {
              END AS assortativity
       FROM a, nn ORDER BY n_nodes"""))
 
-  def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity)
+  /** Sample budget for D60/D61: closures are checked among the K
+    * smallest-hash neighbors per node (≤ C(30,2) = 435 candidate pairs
+    * per node — vs Σd² unsampled), and the estimate is EXACT for every
+    * node with degree ≤ 30. */
+  val SAMPLE_K = 30
+
+  // ---------------------------------------------------------------- D60
+  /** SAMPLED local clustering coefficient distribution — the scale path
+    * for D57, whose exact wedge enumeration is the suite's heaviest
+    * query by design ([[graft.operators.Graph.localClusteringSampled]]:
+    * per node, deterministic hash60-min K-neighbor draws, closures
+    * counted among their C(k_eff,2) pairs; unbiased since a hash-min
+    * K-subset includes each neighbor pair with equal probability, and
+    * exact wherever d(v) ≤ K). Same output shape as D57: per-node
+    * estimates carried as integer micros, percent buckets, deg<2 nodes
+    * at bucket −1. D61 publishes the signed per-bucket error against
+    * D57's exact truth.
+    *
+    * Scale shape: one edge-linear per-node top-K pass (node-keyed hash
+    * window), a ≤ n·C(K,2) candidate-pair frame (cost tracks the
+    * sample budget, NOT the wedge count), the same shuffled-hash
+    * closure semi-join as D57, ≤ 101-row histogram. */
+  private val clusteringCoeffSampled = QueryDef(
+    "clustering_coeff_sampled",
+    (s, d) => {
+      val pn = graft.operators.Graph.localClusteringSampled(
+        Staged.coPurchaseEdges(s, d), "pa", "pb", SAMPLE_K)
+      pn.withColumn("_micro", F.expr(
+          "CASE WHEN n_pairs = 0 THEN 0L" +
+            " ELSE (n_closed * 1000000) div n_pairs END"))
+        .withColumn("bucket", F.expr(
+          "CASE WHEN n_pairs = 0 THEN -1L" +
+            " ELSE least(99L, (n_closed * 100) div n_pairs) END"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_nodes"), F.sum("_micro").as("_sm"))
+        .select(F.col("bucket"), F.col("n_nodes"),
+          F.expr("round(CAST(_sm AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_coeff"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      dir AS (SELECT pa AS u, pb AS v FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+              FROM dir GROUP BY 1),
+      samp AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY
+            ${graft.operators.Hashing.hash60Sql(
+              "CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)")}, v)
+            AS rn
+          FROM dir) WHERE rn <= $SAMPLE_K),
+      wp AS (SELECT s1.u, s1.v AS x, s2.v AS y
+             FROM samp s1 JOIN samp s2 ON s1.u = s2.u AND s1.v < s2.v),
+      cl AS (SELECT u, CAST(count(*) AS BIGINT) AS n_closed
+             FROM wp
+             WHERE EXISTS (SELECT 1 FROM e
+                           WHERE e.pa = wp.x AND e.pb = wp.y)
+             GROUP BY 1),
+      ke AS (SELECT u, CAST(count(*) AS BIGINT) AS k_eff
+             FROM samp GROUP BY 1),
+      pn AS (SELECT deg.u, deg.dg,
+                    coalesce(ke.k_eff, 0) * (coalesce(ke.k_eff, 0) - 1)
+                      // 2 AS n_pairs,
+                    coalesce(cl.n_closed, 0) AS n_closed
+             FROM deg LEFT JOIN ke ON deg.u = ke.u
+                      LEFT JOIN cl ON deg.u = cl.u),
+      b AS (SELECT CASE WHEN n_pairs = 0 THEN -1
+                        ELSE least(99, (n_closed * 100) // n_pairs)
+                   END AS bucket,
+                   CASE WHEN n_pairs = 0 THEN 0
+                        ELSE (n_closed * 1000000) // n_pairs END AS micro
+            FROM pn)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_coeff
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- D61
+  /** Per-bucket honesty audit of the D60 estimator against D57's exact
+    * per-node truth — the D14c pattern (the audit pays the exact cost;
+    * the serving query D60 doesn't): nodes grouped by their EXACT
+    * percent bucket, publishing node count, the exact and sampled mean
+    * coefficients, and the SIGNED mean error in micros. Per-node values
+    * ride as integer micros; the two mean columns and the signed error
+    * are each one closing double division. */
+  private val clusteringSampleAudit = QueryDef(
+    "clustering_sample_audit",
+    (s, d) => {
+      val ex = graft.operators.Graph.localClustering(
+        Staged.coPurchaseEdges(s, d), "pa", "pb")
+        .withColumn("_w", F.expr("dg * (dg - 1) div 2"))
+        .select(F.col("v"),
+          F.expr("CASE WHEN _w = 0 THEN 0L" +
+            " ELSE (n_tri * 1000000) div _w END").as("_me"),
+          F.expr("CASE WHEN _w = 0 THEN -1L" +
+            " ELSE least(99L, (n_tri * 100) div _w) END").as("bucket"))
+      val sp = graft.operators.Graph.localClusteringSampled(
+        Staged.coPurchaseEdges(s, d), "pa", "pb", SAMPLE_K)
+        .select(F.col("v"),
+          F.expr("CASE WHEN n_pairs = 0 THEN 0L" +
+            " ELSE (n_closed * 1000000) div n_pairs END").as("_ms"))
+      ex.join(sp, "v")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_nodes"),
+          F.sum("_me").as("_se"), F.sum("_ms").as("_ss"))
+        .select(F.col("bucket"), F.col("n_nodes"),
+          F.expr("round(CAST(_se AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_exact"),
+          F.expr("round(CAST(_ss AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_sampled"),
+          F.expr("round((CAST(_ss AS DOUBLE) - CAST(_se AS DOUBLE))" +
+            " / n_nodes, 1)").as("err_micro"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY 1),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN da.dg < db.dg
+                      OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.dg < db.dg
+                      OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst
+        FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v),
+      w AS (SELECT e1.src AS apex, e1.dst AS x, e2.dst AS y
+            FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+      tri AS MATERIALIZED (
+        SELECT apex, x, y FROM w
+        WHERE EXISTS (SELECT 1 FROM e
+                      WHERE e.pa = w.x AND e.pb = w.y)),
+      tv AS (SELECT apex AS v FROM tri UNION ALL SELECT x FROM tri
+             UNION ALL SELECT y FROM tri),
+      tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+             FROM tv GROUP BY 1),
+      exct AS (SELECT deg.v,
+                      CASE WHEN deg.dg * (deg.dg - 1) // 2 = 0 THEN 0
+                           ELSE (coalesce(tc.n_tri, 0) * 1000000)
+                                // (deg.dg * (deg.dg - 1) // 2)
+                      END AS me,
+                      CASE WHEN deg.dg * (deg.dg - 1) // 2 = 0 THEN -1
+                           ELSE least(99, (coalesce(tc.n_tri, 0) * 100)
+                                // (deg.dg * (deg.dg - 1) // 2))
+                      END AS bucket
+               FROM deg LEFT JOIN tc ON deg.v = tc.v),
+      dir AS (SELECT pa AS u, pb AS v FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      samp AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY
+            ${graft.operators.Hashing.hash60Sql(
+              "CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)")}, v)
+            AS rn
+          FROM dir) WHERE rn <= $SAMPLE_K),
+      wp AS (SELECT s1.u, s1.v AS x, s2.v AS y
+             FROM samp s1 JOIN samp s2 ON s1.u = s2.u AND s1.v < s2.v),
+      cl AS (SELECT u, CAST(count(*) AS BIGINT) AS n_closed
+             FROM wp
+             WHERE EXISTS (SELECT 1 FROM e
+                           WHERE e.pa = wp.x AND e.pb = wp.y)
+             GROUP BY 1),
+      ke AS (SELECT u, CAST(count(*) AS BIGINT) AS k_eff
+             FROM samp GROUP BY 1),
+      sm AS (SELECT du.u AS v,
+                    CASE WHEN coalesce(ke.k_eff, 0)
+                              * (coalesce(ke.k_eff, 0) - 1) // 2 = 0
+                         THEN 0
+                         ELSE (coalesce(cl.n_closed, 0) * 1000000)
+                              // (coalesce(ke.k_eff, 0)
+                                 * (coalesce(ke.k_eff, 0) - 1) // 2)
+                    END AS ms
+             FROM (SELECT DISTINCT u FROM dir) du
+             LEFT JOIN ke ON du.u = ke.u LEFT JOIN cl ON du.u = cl.u)
+      SELECT CAST(exct.bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             round(CAST(sum(me) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_exact,
+             round(CAST(sum(ms) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_sampled,
+             round((CAST(sum(ms) AS DOUBLE) - CAST(sum(me) AS DOUBLE))
+                   / count(*), 1) AS err_micro
+      FROM exct JOIN sm ON exct.v = sm.v
+      GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
+    clusteringCoeffSampled, clusteringSampleAudit)
 }

@@ -426,6 +426,16 @@ object ScaleTest {
     // cramers_v read the unreplicated orders table — single-aggregate
     // shapes already covered by the agg_distinct probes above.)
     timeQ("mann_whitney")
+    // r11 probes: the SAMPLED clustering coefficient must track the
+    // sample budget, not the wedge count — K=8 caps the candidate-pair
+    // frame at C(8,2)=28/node vs D60's C(30,2)=435/node vs the exact
+    // form's oriented wedge enumeration (timed below as
+    // clustering_coeff). (clustering_sample_audit excluded: it contains
+    // the exact-truth side by design, like ivfpq_recall.)
+    time("clust_sampled_k8")(graft.operators.Graph.localClusteringSampled(
+      graft.queries.Staged.coPurchaseEdges(spark, qdir), "pa", "pb", 8)
+      .count())
+    timeQ("clustering_coeff_sampled")
     // r11 probe: kruskal_wallis generalizes mann_whitney's shape to k
     // groups — one map-side-combined (group, value) pass over the 10×
     // orders + one value-domain cumsum + a k-row finish; row-linear.

@@ -323,6 +323,79 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("localClusteringSampled equals the exact form when K covers " +
+    "every neighborhood") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1 + isolated edge 5–6; max degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("pa", "pb")
+    val out = graft.operators.Graph
+      .localClusteringSampled(edges, "pa", "pb", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // (dg, n_pairs = C(dg,2), n_closed = t(v) when the sample is full)
+    assert(out(1L) == ((3L, 3L, 1L)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1L)) && out(3L) == ((2L, 1L, 1L)))
+    assert(out(4L) == ((1L, 0L, 0L)) && out(5L) == ((1L, 0L, 0L)))
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("localClusteringSampled matches a driver-side hash-min replay") {
+    val k = graft.queries.GraphMetricsQueries.SAMPLE_K
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+    }
+    val sp = graft.operators.Graph.localClusteringSampled(
+      graft.queries.Staged.coPurchaseEdges(spark, sf), "pa", "pb", k)
+      .collect()
+    assert(sp.length == adj.size, "one row per graph node")
+    sp.foreach { r =>
+      val (v, dg, nPairs, nClosed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val nbrs = adj(v)
+      assert(dg == nbrs.length.toLong, s"node $v degree")
+      // replay the deterministic draw: K smallest (hash60("u,v"), v)
+      val chosen = nbrs.toArray
+        .map(n => (graft.operators.Hashing.hash60(s"$v,$n"), n))
+        .sorted.take(k).map(_._2)
+      assert(nPairs == chosen.length.toLong * (chosen.length - 1) / 2,
+        s"node $v pairs")
+      val closed = (for {
+        i <- chosen.indices; j <- (i + 1) until chosen.length
+        a = math.min(chosen(i), chosen(j)); b = math.max(chosen(i), chosen(j))
+        if edgeSet.contains((a, b))
+      } yield 1).size
+      assert(nClosed == closed.toLong,
+        s"node $v: sampled $nClosed vs replay $closed")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("clustering_sample_audit partitions nodes and bounds the error") {
+    val rows = q("clustering_sample_audit").collect()
+    val total = rows.map(_.getAs[Long]("n_nodes")).sum
+    val nodes = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .select(F.explode(F.array("pa", "pb")).as("v")).distinct().count()
+    assert(total == nodes, s"bucket total $total != $nodes nodes")
+    rows.foreach { r =>
+      val me = r.getAs[Double]("mean_exact")
+      val ms = r.getAs[Double]("mean_sampled")
+      assert(me >= 0.0 && me <= 1.0 && ms >= 0.0 && ms <= 1.0)
+      // err is the micro-scale difference of the two published means
+      // (each mean independently rounded to 1e-6 → ±0.5 micro each)
+      assert(math.abs(r.getAs[Double]("err_micro") -
+        (ms - me) * 1e6) < 1.5, s"bucket ${r.getAs[Long]("bucket")}")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("clustering_coeff buckets partition all graph nodes") {
     val rows = q("clustering_coeff").collect()
     val total = rows.map(_.getAs[Long]("n_nodes")).sum
