@@ -343,6 +343,99 @@ object Graph {
     deg.join(perNode, Seq("v"), "left").na.fill(0L, Seq("n_tri"))
   }
 
+  /** One synchronous WEIGHTED Louvain local-move round over an explicit
+    * weighted edge list (pa, pb, w) — one row per undirected edge with
+    * pa ≤ pb; SELF-LOOPS (pa = pb) are allowed and handled the way
+    * Louvain's phase-2 coarse graphs need: a self-loop contributes 2w
+    * to its node's weighted degree (and hence to s_c and W) but never
+    * to any k_vc, because the loop moves WITH the node. Gain formula is
+    * the exact weighted analog of [[louvainMoveRoundLabeled]]'s —
+    * gain(v: a→c) = 2W·(w_vc − w_va) − k_v·(s_c − s_a + k_v), all
+    * integer DECIMAL(38,0) arithmetic (weights are counts), best
+    * strictly-positive move, smallest-label tie-break, moves applied
+    * synchronously. Labels frame is the node spine, so zero-degree and
+    * self-loop-only nodes keep their labels instead of dropping.
+    * Output: (v, community). Same scale shape as the unweighted round:
+    * one corpus-scale k_vc aggregate (optionally materialized to
+    * `kvcScratch` for its four consumer subtrees), community-sized
+    * totals broadcast. */
+  def louvainMoveRoundWeighted(wEdges: DataFrame, labels: DataFrame,
+      kvcScratch: Option[String] = None,
+      monotone: Boolean = false): DataFrame = {
+    val lab = labels.select(F.col("v"), F.col("community").as("lbl"))
+    val nonSelf = wEdges.where(F.col("pa") =!= F.col("pb"))
+    val self = wEdges.where(F.col("pa") === F.col("pb"))
+      .select(F.col("pa").as("v"), F.col("w").as("sw"))
+    val lblE = nonSelf
+      .join(lab.select(F.col("v").as("pa"), F.col("lbl").as("ca")), "pa")
+      .join(lab.select(F.col("v").as("pb"), F.col("lbl").as("cb")), "pb")
+    val dirNbr = lblE.select(F.explode(F.array(
+        F.struct(F.col("pa").as("v"), F.col("cb").as("c"),
+          F.col("w").as("w")),
+        F.struct(F.col("pb").as("v"), F.col("ca").as("c"),
+          F.col("w").as("w")))).as("x"))
+      .select(F.col("x.v").as("v"), F.col("x.c").as("c"),
+        F.col("x.w").as("w"))
+    val kvc = kvcScratch match {
+      case Some(dir) =>
+        dirNbr.groupBy("v", "c").agg(F.sum("w").as("kv"))
+          .write.mode("overwrite").parquet(dir)
+        wEdges.sparkSession.read.parquet(dir)
+      case None =>
+        dirNbr.groupBy("v", "c").agg(F.sum("w").as("kv"))
+    }
+    // weighted degree on the LABEL spine: k_v = Σ_c k_vc + 2·w_self —
+    // a left join keeps isolated / self-loop-only nodes
+    val deg = lab.select("v")
+      .join(kvc.groupBy("v").agg(F.sum("kv").as("_k0")), Seq("v"), "left")
+      .na.fill(0L, Seq("_k0"))
+      .join(self, Seq("v"), "left").na.fill(0L, Seq("sw"))
+      .select(F.col("v"), F.expr("_k0 + 2 * sw").as("k"))
+    val dtot = lab.join(deg, "v")
+      .groupBy(F.col("lbl").as("c")).agg(F.sum("k").as("dt"))
+    val m = deg.agg(F.expr("sum(k) div 2").as("m"))
+    val base = lab
+      .join(deg, "v")
+      .join(kvc.select(F.col("v"), F.col("c").as("lbl"),
+        F.col("kv").as("kva")), Seq("v", "lbl"), "left")
+      .na.fill(0L, Seq("kva"))
+      .join(F.broadcast(
+        dtot.select(F.col("c").as("lbl"), F.col("dt").as("dta"))), "lbl")
+      .crossJoin(F.broadcast(m))
+    val cand0 = base
+      .join(kvc, "v")
+      .where(F.col("c") =!= F.col("lbl"))
+    // monotone guard: restrict moves to SMALLER target labels — the
+    // cycle-breaking rule synchronous distributed Louvain variants use
+    // (a→b and b→a cannot both fire when only one direction descends)
+    val cand = (if (monotone) cand0.where(F.col("c") < F.col("lbl"))
+      else cand0)
+      .join(F.broadcast(dtot), "c")
+      .select(F.col("v"), F.col("c"),
+        F.expr("2 * CAST(m AS DECIMAL(38,0)) * (kv - kva) - " +
+          "CAST(k AS DECIMAL(38,0)) * (dt - dta + k)").as("gain"))
+    val best = cand.groupBy("v")
+      .agg(F.min(F.struct(F.negate(F.col("gain")).as("ng"), F.col("c")))
+        .as("_b"))
+      .select(F.col("v"), F.col("_b.c").as("_tc"),
+        F.negate(F.col("_b.ng")).as("_gain"))
+    lab.join(best, Seq("v"), "left")
+      .select(F.col("v"),
+        F.when(F.col("_gain") > 0, F.col("_tc")).otherwise(F.col("lbl"))
+          .as("community"))
+  }
+
+  /** Louvain PHASE-2 coarse graph: collapse a labeled partition's
+    * communities to supernodes with aggregated edge weights — one row
+    * per community pair (pa ≤ pb, pa = pb carries the intra-community
+    * self-loop weight). Metadata-sized after any nontrivial detection.
+    * `lblEdges` is a [[labelEdges]] frame (pa, pb, ca, cb). */
+  def coarsenGraph(lblEdges: DataFrame): DataFrame =
+    lblEdges.select(
+        F.least(F.col("ca"), F.col("cb")).as("pa"),
+        F.greatest(F.col("ca"), F.col("cb")).as("pb"))
+      .groupBy("pa", "pb").agg(F.count(F.lit(1)).as("w"))
+
   /** SAMPLED local clustering coefficient — the 100 TB read of
     * [[localClustering]], whose exact wedge enumeration is inherently
     * the heaviest graph pass (~√m·m wedge constant). Per node, keep the

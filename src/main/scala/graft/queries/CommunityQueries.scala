@@ -405,40 +405,51 @@ object CommunityQueries {
     * multi-edge parquet. Output beside D51's unweighted Q: a weighted
     * score ABOVE the unweighted one means intra-community pairs are
     * bought together more often than the raw topology suggests. */
+  /** One-row exact-integer WEIGHTED Newman modularity of a labeled
+    * partition over a weighted pair list (pa, pb, w):
+    * Q_w = Σ_c [w_in_c/W − (s_c/2W)²] as the integer numerator
+    * Σ_c (4·W·w_in_c − s_c²) over DECIMAL(38,0) with ONE integral
+    * division by 4W². Same one-pass explode shape as
+    * [[modularityCoreLabeled]], weight columns riding along. Shared by
+    * D54 (detected partition, live-built weights) and D62 (weighted
+    * move rung, staged weights — before and after scores). */
+  private[graft] def weightedModularityCore(w: DataFrame,
+      comm: DataFrame): DataFrame = {
+    val lblW = w
+      .join(comm.select(F.col("v").as("pa"), F.col("community").as("ca")),
+        "pa")
+      .join(comm.select(F.col("v").as("pb"), F.col("community").as("cb")),
+        "pb")
+    val perC = graft.operators.CacheScope.persist(lblW
+      .select(F.explode(F.array(
+        F.struct(F.col("ca").as("c"),
+          F.when(F.col("ca") === F.col("cb"), F.col("w"))
+            .otherwise(F.lit(0L)).as("iw"),
+          F.col("w").as("w")),
+        F.struct(F.col("cb").as("c"), F.lit(0L).as("iw"),
+          F.col("w").as("w")))).as("x"))
+      .select(F.col("x.c").as("community"), F.col("x.iw").as("iw"),
+        F.col("x.w").as("w"))
+      .groupBy("community")
+      .agg(F.sum("w").as("s_c"), F.sum("iw").as("w_in")))
+    val wTot = perC.agg(F.expr("coalesce(sum(s_c), 0) div 2").as("w_tot"))
+    perC.crossJoin(F.broadcast(wTot))
+      .agg(F.count(F.lit(1)).as("n_communities"),
+        F.sum(F.expr("4 * CAST(w_tot AS DECIMAL(38,0)) * w_in - " +
+          "CAST(s_c AS DECIMAL(38,0)) * s_c")).as("_num"))
+      .crossJoin(F.broadcast(wTot))
+      .select(F.col("n_communities"), F.col("w_tot"),
+        F.expr("CAST(IF(w_tot = 0, 0, _num * 1000000 div " +
+          "(4 * CAST(w_tot AS DECIMAL(38,0)) * w_tot)) AS BIGINT)")
+          .as("qw_micro"))
+  }
+
   private val communityWeighted = QueryDef(
     "community_weighted",
-    (s, d) => {
-      val w = Staged.coPurchasePairs(s, d).groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).as("w"))
-      val comm = Staged.communityLabels(s, d)
-      val lblW = w
-        .join(comm.select(F.col("v").as("pa"), F.col("community").as("ca")),
-          "pa")
-        .join(comm.select(F.col("v").as("pb"), F.col("community").as("cb")),
-          "pb")
-      val perC = graft.operators.CacheScope.persist(lblW
-        .select(F.explode(F.array(
-          F.struct(F.col("ca").as("c"),
-            F.when(F.col("ca") === F.col("cb"), F.col("w"))
-              .otherwise(F.lit(0L)).as("iw"),
-            F.col("w").as("w")),
-          F.struct(F.col("cb").as("c"), F.lit(0L).as("iw"),
-            F.col("w").as("w")))).as("x"))
-        .select(F.col("x.c").as("community"), F.col("x.iw").as("iw"),
-          F.col("x.w").as("w"))
-        .groupBy("community")
-        .agg(F.sum("w").as("s_c"), F.sum("iw").as("w_in")))
-      val wTot = perC.agg(F.expr("coalesce(sum(s_c), 0) div 2").as("w_tot"))
-      perC.crossJoin(F.broadcast(wTot))
-        .agg(F.count(F.lit(1)).as("n_communities"),
-          F.sum(F.expr("4 * CAST(w_tot AS DECIMAL(38,0)) * w_in - " +
-            "CAST(s_c AS DECIMAL(38,0)) * s_c")).as("_num"))
-        .crossJoin(F.broadcast(wTot))
-        .select(F.col("n_communities"), F.col("w_tot"),
-          F.expr("CAST(IF(w_tot = 0, 0, _num * 1000000 div " +
-            "(4 * CAST(w_tot AS DECIMAL(38,0)) * w_tot)) AS BIGINT)")
-            .as("qw_micro"))
-    },
+    (s, d) => weightedModularityCore(
+      Staged.coPurchasePairs(s, d).groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).as("w")),
+      Staged.communityLabels(s, d)),
     Some(s"""
       WITH $lpaCtesSql,
       li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -466,7 +477,242 @@ object CommunityQueries {
                   END AS BIGINT) AS qw_micro
       FROM perc, wt GROUP BY w_tot"""))
 
+  /** Oracle CTE block scoring WEIGHTED modularity of label CTE `lblCte`
+    * over weighted pair CTE `wEdges` (pa, pb, w), suffixed `p`. Emits
+    * `agw$p` (w_tot, n_communities, num). Mirrors
+    * [[weightedModularityCore]] term for term. */
+  private def qwCtesSql(wEdges: String, lblCte: String, p: String): String =
+    s"""lblw$p AS MATERIALIZED (
+       |          SELECT e.w, x.lbl AS ca, y.lbl AS cb
+       |          FROM $wEdges e JOIN $lblCte x ON x.v = e.pa
+       |               JOIN $lblCte y ON y.v = e.pb),
+       |perc$p AS (SELECT c, CAST(sum(w) AS BIGINT) AS s_c,
+       |                  CAST(sum(iw) AS BIGINT) AS w_in
+       |           FROM (SELECT ca AS c,
+       |                        CASE WHEN ca = cb THEN w ELSE 0 END AS iw, w
+       |                 FROM lblw$p
+       |                 UNION ALL SELECT cb, 0, w FROM lblw$p)
+       |           GROUP BY 1),
+       |wt$p AS (SELECT CAST(coalesce(sum(s_c), 0) // 2 AS BIGINT) AS w_tot
+       |         FROM perc$p),
+       |agw$p AS (SELECT w_tot, CAST(count(*) AS BIGINT) AS n_communities,
+       |                 sum(4 * CAST(w_tot AS HUGEINT) * w_in
+       |                     - CAST(s_c AS HUGEINT) * s_c) AS num
+       |          FROM perc$p, wt$p GROUP BY w_tot)""".stripMargin
+
+  /** Oracle CTE block for ONE synchronous WEIGHTED Louvain move round —
+    * mirrors [[Graph.louvainMoveRoundWeighted]] term for term: weighted
+    * k_vc over non-self edges `wEdges` (pa, pb, w), weighted degree
+    * k_v = Σ k_vc + 2·w_self from self-loop CTE `selfCte` (v, sw) on
+    * the label spine `spine` (v, lbl), exact HUGEINT gain
+    * 2W·(w_vc − w_va) − k_v·(s_c − s_a + k_v), best strictly-positive
+    * move, smallest-label tie-break; `monotone` restricts moves to
+    * SMALLER target labels (the cycle-breaking guard — measured at
+    * sf0.1 on the coarse graph: +914 µ vs −71 µ for the unguarded
+    * synchronous round). Emits `wlr$p` (v, lbl). */
+  private def wMoveCtesSql(wEdges: String, selfCte: String,
+      spine: String, p: String, monotone: Boolean = false): String =
+    s"""wkvc$p AS MATERIALIZED (
+       |  SELECT t.v, t.c, CAST(sum(t.w) AS BIGINT) AS kv
+       |  FROM (SELECT e.pa AS v, y.lbl AS c, e.w
+       |        FROM $wEdges e JOIN $spine y ON y.v = e.pb
+       |        UNION ALL
+       |        SELECT e.pb, x.lbl, e.w
+       |        FROM $wEdges e JOIN $spine x ON x.v = e.pa) t
+       |  GROUP BY 1, 2),
+       |wdeg$p AS (SELECT l.v,
+       |                  CAST(coalesce(kk.s, 0) + 2 * coalesce(sl.sw, 0)
+       |                       AS BIGINT) AS k
+       |           FROM $spine l
+       |           LEFT JOIN (SELECT v, sum(kv) AS s FROM wkvc$p
+       |                      GROUP BY 1) kk ON kk.v = l.v
+       |           LEFT JOIN $selfCte sl ON sl.v = l.v),
+       |wm$p AS (SELECT CAST(sum(k) // 2 AS BIGINT) AS m FROM wdeg$p),
+       |wdtot$p AS (SELECT l.lbl AS c, CAST(sum(d.k) AS BIGINT) AS dt
+       |            FROM $spine l JOIN wdeg$p d ON d.v = l.v GROUP BY 1),
+       |wbase$p AS (SELECT l.v, l.lbl AS a, d.k, coalesce(ka.kv, 0) AS kva,
+       |                   da.dt AS dta
+       |            FROM $spine l JOIN wdeg$p d ON d.v = l.v
+       |            LEFT JOIN wkvc$p ka ON ka.v = l.v AND ka.c = l.lbl
+       |            JOIN wdtot$p da ON da.c = l.lbl),
+       |wcand$p AS (SELECT b.v, kc.c,
+       |                   2 * CAST(m AS HUGEINT) * (kc.kv - b.kva)
+       |                   - CAST(b.k AS HUGEINT) * (dt.dt - b.dta + b.k)
+       |                     AS gain
+       |            FROM wbase$p b JOIN wkvc$p kc
+       |              ON kc.v = b.v AND kc.c <> b.a
+       |                 ${if (monotone) "AND kc.c < b.a" else ""}
+       |                 JOIN wdtot$p dt ON dt.c = kc.c, wm$p),
+       |wbest$p AS (SELECT v, c, gain,
+       |                   row_number() OVER (PARTITION BY v
+       |                     ORDER BY gain DESC, c) AS rn
+       |            FROM wcand$p),
+       |wlr$p AS MATERIALIZED (
+       |         SELECT b.v, CASE WHEN bs.gain > 0 THEN bs.c ELSE b.a END
+       |                       AS lbl
+       |         FROM wbase$p b LEFT JOIN wbest$p bs
+       |           ON bs.v = b.v AND bs.rn = 1)""".stripMargin
+
+  // ---------------------------------------------------------------- D62
+  /** One WEIGHTED Louvain local-move rung over the detected partition —
+    * the r10 verdict's objective-mismatch fix: D53/D55 move on
+    * unweighted Q while D54 SCORES weighted Q, so for weighted graphs
+    * the ladder optimized a different objective than the one it
+    * publishes. This rung moves on the exact weighted gain
+    * 2W·(w_vc − w_va) − k_v·(s_c − s_a + k_v) over the staged
+    * multi-edge weights ([[Staged.coPurchaseWeights]]) and publishes
+    * the before/after WEIGHTED Q — recomputed exactly from the moved
+    * labels, not summed per-move gains (synchronized moves can
+    * interfere — D53's honesty discipline). D53's footprint rules:
+    * staged weight parquet is the shared corpus artifact, moved labels
+    * materialize to scratch parquet, k_vc to its own scratch, zero
+    * corpus-scale persists. Summary row: n_nodes, n_moved,
+    * n_communities (after), w_tot, qw_before_micro, qw_after_micro. */
+  private val communityLadderWeighted = QueryDef(
+    "community_ladder_weighted",
+    (s, d) => {
+      val w = Staged.coPurchaseWeights(s, d)
+      val l0 = Staged.communityLabels(s, d)
+      val qb = weightedModularityCore(w, l0)
+        .select(F.col("qw_micro").as("qw_before_micro"))
+      val dir = s"/tmp/graft_refine_${Harness.runId}/" +
+        s"wladder_${refineRuns.incrementAndGet()}"
+      Graph.louvainMoveRoundWeighted(w, l0, kvcScratch = Some(dir + "_kvc"))
+        .write.mode("overwrite").parquet(dir)
+      val l1 = s.read.parquet(dir)
+      val qa = weightedModularityCore(w, l1)
+        .select(F.col("n_communities"), F.col("w_tot"),
+          F.col("qw_micro").as("qw_after_micro"))
+      val nNodes = l0.agg(F.count(F.lit(1)).as("n_nodes"))
+      val nMoved = l0.select(F.col("v"), F.col("community").as("_cb"))
+        .join(l1.select(F.col("v"), F.col("community").as("_ca")), "v")
+        .agg(F.sum(F.when(F.col("_cb") =!= F.col("_ca"), 1L).otherwise(0L))
+          .as("n_moved"))
+      nNodes.crossJoin(F.broadcast(nMoved))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .select(F.col("n_nodes"), F.col("n_moved"), F.col("n_communities"),
+          F.col("w_tot"), F.col("qw_before_micro"),
+          F.col("qw_after_micro"))
+    },
+    Some(s"""
+      WITH $lpaCtesSql,
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+      pw AS MATERIALIZED (
+        SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      wself0 AS (SELECT CAST(NULL AS BIGINT) AS v,
+                        CAST(NULL AS BIGINT) AS sw WHERE false),
+      ${wMoveCtesSql("pw", "wself0", s"l$iters", "1")},
+      ${qwCtesSql("pw", s"l$iters", "b")},
+      ${qwCtesSql("pw", "wlr1", "a")}
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM l$iters) AS n_nodes,
+             (SELECT CAST(sum(CASE WHEN r.lbl <> l.lbl THEN 1 ELSE 0 END)
+                      AS BIGINT)
+              FROM wlr1 r JOIN l$iters l ON l.v = r.v) AS n_moved,
+             aga.n_communities, agb.w_tot,
+             CAST(CASE WHEN agb.w_tot = 0 THEN 0
+                  ELSE agb.num * 1000000
+                       // (4 * CAST(agb.w_tot AS HUGEINT) * agb.w_tot)
+                  END AS BIGINT) AS qw_before_micro,
+             CAST(CASE WHEN aga.w_tot = 0 THEN 0
+                  ELSE aga.num * 1000000
+                       // (4 * CAST(aga.w_tot AS HUGEINT) * aga.w_tot)
+                  END AS BIGINT) AS qw_after_micro
+      FROM agwb agb, agwa aga"""))
+
+  // ---------------------------------------------------------------- D63
+  /** Louvain PHASE 2 — coarsen and move: collapse the detected
+    * communities to supernodes with aggregated edge weights
+    * ([[Graph.coarsenGraph]] — metadata-sized after detection, intra-
+    * community edges becoming self-loops that carry 2w into the
+    * supernode degree), run ONE weighted move round on the coarse
+    * graph from singleton labels, map the coarse labels back to the
+    * parts, and publish the exact UNWEIGHTED Q before/after — the move
+    * on the count-weighted coarse graph optimizes exactly the original
+    * graph's Q, which is the half of Louvain the D55 ladder lacked.
+    * Runs where Louvain's phase 2 runs: AFTER the phase-1 local moves
+    * (input = the staged rung-1 partition [[Staged.communityMoved]],
+    * q_before = its staged score), not the raw LPA labels. One corpus
+    * pass builds the coarse graph (scratch parquet — the move round
+    * reads its edge frame from multiple subtrees), the move itself is
+    * metadata arithmetic, the map-back is one broadcast join, and the
+    * after-score is one scoring pass. Summary row: n_supernodes,
+    * n_moved, n_communities (after), m, q_before_micro,
+    * q_after_micro. */
+  private val communityCoarsen = QueryDef(
+    "community_coarsen",
+    (s, d) => {
+      val edges = Staged.coPurchaseEdges(s, d)
+      val l0 = Staged.communityMoved(s, d)
+      val cdir = s"/tmp/graft_refine_${Harness.runId}/" +
+        s"coarse_${refineRuns.incrementAndGet()}"
+      Graph.coarsenGraph(Graph.labelEdges(edges, "pa", "pb", l0))
+        .write.mode("overwrite").parquet(cdir)
+      val cg = s.read.parquet(cdir)
+      val sn = cg.select(F.col("pa").as("v"))
+        .unionByName(cg.select(F.col("pb").as("v"))).distinct()
+        .select(F.col("v"), F.col("v").as("community"))
+      val moved = Graph.louvainMoveRoundWeighted(cg, sn, monotone = true)
+      val l1 = l0.select(F.col("v"), F.col("community").as("_c0"))
+        .join(F.broadcast(moved.select(F.col("v").as("_c0"),
+          F.col("community").as("_c1"))), "_c0")
+        .select(F.col("v"), F.col("_c1").as("community"))
+      val qb = Staged.communityMovedQ(s, d)
+        .select(F.col("q_micro").as("q_before_micro"))
+      val qa = modularityCore(edges, l1)
+        .select(F.col("n_communities"), F.col("m"),
+          F.col("q_micro").as("q_after_micro"))
+      val nSuper = sn.agg(F.count(F.lit(1)).as("n_supernodes"))
+      val nMoved = moved
+        .agg(F.sum(F.when(F.col("v") =!= F.col("community"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      nSuper.crossJoin(F.broadcast(nMoved))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .select(F.col("n_supernodes"), F.col("n_moved"),
+          F.col("n_communities"), F.col("m"), F.col("q_before_micro"),
+          F.col("q_after_micro"))
+    },
+    Some(s"""
+      WITH $lpaCtesSql,
+      $moveBaseCtesSql,
+      ${moveCtesSql(s"l$iters", "1")},
+      coarse AS MATERIALIZED (
+        SELECT least(x.lbl, y.lbl) AS pa, greatest(x.lbl, y.lbl) AS pb,
+               CAST(count(*) AS BIGINT) AS w
+        FROM e0 e JOIN lr1 x ON x.v = e.pa
+             JOIN lr1 y ON y.v = e.pb
+        GROUP BY 1, 2),
+      cnz AS (SELECT pa, pb, w FROM coarse WHERE pa <> pb),
+      cself AS (SELECT pa AS v, CAST(w AS BIGINT) AS sw FROM coarse
+                WHERE pa = pb),
+      snlbl AS (SELECT DISTINCT v, v AS lbl
+                FROM (SELECT pa AS v FROM coarse
+                      UNION ALL SELECT pb FROM coarse)),
+      ${wMoveCtesSql("cnz", "cself", "snlbl", "c", monotone = true)},
+      mapped AS MATERIALIZED (
+        SELECT l.v, r.lbl FROM lr1 l JOIN wlrc r ON r.v = l.lbl),
+      ${qCtesSql("lr1", "b")},
+      ${qCtesSql("mapped", "a")}
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM snlbl) AS n_supernodes,
+             (SELECT CAST(sum(CASE WHEN lbl <> v THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM wlrc) AS n_moved,
+             aga.n_communities, mmb.m,
+             CAST(CASE WHEN mmb.m = 0 THEN 0
+                  ELSE agb.num * 1000000
+                       // (4 * CAST(mmb.m AS HUGEINT) * mmb.m)
+                  END AS BIGINT) AS q_before_micro,
+             CAST(CASE WHEN mma.m = 0 THEN 0
+                  ELSE aga.num * 1000000
+                       // (4 * CAST(mma.m AS HUGEINT) * mma.m)
+                  END AS BIGINT) AS q_after_micro
+      FROM agb, mmb, aga, mma"""))
+
   val all: Seq[QueryDef] =
     Seq(communityLpa, communityModularity, communityRefine,
-      communityWeighted, communityLadder)
+      communityWeighted, communityLadder, communityLadderWeighted,
+      communityCoarsen)
 }

@@ -172,6 +172,18 @@ object Staged {
       coPurchasePairs(s, d).select("pa", "pb").distinct()
     }
 
+  /** Weighted co-purchase edge list — (pa, pb, w) with w the pair's
+    * order multiplicity, one map-side-combined count over
+    * [[coPurchasePairs]]. Staged for the weighted-community family
+    * (D62's before-score, move round and after-score all read it);
+    * D54 keeps computing the aggregation LIVE so its bench number
+    * still measures the build. */
+  def coPurchaseWeights(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "weights") {
+      coPurchasePairs(s, d).groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).as("w"))
+    }
+
   /** D50's DETECTED community labels (4-round deterministic LPA over
     * [[coPurchaseEdges]]), staged so the partition is computed ONCE per
     * (JVM, sf dir): `community_lpa` triggers the build on first touch

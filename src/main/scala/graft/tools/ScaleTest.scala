@@ -418,6 +418,13 @@ object ScaleTest {
     // (scratch-parquet materialized, one edge pass) + one scoring pass;
     // edge-linear like community_refine, roughly its cost + one score.
     timeQ("community_ladder")
+    // r11 probes: the weighted move rung is edge-linear like
+    // community_refine (one weighted k_vc build + two weighted scoring
+    // passes over the staged weight parquet); the coarsen rung is one
+    // corpus pass (coarse-graph build) + one scoring pass — its move
+    // itself is metadata arithmetic on the supernode graph.
+    timeQ("community_ladder_weighted")
+    timeQ("community_coarsen")
     // r10 probes: mann_whitney is one map-side-combined aggregate over
     // the 10× lineitem + a value-domain-sized cumsum (50 rows here) —
     // must be row-linear; clustering_coeff enumerates oriented wedges

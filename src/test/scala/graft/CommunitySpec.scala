@@ -144,6 +144,84 @@ class CommunitySpec extends SparkSpec {
     assert(qm >= -500000L && qm <= 1000000L)
   }
 
+  test("louvainMoveRoundWeighted matches a driver-side gain replay " +
+    "with self-loops") {
+    import spark.implicits._
+    // weighted graph with a self-loop on 4 (coarse-graph shape) and a
+    // singleton community 30 on node 6
+    val nonSelf = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 4L, 1L), (4L, 5L, 4L), (5L, 6L, 1L))
+    val wEdges = (nonSelf :+ ((4L, 4L, 2L))).toDF("pa", "pb", "w")
+    val lbl = Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L,
+      5L -> 20L, 6L -> 30L)
+    val labels = lbl.toSeq.toDF("v", "community")
+    val got = graft.operators.Graph
+      .louvainMoveRoundWeighted(wEdges, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the exact weighted gain from first principles
+    val self = Map(4L -> 2L)
+    val kvc = nonSelf
+      .flatMap { case (a, b, w) => Seq((a, lbl(b)) -> w, (b, lbl(a)) -> w) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val kv = lbl.keys.map { v =>
+      v -> (kvc.collect { case ((u, _), w) if u == v => w }.sum
+        + 2 * self.getOrElse(v, 0L))
+    }.toMap
+    val sc = lbl.groupBy(_._2).map { case (c, m0) => c -> m0.keys.map(kv).sum }
+    val bigW = kv.values.sum / 2
+    val expected = lbl.map { case (v, a) =>
+      val cands = kvc.collect { case ((u, c), kw) if u == v && c != a =>
+        (c, BigInt(2) * bigW * (kw - kvc.getOrElse((v, a), 0L))
+          - BigInt(kv(v)) * (sc(c) - sc(a) + kv(v)))
+      }.toSeq
+      val best = cands.sortBy { case (c, g) => (-g, c) }.headOption
+      v -> (best match {
+        case Some((c, g)) if g > 0 => c
+        case _ => a
+      })
+    }
+    assert(got == expected, s"got $got vs replay $expected")
+    // the fixture must exercise BOTH branches: a move and a stay
+    assert(expected.exists { case (v, c) => c != lbl(v) }, "no move fired")
+    assert(expected.exists { case (v, c) => c == lbl(v) }, "all moved")
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("community_ladder_weighted's before-score equals D54 and its " +
+    "move is bounded") {
+    val r = q("community_ladder_weighted").collect().head
+    val d54 = q("community_weighted").collect().head
+    assert(r.getLong(r.fieldIndex("qw_before_micro")) ==
+      d54.getLong(d54.fieldIndex("qw_micro")),
+      "qw_before must equal the D54 score of the same partition")
+    assert(r.getLong(r.fieldIndex("w_tot")) ==
+      d54.getLong(d54.fieldIndex("w_tot")))
+    val moved = r.getLong(r.fieldIndex("n_moved"))
+    assert(moved >= 0 && moved <= r.getLong(r.fieldIndex("n_nodes")))
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("community_coarsen starts from the rung-1 partition and " +
+    "coarsens it") {
+    val r = q("community_coarsen").collect().head
+    val rung1 = graft.queries.Staged.communityMovedQ(spark, sf)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("q_before_micro")) ==
+      rung1.getLong(rung1.fieldIndex("q_micro")),
+      "q_before must be the rung-1 staged score (phase 2 follows phase 1)")
+    assert(r.getLong(r.fieldIndex("m")) ==
+      rung1.getLong(rung1.fieldIndex("m")))
+    assert(r.getLong(r.fieldIndex("n_supernodes")) ==
+      rung1.getLong(rung1.fieldIndex("n_communities")),
+      "one supernode per rung-1 community")
+    val moved = r.getLong(r.fieldIndex("n_moved"))
+    assert(moved >= 0 && moved <= r.getLong(r.fieldIndex("n_supernodes")))
+    assert(r.getLong(r.fieldIndex("n_communities")) <=
+      r.getLong(r.fieldIndex("n_supernodes")),
+      "a move round can only merge supernode communities")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("community_weighted matches a driver-side weighted replay") {
     val lbl = q("community_lpa").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
