@@ -145,6 +145,80 @@ object Pq {
     * routed lists' codes plus the broadcast shortlist rerank. Same
     * result as [[ivfpqTopK]] given artifacts built from the same
     * centroids/codebooks. */
+  /** FAISS-style IVFADC on RESIDUALS [Jégou et al. 2011 §V.A]: the
+    * corpus is PQ-encoded as x − centroid(list(x)) instead of raw x —
+    * the standard recall win at the same code budget, because residuals
+    * concentrate near 0 once the coarse quantizer removes the list
+    * mean, so the same m·k codebook spends its precision on what the
+    * routing didn't already explain. Serving differs from [[ivfpqServe]]
+    * only in the score: dot(q, x) ≈ dot(q, c_list) + dot(q, r̂), i.e.
+    * the ADC lookup sum over RESIDUAL codebooks plus a per-(query,
+    * probed-list) bias floor(dot(q, c)·1e6) — both integer micros, so
+    * scores stay exact long sums. `resCodes`/`resCodebooks` must be
+    * built over the residual corpus (see Staged.pqResidualCorpus). */
+  def ivfpqResidualServe(corpus: DataFrame, assignments: DataFrame,
+      resCodes: DataFrame, listCentroids: DataFrame,
+      resCodebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    // 1. route queries to nprobe lists, carrying the per-list bias
+    val probes = queries.crossJoin(F.broadcast(listCentroids))
+      .select(F.col(idCol).as("query_id"),
+        F.col("ckey").as("centroid_label"),
+        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"),
+        F.floor(Similarity.dot(F.col(vecCol), F.col("centroid")) * 1e6)
+          .cast("long").as("qc_micro"))
+      .withColumn("_rn", F.row_number().over(
+        w.orderBy(F.col("_qc").desc, F.col("centroid_label"))))
+      .filter(F.col("_rn") <= nprobe)
+      .select("query_id", "centroid_label", "qc_micro")
+    // 2. standing index: list assignment + RESIDUAL PQ codes
+    val asg = assignments
+      .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
+    val ccodes = resCodes
+      .select(F.col("vec_id").as("match_id"),
+        F.posexplode(F.col("codes")).as(Seq("sub", "code")))
+      .join(asg, "match_id")
+    // 3. ADC table: RAW query subvectors against RESIDUAL codebooks
+    val qsub = queries.select(F.col(idCol).as("query_id"),
+      F.posexplode(F.array((0 until m).map(s =>
+        F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "_qv")))
+    val table = qsub.join(F.broadcast(resCodebooks), "sub")
+      .select(F.col("query_id"), F.col("sub"),
+        F.col("ckey").cast("long").as("code"),
+        F.floor(Similarity.dot(F.col("_qv"), F.col("centroid")) * 1e6)
+          .cast("long").as("_p"))
+    // 4. restrict to probed lists, lookup-sum + the list bias (constant
+    //    per (query, match) group — each match lives in ONE list)
+    val scored = ccodes
+      .join(F.broadcast(probes), "centroid_label")
+      .join(F.broadcast(table), Seq("query_id", "sub", "code"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .groupBy("query_id", "match_id")
+      .agg((F.sum("_p") + F.max("qc_micro")).as("score_micro"))
+    val shortlist = scored.withColumn("_rn", F.row_number().over(
+      w.orderBy(F.col("score_micro").desc, F.col("match_id"))))
+      .filter(F.col("_rn") <= shortlistK)
+      .select("query_id", "match_id")
+    // 5. exact rerank of the shortlist only
+    val qv = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("_qvec"))
+    val cv = corpus.select(F.col(idCol).as("match_id"),
+      F.col(vecCol).as("_cvec"))
+    F.broadcast(shortlist.join(qv, "query_id"))
+      .join(cv, "match_id")
+      .select(F.col("query_id"), F.col("match_id"),
+        Similarity.cosine(F.col("_qvec"), F.col("_cvec")).as("cos"))
+      .withColumn("rank", F.row_number().over(
+        w.orderBy(F.col("cos").desc, F.col("match_id"))))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "cos")
+  }
+
   def ivfpqServe(corpus: DataFrame, assignments: DataFrame,
       codes: DataFrame, listCentroids: DataFrame,
       codebooks: DataFrame, queries: DataFrame,

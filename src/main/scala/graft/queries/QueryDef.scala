@@ -289,6 +289,41 @@ object Staged {
           RefineQueries.PQ_M, RefineQueries.PQ_SUBDIM)
     }
 
+  /** Residual corpus for FAISS-style IVFADC (D64): per vector,
+    * x − centroid(list(x)) in float32 arithmetic (zip_with on the
+    * float arrays — interpreted HOF, but this is a once-per-(JVM, sf)
+    * build artifact, never a serve-path expression). */
+  def pqResidualCorpus(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pq_residuals") {
+      Tables.t(s, d, "embeddings")
+        .join(ivfAssignments(s, d).select("vec_id", "centroid_label"),
+          "vec_id")
+        .join(F.broadcast(ivfCentroids(s, d)
+          .select(F.col("ckey").as("centroid_label"), F.col("centroid"))),
+          "centroid_label")
+        .select(F.col("vec_id"),
+          F.zip_with(F.col("embedding"), F.col("centroid"),
+            (a, b) => a - b).as("embedding"))
+    }
+
+  /** PQ codebooks trained on [[pqResidualCorpus]] (the D64 index). */
+  def pqResCodebooks(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pq_res_codebooks") {
+      graft.operators.Pq
+        .codebooks(pqResidualCorpus(s, d), "vec_id", "embedding",
+          RefineQueries.PQ_M, RefineQueries.PQ_SUBDIM,
+          RefineQueries.PQ_K, RefineQueries.PQ_ITERS)
+    }
+
+  /** Residual-PQ-encoded corpus over [[pqResCodebooks]]. */
+  def pqResCodes(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "pq_res_codes") {
+      graft.operators.Pq
+        .encode(pqResidualCorpus(s, d), pqResCodebooks(s, d),
+          "vec_id", "embedding",
+          RefineQueries.PQ_M, RefineQueries.PQ_SUBDIM)
+    }
+
   def prewarm(s: SparkSession, d: String): Unit = {
     coPurchasePairs(s, d)
     coPurchaseEdges(s, d)

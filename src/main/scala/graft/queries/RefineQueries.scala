@@ -750,8 +750,180 @@ object RefineQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
     })
 
+  /** Shared oracle fragment for D64/D64b: the residual corpus over the
+    * IVF assignment (`resx` — per vector x − centroid(list(x)), exact
+    * double subtraction rounded once to REAL = IEEE float32 sub, the
+    * same bits as Spark's float zip_with), the PQ chain TRAINED ON
+    * RESIDUALS ([[pqCtesFrom]]), the raw-query ADC table over residual
+    * codebooks, the per-(query, probed-list) bias floor(dot(q, c)·1e6),
+    * and the biased probed-list score `rscl`. Requires [[ivfCtes]]
+    * (cvec/iasg/probes) in scope. */
+  private def residualScoredCtes: String = {
+    val rcbs = (0 until PQ_M)
+      .map(s => s"SELECT $s AS sub, ck, centroid FROM c2f_$s")
+      .mkString(" UNION ALL ")
+    val rcc = (0 until PQ_M)
+      .map(s => s"SELECT vec_id, $s AS sub, ck AS code FROM a3_$s")
+      .mkString(" UNION ALL ")
+    s"""resx AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> CAST(CAST(e.embedding[i] AS DOUBLE)
+       |                     - CAST(c.centroid[i] AS DOUBLE) AS REAL))
+       |           AS embedding
+       |  FROM embeddings e JOIN iasg a USING (vec_id)
+       |       JOIN cvec c ON c.ckey = a.ckey),
+       |${pqCtesFrom("resx")},
+       |rcbs AS ($rcbs),
+       |rqsub AS (SELECT vec_id AS query_id, sub,
+       |                 list_slice(embedding, sub * $PQ_SUBDIM + 1,
+       |                            (sub + 1) * $PQ_SUBDIM) AS qv
+       |          FROM embeddings,
+       |               (SELECT unnest(generate_series(0, ${PQ_M - 1}))
+       |                  AS sub)
+       |          WHERE vec_id < 5),
+       |rtbl AS (SELECT query_id, sub, ck AS code,
+       |                CAST(floor(${dot16Sql("qv", "centroid")} * 1e6)
+       |                     AS BIGINT) AS p
+       |         FROM rqsub JOIN rcbs USING (sub)),
+       |rccodes AS ($rcc),
+       |qcb AS (SELECT p.query_id, p.ckey,
+       |               CAST(floor(${dotSql(64, "q.embedding", "c.centroid")}
+       |                          * 1e6) AS BIGINT) AS qc_micro
+       |        FROM probes p JOIN embeddings q ON q.vec_id = p.query_id
+       |             JOIN cvec c ON c.ckey = p.ckey),
+       |rscl AS (SELECT t.query_id, c.vec_id AS match_id,
+       |                CAST(sum(t.p) + max(b.qc_micro) AS BIGINT)
+       |                  AS score_micro
+       |         FROM rccodes c
+       |         JOIN iasg a ON a.vec_id = c.vec_id
+       |         JOIN qcb b ON b.ckey = a.ckey
+       |         JOIN rtbl t ON t.query_id = b.query_id AND t.sub = c.sub
+       |                    AND t.code = c.code
+       |         WHERE c.vec_id <> b.query_id
+       |         GROUP BY 1, 2)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- D64
+  /** FAISS-style IVFADC on residuals ([[Pq.ivfpqResidualServe]]): same
+    * composed index as D52, but the corpus is PQ-encoded as
+    * x − centroid(list(x)) — the standard recall win at the same code
+    * budget (residuals concentrate near 0 once routing removes the
+    * list mean, so the codebook spends its precision on what routing
+    * didn't explain) — and the ADC score adds the per-(query, probed-
+    * list) bias dot(q, c) in integer micros. All index artifacts
+    * staged (residual corpus, residual codebooks, residual codes);
+    * serving touches the probed lists' codes + a broadcast rerank,
+    * exactly D52's shape. D64b publishes recall beside D52b's. */
+  private val ivfpqResidual = QueryDef(
+    "ivfpq_residual",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Pq.ivfpqResidualServe(emb, Staged.ivfAssignments(s, d),
+        Staged.pqResCodes(s, d), Staged.ivfCentroids(s, d),
+        Staged.pqResCodebooks(s, d), emb.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = IVFPQ_K, nprobe = IVFPQ_NPROBE,
+        shortlistK = IVFPQ_SHORTLIST, PQ_M, PQ_SUBDIM)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      s"""WITH $ivfCtes,
+         |$residualScoredCtes,
+         |shortlist AS (SELECT query_id, match_id FROM (
+         |               SELECT query_id, match_id,
+         |                      row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY score_micro DESC, match_id)
+         |                        AS rank
+         |               FROM rscl) WHERE rank <= $IVFPQ_SHORTLIST),
+         |rescored AS (
+         |  SELECT s.query_id, s.match_id,
+         |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings m ON m.vec_id = s.match_id),
+         |reranked AS (SELECT query_id, match_id, cos,
+         |                    CAST(row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, match_id) AS INTEGER)
+         |                      AS rank
+         |             FROM rescored)
+         |SELECT query_id, rank, match_id, cos
+         |FROM reranked WHERE rank <= $IVFPQ_K
+         |ORDER BY query_id, rank""".stripMargin
+    })
+
+  // --------------------------------------------------------------- D64b
+  /** Recall@5 of the residual IVFADC index against exact brute force —
+    * D52b's audit re-run on the residual encoding so the residual-vs-
+    * raw delta is a published number beside D52b's, measured by the
+    * same machinery (on synthetic near-uniform vectors the honest
+    * answer may be "no gain" — the audit is the deliverable). */
+  private val ivfpqResidualRecall = QueryDef(
+    "ivfpq_residual_recall",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(F.col("vec_id") < 5)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = IVFPQ_K)
+        .select(F.col("query_id"), F.col("match_id"))
+      val approx = Pq.ivfpqResidualServe(emb, Staged.ivfAssignments(s, d),
+        Staged.pqResCodes(s, d), Staged.ivfCentroids(s, d),
+        Staged.pqResCodebooks(s, d), queries,
+        "vec_id", "embedding", k = IVFPQ_K, nprobe = IVFPQ_NPROBE,
+        shortlistK = IVFPQ_SHORTLIST, PQ_M, PQ_SUBDIM)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(F.col("query_id"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / IVFPQ_K, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      val cos64 = cos64Sql("e.embedding", "q.embedding")
+      s"""WITH $ivfCtes,
+         |$residualScoredCtes,
+         |exact AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cos64 DESC, e.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings q
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rn <= $IVFPQ_K),
+         |shortlist AS (SELECT query_id, match_id FROM (
+         |               SELECT query_id, match_id,
+         |                      row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY score_micro DESC, match_id)
+         |                        AS rank
+         |               FROM rscl) WHERE rank <= $IVFPQ_SHORTLIST),
+         |rescored AS (
+         |  SELECT s.query_id, s.match_id,
+         |         ${cos64Sql("m.embedding", "q.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings m ON m.vec_id = s.match_id),
+         |approx AS (SELECT query_id, match_id FROM (
+         |             SELECT query_id, match_id,
+         |                    row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, match_id) AS rank
+         |             FROM rescored) WHERE rank <= $IVFPQ_K)
+         |SELECT e.query_id,
+         |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
+         |                END) AS BIGINT) AS n_hits,
+         |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0
+         |                 END) / $IVFPQ_K.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.match_id = a.match_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
     cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank,
-    pqIncremental, ivfpqSearch, ivfpqRecall)
+    pqIncremental, ivfpqSearch, ivfpqRecall, ivfpqResidual,
+    ivfpqResidualRecall)
 }

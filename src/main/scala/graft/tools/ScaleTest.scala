@@ -407,6 +407,11 @@ object ScaleTest {
     // excluded: contains the quadratic-by-design exact-truth audit,
     // like search_mrr / knn_accuracy above.)
     timeQ("ivfpq_search")
+    // r11 probe: residual IVFADC serving must scale exactly like
+    // ivfpq_search — same probed-list restriction + broadcast rerank;
+    // the residual artifacts are staged builds. (ivfpq_residual_recall
+    // excluded: exact-truth audit, like ivfpq_recall.)
+    timeQ("ivfpq_residual")
     // r9 probe: one Louvain local-move round + two exact modularity
     // evaluations — edge-linear (candidate frame ≤ directed edges),
     // must scale like the LPA pair above.

@@ -69,6 +69,48 @@ class IvfpqSpec extends SparkSpec {
     }
   }
 
+  test("staged residual corpus is the exact float32 x - centroid(list)") {
+    val cmap = graft.queries.Staged.ivfCentroids(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val amap = graft.queries.Staged.ivfAssignments(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = emb.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val res = graft.queries.Staged.pqResidualCorpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(res.length == orig.size)
+    res.foreach { case (id, rv) =>
+      val c = cmap(amap(id)); val x = orig(id)
+      rv.indices.foreach { i =>
+        assert(rv(i) == x(i) - c(i), // IEEE float32 subtraction, exact
+          s"vec $id dim $i: ${rv(i)} vs ${x(i) - c(i)}")
+      }
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("every ivfpq_residual match lies in a probed list and reranks " +
+    "by exact cosine") {
+    val rows = q("ivfpq_residual").collect()
+    assert(rows.length == 25, "5 queries x 5 ranks")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(rs.head.fieldIndex("rank")))
+      val coss = byRank.map(_.getDouble(byRank.head.fieldIndex("cos")))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b },
+        "ranks must be cos-descending")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("ivfpq_residual_recall is bounded and consistent with its hits") {
+    val k = graft.queries.RefineQueries.IVFPQ_K
+    q("ivfpq_residual_recall").collect().foreach { r =>
+      val hits = r.getLong(r.fieldIndex("n_hits"))
+      assert(hits >= 0L && hits <= k.toLong)
+      assert(r.getDouble(r.fieldIndex("recall")) == hits.toDouble / k)
+    }
+  }
+
   test("serve paths on prebuilt artifacts equal the inline builds") {
     // the build/serve split must be a pure refactoring of WHERE the
     // index parts come from, never of the results
