@@ -53,11 +53,39 @@ object Bench {
       graft.operators.CacheScope.release(spark)
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Bench canary (r11, from the r9/r10 driver-vs-builder arbitration
+    // both needing a human to read two JSON files): ONE fixed reference
+    // query timed median-of-3 at sweep START, MIDDLE and END. If the
+    // three agree, the machine was steady for the whole sweep and the
+    // suite numbers are trustworthy; a rising canary = co-located load
+    // or heap debt arriving mid-sweep, and `canary.drift` (max/min)
+    // makes that a single published number instead of an arbitration.
+    // agg_q1 is the canary: moderate cost (~0.4 s), one scan + one
+    // map-side-combined aggregate, no staged artifacts, no cache state.
+    val canaryName = "agg_q1"
+    def canaryShot(): Double =
+      (1 to 3).map(_ => run(canaryName, SparkEntry.queries(canaryName)))
+        .sorted.apply(1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    val canaryStart = if (only.isEmpty) canaryShot() else 0.0
+    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
+    def sweep(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
         name -> (1 to 3).map(_ => run(name, fn)).sorted.apply(1)
       }
+    val r1 = sweep(firstHalf)
+    val canaryMid = if (only.isEmpty) canaryShot() else 0.0
+    val r2 = sweep(secondHalf)
+    val canaryEnd = if (only.isEmpty) canaryShot() else 0.0
+    val results = r1 ++ r2
+    val canary = Seq("start" -> canaryStart, "mid" -> canaryMid,
+      "end" -> canaryEnd,
+      "drift" -> (if (canaryStart > 0)
+        Seq(canaryStart, canaryMid, canaryEnd).max /
+          Seq(canaryStart, canaryMid, canaryEnd).min
+      else 0.0))
     // Self-consistency guard (r10, from the r9 driver-vs-builder 287 vs
     // 175 s divergence no in-repo check could see): re-run the 5
     // slowest queries ISOLATED after the full sweep and publish both
@@ -109,6 +137,7 @@ object Bench {
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""sf":"$sfDir","action":"noop_write",""" +
+          s""""canary":${jsonMap(canary)},""" +
           s""""isolated":${jsonMap(isolated)},""" +
           s""""queries":${jsonMap(results)}}""" + "\n")
       catch { case _: Throwable => () }
