@@ -222,7 +222,7 @@ object NonparamQueries {
       val total = cells.agg(F.sum("n").cast("long").as("nt"))
       val rcnt = rows.agg(F.count(F.lit(1)).as("r_levels"))
       val ccnt = colsT.agg(F.count(F.lit(1)).as("c_levels"))
-      rows.crossJoin(colsT)
+      rows.crossJoin(F.broadcast(colsT)) // margin frames: metadata-sized
         .join(cells, Seq("priority", "segment"), "left")
         .na.fill(0L, Seq("n"))
         .crossJoin(F.broadcast(total))
