@@ -350,6 +350,88 @@ object GraphMetricsQueries {
       FROM exct JOIN sm ON exct.v = sm.v
       GROUP BY 1 ORDER BY 1"""))
 
+  /** D65's sample budget (pivot sources) and hop horizon. 8 sources ×
+    * 2 hops keeps the oracle's path-recursive CTE bounded (the BFS
+    * frontier is deduped on the Spark side; DuckDB's recursion
+    * enumerates paths, so the horizon is the fan-out guard — D22's
+    * discipline). */
+  val HC_SOURCES = 8
+  val HC_HOPS = 2
+
+  // ---------------------------------------------------------------- D65
+  /** SAMPLED harmonic closeness centrality over the co-purchase graph —
+    * the pivot-sampling read of "which parts sit nearest everything"
+    * [Eppstein-Wang 2004 style: BFS from K deterministic hash60-min
+    * pivot sources, H(v) ≈ Σ_{s reaching v} 1/d(s,v)], bounded to a
+    * fixed hop horizon the way any 100 TB BFS is. Exact integer micros:
+    * per (source, node) the min-hop distance from a frontier BFS
+    * (frontier deduped and anti-joined per hop — each round one
+    * node-keyed shuffle, never a path enumeration), contribution
+    * 10⁶ div hop, summed exactly. Publishes the top 100 most central
+    * nodes (h_micro DESC, node) with their reaching-source counts —
+    * the hub shortlist a curation pipeline reads.
+    *
+    * Scale shape: K·|reachable| state rows, hop-bounded rounds; the
+    * pivot count is the precision budget, the hop horizon the cost
+    * budget. */
+  private val harmonicCentrality = QueryDef(
+    "harmonic_centrality",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val edges = graft.operators.CacheScope.persist(
+        e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+          .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
+      val nodes = edges.select(F.col("u").as("nv")).distinct()
+      val srcs = nodes
+        .withColumn("_h", graft.operators.Hashing.hash60(
+          F.col("nv").cast("string")))
+        .orderBy(F.col("_h"), F.col("nv")).limit(HC_SOURCES)
+        .select(F.col("nv").as("src"))
+      var reached = srcs.select(F.col("src"), F.col("src").as("node"))
+        .withColumn("hop", F.lit(0L))
+      for (h <- 1 to HC_HOPS) {
+        val frontier = reached.where(F.col("hop") === (h - 1))
+        val next = frontier.join(edges, frontier("node") === edges("u"))
+          .select(F.col("src"), F.col("v").as("node")).distinct()
+          .join(reached.select("src", "node"), Seq("src", "node"),
+            "left_anti")
+          .withColumn("hop", F.lit(h.toLong))
+        reached = reached.unionAll(next)
+      }
+      reached.where(F.col("hop") > 0)
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).as("n_sources"),
+          F.sum(F.expr("1000000 div hop")).as("h_micro"))
+        .select(F.col("node"), F.col("n_sources"), F.col("h_micro"),
+          F.expr("CAST(h_micro AS DOUBLE) / 1000000.0").as("harmonic"))
+        .orderBy(F.col("h_micro").desc, F.col("node")).limit(100)
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs),
+      nodes AS (SELECT DISTINCT u AS nv FROM edges),
+      srcs AS (SELECT nv AS src FROM (
+                 SELECT nv, row_number() OVER (ORDER BY
+                   ${graft.operators.Hashing.hash60Sql(
+                     "CAST(nv AS VARCHAR)")}, nv) AS rn
+                 FROM nodes) WHERE rn <= $HC_SOURCES),
+      r AS (SELECT src, src AS node, 0 AS hop FROM srcs
+            UNION ALL
+            SELECT r.src, e.v, r.hop + 1
+            FROM r JOIN edges e ON e.u = r.node WHERE r.hop < $HC_HOPS),
+      m AS (SELECT src, node, CAST(min(hop) AS BIGINT) AS hop
+            FROM r GROUP BY 1, 2),
+      h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(sum(1000000 // hop) AS BIGINT) AS h_micro
+            FROM m WHERE hop > 0 GROUP BY 1)
+      SELECT node, n_sources, h_micro,
+             CAST(h_micro AS DOUBLE) / 1000000.0 AS harmonic
+      FROM h ORDER BY h_micro DESC, node LIMIT 100"""))
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
-    clusteringCoeffSampled, clusteringSampleAudit)
+    clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality)
 }

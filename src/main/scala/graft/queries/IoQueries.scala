@@ -138,6 +138,40 @@ object IoQueries {
                            ELSE n_chars END) AS BIGINT) AS sum_chars
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- H18
+  /** JSONL round-trip of the same adversarial corpus H13 pins for CSV —
+    * line-delimited JSON is the other interchange format a training-
+    * data pipeline actually ships (crawl dumps, annotation exports),
+    * and its failure mode is the same: an unescaped newline splits a
+    * document. The documents table is written as JSONL and read back
+    * with an explicit schema (schema-on-read, no inference pass at
+    * 100 TB); output is H13's per-source count + order-independent
+    * text checksum + char total, and the oracle computes them from the
+    * ORIGINAL parquet — hash equality proves the round trip lossless
+    * through JSON string escaping. */
+  private val jsonlRoundtrip = QueryDef(
+    "jsonl_roundtrip",
+    (s, d) => {
+      val base = s"/tmp/graft_h18_${Harness.runId}_" +
+        s"${new java.io.File(d).getName}"
+      val docs = t(s, d, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").json(s"$base/jsonl")
+      s.read.schema(docs.schema).json(s"$base/jsonl")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(graft.operators.Hashing.hash60(F.col("text")) %
+            F.lit(1000000007L)).as("text_checksum"),
+          F.sum(F.length(F.col("text"))).as("total_chars"))
+        .orderBy("source")
+    },
+    Some(s"""
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(${graft.operators.Hashing.hash60Sql("text")}
+                      % 1000000007) AS BIGINT) AS text_checksum,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(csvTextRoundtrip, mergeSchemaRead,
-    partitionOverwrite)
+    partitionOverwrite, jsonlRoundtrip)
 }

@@ -579,6 +579,106 @@ object NonparamQueries {
              END AS h_corrected
       FROM h ORDER BY k_groups"""))
 
+  // ---------------------------------------------------------------- M39
+  /** Friedman test across order priorities BLOCKED BY MONTH — the
+    * repeated-measures rank ANOVA (k treatments measured once per
+    * block; here: each month's revenue under each priority), the
+    * nonparametric ladder's answer when blocks absorb a common trend
+    * that would drown M38's unblocked ranks. Cell value = exact
+    * myriacent revenue sum per (month, priority); only COMPLETE blocks
+    * (all k priorities present) enter, per the test's definition.
+    * Ranks are within-block midranks carried ×2 (midrank2 = 2·rank +
+    * ties − 1 over the k-row block partition — a k-row window, never a
+    * global one); Σ_j R_j² = Σ R2_j²/4 stays exact DECIMAL(38,0)/
+    * HUGEINT; χ²_F = 3S/(nk(k+1)) − 3n(k+1) and the tie correction
+    * 1 − Σ_b Σ(t³−t)/(nk(k²−1)) are closing doubles from string-routed
+    * integers.
+    *
+    * Scale shape: one corpus aggregate to the calendar-bounded
+    * (month × priority) cell frame; everything after is metadata. */
+  private val friedman = QueryDef(
+    "friedman",
+    (s, d) => {
+      val cell = t(s, d, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).as("blk"),
+          F.col("o_orderpriority").as("trt"))
+        .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
+          " * 10000 AS DECIMAL(38,0))")).as("val"))
+      val kk = cell.agg(F.countDistinct("trt").as("k"))
+      val fullBlocks = cell.groupBy("blk").agg(F.count(F.lit(1)).as("_c"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("_c") === F.col("k")).select("blk")
+      val cf = cell.join(fullBlocks, "blk")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("val")
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk", "val")
+      val rk = cf.withColumn("_mr2",
+        F.expr("2") * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1)
+      val rj = rk.groupBy("trt")
+        .agg(F.sum(F.col("_mr2").cast("decimal(38,0)")).as("_r2"))
+      val sTot = rj.agg(F.sum(F.expr("_r2 * _r2")).as("_s"))
+      val ties = cf.groupBy("blk", "val").agg(F.count(F.lit(1)).as("_t"))
+        .agg(F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * _t * _t - _t"))
+          .as("_tie"))
+      val nb = fullBlocks.agg(F.count(F.lit(1)).as("n_blocks"))
+      nb.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(sTot))
+        .crossJoin(F.broadcast(ties))
+        .withColumn("_chi", F.expr(
+          """CAST(CAST(_s AS STRING) AS DOUBLE) * 3
+            |/ (CAST(n_blocks AS DOUBLE) * k * (k + 1))
+            |- 3 * n_blocks * (k + 1)""".stripMargin))
+        .withColumn("_c", F.expr(
+          """1 - CAST(CAST(coalesce(_tie, 0) AS STRING) AS DOUBLE)
+            |/ (CAST(n_blocks AS DOUBLE) * k * (k * k - 1))""".stripMargin))
+        .select(F.col("n_blocks"), F.col("k").as("k_treatments"),
+          F.expr("""CASE WHEN k < 2 OR n_blocks = 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi, 6) END"""
+            .stripMargin).as("chi2_f"),
+          F.expr("""CASE WHEN k < 2 OR n_blocks = 0 OR _c <= 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi / _c, 6) END"""
+            .stripMargin).as("chi2_f_corrected"))
+        .orderBy("n_blocks")
+    },
+    Some("""
+      WITH cell AS (
+        SELECT date_trunc('month', o_orderdate) AS blk,
+               o_orderpriority AS trt,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                        AS HUGEINT)) AS val
+        FROM orders GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM cell),
+      fb AS (SELECT blk FROM cell GROUP BY 1
+             HAVING count(*) = (SELECT k FROM kk)),
+      cf AS (SELECT c.* FROM cell c JOIN fb USING (blk)),
+      rk AS (SELECT blk, trt,
+                    2 * rank() OVER (PARTITION BY blk ORDER BY val)
+                    + count(*) OVER (PARTITION BY blk, val) - 1 AS mr2
+             FROM cf),
+      rj AS (SELECT trt, CAST(sum(mr2) AS HUGEINT) AS r2
+             FROM rk GROUP BY 1),
+      st AS (SELECT sum(r2 * r2) AS s FROM rj),
+      tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+              FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                    FROM cf GROUP BY blk, val)),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM fb),
+      h AS (SELECT n_blocks, k,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE) * 3
+                     / (CAST(n_blocks AS DOUBLE) * k * (k + 1))
+                     - 3 * n_blocks * (k + 1) AS chi_raw,
+                   1 - CAST(CAST(coalesce(tie_t, 0) AS VARCHAR) AS DOUBLE)
+                     / (CAST(n_blocks AS DOUBLE) * k * (k * k - 1)) AS corr
+            FROM nb, kk, st, tie)
+      SELECT n_blocks, k AS k_treatments,
+             CASE WHEN k < 2 OR n_blocks = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(chi_raw, 6) END AS chi2_f,
+             CASE WHEN k < 2 OR n_blocks = 0 OR corr <= 0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE round(chi_raw / corr, 6) END AS chi2_f_corrected
+      FROM h ORDER BY n_blocks"""))
+
   def all: Seq[QueryDef] =
-    Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis)
+    Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
+      friedman)
 }

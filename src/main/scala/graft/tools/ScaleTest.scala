@@ -451,7 +451,18 @@ object ScaleTest {
     // r11 probe: kruskal_wallis generalizes mann_whitney's shape to k
     // groups — one map-side-combined (group, value) pass over the 10×
     // orders + one value-domain cumsum + a k-row finish; row-linear.
+    // NOTE its domain is myriacent prices (~all-distinct): at 10× the
+    // cumsum carries ~1.5 M domain rows — the probe pins that the
+    // domain-frame shape stays row-linear even at domain ≈ rows.
     timeQ("kruskal_wallis")
+    // r11 probes: friedman is one corpus aggregate to a calendar-
+    // bounded (month × priority) cell frame — row-linear scan, fixed
+    // finish; harmonic_centrality is a hop-bounded deduped-frontier
+    // BFS from 8 pivots — one node-keyed shuffle per hop, edge-linear.
+    // (jsonl_roundtrip is IO-bound like csv_text_roundtrip: neither is
+    // probed — write+read throughput, not a plan shape.)
+    timeQ("friedman")
+    timeQ("harmonic_centrality")
     timeQ("clustering_coeff")
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)

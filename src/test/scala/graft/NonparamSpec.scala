@@ -199,6 +199,86 @@ class NonparamSpec extends SparkSpec {
       s"hc ${row.getAs[Double]("h_corrected")} vs brute $hc")
   }
 
+  test("friedman matches a brute-force within-block rank replay") {
+    val row = q("friedman").collect().head
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(F.date_trunc("month", F.col("o_orderdate")).as("blk"),
+        F.col("o_orderpriority").as("trt"))
+      .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
+        " * 10000 AS DECIMAL(38,0))")).cast("string").as("v"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), BigInt(r.getString(2))))
+    val k = cells.map(_._2).distinct.length
+    val blocks = cells.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toDouble
+    // within-block average ranks
+    val rj = scala.collection.mutable.Map.empty[String, Double]
+    var tieSum = 0.0
+    blocks.values.foreach { cs =>
+      val sorted = cs.map(_._3).sorted
+      cs.foreach { case (_, trt, v) =>
+        val below = sorted.count(_ < v); val ties = sorted.count(_ == v)
+        val mid = below + (ties + 1) / 2.0
+        rj(trt) = rj.getOrElse(trt, 0.0) + mid
+      }
+      sorted.distinct.foreach { v =>
+        val t2 = sorted.count(_ == v).toDouble
+        tieSum += t2 * t2 * t2 - t2
+      }
+    }
+    val s2 = rj.values.map(r => r * r).sum
+    val chi = 12.0 / (n * k * (k + 1)) * s2 - 3 * n * (k + 1)
+    val corr = 1.0 - tieSum / (n * k * (k.toDouble * k - 1))
+    assert(row.getAs[Long]("n_blocks") == blocks.size.toLong)
+    assert(row.getAs[Long]("k_treatments") == k.toLong)
+    assert(math.abs(row.getAs[Double]("chi2_f") - chi) < 1e-4,
+      s"chi2_f ${row.getAs[Double]("chi2_f")} vs brute $chi")
+    if (corr > 0)
+      assert(math.abs(row.getAs[Double]("chi2_f_corrected") - chi / corr)
+        < 1e-4)
+  }
+
+  test("harmonic_centrality matches a driver-side pivot-BFS replay") {
+    val kSrc = graft.queries.GraphMetricsQueries.HC_SOURCES
+    val hops = graft.queries.GraphMetricsQueries.HC_HOPS
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+    }
+    val srcs = adj.keys.toSeq
+      .sortBy(v => (graft.operators.Hashing.hash60(v.toString), v))
+      .take(kSrc)
+    val h = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    srcs.foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = Set(s0)
+      for (d0 <- 1 to hops) {
+        frontier = frontier.flatMap(adj(_))
+          .filterNot(dist.contains)
+        frontier.foreach(dist(_) = d0)
+      }
+      dist.foreach { case (v, d0) =>
+        if (d0 > 0) {
+          val (c, s2) = h.getOrElse(v, (0L, 0L))
+          h(v) = (c + 1, s2 + 1000000L / d0)
+        }
+      }
+    }
+    val expectTop = h.toSeq
+      .sortBy { case (v, (_, hm)) => (-hm, v) }.take(100)
+      .map { case (v, (c, hm)) => (v, c, hm) }
+    val got = q("harmonic_centrality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expectTop,
+      s"top mismatch: got head ${got.take(3).toSeq}" +
+        s" vs replay head ${expectTop.take(3)}")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")

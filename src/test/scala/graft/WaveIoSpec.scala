@@ -29,6 +29,18 @@ class WaveIoSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("jsonl_roundtrip preserves every document byte-for-byte") {
+    val base = s"/tmp/graft_spec_jsonl_${graft.queries.Harness.runId}"
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").json(base)
+    val back = spark.read.schema(docs.schema).json(base)
+    val diff = docs.as("a").join(back.as("b"), Seq("doc_id"))
+      .where(F.expr("a.text IS DISTINCT FROM b.text")).count()
+    assert(diff == 0, s"$diff documents corrupted by JSONL round trip")
+    assert(back.count() == docs.count())
+  }
+
   test("merge_schema_read backfills exactly the v1 rows with nulls") {
     val rows = q("merge_schema_read").collect()
     assert(rows.nonEmpty)
