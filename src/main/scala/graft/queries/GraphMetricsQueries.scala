@@ -432,6 +432,123 @@ object GraphMetricsQueries {
              CAST(h_micro AS DOUBLE) / 1000000.0 AS harmonic
       FROM h ORDER BY h_micro DESC, node LIMIT 100"""))
 
+  /** D66's sketch width and hop horizon. k=16 gives each node ~26 %
+    * per-node KMV noise that averages out in the corpus-level
+    * neighborhood function; cost is k·m rows per hop. */
+  val ANF_K = 16
+  val ANF_HOPS = 2
+  private val MAX_HASH = 1152921504606846976L // 2^60, the hash60 range
+
+  private val anfRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  // ---------------------------------------------------------------- D66
+  /** Approximate neighborhood function — HyperANF's shape [Boldi-Rosa-
+    * Vigna 2011] with a DETERMINISTIC KMV sketch instead of HLL
+    * (bottom-k distinct hash60 values: exactly reproducible in any
+    * engine, where HLL registers are implementation-defined): per node
+    * a k-min sketch of its h-hop ball, advanced per hop by merging
+    * each node's sketch with its neighbors' (bottom-k distinct of the
+    * union — an O(k)-state aggregate, map-side combined, never a
+    * window sort) and ESTIMATING |ball(v,h)| as (k−1)·2⁶⁰ div kth_min
+    * — integer division, because per-node double estimates could not
+    * be SUMMED cross-engine deterministically. Publishes per hop the
+    * summed and mean estimated reach — the neighborhood function
+    * N(1), N(2) whose ratios read out the effective diameter at a
+    * glance, computable at 100 TB where exact pairwise reach is not.
+    *
+    * Scale shape: k·m sketch-value rows per hop (edge-linear with the
+    * fixed k=16 constant), per-hop state materialized to scratch
+    * parquet (the iterative-frame discipline of pagerank/LPA: hop h
+    * feeds BOTH its estimate and hop h+1). */
+  private val graphAnf = QueryDef(
+    "graph_anf",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val edges = graft.operators.CacheScope.persist(
+        e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+          .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
+      val base = s"/tmp/graft_anf_${Harness.runId}/" +
+        s"run_${anfRuns.incrementAndGet()}"
+      val nodes = edges.select(F.col("u").as("v")).distinct()
+      nodes.select(F.col("v"),
+          F.array(graft.operators.Hashing.hash60(
+            F.col("v").cast("string"))).as("sk"))
+        .write.mode("overwrite").parquet(s"$base/h0")
+      var state = s.read.parquet(s"$base/h0")
+      val hops = (1 to ANF_HOPS).map { h =>
+        val pairs = state.select(F.col("v"),
+          F.explode(F.col("sk")).as("h"))
+        val nbr = edges
+          .join(pairs.withColumnRenamed("v", "w"),
+            F.col("v") === F.col("w"))
+          .select(F.col("u").as("v"), F.col("h"))
+        pairs.unionAll(nbr)
+          .groupBy("v")
+          .agg(graft.operators.Sketch
+            .bottomKDistinctLong(F.col("h"), ANF_K).as("sk"))
+          .write.mode("overwrite").parquet(s"$base/h$h")
+        state = s.read.parquet(s"$base/h$h")
+        state
+          .select(F.size(F.col("sk")).cast("long").as("_nk"),
+            F.try_element_at(F.col("sk"), F.lit(ANF_K)).as("_kth"))
+          .agg(F.count(F.lit(1)).as("n_nodes"),
+            F.sum(F.expr(
+              s"""CASE WHEN _nk < $ANF_K THEN _nk ELSE
+                 |CAST((CAST(${ANF_K - 1} AS DECIMAL(38,0)) * $MAX_HASH)
+                 |     div _kth AS BIGINT) END""".stripMargin))
+              .as("sum_reach_est"))
+          .select(F.lit(h.toLong).as("hop"), F.col("n_nodes"),
+            F.col("sum_reach_est"),
+            F.expr("round(CAST(sum_reach_est AS DOUBLE) / n_nodes, 6)")
+              .as("mean_reach"))
+      }
+      hops.reduce(_ unionAll _).orderBy("hop")
+    },
+    Some {
+      def hopCtes(h: Int): String = {
+        val prev = if (h == 1) "p0" else s"m${h - 1}x"
+        s"""m$h AS MATERIALIZED (
+           |  SELECT v, h FROM (
+           |    SELECT v, h, row_number() OVER (PARTITION BY v
+           |      ORDER BY h) AS rn
+           |    FROM (SELECT v, h FROM $prev
+           |          UNION
+           |          SELECT e.u AS v, p.h FROM edges e
+           |          JOIN $prev p ON p.v = e.v))
+           |  WHERE rn <= $ANF_K),
+           |m${h}x AS (SELECT v, h FROM m$h),
+           |s$h AS (SELECT v, CAST(count(*) AS BIGINT) AS nk,
+           |               CAST(max(h) AS BIGINT) AS kth
+           |        FROM m$h GROUP BY v),
+           |r$h AS (SELECT CAST($h AS BIGINT) AS hop,
+           |               CAST(count(*) AS BIGINT) AS n_nodes,
+           |               CAST(sum(CASE WHEN nk < $ANF_K THEN nk ELSE
+           |                 (CAST(${ANF_K - 1} AS HUGEINT) * $MAX_HASH)
+           |                 // kth END) AS BIGINT) AS sum_reach_est
+           |        FROM s$h)""".stripMargin
+      }
+      val rs = (1 to ANF_HOPS).map(h => s"SELECT * FROM r$h")
+        .mkString(" UNION ALL ")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM pairs
+         |  UNION ALL SELECT pb, pa FROM pairs),
+         |p0 AS (SELECT DISTINCT u AS v,
+         |              ${graft.operators.Hashing.hash60Sql(
+                          "CAST(u AS VARCHAR)")} AS h
+         |       FROM edges),
+         |${(1 to ANF_HOPS).map(hopCtes).mkString(",\n")},
+         |u AS ($rs)
+         |SELECT hop, n_nodes, sum_reach_est,
+         |       round(CAST(sum_reach_est AS DOUBLE) / n_nodes, 6)
+         |         AS mean_reach
+         |FROM u ORDER BY hop""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
-    clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality)
+    clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
+    graphAnf)
 }

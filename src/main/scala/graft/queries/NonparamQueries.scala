@@ -596,53 +596,51 @@ object NonparamQueries {
     *
     * Scale shape: one corpus aggregate to the calendar-bounded
     * (month × priority) cell frame; everything after is metadata. */
-  private val friedman = QueryDef(
-    "friedman",
-    (s, d) => {
-      val cell = t(s, d, "orders")
-        .groupBy(F.date_trunc("month", F.col("o_orderdate")).as("blk"),
-          F.col("o_orderpriority").as("trt"))
-        .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
-          " * 10000 AS DECIMAL(38,0))")).as("val"))
-      val kk = cell.agg(F.countDistinct("trt").as("k"))
-      val fullBlocks = cell.groupBy("blk").agg(F.count(F.lit(1)).as("_c"))
-        .crossJoin(F.broadcast(kk))
-        .where(F.col("_c") === F.col("k")).select("blk")
-      val cf = cell.join(fullBlocks, "blk")
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy("blk").orderBy("val")
-      val wt = org.apache.spark.sql.expressions.Window
-        .partitionBy("blk", "val")
-      val rk = cf.withColumn("_mr2",
-        F.expr("2") * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1)
-      val rj = rk.groupBy("trt")
-        .agg(F.sum(F.col("_mr2").cast("decimal(38,0)")).as("_r2"))
-      val sTot = rj.agg(F.sum(F.expr("_r2 * _r2")).as("_s"))
-      val ties = cf.groupBy("blk", "val").agg(F.count(F.lit(1)).as("_t"))
-        .agg(F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * _t * _t - _t"))
-          .as("_tie"))
-      val nb = fullBlocks.agg(F.count(F.lit(1)).as("n_blocks"))
-      nb.crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(sTot))
-        .crossJoin(F.broadcast(ties))
-        .withColumn("_chi", F.expr(
-          """CAST(CAST(_s AS STRING) AS DOUBLE) * 3
-            |/ (CAST(n_blocks AS DOUBLE) * k * (k + 1))
-            |- 3 * n_blocks * (k + 1)""".stripMargin))
-        .withColumn("_c", F.expr(
-          """1 - CAST(CAST(coalesce(_tie, 0) AS STRING) AS DOUBLE)
-            |/ (CAST(n_blocks AS DOUBLE) * k * (k * k - 1))""".stripMargin))
-        .select(F.col("n_blocks"), F.col("k").as("k_treatments"),
-          F.expr("""CASE WHEN k < 2 OR n_blocks = 0
-            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi, 6) END"""
-            .stripMargin).as("chi2_f"),
-          F.expr("""CASE WHEN k < 2 OR n_blocks = 0 OR _c <= 0
-            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi / _c, 6) END"""
-            .stripMargin).as("chi2_f_corrected"))
-        .orderBy("n_blocks")
-    },
-    Some("""
-      WITH cell AS (
+  /** Shared Friedman machinery: one row carrying (n_blocks, k, _chi =
+    * uncorrected χ²_F, _c = tie correction) — closed differently by
+    * M39 (the test statistic) and M40's Kendall's W (the [0,1] effect
+    * size W = χ²_corr/(n(k−1))). */
+  private def friedmanCore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cell = t(s, d, "orders")
+      .groupBy(F.date_trunc("month", F.col("o_orderdate")).as("blk"),
+        F.col("o_orderpriority").as("trt"))
+      .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
+        " * 10000 AS DECIMAL(38,0))")).as("val"))
+    val kk = cell.agg(F.countDistinct("trt").as("k"))
+    val fullBlocks = cell.groupBy("blk").agg(F.count(F.lit(1)).as("_c"))
+      .crossJoin(F.broadcast(kk))
+      .where(F.col("_c") === F.col("k")).select("blk")
+    val cf = cell.join(fullBlocks, "blk")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("val")
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk", "val")
+    val rk = cf.withColumn("_mr2",
+      F.expr("2") * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1)
+    val rj = rk.groupBy("trt")
+      .agg(F.sum(F.col("_mr2").cast("decimal(38,0)")).as("_r2"))
+    val sTot = rj.agg(F.sum(F.expr("_r2 * _r2")).as("_s"))
+    val ties = cf.groupBy("blk", "val").agg(F.count(F.lit(1)).as("_t"))
+      .agg(F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * _t * _t - _t"))
+        .as("_tie"))
+    val nb = fullBlocks.agg(F.count(F.lit(1)).as("n_blocks"))
+    nb.crossJoin(F.broadcast(kk))
+      .crossJoin(F.broadcast(sTot))
+      .crossJoin(F.broadcast(ties))
+      .withColumn("_chi", F.expr(
+        """CAST(CAST(_s AS STRING) AS DOUBLE) * 3
+          |/ (CAST(n_blocks AS DOUBLE) * k * (k + 1))
+          |- 3 * n_blocks * (k + 1)""".stripMargin))
+      .withColumn("_c", F.expr(
+        """1 - CAST(CAST(coalesce(_tie, 0) AS STRING) AS DOUBLE)
+          |/ (CAST(n_blocks AS DOUBLE) * k * (k * k - 1))""".stripMargin))
+  }
+
+  /** Friedman oracle CTE chain shared with M40 — emits `h` carrying
+    * (n_blocks, k, chi_raw, corr). */
+  private val friedmanCtesSql: String = """
+      cell AS (
         SELECT date_trunc('month', o_orderdate) AS blk,
                o_orderpriority AS trt,
                sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
@@ -669,7 +667,21 @@ object NonparamQueries {
                      - 3 * n_blocks * (k + 1) AS chi_raw,
                    1 - CAST(CAST(coalesce(tie_t, 0) AS VARCHAR) AS DOUBLE)
                      / (CAST(n_blocks AS DOUBLE) * k * (k * k - 1)) AS corr
-            FROM nb, kk, st, tie)
+            FROM nb, kk, st, tie)"""
+
+  private val friedman = QueryDef(
+    "friedman",
+    (s, d) => friedmanCore(s, d)
+        .select(F.col("n_blocks"), F.col("k").as("k_treatments"),
+          F.expr("""CASE WHEN k < 2 OR n_blocks = 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi, 6) END"""
+            .stripMargin).as("chi2_f"),
+          F.expr("""CASE WHEN k < 2 OR n_blocks = 0 OR _c <= 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE round(_chi / _c, 6) END"""
+            .stripMargin).as("chi2_f_corrected"))
+        .orderBy("n_blocks"),
+    Some(s"""
+      WITH $friedmanCtesSql
       SELECT n_blocks, k AS k_treatments,
              CASE WHEN k < 2 OR n_blocks = 0 THEN CAST(0.0 AS DOUBLE)
                ELSE round(chi_raw, 6) END AS chi2_f,
@@ -678,7 +690,92 @@ object NonparamQueries {
                ELSE round(chi_raw / corr, 6) END AS chi2_f_corrected
       FROM h ORDER BY n_blocks"""))
 
+  // ---------------------------------------------------------------- M40
+  /** Kendall's coefficient of concordance W across the same month-
+    * blocked priority ranks — the [0,1] EFFECT SIZE companion to M39's
+    * test statistic (χ²_F says "the priority revenue rankings are not
+    * random"; W says HOW consistently the months agree on the ranking:
+    * tie-corrected W = χ²_F,corr / (n(k−1))). Shares M39's machinery
+    * verbatim; one extra closing division. */
+  private val kendallW = QueryDef(
+    "kendall_w",
+    (s, d) => friedmanCore(s, d)
+      .select(F.col("n_blocks"), F.col("k").as("k_treatments"),
+        F.expr("""CASE WHEN k < 2 OR n_blocks = 0 OR _c <= 0
+          |THEN CAST(0.0 AS DOUBLE)
+          |ELSE round(_chi / _c / (CAST(n_blocks AS DOUBLE) * (k - 1)), 6)
+          |END""".stripMargin).as("w"))
+      .orderBy("n_blocks"),
+    Some(s"""
+      WITH $friedmanCtesSql
+      SELECT n_blocks, k AS k_treatments,
+             CASE WHEN k < 2 OR n_blocks = 0 OR corr <= 0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE round(chi_raw / corr
+                          / (CAST(n_blocks AS DOUBLE) * (k - 1)), 6)
+             END AS w
+      FROM h ORDER BY n_blocks"""))
+
+  // ---------------------------------------------------------------- M41
+  /** McNemar's test between two PAIRED keep/drop rules on the documents
+    * corpus — rule A: n_chars ≥ 200, rule B: ≥ 40 regex words (E3's
+    * word counter) — the paired-binary "did swapping the filter change
+    * decisions SYSTEMATICALLY" test a curation pipeline runs before
+    * replacing a quality rule: only the discordant cells b (A-only
+    * keep) and c (B-only keep) matter, χ² with continuity correction
+    * = (max(|b−c|−1, 0))²/(b+c). Exact integer cell counts from one
+    * map-side-combined corpus pass, one closing double. */
+  private val mcnemar = QueryDef(
+    "mcnemar",
+    (s, d) => {
+      t(s, d, "documents")
+        .select(
+          F.expr("CASE WHEN n_chars >= 200 THEN 1L ELSE 0L END").as("a"),
+          F.expr("CASE WHEN regexp_count(text, '[a-z0-9]+') >= 40" +
+            " THEN 1L ELSE 0L END").as("b"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1L ELSE 0L END"))
+            .as("b_cnt"),
+          F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1L ELSE 0L END"))
+            .as("c_cnt"),
+          F.sum(F.expr("CASE WHEN a = b THEN 1L ELSE 0L END"))
+            .as("concordant"))
+        .select(F.col("n_docs"), F.col("b_cnt"), F.col("c_cnt"),
+          F.col("concordant"),
+          F.expr("""CASE WHEN b_cnt + c_cnt = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(greatest(abs(CAST(b_cnt AS DOUBLE) - c_cnt) - 1,
+            |                    CAST(0 AS DOUBLE))
+            |           * greatest(abs(CAST(b_cnt AS DOUBLE) - c_cnt) - 1,
+            |                      CAST(0 AS DOUBLE))
+            |           / (CAST(b_cnt AS DOUBLE) + c_cnt), 6) END"""
+            .stripMargin).as("chi2_cc"))
+        .orderBy("n_docs")
+    },
+    Some("""
+      WITH p AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 40
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_cnt,
+                     CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_cnt,
+                     CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS concordant
+              FROM p)
+      SELECT n_docs, b_cnt, c_cnt, concordant,
+             CASE WHEN b_cnt + c_cnt = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(greatest(abs(CAST(b_cnt AS DOUBLE) - c_cnt) - 1,
+                                   CAST(0 AS DOUBLE))
+                          * greatest(abs(CAST(b_cnt AS DOUBLE) - c_cnt) - 1,
+                                     CAST(0 AS DOUBLE))
+                          / (CAST(b_cnt AS DOUBLE) + c_cnt), 6)
+             END AS chi2_cc
+      FROM agg ORDER BY n_docs"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
-      friedman)
+      friedman, kendallW, mcnemar)
 }

@@ -463,6 +463,10 @@ object ScaleTest {
     // probed — write+read throughput, not a plan shape.)
     timeQ("friedman")
     timeQ("harmonic_centrality")
+    // r11 probe: ANF is k·m sketch rows per hop — edge-linear with the
+    // fixed k=16 constant; the probe pins that the O(k)-state merge
+    // aggregate (not a window sort) carries the 10× edge list.
+    timeQ("graph_anf")
     timeQ("clustering_coeff")
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)

@@ -279,6 +279,83 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("kendall_w is friedman's corrected statistic over n(k-1), in [0,1]") {
+    val w = q("kendall_w").collect().head
+    val f = q("friedman").collect().head
+    val n = f.getAs[Long]("n_blocks").toDouble
+    val k = f.getAs[Long]("k_treatments").toDouble
+    val expect = f.getAs[Double]("chi2_f_corrected") / (n * (k - 1))
+    assert(w.getAs[Long]("n_blocks") == f.getAs[Long]("n_blocks"))
+    assert(math.abs(w.getAs[Double]("w") - expect) < 1e-5,
+      s"w ${w.getAs[Double]("w")} vs friedman-derived $expect")
+    assert(w.getAs[Double]("w") >= 0.0 && w.getAs[Double]("w") <= 1.0)
+  }
+
+  test("mcnemar matches a brute-force paired-rule replay") {
+    val row = q("mcnemar").collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).as("nw"))
+      .collect().map(r => (r.getLong(0) >= 200, r.getInt(1) >= 40))
+    val b = docs.count { case (a, b2) => a && !b2 }.toLong
+    val c = docs.count { case (a, b2) => !a && b2 }.toLong
+    assert(row.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(row.getAs[Long]("b_cnt") == b && row.getAs[Long]("c_cnt") == c)
+    assert(row.getAs[Long]("concordant") == docs.length - b - c)
+    val expect = if (b + c == 0) 0.0
+      else math.pow(math.max(math.abs(b.toDouble - c) - 1, 0), 2) / (b + c)
+    assert(math.abs(row.getAs[Double]("chi2_cc") - expect) < 1e-5)
+  }
+
+  test("graph_anf matches a driver-side KMV-merge replay and tracks " +
+    "the exact neighborhood function") {
+    val k = graft.queries.GraphMetricsQueries.ANF_K
+    val hops = graft.queries.GraphMetricsQueries.ANF_HOPS
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+    }
+    // replay: per node a sorted bottom-k distinct sketch, merged per hop
+    var sk = adj.keys.map(v =>
+      v -> Vector(graft.operators.Hashing.hash60(v.toString))).toMap
+    val rows = q("graph_anf").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val maxHash = 1152921504606846976L
+    var exactBall = adj.keys.map(v => v -> Set(v)).toMap
+    for (h <- 1 to hops) {
+      sk = adj.keys.map { v =>
+        val merged = (sk(v) ++ adj(v).flatMap(sk(_)))
+          .distinct.sorted.take(k)
+        v -> merged
+      }.toMap
+      val est = sk.values.map { m =>
+        if (m.length < k) m.length.toLong
+        else (BigInt(k - 1) * maxHash / m.last).toLong
+      }.sum
+      val (nNodes, sumEst) = rows(h.toLong)
+      assert(nNodes == adj.size.toLong, s"hop $h node count")
+      assert(sumEst == est, s"hop $h: published $sumEst vs replay $est")
+      // accuracy against the exact neighborhood function. Per-node KMV
+      // std at k=16 is ~27% and averages out when balls differ — but on
+      // this tiny diameter-2 graph every 2-hop ball IS the whole vertex
+      // set, so all sketches coincide and the corpus sum inherits ONE
+      // shared draw's tail (measured 1.8× here). The band is therefore
+      // the single-draw 3× envelope; the replay equality above is the
+      // correctness gate.
+      exactBall = exactBall.map { case (v, s0) =>
+        v -> (s0 ++ s0.flatMap(adj(_)))
+      }
+      val exact = exactBall.values.map(_.size.toLong).sum
+      assert(sumEst > exact / 3.0 && sumEst < exact * 3.0,
+        s"hop $h: est $sumEst vs exact $exact outside the 3x envelope")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
