@@ -775,7 +775,71 @@ object NonparamQueries {
              END AS chi2_cc
       FROM agg ORDER BY n_docs"""))
 
+  // ---------------------------------------------------------------- M42
+  /** Cochran's Q across THREE paired keep/drop rules on the documents
+    * corpus — M41's k-treatment generalization (rule A: n_chars ≥ 200,
+    * rule B: ≥ 40 regex words, rule C: ≥ 3 sentence terminators): "do
+    * the k filters keep systematically different fractions of the same
+    * corpus". Exact integers end to end: column totals C_j, row-sum
+    * moments ΣR_i and ΣR_i² (R_i ∈ 0..k) from ONE map-side-combined
+    * corpus pass, Q = (k−1)·Σ_j(k·C_j − N)² / (k·(k·ΣR_i − ΣR_i²)) —
+    * the k² clearing keeps the numerator integral — one closing
+    * double, degenerate guard when every row is all-keep/all-drop. */
+  private val cochranQ = QueryDef(
+    "cochran_q",
+    (s, d) => {
+      t(s, d, "documents")
+        .select(
+          F.expr("CASE WHEN n_chars >= 200 THEN 1L ELSE 0L END").as("a"),
+          F.expr("CASE WHEN regexp_count(text, '[a-z0-9]+') >= 40" +
+            " THEN 1L ELSE 0L END").as("b"),
+          F.expr("CASE WHEN regexp_count(text, '[.!?]') >= 3" +
+            " THEN 1L ELSE 0L END").as("c"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("a").as("c1"), F.sum("b").as("c2"), F.sum("c").as("c3"),
+          F.sum(F.expr("a + b + c")).as("_sr"),
+          F.sum(F.expr("(a + b + c) * (a + b + c)")).as("_sr2"))
+        .withColumn("_k", F.lit(3L))
+        .withColumn("_n", F.expr("c1 + c2 + c3"))
+        .withColumn("_num", F.expr(
+          """(_k - 1) * ((_k * c1 - _n) * (_k * c1 - _n)
+            |           + (_k * c2 - _n) * (_k * c2 - _n)
+            |           + (_k * c3 - _n) * (_k * c3 - _n))""".stripMargin))
+        .withColumn("_den", F.expr("_k * (_k * _sr - _sr2)"))
+        .select(F.col("n_docs"), F.col("c1"), F.col("c2"), F.col("c3"),
+          F.expr("""CASE WHEN _den <= 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(CAST(_num AS DOUBLE) / _den, 6) END"""
+            .stripMargin).as("q_stat"))
+        .orderBy("n_docs")
+    },
+    Some("""
+      WITH p AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 40
+                    THEN 1 ELSE 0 END AS b,
+               CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                    THEN 1 ELSE 0 END AS c
+        FROM documents),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(a) AS BIGINT) AS c1,
+                     CAST(sum(b) AS BIGINT) AS c2,
+                     CAST(sum(c) AS BIGINT) AS c3,
+                     CAST(sum(a + b + c) AS BIGINT) AS sr,
+                     CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sr2
+              FROM p),
+      q AS (SELECT n_docs, c1, c2, c3,
+                   2 * ((3 * c1 - (c1 + c2 + c3)) * (3 * c1 - (c1 + c2 + c3))
+                        + (3 * c2 - (c1 + c2 + c3)) * (3 * c2 - (c1 + c2 + c3))
+                        + (3 * c3 - (c1 + c2 + c3)) * (3 * c3 - (c1 + c2 + c3)))
+                     AS num,
+                   3 * (3 * sr - sr2) AS den
+            FROM agg)
+      SELECT n_docs, c1, c2, c3,
+             CASE WHEN den <= 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(CAST(num AS DOUBLE) / den, 6) END AS q_stat
+      FROM q ORDER BY n_docs"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
-      friedman, kendallW, mcnemar)
+      friedman, kendallW, mcnemar, cochranQ)
 }

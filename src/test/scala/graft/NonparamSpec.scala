@@ -307,6 +307,30 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("chi2_cc") - expect) < 1e-5)
   }
 
+  test("cochran_q matches a brute-force three-rule replay") {
+    val row = q("cochran_q").collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).as("nw"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]")).as("ns"))
+      .collect().map(r =>
+        (if (r.getLong(0) >= 200) 1L else 0L,
+          if (r.getInt(1) >= 40) 1L else 0L,
+          if (r.getInt(2) >= 3) 1L else 0L))
+    val k = 3.0
+    val cj = Seq(docs.map(_._1).sum, docs.map(_._2).sum, docs.map(_._3).sum)
+    val n = cj.sum.toDouble
+    val sr = docs.map(t3 => t3._1 + t3._2 + t3._3)
+    val num = (k - 1) * cj.map(c => (k * c - n) * (k * c - n)).sum
+    val den = k * (k * sr.sum - sr.map(r0 => r0 * r0).sum)
+    assert(row.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(row.getAs[Long]("c1") == cj(0) && row.getAs[Long]("c2") == cj(1)
+      && row.getAs[Long]("c3") == cj(2))
+    val expect = if (den <= 0) 0.0 else num / den
+    assert(math.abs(row.getAs[Double]("q_stat") - expect) < 1e-5,
+      s"q ${row.getAs[Double]("q_stat")} vs brute $expect")
+  }
+
   test("graph_anf matches a driver-side KMV-merge replay and tracks " +
     "the exact neighborhood function") {
     val k = graft.queries.GraphMetricsQueries.ANF_K
