@@ -288,6 +288,74 @@ object SeriesQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2 ORDER BY segment, yr"""))
 
+  // ---------------------------------------------------------------- C90
+  /** Classical trend/seasonal decomposition of daily revenue — the
+    * moving-average decomposition underlying STL, restricted to the
+    * exact-arithmetic part: trend = centered 7-observed-day mean of
+    * daily myriacents (a ROWS window over the calendar-day frame —
+    * deterministic over the observed day sequence even with calendar
+    * gaps), detrended = value − trend (exact, trend by the positive
+    * floor form), seasonal = per-day-of-week mean of the detrended
+    * series. Detrended sums can be NEGATIVE, so the per-dow means use
+    * the truncating form (a − a%b)/b, which both engines compute
+    * identically (both % are dividend-signed, and the cleared
+    * numerator divides exactly). Complements M6's seasonality_dow
+    * (raw dow means): here the weekly signal is read AFTER the trend
+    * is removed, which is what makes it a seasonal component rather
+    * than a level artifact.
+    *
+    * Scale shape: one corpus aggregate to the calendar-day frame
+    * (≤ date-range days at any SF — WindowAuditSpec-allowlisted), one
+    * 7-row-frame window, a 7-row finish. */
+  private val seasonalDecompose = QueryDef(
+    "seasonal_decompose",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.col("o_orderdate").as("day"))
+        .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
+          " * 10000 AS DECIMAL(38,0))")).as("myria"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("_n7", F.count(F.lit(1)).over(w))
+        .withColumn("_s7", F.sum("myria").over(w))
+        .where(F.col("_n7") === 7)
+        .withColumn("_det",
+          F.expr("myria - CAST((_s7 - _s7 % 7) / 7 AS DECIMAL(38,0))"))
+      det.groupBy(F.dayofweek(F.col("day")).cast("long").as("dow"))
+        .agg(F.count(F.lit(1)).as("n_days"),
+          F.sum("_det").as("_sd"), F.sum("myria").as("_sm"))
+        .select(F.col("dow"), F.col("n_days"),
+          F.expr("CAST((_sd - _sd % n_days) / n_days AS BIGINT)")
+            .as("seasonal_myria"),
+          F.expr("CAST((_sm - _sm % n_days) / n_days AS BIGINT)")
+            .as("mean_myria"))
+        .orderBy("dow")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                        AS HUGEINT)) AS myria
+        FROM orders GROUP BY 1),
+      tr AS (SELECT day, myria,
+                    count(*) OVER w AS n7,
+                    sum(myria) OVER w AS s7
+             FROM daily
+             WINDOW w AS (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT day, myria,
+                     myria - (s7 - s7 % 7) // 7 AS det
+              FROM tr WHERE n7 = 7),
+      g AS (SELECT dayofweek(day) + 1 AS dow,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   sum(det) AS sd, sum(myria) AS sm
+            FROM det GROUP BY 1)
+      SELECT CAST(dow AS BIGINT) AS dow, n_days,
+             CAST((sd - sd % n_days) // n_days AS BIGINT)
+               AS seasonal_myria,
+             CAST((sm - sm % n_days) // n_days AS BIGINT) AS mean_myria
+      FROM g ORDER BY dow"""))
+
   val all: Seq[QueryDef] = Seq(binsegSplit, forecastBacktest, rollingCorr,
-    lDiversity)
+    lDiversity, seasonalDecompose)
 }

@@ -77,6 +77,52 @@ class SeriesSpec extends SparkSpec {
     assert(rows.length <= n - 11)
   }
 
+  test("seasonal_decompose matches a brute-force moving-average replay") {
+    val rows = q("seasonal_decompose").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val daily = graft.queries.Tables.t(spark, sf, "orders")
+      .groupBy(F.col("o_orderdate").as("day"))
+      .agg(F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4))" +
+        " * 10000 AS DECIMAL(38,0))")).cast("string").as("m"))
+      .orderBy("day")
+      .collect().map { r =>
+        val ld = r.get(0) match { // the driver's date encoding varies
+          case d: java.sql.Date => d.toLocalDate
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.time.LocalDate => t
+        }
+        (ld, BigInt(r.getString(1)))
+      }
+    // centered 7-observed-day trend; detrended per dow (truncating div)
+    val agg = scala.collection.mutable.Map
+      .empty[Long, (Long, BigInt, BigInt)]
+    for (i <- 3 until daily.length - 3) {
+      val (day, m) = daily(i)
+      val s7 = (i - 3 to i + 3).map(daily(_)._2).sum
+      val trend = (s7 - s7 % 7) / 7
+      val det = m - trend
+      val iso = day.getDayOfWeek.getValue // Mon=1..Sun=7
+      val dow = ((iso % 7) + 1).toLong // Spark dayofweek: Sun=1..Sat=7
+      val (n, sd, sm) = agg.getOrElse(dow, (0L, BigInt(0), BigInt(0)))
+      agg(dow) = (n + 1, sd + det, sm + m)
+    }
+    assert(rows.keySet == agg.keySet)
+    agg.foreach { case (dow, (n, sd, sm)) =>
+      val (gn, gs, gm) = rows(dow)
+      assert(gn == n, s"dow $dow n_days")
+      assert(gs == ((sd - sd % n) / n).toLong,
+        s"dow $dow seasonal: $gs vs ${(sd - sd % n) / n}")
+      assert(gm == ((sm - sm % n) / n).toLong, s"dow $dow mean")
+    }
+    // seasonal components of a detrended series must roughly cancel
+    val total = agg.values.map { case (n, sd, _) => sd }.sum
+    val days = agg.values.map(_._1).sum
+    assert((total / days).abs < BigInt(10000000L),
+      "per-day seasonal mean should be small relative to daily revenue")
+  }
+
   test("l_diversity groups partition the joined order count") {
     val rows = q("l_diversity").collect()
     val total = graft.queries.Tables.t(spark, sf, "orders")

@@ -44,6 +44,7 @@ class WindowAuditSpec extends SparkSpec {
       "row_number<=10 additionally WindowGroupLimit-bounded"),
     "rolling_corr" -> "calendar-month frame",
     "rolling_median" -> "calendar-day frame",
+    "seasonal_decompose" -> "calendar-day frame",
     "running_distinct" -> "calendar-day frame",
     "t_closeness" -> ("cumulative dist over the 5-row order-priority " +
       "category frame"),
