@@ -136,15 +136,6 @@ object Pq {
       listCentroids, codebooks, queries,
       idCol, vecCol, k, nprobe, shortlistK, m, subDim)
 
-  /** [[ivfpqTopK]] against a PREBUILT index: `assignments` (vec_id,
-    * centroid_label — a prior [[Ivf.assign]]) and `codes` (vec_id,
-    * codes — a prior [[encode]]), e.g. staged parquet artifacts. This
-    * is the serve half of the build/serve split a production index
-    * runs: the corpus-sided build (assign pass + encode pass) happens
-    * ONCE at index-build time; each query batch touches only the
-    * routed lists' codes plus the broadcast shortlist rerank. Same
-    * result as [[ivfpqTopK]] given artifacts built from the same
-    * centroids/codebooks. */
   /** FAISS-style IVFADC on RESIDUALS [Jégou et al. 2011 §V.A]: the
     * corpus is PQ-encoded as x − centroid(list(x)) instead of raw x —
     * the standard recall win at the same code budget, because residuals
@@ -160,12 +151,48 @@ object Pq {
       resCodes: DataFrame, listCentroids: DataFrame,
       resCodebooks: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame = {
+      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame =
+    serveCore(corpus, assignments, resCodes, listCentroids, resCodebooks,
+      queries, idCol, vecCol, k, nprobe, shortlistK, m, subDim,
+      listBias = true)
+
+  /** [[ivfpqTopK]] against a PREBUILT index: `assignments` (vec_id,
+    * centroid_label — a prior [[Ivf.assign]]) and `codes` (vec_id,
+    * codes — a prior [[encode]]), e.g. staged parquet artifacts. This
+    * is the serve half of the build/serve split a production index
+    * runs: the corpus-sided build (assign pass + encode pass) happens
+    * ONCE at index-build time; each query batch touches only the
+    * routed lists' codes plus the broadcast shortlist rerank. Same
+    * result as [[ivfpqTopK]] given artifacts built from the same
+    * centroids/codebooks. */
+  def ivfpqServe(corpus: DataFrame, assignments: DataFrame,
+      codes: DataFrame, listCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame =
+    serveCore(corpus, assignments, codes, listCentroids, codebooks,
+      queries, idCol, vecCol, k, nprobe, shortlistK, m, subDim,
+      listBias = false)
+
+  /** Shared IVF+PQ serve pipeline behind [[ivfpqServe]] (raw codes,
+    * `listBias = false`) and [[ivfpqResidualServe]] (residual codes,
+    * `listBias = true` — the ADC sum gains the per-(query, probed-list)
+    * dot(q, c_list) bias, constant within a (query, match) group since
+    * each match lives in exactly one list). One implementation so a fix
+    * or tuning to the routing / shortlist / rerank stages can never
+    * drift between the raw and residual variants. */
+  private def serveCore(corpus: DataFrame, assignments: DataFrame,
+      codes: DataFrame, listCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      shortlistK: Int, m: Int, subDim: Int,
+      listBias: Boolean): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
-    // 1. route queries to nprobe lists, carrying the per-list bias
-    val probes = queries.crossJoin(F.broadcast(listCentroids))
+    // 1. route queries to their nprobe nearest lists (residual serving
+    //    carries each probed list's integer-micro bias along)
+    val routed = queries.crossJoin(F.broadcast(listCentroids))
       .select(F.col(idCol).as("query_id"),
         F.col("ckey").as("centroid_label"),
         Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"),
@@ -174,68 +201,9 @@ object Pq {
       .withColumn("_rn", F.row_number().over(
         w.orderBy(F.col("_qc").desc, F.col("centroid_label"))))
       .filter(F.col("_rn") <= nprobe)
-      .select("query_id", "centroid_label", "qc_micro")
-    // 2. standing index: list assignment + RESIDUAL PQ codes
-    val asg = assignments
-      .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
-    val ccodes = resCodes
-      .select(F.col("vec_id").as("match_id"),
-        F.posexplode(F.col("codes")).as(Seq("sub", "code")))
-      .join(asg, "match_id")
-    // 3. ADC table: RAW query subvectors against RESIDUAL codebooks
-    val qsub = queries.select(F.col(idCol).as("query_id"),
-      F.posexplode(F.array((0 until m).map(s =>
-        F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
-        .as(Seq("sub", "_qv")))
-    val table = qsub.join(F.broadcast(resCodebooks), "sub")
-      .select(F.col("query_id"), F.col("sub"),
-        F.col("ckey").cast("long").as("code"),
-        F.floor(Similarity.dot(F.col("_qv"), F.col("centroid")) * 1e6)
-          .cast("long").as("_p"))
-    // 4. restrict to probed lists, lookup-sum + the list bias (constant
-    //    per (query, match) group — each match lives in ONE list)
-    val scored = ccodes
-      .join(F.broadcast(probes), "centroid_label")
-      .join(F.broadcast(table), Seq("query_id", "sub", "code"))
-      .filter(F.col("match_id") =!= F.col("query_id"))
-      .groupBy("query_id", "match_id")
-      .agg((F.sum("_p") + F.max("qc_micro")).as("score_micro"))
-    val shortlist = scored.withColumn("_rn", F.row_number().over(
-      w.orderBy(F.col("score_micro").desc, F.col("match_id"))))
-      .filter(F.col("_rn") <= shortlistK)
-      .select("query_id", "match_id")
-    // 5. exact rerank of the shortlist only
-    val qv = queries.select(F.col(idCol).as("query_id"),
-      F.col(vecCol).as("_qvec"))
-    val cv = corpus.select(F.col(idCol).as("match_id"),
-      F.col(vecCol).as("_cvec"))
-    F.broadcast(shortlist.join(qv, "query_id"))
-      .join(cv, "match_id")
-      .select(F.col("query_id"), F.col("match_id"),
-        Similarity.cosine(F.col("_qvec"), F.col("_cvec")).as("cos"))
-      .withColumn("rank", F.row_number().over(
-        w.orderBy(F.col("cos").desc, F.col("match_id"))))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "rank", "match_id", "cos")
-  }
-
-  def ivfpqServe(corpus: DataFrame, assignments: DataFrame,
-      codes: DataFrame, listCentroids: DataFrame,
-      codebooks: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int,
-      shortlistK: Int, m: Int = 4, subDim: Int = 16): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-    // 1. route queries to their nprobe nearest lists
-    val probes = queries.crossJoin(F.broadcast(listCentroids))
-      .select(F.col(idCol).as("query_id"),
-        F.col("ckey").as("centroid_label"),
-        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"))
-      .withColumn("_rn", F.row_number().over(
-        w.orderBy(F.col("_qc").desc, F.col("centroid_label"))))
-      .filter(F.col("_rn") <= nprobe)
-      .select("query_id", "centroid_label")
+    val probes =
+      if (listBias) routed.select("query_id", "centroid_label", "qc_micro")
+      else routed.select("query_id", "centroid_label")
     // 2. the standing index: per-vector list assignment + PQ codes
     val asg = assignments
       .select(F.col("vec_id").as("match_id"), F.col("centroid_label"))
@@ -244,6 +212,8 @@ object Pq {
         F.posexplode(F.col("codes")).as(Seq("sub", "code")))
       .join(asg, "match_id")
     // 3. ADC lookup table per (query, sub, code) — m·k rows per query
+    //    (raw query subvectors; against residual codebooks when serving
+    //    a residual index)
     val qsub = queries.select(F.col(idCol).as("query_id"),
       F.posexplode(F.array((0 until m).map(s =>
         F.slice(F.col(vecCol), s * subDim + 1, subDim)): _*))
@@ -259,7 +229,8 @@ object Pq {
       .join(F.broadcast(table), Seq("query_id", "sub", "code"))
       .filter(F.col("match_id") =!= F.col("query_id"))
       .groupBy("query_id", "match_id")
-      .agg(F.sum("_p").as("score_micro"))
+      .agg((if (listBias) F.sum("_p") + F.max("qc_micro")
+            else F.sum("_p")).as("score_micro"))
     val shortlist = scored.withColumn("_rn", F.row_number().over(
       w.orderBy(F.col("score_micro").desc, F.col("match_id"))))
       .filter(F.col("_rn") <= shortlistK)
