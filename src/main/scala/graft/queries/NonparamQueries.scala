@@ -839,7 +839,108 @@ object NonparamQueries {
                ELSE round(CAST(num AS DOUBLE) / den, 6) END AS q_stat
       FROM q ORDER BY n_docs"""))
 
+  // ---------------------------------------------------------------- M43
+  /** Wilcoxon signed-rank test — the paired CONTINUOUS rung the ladder
+    * lacked between mcnemar (paired binary) and mann_whitney (unpaired
+    * continuous): per order DATE, exact urgent-priority vs high-priority
+    * revenue cents form one pair (days carrying both arms — the matched
+    * observation a campaign A/B on the same calendar reads); zero diffs
+    * DROPPED per the test's classical definition (counted, published),
+    * |d| ranked with exact tie-corrected MIDRANKS over the VALUE DOMAIN
+    * (M33's machinery: group by |d|, one DistRank.globalCumSum range
+    * shuffle, midrank2 = 2·cum − cnt + 1 so ranks stay integral ×2),
+    * W⁺ = Σ ranks of positive diffs. Tie-corrected normal approximation
+    * via the all-integer V12 = 2n(n+1)(2n+1) − Σ(t³−t), so
+    * z = (2W⁺ − n(n+1)/2) / sqrt(V12/12) — integer numerator, sqrt of an
+    * exactly-representable integer double, ONE closing division.
+    *
+    * Scale shape: one map-side-combined corpus aggregate to the
+    * calendar-day frame; everything after is value-domain-sized (the
+    * cumsum replaces any global row window — M33's discipline). */
+  private val wilcoxonSignedRank = QueryDef(
+    "wilcoxon_signed_rank",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.to_date(F.col("o_orderdate")).as("day"))
+        .agg(
+          F.expr("CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN " +
+            "CAST(o_totalprice AS DECIMAL(18,4)) END) * 100 AS BIGINT)")
+            .as("c1"),
+          F.expr("CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN " +
+            "CAST(o_totalprice AS DECIMAL(18,4)) END) * 100 AS BIGINT)")
+            .as("c2"))
+        .where(F.col("c1").isNotNull && F.col("c2").isNotNull)
+      val vals = daily
+        .select(F.expr("abs(c1 - c2)").as("ad"),
+          F.expr("CASE WHEN c1 > c2 THEN 1L ELSE 0L END").as("p1"))
+        .groupBy("ad")
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum("p1").as("pos"))
+      val zeros = vals.agg(F.coalesce(
+        F.sum(F.when(F.col("ad") === 0, F.col("cnt"))), F.lit(0L))
+        .as("n_zero"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        vals.where(F.col("ad") =!= 0), "cnt", "cum", F.col("ad").asc)
+      cum.agg(
+          F.coalesce(F.sum("cnt"), F.lit(0L)).as("n_pairs"),
+          F.coalesce(F.sum(F.expr("pos * (2 * cum - cnt + 1)")), F.lit(0L))
+            .as("_w2"),
+          F.coalesce(F.sum(F.expr("cnt * cnt * cnt - cnt")), F.lit(0L))
+            .as("_tie"))
+        .crossJoin(F.broadcast(zeros))
+        .withColumn("_num2",
+          F.expr("_w2 - n_pairs * (n_pairs + 1) div 2"))
+        .withColumn("_v12", F.expr(
+          "2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - _tie"))
+        .select(F.col("n_pairs"), F.col("n_zero"),
+          F.expr("CAST(_w2 AS DOUBLE) / 2").as("w_plus"),
+          F.expr("""CASE WHEN _v12 <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(_num2 AS DOUBLE)
+            |      / sqrt(CAST(_v12 AS DOUBLE) / 12.0), 6) END"""
+            .stripMargin).as("z"))
+        .orderBy("n_pairs")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN
+                 CAST(o_totalprice AS DECIMAL(18,4)) END) * 100 AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN
+                 CAST(o_totalprice AS DECIMAL(18,4)) END) * 100 AS BIGINT)
+                 AS c2
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1),
+      pr AS (SELECT abs(c1 - c2) AS ad,
+                    CASE WHEN c1 > c2 THEN 1 ELSE 0 END AS p1
+             FROM daily WHERE c1 IS NOT NULL AND c2 IS NOT NULL),
+      v AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(p1) AS BIGINT) AS pos
+            FROM pr GROUP BY 1),
+      z0 AS (SELECT CAST(coalesce(sum(CASE WHEN ad = 0 THEN cnt END), 0)
+                         AS BIGINT) AS n_zero FROM v),
+      c AS (SELECT ad, cnt, pos,
+                   CAST(sum(cnt) OVER (ORDER BY ad) AS BIGINT) AS cum
+            FROM v WHERE ad <> 0),
+      a AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(pos * (2 * cum - cnt + 1)), 0)
+                        AS BIGINT) AS w2,
+                   CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+                     AS tie_t
+            FROM c),
+      b AS (SELECT n_pairs, w2,
+                   w2 - n_pairs * (n_pairs + 1) // 2 AS num2,
+                   2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie_t
+                     AS v12
+            FROM a)
+      SELECT n_pairs, n_zero,
+             CAST(w2 AS DOUBLE) / 2 AS w_plus,
+             CASE WHEN v12 <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round(CAST(num2 AS DOUBLE)
+                     / sqrt(CAST(v12 AS DOUBLE) / 12.0), 6) END AS z
+      FROM b, z0 ORDER BY n_pairs"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
-      friedman, kendallW, mcnemar, cochranQ)
+      friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank)
 }

@@ -32,16 +32,31 @@ object RobustQueries {
     * zero, so they already agree; the explicit mod-adjusted form pins
     * TRUE FLOOR semantics independent of either engine's truncation
     * choice (and of any future engine swap) for negative dy. */
+  /** Shared 1995 daily-revenue frame — (month, day-of-month x, exact
+    * cents): ONE corpus aggregate to a ≤365-row calendar frame, the
+    * common input of C64's slope estimate and M44's trend test. */
+  private def dailyCents1995(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    t(s, d, "orders")
+      .where(F.year(F.col("o_orderdate")) === 1995)
+      .groupBy(F.date_format(F.col("o_orderdate"), "yyyy-MM").as("month"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").as("x"))
+      .agg(F.expr(
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
+        .as("cents"))
+
+  private val dailyCtesSql = """daily AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1, 2)"""
+
   private val theilSen = QueryDef(
     "theil_sen",
     (s, d) => {
-      val daily = t(s, d, "orders")
-        .where(F.year(F.col("o_orderdate")) === 1995)
-        .groupBy(F.date_format(F.col("o_orderdate"), "yyyy-MM").as("month"),
-          F.dayofmonth(F.col("o_orderdate")).cast("long").as("x"))
-        .agg(F.expr(
-          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)")
-          .as("cents"))
+      val daily = dailyCents1995(s, d)
       val pairs = daily.as("a")
         .join(daily.as("b"), F.expr("a.month = b.month AND a.x < b.x"))
         .select(F.col("a.month").as("month"),
@@ -63,14 +78,8 @@ object RobustQueries {
             F.col("slope_micro"))).as("median_slope_micro"))
         .orderBy("month")
     },
-    Some("""
-      WITH daily AS (
-        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-               CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100
-                    AS BIGINT) AS cents
-        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
-        GROUP BY 1, 2),
+    Some(s"""
+      WITH $dailyCtesSql,
       pr AS (
         SELECT a.month,
                CAST(b.cents - a.cents AS HUGEINT) * 1000000 AS dy,
@@ -94,6 +103,75 @@ object RobustQueries {
              CAST(min(CASE WHEN 2 * cum >= tot + 1 THEN slope_micro END)
                   AS BIGINT) AS median_slope_micro
       FROM cu GROUP BY month ORDER BY month"""))
+
+  // ---------------------------------------------------------------- M44
+  /** Mann-Kendall trend test per month — the SIGNIFICANCE companion to
+    * C64's Theil–Sen slope (the slope says how steep; S says whether the
+    * monotone trend is distinguishable from noise), sharing the same
+    * calendar-bounded daily frame and ≤ C(31,2) within-month pair
+    * budget. S = Σ_{i<j} sign(cents_j − cents_i) is pure integer
+    * pair-sign counting; the tie-corrected variance numerator
+    * V18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is an exact integer from the
+    * per-(month, value) tie groups; z applies the classical continuity
+    * correction ((S−1) above / (S+1) below / 0 at S = 0) with ONE
+    * closing division by sqrt(V18/18) — integer numerator, sqrt of an
+    * exactly-representable integer double.
+    *
+    * Scale shape: one corpus aggregate to the ≤365-row daily frame;
+    * pairs, tie groups and the closing math are all calendar-bounded
+    * metadata. */
+  private val mannKendall = QueryDef(
+    "mann_kendall",
+    (s, d) => {
+      val daily = dailyCents1995(s, d)
+      val sPerM = daily.as("a")
+        .join(daily.as("b"), F.expr("a.month = b.month AND a.x < b.x"))
+        .select(F.col("a.month").as("month"),
+          F.expr("""CASE WHEN b.cents > a.cents THEN 1L
+            |WHEN b.cents < a.cents THEN -1L ELSE 0L END""".stripMargin)
+            .as("sg"))
+        .groupBy("month").agg(F.sum("sg").as("s_stat"))
+      val nPerM = daily.groupBy("month")
+        .agg(F.count(F.lit(1)).as("n_days"))
+      val tiePerM = daily.groupBy("month", "cents")
+        .agg(F.count(F.lit(1)).as("_t"))
+        .groupBy("month")
+        .agg(F.sum(F.expr("_t * (_t - 1) * (2 * _t + 5)")).as("_tt"))
+      nPerM.join(sPerM, "month").join(tiePerM, "month")
+        .withColumn("_v18", F.expr(
+          "n_days * (n_days - 1) * (2 * n_days + 5) - _tt"))
+        .select(F.col("month"), F.col("n_days"), F.col("s_stat"),
+          F.expr("""CASE WHEN _v18 <= 0 OR s_stat = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round((CAST(s_stat AS DOUBLE)
+            |            - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)
+            |           / sqrt(CAST(_v18 AS DOUBLE) / 18.0), 6) END"""
+            .stripMargin).as("z"))
+        .orderBy("month")
+    },
+    Some(s"""
+      WITH $dailyCtesSql,
+      sm AS (SELECT a.month, CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                                      WHEN b.cents < a.cents THEN -1
+                                      ELSE 0 END) AS BIGINT) AS s_stat
+             FROM daily a JOIN daily b
+               ON a.month = b.month AND a.x < b.x
+             GROUP BY 1),
+      nm AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+      tm AS (SELECT month,
+                    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+             FROM (SELECT month, cents, CAST(count(*) AS BIGINT) AS t
+                   FROM daily GROUP BY 1, 2) GROUP BY 1),
+      v AS (SELECT nm.month, n_days, s_stat,
+                   n_days * (n_days - 1) * (2 * n_days + 5) - tt AS v18
+            FROM nm JOIN sm ON nm.month = sm.month
+                 JOIN tm ON nm.month = tm.month)
+      SELECT month, n_days, s_stat,
+             CASE WHEN v18 <= 0 OR s_stat = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round((CAST(s_stat AS DOUBLE)
+                           - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)
+                          / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) END AS z
+      FROM v ORDER BY month"""))
 
   // ---------------------------------------------------------------- M8
   /** Mutual information between two categorical metadata columns
@@ -281,6 +359,6 @@ object RobustQueries {
                   AS BIGINT) AS var_rank
       FROM v ORDER BY dim"""))
 
-  val all: Seq[QueryDef] = Seq(theilSen, mutualInformation, linkPredict,
-    embedDimProfile)
+  val all: Seq[QueryDef] = Seq(theilSen, mannKendall, mutualInformation,
+    linkPredict, embedDimProfile)
 }

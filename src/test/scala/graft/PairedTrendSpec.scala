@@ -1,0 +1,139 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** First-principles replays for the r12 paired/trend statistics: on ANY
+  * random small orders table (heavy value ties, zero diffs, missing
+  * arms), `wilcoxon_signed_rank` and `mann_kendall` must agree with
+  * driver-side recomputations from the textbook definitions — sorted
+  * midranks / pair-sign counting — not just on the fixed synthetic
+  * corpus. Each generated dataset is written as a minimal
+  * orders.parquet and driven through the SHIPPED query fns. */
+class PairedTrendSpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.apply(params, s))
+      .collect { case Some(v) => v }
+      .take(n).toSeq
+  }
+
+  /** (day-of-1995, priority, cents) rows. Cents on a coarse 100-step
+    * grid forces |d| ties AND exact-zero diffs; presence draws leave
+    * some days with only one arm (must be excluded from the pairing). */
+  private def genOrders(seed: Long): Seq[(Int, Int, String, Long)] = {
+    val nDays = 40 + (seed % 50).toInt
+    val c1s = samples(Gen.chooseNum(1L, 9L).map(_ * 100), nDays, seed)
+    val c2s = samples(Gen.chooseNum(1L, 9L).map(_ * 100), nDays, seed + 3)
+    val mode = samples(Gen.chooseNum(0, 9), nDays, seed + 11)
+    (0 until nDays).flatMap { i =>
+      val month = 1 + i / 28
+      val day = 1 + i % 28
+      val both = Seq((month, day, "1-URGENT", c1s(i)),
+        (month, day, "2-HIGH", c2s(i)))
+      mode(i) match {
+        case 0 => both.take(1) // urgent only — unpaired day
+        case 1 => both.drop(1) // high only — unpaired day
+        case 2 => Seq((month, day, "1-URGENT", c2s(i)),
+          (month, day, "2-HIGH", c2s(i))) // exact zero diff
+        case _ => both
+      }
+    }
+  }
+
+  private def writeDir(rows: Seq[(Int, Int, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_paired_trend").toString
+    rows.map { case (m, day, pri, cents) =>
+      (f"1995-$m%02d-$day%02d 00:00:00", pri, cents / 100.0)
+    }.toDF("o_orderdate", "o_orderpriority", "o_totalprice")
+      .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("wilcoxon_signed_rank matches a first-principles midrank replay " +
+    "on random paired data with ties, zeros and missing arms") {
+    for (seed <- 1L to 6L) {
+      val rows = genOrders(seed * 37)
+      val dir = writeDir(rows)
+      val row = SparkEntry.queries("wilcoxon_signed_rank")(spark, dir)
+        .collect().head
+      // replay: pair per (month, day) where both arms present
+      val byDay = rows.groupBy(r => (r._1, r._2))
+      val diffs = byDay.values.toSeq.flatMap { rs =>
+        val c1 = rs.filter(_._3 == "1-URGENT").map(_._4)
+        val c2 = rs.filter(_._3 == "2-HIGH").map(_._4)
+        if (c1.nonEmpty && c2.nonEmpty) Some(c1.sum - c2.sum) else None
+      }
+      val zeros = diffs.count(_ == 0L)
+      val nz = diffs.filter(_ != 0L)
+      val n = nz.length
+      // midranks of |d| (average rank over each tie run)
+      val sorted = nz.map(math.abs).sorted
+      val rank = scala.collection.mutable.Map.empty[Long, Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        rank(sorted(i)) = (i + 1 + j) / 2.0
+        i = j
+      }
+      val wPlus = nz.filter(_ > 0).map(d => rank(math.abs(d))).sum
+      assert(row.getAs[Long]("n_pairs") == n, s"seed $seed n_pairs")
+      assert(row.getAs[Long]("n_zero") == zeros, s"seed $seed n_zero")
+      assert(math.abs(row.getAs[Double]("w_plus") - wPlus) < 1e-9,
+        s"seed $seed: w_plus ${row.getAs[Double]("w_plus")} vs $wPlus")
+      val tieT = sorted.groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val v12 = 2.0 * n * (n + 1) * (2 * n + 1) - tieT
+      if (v12 > 0) {
+        val z = (2 * wPlus - n.toDouble * (n + 1) / 2) / math.sqrt(v12 / 12)
+        assert(math.abs(row.getAs[Double]("z") - z) < 1e-4,
+          s"seed $seed: z ${row.getAs[Double]("z")} vs replay $z")
+      } else assert(row.getAs[Double]("z") == 0.0, s"seed $seed z guard")
+    }
+  }
+
+  test("mann_kendall matches a first-principles pair-sign replay on " +
+    "random monthly series with ties") {
+    for (seed <- 1L to 6L) {
+      val rows = genOrders(seed * 53)
+      val dir = writeDir(rows)
+      val got = SparkEntry.queries("mann_kendall")(spark, dir)
+        .collect().map(r => r.getAs[String]("month") ->
+          (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+            r.getAs[Double]("z"))).toMap
+      // replay per month over the daily cent sums (both-arm days AND
+      // single-arm days both contribute — the daily frame sums whatever
+      // urgent/high revenue the day has)
+      val daily = rows.groupBy(r => (r._1, r._2))
+        .map { case ((m, day), rs) => (m, day, rs.map(_._4).sum) }
+      daily.groupBy(_._1).foreach { case (m, ds) =>
+        val series = ds.toSeq.sortBy(_._2).map(_._3)
+        val n = series.length
+        var s = 0L
+        for (i <- series.indices; j <- (i + 1) until n) {
+          s += java.lang.Long.signum(series(j) - series(i))
+        }
+        val tieT = series.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+          .sum
+        val v18 = n.toLong * (n - 1) * (2L * n + 5) - tieT
+        val key = f"1995-$m%02d"
+        val (gn, gs, gz) = got(key)
+        assert(gn == n && gs == s, s"seed $seed $key n/s: $gn/$gs vs $n/$s")
+        if (v18 > 0 && s != 0) {
+          val z = (s - math.signum(s.toDouble)) / math.sqrt(v18 / 18.0)
+          assert(math.abs(gz - z) < 1e-4,
+            s"seed $seed $key: z $gz vs replay $z")
+        } else assert(gz == 0.0, s"seed $seed $key z guard")
+      }
+    }
+  }
+}
