@@ -46,6 +46,60 @@ object Similarity {
       .select("query_id", "rank", "match_id", "cos")
   }
 
+  /** 1-bit SIGN quantization — the cheapest rung of the quantization
+    * ladder (float32 → int8 → PQ → 1 bit/dim): pack each 64-dim float
+    * vector's sign bits into ONE BIGINT (bit i set iff v[i+1] > 0 —
+    * nulls and non-positives clear the bit; NaN compares greater than 0
+    * in both engines). 64 floats → 8 bytes is 32× compression and
+    * Hamming distance becomes ONE xor + popcount per candidate. The
+    * packing is 64 constant IF terms (disjoint bits, so + is bitwise
+    * or) — whole-stage codegen, no lambda HOF on the corpus pass. */
+  def signPack(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val terms = (0 until 64).map(i =>
+      s"IF(element_at($vecCol, ${i + 1}) > CAST(0.0 AS FLOAT), " +
+        s"shiftleft(1L, $i), 0L)")
+    corpus.select(F.col(idCol).as("vec_id"),
+      F.expr(terms.mkString(" + ")).as("bits"))
+  }
+
+  /** Binary-code ANN serve: Hamming-distance shortlist over [[signPack]]
+    * codes, exact-cosine rerank of the shortlist only (the D14d
+    * pattern). The scored pass is ONE codegen'd `bit_count(bits ^ qb)`
+    * per (query, candidate) — 8 bytes of state per corpus vector, the
+    * cheapest possible first-stage filter at 100 TB; the float corpus is
+    * touched only for the shortlistK reranked candidates per query
+    * (broadcast ids, corpus streams once). Returns (query_id, rank,
+    * match_id, hamming, cos), rank ≤ k by exact cosine. */
+  def binaryTopK(corpus: DataFrame, codes: DataFrame,
+      queryCodes: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlistK: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val q = queryCodes.select(F.col("vec_id").as("query_id"),
+      F.col("bits").as("_qb"))
+    val scored = codes.join(F.broadcast(q),
+        F.col("query_id") =!= F.col("vec_id"))
+      .select(F.col("query_id"), F.col("vec_id").as("match_id"),
+        F.expr("CAST(bit_count(bits ^ _qb) AS BIGINT)").as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    val shortlist = scored.withColumn("_rn", F.row_number().over(
+        w.orderBy(F.col("hamming").asc, F.col("match_id"))))
+      .filter(F.col("_rn") <= shortlistK)
+      .select("query_id", "match_id", "hamming")
+    val qv = corpus.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("_qvec"))
+    val cv = corpus.select(F.col(idCol).as("match_id"),
+      F.col(vecCol).as("_cvec"))
+    F.broadcast(shortlist.join(qv, "query_id"))
+      .join(cv, "match_id")
+      .select(F.col("query_id"), F.col("match_id"), F.col("hamming"),
+        cosine(F.col("_qvec"), F.col("_cvec")).as("cos"))
+      .withColumn("rank", F.row_number().over(
+        w.orderBy(F.col("cos").desc, F.col("match_id"))))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "match_id", "hamming", "cos")
+  }
+
   /** Cosine-threshold near-duplicate pairs within a blocking column. */
   def blockedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {

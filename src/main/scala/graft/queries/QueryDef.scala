@@ -306,6 +306,16 @@ object Staged {
             (a, b) => a - b).as("embedding"))
     }
 
+  /** 1-bit sign codes over the embedding corpus (D69's index): ONE
+    * BIGINT per vector from [[graft.operators.Similarity.signPack]] —
+    * build-once like every ANN artifact; both the binary top-k and its
+    * recall audit serve from this parquet. */
+  def signCodes(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "sign_codes") {
+      graft.operators.Similarity.signPack(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding")
+    }
+
   /** PQ codebooks trained on [[pqResidualCorpus]] (the D64 index). */
   def pqResCodebooks(s: SparkSession, d: String): DataFrame =
     stagedParquet(s, d, "pq_res_codebooks") {

@@ -921,9 +921,123 @@ object RefineQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
     })
 
+  /** D69's serve budget: Hamming shortlist size before the exact
+    * rerank, and the published top-k — shared with the recall audit's
+    * denominator so changing either changes all three. */
+  private val BIN_SHORTLIST = 100
+  private val BIN_K = 5
+
+  /** Shared oracle CTEs for the binary rung: per-(query < 5, candidate)
+    * sign-bit Hamming distance computed STRUCTURALLY (count of differing
+    * sign tests — the oracle needn't replicate the 64-bit packing, only
+    * its result; nulls pinned to false on both engines), shortlist of
+    * the BIN_SHORTLIST nearest by (hamming, match_id), exact-cosine
+    * rerank. Emits `bsl` (shortlist) and `brr` (reranked rows). */
+  private def binaryCtes: String =
+    s"""bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       |bham AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |           CASE WHEN coalesce(e.embedding[i] > 0, false)
+       |                     <> coalesce(q.embedding[i] > 0, false)
+       |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM embeddings e JOIN bq q ON e.vec_id <> q.vec_id),
+       |bsl AS (SELECT query_id, match_id, hamming FROM (
+       |          SELECT query_id, match_id, hamming,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY hamming, match_id) AS rn
+       |          FROM bham) WHERE rn <= $BIN_SHORTLIST),
+       |brr AS (
+       |  SELECT s.query_id, s.match_id, s.hamming,
+       |         ${cos64Sql("m.embedding", "q.embedding")} AS cos,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${cos64Sql("m.embedding", "q.embedding")} DESC,
+       |                    s.match_id) AS INTEGER) AS rank
+       |  FROM bsl s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings m ON m.vec_id = s.match_id)""".stripMargin
+
+  // ---------------------------------------------------------------- D69
+  /** Binary sign-quantization ANN — the missing CHEAPEST rung of the
+    * quantization ladder (float32 → int8 D12 → PQ D14 → IVFPQ D52 →
+    * residual D64 → 1 bit/dim): the corpus is one staged BIGINT of sign
+    * bits per vector ([[Staged.signCodes]], 32× smaller than float32),
+    * candidates scored by ONE codegen'd xor+popcount each, the
+    * BIN_SHORTLIST nearest reranked by exact cosine (D14d's pattern —
+    * the float corpus is touched only for shortlisted ids). At 100 TB
+    * the Hamming pass streams 8 bytes/vector — the first-stage filter
+    * that makes everything downstream candidate-bounded. */
+  private val embedBinaryTopk = QueryDef(
+    "embed_binary_topk",
+    (s, d) => {
+      val codes = Staged.signCodes(s, d)
+      graft.operators.Similarity.binaryTopK(
+        t(s, d, "embeddings"), codes, codes.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", BIN_K, BIN_SHORTLIST)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $binaryCtes
+      SELECT query_id, rank, match_id, hamming, cos
+      FROM brr WHERE rank <= $BIN_K ORDER BY query_id, rank"""))
+
+  // --------------------------------------------------------------- D69b
+  /** Recall@k of the binary rung against exact brute force — published
+    * beside D14c (PQ ≈ 0.2) and D52b/D64b (IVFPQ 0.08 / residual 0.16)
+    * so the ladder's cost-recall trade reads off one table: 64 sign
+    * bits preserve far more cosine ORDER on this corpus than 4 PQ
+    * codes, because every dimension keeps its sign while PQ collapses
+    * 16-dim subspaces to 4 centroids. Same set-overlap definition as
+    * every ANN audit here. */
+  private val embedBinaryRecall = QueryDef(
+    "embed_binary_recall",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(F.col("vec_id") < 5)
+      val codes = Staged.signCodes(s, d)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = BIN_K)
+        .select(F.col("query_id"), F.col("match_id"))
+      val approx = graft.operators.Similarity.binaryTopK(
+        emb, codes, codes.where(F.col("vec_id") < 5),
+        "vec_id", "embedding", BIN_K, BIN_SHORTLIST)
+        .select(F.col("query_id"), F.col("match_id").as("_am"))
+      exact
+        .join(approx,
+          exact("query_id") === approx("query_id") &&
+            exact("match_id") === approx("_am"), "left")
+        .groupBy(exact("query_id"))
+        .agg(F.sum(F.when(F.col("_am").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(F.col("query_id"), F.col("n_hits"),
+          F.round(F.col("n_hits").cast("double") / BIN_K, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      val cos64 = cos64Sql("e.embedding", "q.embedding")
+      s"""WITH $binaryCtes,
+         |bexact AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cos64 DESC, e.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings q
+         |      ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rn <= $BIN_K),
+         |bapprox AS (SELECT query_id, match_id FROM brr
+         |            WHERE rank <= $BIN_K)
+         |SELECT e.query_id,
+         |       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       round(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             / $BIN_K.0, 6) AS recall
+         |FROM bexact e LEFT JOIN bapprox a
+         |  ON e.query_id = a.query_id AND e.match_id = a.match_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     lineDedup, tfidfCosinePairs, contaminationFuzzy, sampleGroup, zipfSlope,
     cdcPairs, embedPq, embedPqTopk, embedPqRecall, embedPqRerank,
     pqIncremental, ivfpqSearch, ivfpqRecall, ivfpqResidual,
-    ivfpqResidualRecall)
+    ivfpqResidualRecall, embedBinaryTopk, embedBinaryRecall)
 }

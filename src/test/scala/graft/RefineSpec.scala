@@ -220,4 +220,72 @@ class RefineSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("top_k") && !plan.contains("row_number"))
   }
+
+  // ------------------------------------------------------------ binary ANN
+  private def vecsOf(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("signPack: bits match a driver-side sign fold, incl. bit 63 and " +
+    "zero/negative components") {
+    val vs = Seq[(Long, Seq[Float])](
+      1L -> (0 until 64).map(i => if (i % 3 == 0) 0.5f else -0.25f),
+      2L -> (0 until 64).map(i => if (i == 63) 1f else 0f), // only bit 63
+      3L -> (0 until 64).map(_ => 0f)) // all non-positive -> 0L
+    val got = graft.operators.Similarity
+      .signPack(vecsOf(vs: _*), "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fold(v: Seq[Float]): Long =
+      v.zipWithIndex.filter(_._1 > 0).map(x => 1L << x._2)
+        .foldLeft(0L)(_ | _)
+    vs.foreach { case (id, v) =>
+      assert(got(id) == fold(v), s"vec $id: ${got(id)} vs ${fold(v)}")
+    }
+    assert(got(2L) == Long.MinValue) // shiftleft(1, 63) really lands
+    assert(got(3L) == 0L)
+  }
+
+  test("binaryTopK: hamming equals the structural differing-sign count " +
+    "and the rerank is exact cosine over the shortlist") {
+    // 4 corpus vectors with known sign patterns; query = vec 0
+    def mk(signs: Seq[Int]): Seq[Float] =
+      signs.map(s => if (s > 0) 0.7f else -0.7f) ++
+        Seq.fill(64 - signs.length)(-0.1f)
+    val corpus = vecsOf(
+      0L -> mk(Seq(1, 1, 1, 1)), 1L -> mk(Seq(1, 1, 1, -1)),
+      2L -> mk(Seq(1, -1, -1, -1)), 3L -> mk(Seq(-1, -1, -1, -1)))
+    val codes = graft.operators.Similarity
+      .signPack(corpus, "vec_id", "embedding")
+    val r = graft.operators.Similarity.binaryTopK(
+      corpus, codes, codes.where(F.col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, shortlistK = 3)
+      .orderBy("rank").collect()
+    // hamming from differing sign bits: vs1=1, vs2=3, vs3=4
+    assert(r.map(x => x.getAs[Long]("match_id") ->
+      x.getAs[Long]("hamming")).toMap ==
+      Map(1L -> 1L, 2L -> 3L, 3L -> 4L))
+    // rerank order = exact cosine order (1 closest, then 2, then 3)
+    assert(r.map(_.getAs[Long]("match_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("binaryTopK: shortlist bound binds — a true neighbor outside the " +
+    "hamming shortlist cannot be reranked in") {
+    // query 0; vec 9 is cosine-closest but sign-flipped everywhere
+    // (max hamming), so a shortlist of 1 must exclude it
+    val base = (0 until 64).map(_ => 0.9f)
+    val corpus = vecsOf(
+      0L -> base,
+      5L -> (0 until 64).map(i => if (i < 32) 0.9f else -0.1f),
+      9L -> base.map(-_))
+    val codes = graft.operators.Similarity
+      .signPack(corpus, "vec_id", "embedding")
+    val r = graft.operators.Similarity.binaryTopK(
+      corpus, codes, codes.where(F.col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, shortlistK = 1)
+      .collect()
+    assert(r.map(_.getAs[Long]("match_id")).toSeq == Seq(5L))
+  }
 }
