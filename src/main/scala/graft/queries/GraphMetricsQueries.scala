@@ -460,87 +460,64 @@ object GraphMetricsQueries {
     * fixed k=16 constant), per-hop state materialized to scratch
     * parquet (the iterative-frame discipline of pagerank/LPA: hop h
     * feeds BOTH its estimate and hop h+1). */
+  /** Shared KMV-ANF hop loop (D66/D67): per-hop bottom-k sketches
+    * advanced over the symmetric edge frame, per-hop state staged to
+    * scratch parquet (the pagerank/LPA iterative-frame discipline),
+    * integer-division reach estimates. Returns one row per hop 1..hops:
+    * (hop, n_nodes, sum_reach_est). */
+  private def anfReach(s: org.apache.spark.sql.SparkSession, d: String,
+      hops: Int): org.apache.spark.sql.DataFrame = {
+    val e = Staged.coPurchaseEdges(s, d)
+    val edges = graft.operators.CacheScope.persist(
+      e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+        .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
+    val base = s"/tmp/graft_anf_${Harness.runId}/" +
+      s"run_${anfRuns.incrementAndGet()}"
+    val nodes = edges.select(F.col("u").as("v")).distinct()
+    nodes.select(F.col("v"),
+        F.array(graft.operators.Hashing.hash60(
+          F.col("v").cast("string"))).as("sk"))
+      .write.mode("overwrite").parquet(s"$base/h0")
+    var state = s.read.parquet(s"$base/h0")
+    val perHop = (1 to hops).map { h =>
+      val pairs = state.select(F.col("v"),
+        F.explode(F.col("sk")).as("h"))
+      val nbr = edges
+        .join(pairs.withColumnRenamed("v", "w"),
+          F.col("v") === F.col("w"))
+        .select(F.col("u").as("v"), F.col("h"))
+      pairs.unionAll(nbr)
+        .groupBy("v")
+        .agg(graft.operators.Sketch
+          .bottomKDistinctLong(F.col("h"), ANF_K).as("sk"))
+        .write.mode("overwrite").parquet(s"$base/h$h")
+      state = s.read.parquet(s"$base/h$h")
+      state
+        .select(F.size(F.col("sk")).cast("long").as("_nk"),
+          F.try_element_at(F.col("sk"), F.lit(ANF_K)).as("_kth"))
+        .agg(F.count(F.lit(1)).as("n_nodes"),
+          F.sum(F.expr(
+            s"""CASE WHEN _nk < $ANF_K THEN _nk ELSE
+               |CAST((CAST(${ANF_K - 1} AS DECIMAL(38,0)) * $MAX_HASH)
+               |     div _kth AS BIGINT) END""".stripMargin))
+            .as("sum_reach_est"))
+        .select(F.lit(h.toLong).as("hop"), F.col("n_nodes"),
+          F.col("sum_reach_est"))
+    }
+    perHop.reduce(_ unionAll _)
+  }
+
   private val graphAnf = QueryDef(
     "graph_anf",
-    (s, d) => {
-      val e = Staged.coPurchaseEdges(s, d)
-      val edges = graft.operators.CacheScope.persist(
-        e.select(F.col("pa").as("u"), F.col("pb").as("v"))
-          .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
-      val base = s"/tmp/graft_anf_${Harness.runId}/" +
-        s"run_${anfRuns.incrementAndGet()}"
-      val nodes = edges.select(F.col("u").as("v")).distinct()
-      nodes.select(F.col("v"),
-          F.array(graft.operators.Hashing.hash60(
-            F.col("v").cast("string"))).as("sk"))
-        .write.mode("overwrite").parquet(s"$base/h0")
-      var state = s.read.parquet(s"$base/h0")
-      val hops = (1 to ANF_HOPS).map { h =>
-        val pairs = state.select(F.col("v"),
-          F.explode(F.col("sk")).as("h"))
-        val nbr = edges
-          .join(pairs.withColumnRenamed("v", "w"),
-            F.col("v") === F.col("w"))
-          .select(F.col("u").as("v"), F.col("h"))
-        pairs.unionAll(nbr)
-          .groupBy("v")
-          .agg(graft.operators.Sketch
-            .bottomKDistinctLong(F.col("h"), ANF_K).as("sk"))
-          .write.mode("overwrite").parquet(s"$base/h$h")
-        state = s.read.parquet(s"$base/h$h")
-        state
-          .select(F.size(F.col("sk")).cast("long").as("_nk"),
-            F.try_element_at(F.col("sk"), F.lit(ANF_K)).as("_kth"))
-          .agg(F.count(F.lit(1)).as("n_nodes"),
-            F.sum(F.expr(
-              s"""CASE WHEN _nk < $ANF_K THEN _nk ELSE
-                 |CAST((CAST(${ANF_K - 1} AS DECIMAL(38,0)) * $MAX_HASH)
-                 |     div _kth AS BIGINT) END""".stripMargin))
-              .as("sum_reach_est"))
-          .select(F.lit(h.toLong).as("hop"), F.col("n_nodes"),
-            F.col("sum_reach_est"),
-            F.expr("round(CAST(sum_reach_est AS DOUBLE) / n_nodes, 6)")
-              .as("mean_reach"))
-      }
-      hops.reduce(_ unionAll _).orderBy("hop")
-    },
+    (s, d) => anfReach(s, d, ANF_HOPS)
+      .select(F.col("hop"), F.col("n_nodes"), F.col("sum_reach_est"),
+        F.expr("round(CAST(sum_reach_est AS DOUBLE) / n_nodes, 6)")
+          .as("mean_reach"))
+      .orderBy("hop"),
     Some {
-      def hopCtes(h: Int): String = {
-        val prev = if (h == 1) "p0" else s"m${h - 1}x"
-        s"""m$h AS MATERIALIZED (
-           |  SELECT v, h FROM (
-           |    SELECT v, h, row_number() OVER (PARTITION BY v
-           |      ORDER BY h) AS rn
-           |    FROM (SELECT v, h FROM $prev
-           |          UNION
-           |          SELECT e.u AS v, p.h FROM edges e
-           |          JOIN $prev p ON p.v = e.v))
-           |  WHERE rn <= $ANF_K),
-           |m${h}x AS (SELECT v, h FROM m$h),
-           |s$h AS (SELECT v, CAST(count(*) AS BIGINT) AS nk,
-           |               CAST(max(h) AS BIGINT) AS kth
-           |        FROM m$h GROUP BY v),
-           |r$h AS (SELECT CAST($h AS BIGINT) AS hop,
-           |               CAST(count(*) AS BIGINT) AS n_nodes,
-           |               CAST(sum(CASE WHEN nk < $ANF_K THEN nk ELSE
-           |                 (CAST(${ANF_K - 1} AS HUGEINT) * $MAX_HASH)
-           |                 // kth END) AS BIGINT) AS sum_reach_est
-           |        FROM s$h)""".stripMargin
-      }
       val rs = (1 to ANF_HOPS).map(h => s"SELECT * FROM r$h")
         .mkString(" UNION ALL ")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         |edges AS MATERIALIZED (
-         |  SELECT pa AS u, pb AS v FROM pairs
-         |  UNION ALL SELECT pb, pa FROM pairs),
-         |p0 AS (SELECT DISTINCT u AS v,
-         |              ${graft.operators.Hashing.hash60Sql(
-                          "CAST(u AS VARCHAR)")} AS h
-         |       FROM edges),
-         |${(1 to ANF_HOPS).map(hopCtes).mkString(",\n")},
+      s"""WITH ${anfOracleCtes(ANF_HOPS)},
          |u AS ($rs)
          |SELECT hop, n_nodes, sum_reach_est,
          |       round(CAST(sum_reach_est AS DOUBLE) / n_nodes, 6)
@@ -548,7 +525,117 @@ object GraphMetricsQueries {
          |FROM u ORDER BY hop""".stripMargin
     })
 
+  /** Shared oracle prefix mirroring [[anfReach]] term for term: the
+    * co-purchase edges, the hop-0 single-hash sketches, and per hop h
+    * the merged bottom-k frame m$h plus its reach summary r$h (hop,
+    * n_nodes, sum_reach_est). */
+  private def anfOracleCtes(hops: Int): String = {
+    def hopCtes(h: Int): String = {
+      val prev = if (h == 1) "p0" else s"m${h - 1}x"
+      s"""m$h AS MATERIALIZED (
+         |  SELECT v, h FROM (
+         |    SELECT v, h, row_number() OVER (PARTITION BY v
+         |      ORDER BY h) AS rn
+         |    FROM (SELECT v, h FROM $prev
+         |          UNION
+         |          SELECT e.u AS v, p.h FROM edges e
+         |          JOIN $prev p ON p.v = e.v))
+         |  WHERE rn <= $ANF_K),
+         |m${h}x AS (SELECT v, h FROM m$h),
+         |s$h AS (SELECT v, CAST(count(*) AS BIGINT) AS nk,
+         |               CAST(max(h) AS BIGINT) AS kth
+         |        FROM m$h GROUP BY v),
+         |r$h AS (SELECT CAST($h AS BIGINT) AS hop,
+         |               CAST(count(*) AS BIGINT) AS n_nodes,
+         |               CAST(sum(CASE WHEN nk < $ANF_K THEN nk ELSE
+         |                 (CAST(${ANF_K - 1} AS HUGEINT) * $MAX_HASH)
+         |                 // kth END) AS BIGINT) AS sum_reach_est
+         |        FROM s$h)""".stripMargin
+    }
+    s"""pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs),
+       |p0 AS (SELECT DISTINCT u AS v,
+       |              ${graft.operators.Hashing.hash60Sql(
+                        "CAST(u AS VARCHAR)")} AS h
+       |       FROM edges),
+       |${(1 to hops).map(hopCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** D67's hop horizon — one past D66's, because the instrument's
+    * payoff is the hop where reach crosses 90 % of max. */
+  val DIAM_HOPS = 3
+
+  // ---------------------------------------------------------------- D67
+  /** Effective diameter from the ANF curve — the standard 90 %-reach
+    * readout [Palmer-Gibbons-Faloutsos 2002; Leskovec et al.'s
+    * "effective diameter"]: run the D66 KMV sketch loop one hop deeper
+    * (N(1), N(2), N(3)), find the first hop where summed reach crosses
+    * 0.9·N(3), and interpolate linearly within that hop — the one
+    * number that says "how far apart is this graph, really", computable
+    * at 100 TB where exact pairwise distances are not. All-integer
+    * crossing tests (10·N(h) ≥ 9·N(3) — no 0.9 double anywhere), exact
+    * integer interpolation operands, ONE closing double division,
+    * N(0) = n_nodes anchoring a sub-hop-1 crossing.
+    *
+    * Scale shape: D66's edge-linear k·m rows per hop, one extra hop
+    * (the deliberate cost — the 10× probe prices it); the crossing math
+    * is a 1-row frame. */
+  private val graphEffectiveDiameter = QueryDef(
+    "graph_effective_diameter",
+    (s, d) => {
+      val reach = anfReach(s, d, DIAM_HOPS)
+      reach.groupBy()
+        .agg(F.max("n_nodes").as("n_nodes"),
+          F.max(F.when(F.col("hop") === 1, F.col("sum_reach_est")))
+            .as("reach1"),
+          F.max(F.when(F.col("hop") === 2, F.col("sum_reach_est")))
+            .as("reach2"),
+          F.max(F.when(F.col("hop") === 3, F.col("sum_reach_est")))
+            .as("reach3"))
+        .select(F.col("n_nodes"), F.col("reach1"), F.col("reach2"),
+          F.col("reach3"),
+          F.expr("""CASE
+            |WHEN 10 * n_nodes >= 9 * reach3 THEN CAST(0.0 AS DOUBLE)
+            |WHEN 10 * reach1 >= 9 * reach3 THEN
+            |  round(CAST(9 * reach3 - 10 * n_nodes AS DOUBLE)
+            |        / (10 * (reach1 - n_nodes)), 6)
+            |WHEN 10 * reach2 >= 9 * reach3 THEN
+            |  round(1 + CAST(9 * reach3 - 10 * reach1 AS DOUBLE)
+            |        / (10 * (reach2 - reach1)), 6)
+            |ELSE
+            |  round(2 + CAST(9 * reach3 - 10 * reach2 AS DOUBLE)
+            |        / (10 * (reach3 - reach2)), 6)
+            |END""".stripMargin).as("eff_diameter"))
+        .orderBy("n_nodes")
+    },
+    Some(s"""
+      WITH ${anfOracleCtes(DIAM_HOPS)},
+      n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM p0),
+      rr AS (SELECT (SELECT n_nodes FROM n0) AS n_nodes,
+                    (SELECT sum_reach_est FROM r1) AS reach1,
+                    (SELECT sum_reach_est FROM r2) AS reach2,
+                    (SELECT sum_reach_est FROM r3) AS reach3)
+      SELECT n_nodes, reach1, reach2, reach3,
+             CASE
+               WHEN 10 * n_nodes >= 9 * reach3 THEN CAST(0.0 AS DOUBLE)
+               WHEN 10 * reach1 >= 9 * reach3 THEN
+                 round(CAST(9 * reach3 - 10 * n_nodes AS DOUBLE)
+                       / (10 * (reach1 - n_nodes)), 6)
+               WHEN 10 * reach2 >= 9 * reach3 THEN
+                 round(1 + CAST(9 * reach3 - 10 * reach1 AS DOUBLE)
+                       / (10 * (reach2 - reach1)), 6)
+               ELSE
+                 round(2 + CAST(9 * reach3 - 10 * reach2 AS DOUBLE)
+                       / (10 * (reach3 - reach2)), 6)
+             END AS eff_diameter
+      FROM rr ORDER BY n_nodes"""))
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
-    graphAnf)
+    graphAnf, graphEffectiveDiameter)
 }

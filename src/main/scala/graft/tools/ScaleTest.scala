@@ -467,6 +467,10 @@ object ScaleTest {
     // fixed k=16 constant; the probe pins that the O(k)-state merge
     // aggregate (not a window sort) carries the 10× edge list.
     timeQ("graph_anf")
+    // r12 probe: the effective-diameter readout is the SAME loop one
+    // hop deeper — expect ~1.5× graph_anf (three hops vs two), still
+    // edge-linear per hop; the crossing math is a 1-row frame.
+    timeQ("graph_effective_diameter")
     timeQ("clustering_coeff")
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)

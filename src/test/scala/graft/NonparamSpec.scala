@@ -380,6 +380,52 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("graph_effective_diameter: interpolated crossing replays from " +
+    "the published reaches on every branch") {
+    def replay(n0: Long, n1: Long, n2: Long, n3: Long): Double =
+      if (10 * n0 >= 9 * n3) 0.0
+      else if (10 * n1 >= 9 * n3)
+        (9.0 * n3 - 10 * n0) / (10.0 * (n1 - n0))
+      else if (10 * n2 >= 9 * n3)
+        1 + (9.0 * n3 - 10 * n1) / (10.0 * (n2 - n1))
+      else 2 + (9.0 * n3 - 10 * n2) / (10.0 * (n3 - n2))
+    def checkDir(dir: String): (Double, Double) = {
+      val r = SparkEntry.queries("graph_effective_diameter")(spark, dir)
+        .collect().head
+      val (n0, n1, n2, n3) = (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("reach1"), r.getAs[Long]("reach2"),
+        r.getAs[Long]("reach3"))
+      assert(n0 <= n1 && n1 <= n2 && n2 <= n3,
+        s"reach must be monotone: $n0 $n1 $n2 $n3")
+      graft.operators.CacheScope.release(spark)
+      (r.getAs[Double]("eff_diameter"), replay(n0, n1, n2, n3))
+    }
+    // the corpus graph (dense — crosses at hop 2 here)
+    val (gotSf, expSf) = checkDir(sf)
+    assert(math.abs(gotSf - expSf) < 1e-6, s"sf: $gotSf vs $expSf")
+    // single-edge fixture: saturates at hop 1 -> sub-1 interpolation
+    import spark.implicits._
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft_diam1").toString
+    Seq((1L, 10L), (1L, 11L)).toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d1/lineitem.parquet")
+    val (got1, exp1) = checkDir(d1)
+    assert(got1 < 1.0 && math.abs(got1 - exp1) < 1e-6,
+      s"single edge: $got1 vs $exp1")
+    // 8-node path fixture: slow growth -> crossing past hop 2
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_diam2").toString
+    (0 until 7).flatMap(i =>
+      Seq((i.toLong, 100L + i), (i.toLong, 101L + i)))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d2/lineitem.parquet")
+    val (got2, exp2) = checkDir(d2)
+    assert(got2 > 2.0 && math.abs(got2 - exp2) < 1e-6,
+      s"path: $got2 vs $exp2")
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
