@@ -374,63 +374,170 @@ object GraphMetricsQueries {
     * Scale shape: K·|reachable| state rows, hop-bounded rounds; the
     * pivot count is the precision budget, the hop horizon the cost
     * budget. */
+  /** Shared D65/D68 estimator core: deduped-frontier BFS from the
+    * HC_SOURCES hash60-min pivots, bounded to HC_HOPS. Returns the
+    * per-node estimate frame (node, n_sources, h_micro) for every
+    * reached node. */
+  private def pivotHarmonic(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Staged.coPurchaseEdges(s, d)
+    val edges = graft.operators.CacheScope.persist(
+      e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+        .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
+    val nodes = edges.select(F.col("u").as("nv")).distinct()
+    val srcs = nodes
+      .withColumn("_h", graft.operators.Hashing.hash60(
+        F.col("nv").cast("string")))
+      .orderBy(F.col("_h"), F.col("nv")).limit(HC_SOURCES)
+      .select(F.col("nv").as("src"))
+    var reached = srcs.select(F.col("src"), F.col("src").as("node"))
+      .withColumn("hop", F.lit(0L))
+    for (h <- 1 to HC_HOPS) {
+      val frontier = reached.where(F.col("hop") === (h - 1))
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(F.col("src"), F.col("v").as("node")).distinct()
+        .join(reached.select("src", "node"), Seq("src", "node"),
+          "left_anti")
+        .withColumn("hop", F.lit(h.toLong))
+      reached = reached.unionAll(next)
+    }
+    reached.where(F.col("hop") > 0)
+      .groupBy("node")
+      .agg(F.count(F.lit(1)).as("n_sources"),
+        F.sum(F.expr("1000000 div hop")).as("h_micro"))
+  }
+
+  /** Shared oracle prefix mirroring [[pivotHarmonic]]: pairs/edges/
+    * nodes/srcs, the hop-bounded recursive BFS `r`, per-(src, node)
+    * min-hop `m`, and the per-node estimate `h` (node, n_sources,
+    * h_micro). Callers prepend WITH RECURSIVE. */
+  private val hcOracleCtes: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS nv FROM edges),
+       |srcs AS (SELECT nv AS src FROM (
+       |           SELECT nv, row_number() OVER (ORDER BY
+       |             ${graft.operators.Hashing.hash60Sql(
+                       "CAST(nv AS VARCHAR)")}, nv) AS rn
+       |           FROM nodes) WHERE rn <= $HC_SOURCES),
+       |r AS (SELECT src, src AS node, 0 AS hop FROM srcs
+       |      UNION ALL
+       |      SELECT r.src, e.v, r.hop + 1
+       |      FROM r JOIN edges e ON e.u = r.node WHERE r.hop < $HC_HOPS),
+       |m AS (SELECT src, node, CAST(min(hop) AS BIGINT) AS hop
+       |      FROM r GROUP BY 1, 2),
+       |h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+       |             CAST(sum(1000000 // hop) AS BIGINT) AS h_micro
+       |      FROM m WHERE hop > 0 GROUP BY 1)""".stripMargin
+
   private val harmonicCentrality = QueryDef(
     "harmonic_centrality",
+    (s, d) => pivotHarmonic(s, d)
+      .select(F.col("node"), F.col("n_sources"), F.col("h_micro"),
+        F.expr("CAST(h_micro AS DOUBLE) / 1000000.0").as("harmonic"))
+      .orderBy(F.col("h_micro").desc, F.col("node")).limit(100),
+    Some(s"""WITH RECURSIVE $hcOracleCtes
+      SELECT node, n_sources, h_micro,
+             CAST(h_micro AS DOUBLE) / 1000000.0 AS harmonic
+      FROM h ORDER BY h_micro DESC, node LIMIT 100"""))
+
+  /** D68's audit cohort modulus (the D31 anchor-cohort discipline: the
+    * exact side's cost is |cohort|·d̄², bounded by the slice, never the
+    * corpus) and degree bucket width. */
+  val HS_MOD = 199
+  val HS_BUCKET = 16
+
+  // ---------------------------------------------------------------- D68
+  /** Honesty audit of the D65 pivot estimator — the D61 pattern applied
+    * to harmonic centrality (the audit pays the exact cost on a bounded
+    * slice; the serving query doesn't): for the deterministic cohort
+    * v ≡ 0 (mod HS_MOD), the EXACT hop-2-truncated harmonic centrality
+    * H₂(v) = 10⁶·|N₁(v)| + 5·10⁵·|N₂(v)| (one two-step expansion,
+    * direct neighbors anti-joined out — |cohort|·d̄² rows), against the
+    * pivot estimate SCALED to population (h_micro·n div K — a hash-min
+    * pivot set is a uniform K-subset, so each node is a pivot with
+    * probability K/n and the scaled estimate targets H₂). Published per
+    * degree bucket (integer width-HS_BUCKET buckets — no log2 floor,
+    * whose boundary ULPs differ between engines): node count, mean
+    * exact, mean scaled estimate, signed mean error in micros — the
+    * same three-column honesty read as D61. */
+  private val harmonicSampleAudit = QueryDef(
+    "harmonic_sample_audit",
     (s, d) => {
       val e = Staged.coPurchaseEdges(s, d)
       val edges = graft.operators.CacheScope.persist(
         e.select(F.col("pa").as("u"), F.col("pb").as("v"))
           .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
-      val nodes = edges.select(F.col("u").as("nv")).distinct()
-      val srcs = nodes
-        .withColumn("_h", graft.operators.Hashing.hash60(
-          F.col("nv").cast("string")))
-        .orderBy(F.col("_h"), F.col("nv")).limit(HC_SOURCES)
-        .select(F.col("nv").as("src"))
-      var reached = srcs.select(F.col("src"), F.col("src").as("node"))
-        .withColumn("hop", F.lit(0L))
-      for (h <- 1 to HC_HOPS) {
-        val frontier = reached.where(F.col("hop") === (h - 1))
-        val next = frontier.join(edges, frontier("node") === edges("u"))
-          .select(F.col("src"), F.col("v").as("node")).distinct()
-          .join(reached.select("src", "node"), Seq("src", "node"),
-            "left_anti")
-          .withColumn("hop", F.lit(h.toLong))
-        reached = reached.unionAll(next)
-      }
-      reached.where(F.col("hop") > 0)
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).as("n_sources"),
-          F.sum(F.expr("1000000 div hop")).as("h_micro"))
-        .select(F.col("node"), F.col("n_sources"), F.col("h_micro"),
-          F.expr("CAST(h_micro AS DOUBLE) / 1000000.0").as("harmonic"))
-        .orderBy(F.col("h_micro").desc, F.col("node")).limit(100)
+      val nn = edges.select(F.col("u")).distinct()
+        .agg(F.count(F.lit(1)).as("n"))
+      val anchor = edges.where(F.col("u") % HS_MOD === 0)
+      val deg = anchor.groupBy(F.col("u").as("v"))
+        .agg(F.count(F.lit(1)).as("n1"))
+      val hop2 = F.broadcast(anchor.select(F.col("u").as("v"),
+          F.col("v").as("_z")))
+        .join(edges.select(F.col("u").as("_z"), F.col("v").as("w")), "_z")
+        .where(F.col("w") =!= F.col("v"))
+        .select("v", "w").distinct()
+        .join(anchor.select(F.col("u").as("v"), F.col("v").as("w")),
+          Seq("v", "w"), "left_anti")
+        .groupBy("v").agg(F.count(F.lit(1)).as("n2"))
+      val ex = deg.join(hop2, Seq("v"), "left").na.fill(0L, Seq("n2"))
+        .select(F.col("v"), F.col("n1"),
+          F.expr("1000000 * n1 + 500000 * n2").as("_hex"))
+      val est = pivotHarmonic(s, d)
+        .select(F.col("node").as("v"), F.col("h_micro"))
+      ex.join(est, Seq("v"), "left").na.fill(0L, Seq("h_micro"))
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("n1"), F.col("_hex"),
+          F.expr(s"CAST(CAST(h_micro AS DECIMAL(38,0)) * n div " +
+            s"$HC_SOURCES AS BIGINT)").as("_hs"))
+        .groupBy(F.expr(s"n1 div $HS_BUCKET").as("bucket"))
+        .agg(F.count(F.lit(1)).as("n_nodes"),
+          F.sum("_hex").as("_se"), F.sum("_hs").as("_ss"))
+        .select(F.col("bucket"), F.col("n_nodes"),
+          F.expr("round(CAST(_se AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_exact"),
+          F.expr("round(CAST(_ss AS DOUBLE) / n_nodes / 1000000.0, 6)")
+            .as("mean_est"),
+          F.expr("round((CAST(_ss AS DOUBLE) - CAST(_se AS DOUBLE))" +
+            " / n_nodes, 1)").as("err_micro"))
+        .orderBy("bucket")
     },
-    Some(s"""WITH RECURSIVE pairs AS (
-        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      edges AS MATERIALIZED (
-        SELECT pa AS u, pb AS v FROM pairs
-        UNION ALL SELECT pb, pa FROM pairs),
-      nodes AS (SELECT DISTINCT u AS nv FROM edges),
-      srcs AS (SELECT nv AS src FROM (
-                 SELECT nv, row_number() OVER (ORDER BY
-                   ${graft.operators.Hashing.hash60Sql(
-                     "CAST(nv AS VARCHAR)")}, nv) AS rn
-                 FROM nodes) WHERE rn <= $HC_SOURCES),
-      r AS (SELECT src, src AS node, 0 AS hop FROM srcs
-            UNION ALL
-            SELECT r.src, e.v, r.hop + 1
-            FROM r JOIN edges e ON e.u = r.node WHERE r.hop < $HC_HOPS),
-      m AS (SELECT src, node, CAST(min(hop) AS BIGINT) AS hop
-            FROM r GROUP BY 1, 2),
-      h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
-                   CAST(sum(1000000 // hop) AS BIGINT) AS h_micro
-            FROM m WHERE hop > 0 GROUP BY 1)
-      SELECT node, n_sources, h_micro,
-             CAST(h_micro AS DOUBLE) / 1000000.0 AS harmonic
-      FROM h ORDER BY h_micro DESC, node LIMIT 100"""))
+    Some(s"""WITH RECURSIVE $hcOracleCtes,
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      anchor AS (SELECT u, v FROM edges WHERE u % $HS_MOD = 0),
+      sdeg AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS n1
+               FROM anchor GROUP BY 1),
+      h2 AS (SELECT DISTINCT a.u AS v, e.v AS w
+             FROM anchor a JOIN edges e ON e.u = a.v
+             WHERE e.v <> a.u),
+      n2c AS (SELECT h2.v, CAST(count(*) AS BIGINT) AS n2
+              FROM h2
+              WHERE NOT EXISTS (SELECT 1 FROM anchor x
+                                WHERE x.u = h2.v AND x.v = h2.w)
+              GROUP BY 1),
+      ex AS (SELECT sdeg.v, sdeg.n1,
+                    1000000 * sdeg.n1 + 500000 * coalesce(n2c.n2, 0)
+                      AS hex
+             FROM sdeg LEFT JOIN n2c ON n2c.v = sdeg.v),
+      au AS (SELECT ex.n1, ex.hex,
+                    CAST(CAST(coalesce(hh.h_micro, 0) AS HUGEINT) * n
+                         // $HC_SOURCES AS BIGINT) AS hs
+             FROM ex LEFT JOIN h hh ON hh.node = ex.v, nn)
+      SELECT CAST(n1 // $HS_BUCKET AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             round(CAST(sum(hex) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_exact,
+             round(CAST(sum(hs) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_est,
+             round((CAST(sum(hs) AS DOUBLE) - CAST(sum(hex) AS DOUBLE))
+                   / count(*), 1) AS err_micro
+      FROM au GROUP BY 1 ORDER BY 1"""))
 
   /** D66's sketch width and hop horizon. k=16 gives each node ~26 %
     * per-node KMV noise that averages out in the corpus-level
@@ -637,5 +744,5 @@ object GraphMetricsQueries {
 
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
-    graphAnf, graphEffectiveDiameter)
+    harmonicSampleAudit, graphAnf, graphEffectiveDiameter)
 }

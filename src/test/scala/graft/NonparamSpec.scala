@@ -279,6 +279,70 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("harmonic_sample_audit matches a first-principles exact-vs-" +
+    "scaled-estimate replay on the cohort") {
+    val kSrc = graft.queries.GraphMetricsQueries.HC_SOURCES
+    val hops = graft.queries.GraphMetricsQueries.HC_HOPS
+    val mod = graft.queries.GraphMetricsQueries.HS_MOD
+    val bw = graft.queries.GraphMetricsQueries.HS_BUCKET
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    // estimator replay (same as the harmonic_centrality spec)
+    val srcs = adj.keys.toSeq
+      .sortBy(v => (graft.operators.Hashing.hash60(v.toString), v))
+      .take(kSrc)
+    val hEst = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    srcs.foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = Set(s0)
+      for (d0 <- 1 to hops) {
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        frontier.foreach(dist(_) = d0)
+      }
+      dist.foreach { case (v, d0) =>
+        if (d0 > 0) hEst(v) += 1000000L / d0
+      }
+    }
+    val n = adj.size.toLong
+    // exact hop-2 truncated harmonic for the cohort, bucketed
+    val buckets = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    adj.keys.filter(_ % mod == 0).foreach { v =>
+      val n1 = adj(v)
+      val n2 = n1.flatMap(adj(_)).diff(n1) - v
+      val hex = 1000000L * n1.size + 500000L * n2.size
+      val hs = (BigInt(hEst(v)) * n / kSrc).toLong
+      val b = n1.size.toLong / bw
+      val (c, se, ss) = buckets(b)
+      buckets(b) = (c + 1, se + hex, ss + hs)
+    }
+    val got = q("harmonic_sample_audit").collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Double]("mean_exact"),
+          r.getAs[Double]("mean_est"), r.getAs[Double]("err_micro"))))
+      .toMap
+    assert(got.keySet == buckets.keySet.toSet,
+      s"buckets ${got.keySet} vs replay ${buckets.keySet}")
+    buckets.foreach { case (b, (c, se, ss)) =>
+      val (gc, gme, gms, gerr) = got(b)
+      assert(gc == c, s"bucket $b count")
+      assert(math.abs(gme - se.toDouble / c / 1e6) < 1e-5,
+        s"bucket $b mean_exact")
+      assert(math.abs(gms - ss.toDouble / c / 1e6) < 1e-5,
+        s"bucket $b mean_est")
+      assert(math.abs(gerr - (ss - se).toDouble / c) < 0.51,
+        s"bucket $b err_micro")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("kendall_w is friedman's corrected statistic over n(k-1), in [0,1]") {
     val w = q("kendall_w").collect().head
     val f = q("friedman").collect().head
