@@ -436,6 +436,50 @@ object Graph {
         F.greatest(F.col("ca"), F.col("cb")).as("pb"))
       .groupBy("pa", "pb").agg(F.count(F.lit(1)).as("w"))
 
+  /** Per-EDGE triangle support — the k-truss peeling primitive: for
+    * every edge (a, b) of the canonical list (a < b, unique), how many
+    * triangles of the CURRENT graph contain it. Same degree-oriented
+    * wedge enumeration as [[triangleCount]]/[[localClustering]] (each
+    * triangle found exactly once, wedge fan-out bounded by ~√m), each
+    * closed triangle exploding into its THREE canonical edges and one
+    * map-side-combined count — the credit pass is triangle-output-sized.
+    * Edges in no triangle get no row (support 0 — callers left-join). */
+  def edgeSupport(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = CacheScope.persist(
+      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+    val deg = e.select(F.col("a").as("v"))
+      .unionByName(e.select(F.col("b").as("v")))
+      .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a")
+        .withColumnRenamed("dg", "_da"), "a")
+      .join(deg.withColumnRenamed("v", "b")
+        .withColumnRenamed("dg", "_db"), "b")
+    val aFirst = F.col("_da") < F.col("_db") ||
+      (F.col("_da") === F.col("_db") && F.col("a") < F.col("b"))
+    val o = CacheScope.persist(withDeg.select(
+      F.when(aFirst, F.col("a")).otherwise(F.col("b")).as("src"),
+      F.when(aFirst, F.col("b")).otherwise(F.col("a")).as("dst")))
+    val o2 = o.select(F.col("src"), F.col("dst").as("dst2"))
+    val wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))
+      .select(F.col("src").as("apex"), F.col("dst").as("x"),
+        F.col("dst2").as("y"))
+    val eClose = e.select(F.col("a").as("x"), F.col("b").as("y"))
+    // SHUFFLE_HASH like localClustering: stream the wedge list against
+    // a hash of the edge list (the bounded side by construction)
+    val tri = wedges.join(eClose.hint("shuffle_hash"), Seq("x", "y"),
+      "left_semi")
+    tri.select(F.explode(F.array(
+        F.struct(F.least(F.col("apex"), F.col("x")).as("a"),
+          F.greatest(F.col("apex"), F.col("x")).as("b")),
+        F.struct(F.least(F.col("apex"), F.col("y")).as("a"),
+          F.greatest(F.col("apex"), F.col("y")).as("b")),
+        F.struct(F.col("x").as("a"), F.col("y").as("b")))).as("ed"))
+      .select(F.col("ed.a").as("a"), F.col("ed.b").as("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("support"))
+  }
+
   /** SAMPLED local clustering coefficient — the 100 TB read of
     * [[localClustering]], whose exact wedge enumeration is inherently
     * the heaviest graph pass (~√m·m wedge constant). Per node, keep the

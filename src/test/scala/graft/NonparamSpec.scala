@@ -490,6 +490,50 @@ class NonparamSpec extends SparkSpec {
       s"path: $got2 vs $exp2")
   }
 
+  test("edgeSupport: clique edges get C(n-2,1) support, pendant edges " +
+    "get no row") {
+    import spark.implicits._
+    // K4 on 1..4 (each edge in 2 triangles) + pendant edge 4-9
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("a", "b")
+    val sup = graft.operators.Graph.edgeSupport(e, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val k4Edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    k4Edges.foreach(ed => assert(sup(ed) == 2L, s"edge $ed"))
+    assert(!sup.contains((4L, 9L)), "pendant edge must have no row")
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("ktruss_peel matches a driver-side round-by-round peel replay") {
+    val minSup = graft.queries.GraphMetricsQueries.TRUSS_K - 2
+    val rounds = graft.queries.GraphMetricsQueries.TRUSS_ROUNDS
+    var cur = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (1 to rounds).map { r =>
+      val es = cur.toSeq
+      val byNode = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        byNode.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        byNode.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      def support(a: Long, b: Long): Int =
+        byNode(a).intersect(byNode(b)).size
+      val next = cur.filter { case (a, b) => support(a, b) >= minSup }
+      val row = (r.toLong, cur.size.toLong,
+        (cur.size - next.size).toLong, next.size.toLong)
+      cur = next
+      row
+    }
+    val got = q("ktruss_peel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"got $got vs replay $expect")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
