@@ -711,8 +711,248 @@ object CommunityQueries {
                   END AS BIGINT) AS q_after_micro
       FROM agb, mmb, aga, mma"""))
 
+  /** D71's bounded depth: moves per level. 3 keeps the unrolled-CTE
+    * oracle writable while showing the convergence trajectory
+    * (n_moved collapses rung over rung). */
+  private[graft] val CONV_MOVES = 3
+
+  /** D71's unrolled oracle: the whole two-level accept-guarded ladder
+    * as one CTE chain — per rung a move block, a scoring block reduced
+    * to a 1-row (n_communities, q) scalar frame, the accept bit, the
+    * accepted-state scalars, and the MATERIALIZED accepted label frame
+    * the next rung moves from. Scalar subqueries thread the accept
+    * decisions exactly like the Spark side's 1-row collects. */
+  private def convergeOracleSql: String = {
+    def qScalar(lblCte: String, p: String): String =
+      qCtesSql(lblCte, p) + s""",
+         |qv$p AS MATERIALIZED (SELECT n_communities,
+         |  CAST(CASE WHEN m = 0 THEN 0
+         |       ELSE num * 1000000 // (4 * CAST(m AS HUGEINT) * m)
+         |       END AS BIGINT) AS q
+         |  FROM ag$p, mm$p)""".stripMargin
+    def qwScalar(wEdges: String, lblCte: String, p: String): String =
+      qwCtesSql(wEdges, lblCte, p) + s""",
+         |qwv$p AS MATERIALIZED (SELECT n_communities,
+         |  CAST(CASE WHEN w_tot = 0 THEN 0
+         |       ELSE num * 1000000 // (4 * CAST(w_tot AS HUGEINT) * w_tot)
+         |       END AS BIGINT) AS q
+         |  FROM agw$p)""".stripMargin
+    def fineRung(r: Int, inLbl: String, prevQa: String): String =
+      s"""${moveCtesSql(inLbl, r.toString)},
+         |${qScalar(s"lr$r", s"c$r")},
+         |acc$r AS MATERIALIZED (SELECT CASE WHEN (SELECT q FROM qvc$r)
+         |                        >= (SELECT q FROM $prevQa)
+         |                 THEN 1 ELSE 0 END AS a),
+         |nm1$r AS MATERIALIZED (SELECT CAST(sum(CASE WHEN r.lbl <> l.lbl
+         |                          THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |          FROM lr$r r JOIN $inLbl l ON l.v = r.v),
+         |qa$r AS MATERIALIZED (SELECT CASE WHEN (SELECT a FROM acc$r) = 1
+         |                THEN (SELECT n_communities FROM qvc$r)
+         |                ELSE (SELECT nc FROM $prevQa) END AS nc,
+         |               CASE WHEN (SELECT a FROM acc$r) = 1
+         |                THEN (SELECT q FROM qvc$r)
+         |                ELSE (SELECT q FROM $prevQa) END AS q),
+         |sel$r AS MATERIALIZED (
+         |  SELECT l.v, CASE WHEN (SELECT a FROM acc$r) = 1 THEN r.lbl
+         |              ELSE l.lbl END AS lbl
+         |  FROM $inLbl l JOIN lr$r r ON r.v = l.v)""".stripMargin
+    def coarseRung(r: Int, spine: String, prevQa: String): String =
+      s"""${wMoveCtesSql("cnz", "cself", spine, s"w$r", monotone = true)},
+         |${qwScalar("coarse", s"wlrw$r", s"d$r")},
+         |wacc$r AS MATERIALIZED (SELECT CASE WHEN (SELECT q FROM qwvd$r)
+         |                         >= (SELECT q FROM $prevQa)
+         |                  THEN 1 ELSE 0 END AS a),
+         |wnm$r AS MATERIALIZED (SELECT CAST(sum(CASE WHEN r.lbl <> l.lbl
+         |                          THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |          FROM wlrw$r r JOIN $spine l ON l.v = r.v),
+         |wqa$r AS MATERIALIZED (SELECT CASE WHEN (SELECT a FROM wacc$r) = 1
+         |                 THEN (SELECT n_communities FROM qwvd$r)
+         |                 ELSE (SELECT nc FROM $prevQa) END AS nc,
+         |                CASE WHEN (SELECT a FROM wacc$r) = 1
+         |                 THEN (SELECT q FROM qwvd$r)
+         |                 ELSE (SELECT q FROM $prevQa) END AS q),
+         |wsel$r AS MATERIALIZED (
+         |  SELECT l.v, CASE WHEN (SELECT a FROM wacc$r) = 1 THEN r.lbl
+         |              ELSE l.lbl END AS lbl
+         |  FROM $spine l JOIN wlrw$r r ON r.v = l.v)""".stripMargin
+    s"""
+      WITH $lpaCtesSql,
+      $moveBaseCtesSql,
+      ${qScalar(s"l$iters", "q0")},
+      qa0 AS MATERIALIZED (SELECT n_communities AS nc, q FROM qvq0),
+      ${fineRung(1, s"l$iters", "qa0")},
+      ${fineRung(2, "sel1", "qa1")},
+      ${fineRung(3, "sel2", "qa2")},
+      coarse AS MATERIALIZED (
+        SELECT least(x.lbl, y.lbl) AS pa, greatest(x.lbl, y.lbl) AS pb,
+               CAST(count(*) AS BIGINT) AS w
+        FROM e0 e JOIN sel3 x ON x.v = e.pa
+             JOIN sel3 y ON y.v = e.pb
+        GROUP BY 1, 2),
+      cnz AS (SELECT pa, pb, w FROM coarse WHERE pa <> pb),
+      cself AS (SELECT pa AS v, CAST(w AS BIGINT) AS sw FROM coarse
+                WHERE pa = pb),
+      snlbl AS (SELECT DISTINCT v, v AS lbl
+                FROM (SELECT pa AS v FROM coarse
+                      UNION ALL SELECT pb FROM coarse)),
+      ${coarseRung(1, "snlbl", "qa3")},
+      ${coarseRung(2, "wsel1", "wqa1")},
+      ${coarseRung(3, "wsel2", "wqa2")},
+      mapped AS MATERIALIZED (
+        SELECT l.v, r.lbl FROM sel3 l JOIN wsel3 r ON r.v = l.lbl),
+      ${qScalar("mapped", "f")},
+      nmf AS MATERIALIZED (SELECT CAST(sum(CASE WHEN m.lbl <> l.lbl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nm
+              FROM mapped m JOIN sel3 l ON l.v = m.v)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS rung,
+               CAST(0 AS BIGINT) AS n_moved, CAST(1 AS BIGINT) AS accepted,
+               (SELECT nc FROM qa0) AS n_communities,
+               (SELECT q FROM qa0) AS q_micro
+        UNION ALL SELECT 1, 1, (SELECT nm FROM nm11), (SELECT a FROM acc1),
+               (SELECT nc FROM qa1), (SELECT q FROM qa1)
+        UNION ALL SELECT 1, 2, (SELECT nm FROM nm12), (SELECT a FROM acc2),
+               (SELECT nc FROM qa2), (SELECT q FROM qa2)
+        UNION ALL SELECT 1, 3, (SELECT nm FROM nm13), (SELECT a FROM acc3),
+               (SELECT nc FROM qa3), (SELECT q FROM qa3)
+        UNION ALL SELECT 2, 1, (SELECT nm FROM wnm1), (SELECT a FROM wacc1),
+               (SELECT nc FROM wqa1), (SELECT q FROM wqa1)
+        UNION ALL SELECT 2, 2, (SELECT nm FROM wnm2), (SELECT a FROM wacc2),
+               (SELECT nc FROM wqa2), (SELECT q FROM wqa2)
+        UNION ALL SELECT 2, 3, (SELECT nm FROM wnm3), (SELECT a FROM wacc3),
+               (SELECT nc FROM wqa3), (SELECT q FROM wqa3)
+        UNION ALL SELECT 3, 0, (SELECT nm FROM nmf), 1,
+               (SELECT n_communities FROM qvf), (SELECT q FROM qvf)
+      ) ORDER BY level, rung"""
+  }
+
+  // ---------------------------------------------------------------- D71
+  /** The CLOSED Louvain loop — phase 1 iterated toward convergence,
+    * phase 2 coarsening, phase-2 moves iterated on the coarse graph,
+    * unrolled back to the nodes — with a Q-ACCEPT GUARD making the
+    * published trajectory monotone non-decreasing BY CONSTRUCTION:
+    * every rung's synchronous move is a CANDIDATE, scored exactly
+    * (recomputed from the labels — never summed per-move gains, which
+    * lie under interference; D53's honesty rule), and adopted only if
+    * its exact Q does not regress (a production refinement never
+    * publishes a worse partition than it already had). Rungs:
+    *
+    *  - (0,0) the staged LPA partition and its staged score;
+    *  - (1,1..3) fine local-move rounds (rung 1 IS the staged D53
+    *    move — its score is a parquet read); each accepted rung feeds
+    *    the next move, a rejected rung forwards its input unchanged;
+    *  - coarsen the accepted phase-1 partition to supernodes
+    *    (intra-community edges → self-loops, metadata-sized);
+    *  - (2,1..3) weighted move rounds on the coarse graph with the
+    *    monotone cycle guard (D63's lesson), scored by the weighted
+    *    modularity of the coarse labels — which equals the ORIGINAL
+    *    graph's exact Q integer for integer, because coarsening with
+    *    self-loops preserves e_in_c, d_c and m exactly;
+    *  - (3,0) the unroll: accepted coarse labels mapped back through
+    *    one broadcast join, the exact unweighted Q recomputed on the
+    *    full graph — it must EQUAL the last coarse rung's score
+    *    (spec-asserted), which is the audit that the coarse arithmetic
+    *    really was the original objective.
+    *
+    * The accept decisions are 1-row score collects — the driver-side
+    * scalar a convergence loop reads to steer; every corpus-scale pass
+    * (moves, scorings, the coarsen) is distributed, with moved labels
+    * and k_vc aggregates staged to scratch parquet (zero corpus-scale
+    * block-cache residency — D53's footprint discipline). Depth is
+    * pinned, not convergence-looped: each fine rung is a full corpus
+    * pass at 100 TB; the published n_moved trajectory is what tells
+    * production whether deeper is worth paying. One row per rung:
+    * (level, rung, n_moved, accepted, n_communities, q_micro) with
+    * q_micro the ACCEPTED score — monotone across the ladder. */
+  private val communityConverge = QueryDef(
+    "community_converge",
+    (s, d) => {
+      import s.implicits._
+      val edges = Staged.coPurchaseEdges(s, d)
+      val base = s"/tmp/graft_refine_${Harness.runId}/" +
+        s"conv_${refineRuns.incrementAndGet()}"
+
+      def scoreFine(lbl: DataFrame): (Long, Long) = {
+        val r = modularityCore(edges, lbl).collect().head
+        (r.getAs[Long]("n_communities"), r.getAs[Long]("q_micro"))
+      }
+      def movedCount(a: DataFrame, b: DataFrame): Long =
+        a.select(F.col("v"), F.col("community").as("_x"))
+          .join(b.select(F.col("v"), F.col("community").as("_y")), "v")
+          .agg(F.coalesce(F.sum(F.when(F.col("_x") =!= F.col("_y"), 1L)
+            .otherwise(0L)), F.lit(0L))).collect().head.getLong(0)
+
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      // rung (0,0): the staged LPA partition
+      val q0row = Staged.communityQ(s, d).collect().head
+      var curLbl = Staged.communityLabels(s, d)
+      var curQ = q0row.getAs[Long]("q_micro")
+      var curN = q0row.getAs[Long]("n_communities")
+      rows += ((0L, 0L, 0L, 1L, curN, curQ))
+      // level 1: fine move rungs (rung 1 = the staged D53 move)
+      for (r <- 1 to CONV_MOVES) {
+        val (cand, nMoved, nc, q) =
+          if (r == 1) {
+            val c = Staged.communityMoved(s, d)
+            val cq = Staged.communityMovedQ(s, d).collect().head
+            (c, cq.getAs[Long]("n_moved"),
+              cq.getAs[Long]("n_communities"), cq.getAs[Long]("q_micro"))
+          } else {
+            val dir = s"$base/l1r$r"
+            Graph.louvainMoveRoundLabeled(
+              Graph.labelEdges(edges, "pa", "pb", curLbl), curLbl,
+              kvcScratch = Some(dir + "_kvc"))
+              .write.mode("overwrite").parquet(dir)
+            val c = s.read.parquet(dir)
+            val (nc0, q0) = scoreFine(c)
+            (c, movedCount(curLbl, c), nc0, q0)
+          }
+        val acc = q >= curQ
+        if (acc) { curLbl = cand; curQ = q; curN = nc }
+        rows += ((1L, r.toLong, nMoved, if (acc) 1L else 0L, curN, curQ))
+      }
+      // phase 2: coarsen the accepted partition (self-loops carry the
+      // intra-community weight) and move on the supernode graph
+      val cdir = s"$base/coarse"
+      Graph.coarsenGraph(Graph.labelEdges(edges, "pa", "pb", curLbl))
+        .write.mode("overwrite").parquet(cdir)
+      val cg = s.read.parquet(cdir)
+      var curC = cg.select(F.col("pa").as("v"))
+        .unionByName(cg.select(F.col("pb").as("v"))).distinct()
+        .select(F.col("v"), F.col("v").as("community"))
+      for (r <- 1 to CONV_MOVES) {
+        val mdir = s"$base/l2r$r"
+        Graph.louvainMoveRoundWeighted(cg, curC, monotone = true)
+          .write.mode("overwrite").parquet(mdir)
+        val cand = s.read.parquet(mdir)
+        val cr = weightedModularityCore(cg, cand).collect().head
+        val (nc, q) = (cr.getAs[Long]("n_communities"),
+          cr.getAs[Long]("qw_micro"))
+        val nMoved = movedCount(curC, cand)
+        val acc = q >= curQ
+        if (acc) { curC = cand; curQ = q; curN = nc }
+        rows += ((2L, r.toLong, nMoved, if (acc) 1L else 0L, curN, curQ))
+      }
+      // (3,0) unroll and re-score exactly on the full graph
+      val mapped = curLbl.select(F.col("v"), F.col("community").as("_c0"))
+        .join(F.broadcast(curC.select(F.col("v").as("_c0"),
+          F.col("community").as("_c1"))), "_c0")
+        .select(F.col("v"), F.col("_c1").as("community"))
+      val fdir = s"$base/final"
+      mapped.write.mode("overwrite").parquet(fdir)
+      val fin = s.read.parquet(fdir)
+      val (ncf, qf) = scoreFine(fin)
+      rows += ((3L, 0L, movedCount(curLbl, fin), 1L, ncf, qf))
+      rows.toSeq
+        .toDF("level", "rung", "n_moved", "accepted", "n_communities",
+          "q_micro")
+        .orderBy("level", "rung")
+    },
+    Some(convergeOracleSql))
+
   val all: Seq[QueryDef] =
     Seq(communityLpa, communityModularity, communityRefine,
       communityWeighted, communityLadder, communityLadderWeighted,
-      communityCoarsen)
+      communityCoarsen, communityConverge)
 }

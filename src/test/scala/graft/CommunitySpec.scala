@@ -222,6 +222,44 @@ class CommunitySpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("community_converge: q trajectory monotone non-decreasing, " +
+    "rung 1 is the staged move, and the unroll equals the last " +
+    "coarse score") {
+    val rows = q("community_converge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 2 * graft.queries.CommunityQueries.CONV_MOVES + 2)
+    // the accept guard makes q monotone BY CONSTRUCTION — this pins it
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._6 >= a._6,
+        s"q regressed between rungs $a and $b")
+    }
+    // rung (0,0) is the staged LPA score; rung (1,1) the staged move
+    val q0 = graft.queries.Staged.communityQ(spark, sf).collect().head
+    assert(rows.head == ((0L, 0L, 0L, 1L,
+      q0.getAs[Long]("n_communities"), q0.getAs[Long]("q_micro"))))
+    val m1 = graft.queries.Staged.communityMovedQ(spark, sf)
+      .collect().head
+    val r11 = rows(1)
+    assert(r11._3 == m1.getAs[Long]("n_moved"), "rung (1,1) n_moved")
+    if (r11._4 == 1L)
+      assert(r11._6 == m1.getAs[Long]("q_micro"),
+        "accepted rung (1,1) must carry the staged move's score")
+    // the final unrolled full-graph exact Q must equal the last coarse
+    // rung's accepted score — the coarsening-preserves-Q identity
+    val lastCoarse = rows(rows.length - 2)
+    val fin = rows.last
+    assert(fin._1 == 3L && fin._4 == 1L)
+    assert(fin._6 == lastCoarse._6,
+      s"unrolled Q ${fin._6} != last coarse accepted Q ${lastCoarse._6}")
+    // a rejected rung forwards its state: n_communities and q unchanged
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (b._4 == 0L) assert(b._5 == a._5 && b._6 == a._6,
+        s"rejected rung $b must forward state from $a")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("community_weighted matches a driver-side weighted replay") {
     val lbl = q("community_lpa").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
