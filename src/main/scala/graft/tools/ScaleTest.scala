@@ -471,6 +471,17 @@ object ScaleTest {
     // hop deeper — expect ~1.5× graph_anf (three hops vs two), still
     // edge-linear per hop; the crossing math is a 1-row frame.
     timeQ("graph_effective_diameter")
+    // r12 probes: ktruss round 1 pays the full √m-bounded wedge pass
+    // (the clustering_coeff constant), rounds 2+ run on the peeled
+    // remnant; community_converge is 2×3 accept-guarded move rungs —
+    // fine rungs edge-linear (k_vc + one scoring pass each), coarse
+    // rungs metadata-sized; the harmonic audit's exact side must stay
+    // cohort-bounded (|cohort|·d̄²) while its estimator side rides the
+    // 10× BFS; wilcoxon is one corpus aggregate to a calendar frame.
+    timeQ("ktruss_peel")
+    timeQ("community_converge")
+    timeQ("harmonic_sample_audit")
+    timeQ("wilcoxon_signed_rank")
     timeQ("clustering_coeff")
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)
