@@ -825,7 +825,82 @@ object GraphMetricsQueries {
          |FROM ($rs) ORDER BY round""".stripMargin
     })
 
+  // ---------------------------------------------------------------- D72
+  /** Pivot-sampled BETWEENNESS (hop-2 horizon) — the "who BROKERS the
+    * graph" read completing the centrality family (degree D23, harmonic
+    * D65, reach D66/D67): for each of the HC_SOURCES hash60-min pivots
+    * s and each node w at distance exactly 2, every middle node m on a
+    * shortest s→w path earns the Brandes pair dependency 1/σ_sw — here
+    * EXACT integer micros, because at hop 2 σ_sw is just the common-
+    * neighbor count and each (s, w, m) term is 10⁶ div σ_sw (integer
+    * division per term, then an order-independent exact sum — the
+    * general Brandes accumulation is rational and would not be
+    * hash-portable). Publishes the top-100 brokers (bet_micro DESC,
+    * node) with the number of (pivot, target) pairs each mediates.
+    *
+    * Scale shape: pivot adjacency broadcast (K·d̄ rows), one two-step
+    * expansion bounded by K·d̄², a (pivot, target)-keyed σ aggregate
+    * joined back, one per-node sum. The pivot count is the precision
+    * budget, the hop horizon the cost budget — D65's contract. */
+  private val betweennessSampled = QueryDef(
+    "betweenness_sampled",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val edges = graft.operators.CacheScope.persist(
+        e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+          .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
+      val nodes = edges.select(F.col("u").as("nv")).distinct()
+      val srcs = nodes
+        .withColumn("_h", graft.operators.Hashing.hash60(
+          F.col("nv").cast("string")))
+        .orderBy(F.col("_h"), F.col("nv")).limit(HC_SOURCES)
+        .select(F.col("nv").as("src"))
+      val n1 = F.broadcast(srcs).join(edges,
+          F.col("src") === F.col("u"))
+        .select(F.col("src"), F.col("v").as("m"))
+      val paths = F.broadcast(n1)
+        .join(edges.select(F.col("u").as("m"), F.col("v").as("w")), "m")
+        .where(F.col("w") =!= F.col("src"))
+        .join(n1.select(F.col("src"), F.col("m").as("w")),
+          Seq("src", "w"), "left_anti")
+      val sigma = paths.groupBy("src", "w")
+        .agg(F.count(F.lit(1)).as("sigma"))
+      paths.join(sigma, Seq("src", "w"))
+        .groupBy(F.col("m").as("node"))
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.sum(F.expr("1000000 div sigma")).as("bet_micro"))
+        .orderBy(F.col("bet_micro").desc, F.col("node")).limit(100)
+    },
+    Some(s"""WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs),
+      nodes AS (SELECT DISTINCT u AS nv FROM edges),
+      srcs AS (SELECT nv AS src FROM (
+                 SELECT nv, row_number() OVER (ORDER BY
+                   ${graft.operators.Hashing.hash60Sql(
+                     "CAST(nv AS VARCHAR)")}, nv) AS rn
+                 FROM nodes) WHERE rn <= $HC_SOURCES),
+      n1 AS MATERIALIZED (
+        SELECT s.src, e.v AS m FROM srcs s JOIN edges e ON e.u = s.src),
+      paths AS MATERIALIZED (
+        SELECT p.src, p.m, e.v AS w
+        FROM n1 p JOIN edges e ON e.u = p.m
+        WHERE e.v <> p.src
+          AND NOT EXISTS (SELECT 1 FROM n1 x
+                          WHERE x.src = p.src AND x.m = e.v)),
+      sg AS (SELECT src, w, CAST(count(*) AS BIGINT) AS sigma
+             FROM paths GROUP BY 1, 2)
+      SELECT p.m AS node, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(1000000 // sigma) AS BIGINT) AS bet_micro
+      FROM paths p JOIN sg ON sg.src = p.src AND sg.w = p.w
+      GROUP BY 1 ORDER BY bet_micro DESC, node LIMIT 100"""))
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
-    harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel)
+    harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel,
+    betweennessSampled)
 }

@@ -343,6 +343,52 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("betweenness_sampled matches a first-principles hop-2 Brandes " +
+    "replay") {
+    val kSrc = graft.queries.GraphMetricsQueries.HC_SOURCES
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    val srcs = adj.keys.toSeq
+      .sortBy(v => (graft.operators.Hashing.hash60(v.toString), v))
+      .take(kSrc)
+    val bet = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    srcs.foreach { s0 =>
+      val n1 = adj(s0)
+      // targets at distance exactly 2, with their middle sets
+      val mids = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      n1.foreach { m =>
+        adj(m).foreach { w =>
+          if (w != s0 && !n1.contains(w))
+            mids.getOrElseUpdate(w, scala.collection.mutable.Set()) += m
+        }
+      }
+      mids.foreach { case (_, ms) =>
+        val sigma = ms.size
+        ms.foreach { m =>
+          val (c, s2) = bet(m)
+          bet(m) = (c + 1, s2 + 1000000L / sigma)
+        }
+      }
+    }
+    val expectTop = bet.toSeq
+      .sortBy { case (v, (_, bm)) => (-bm, v) }.take(100)
+      .map { case (v, (c, bm)) => (v, c, bm) }
+    val got = q("betweenness_sampled").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expectTop,
+      s"top mismatch: got head ${got.take(3).toSeq}" +
+        s" vs replay head ${expectTop.take(3)}")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("kendall_w is friedman's corrected statistic over n(k-1), in [0,1]") {
     val w = q("kendall_w").collect().head
     val f = q("friedman").collect().head
