@@ -899,8 +899,165 @@ object GraphMetricsQueries {
       FROM paths p JOIN sg ON sg.src = p.src AND sg.w = p.w
       GROUP BY 1 ORDER BY bet_micro DESC, node LIMIT 100"""))
 
+  // ---------------------------------------------------------------- D73
+  /** Rich-club coefficient ladder — do the hubs preferentially connect
+    * to each other? φ(k) = 2·E_k / (N_k·(N_k−1)) with N_k the nodes of
+    * degree > k and E_k the edges BOTH of whose endpoints qualify
+    * [Colizza et al. 2006], published on a fixed degree ladder
+    * (8..200). The global summary beside D59's assortativity (a
+    * correlation can be near 0 while the top slice is still a clique —
+    * φ(k) reads the slice directly). Exact integers: φ in micros via
+    * ONE widened division per rung; the whole computation collapses to
+    * SUFFIX SUMS over two tiny histograms (degree histogram and the
+    * per-edge MIN-degree histogram — an edge is in E_k iff its smaller
+    * endpoint degree exceeds k), so after two map-side-combined
+    * aggregates everything is metadata-sized at any SF. */
+  private val richClub = QueryDef(
+    "rich_club",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val deg = e.select(F.col("pa").as("v"))
+        .unionByName(e.select(F.col("pb").as("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
+      val degHist = deg.groupBy("dg").agg(F.count(F.lit(1)).as("nn"))
+      val mdHist = e
+        .join(deg.select(F.col("v").as("pa"), F.col("dg").as("_da")), "pa")
+        .join(deg.select(F.col("v").as("pb"), F.col("dg").as("_db")), "pb")
+        .select(F.least(F.col("_da"), F.col("_db")).as("md"))
+        .groupBy("md").agg(F.count(F.lit(1)).as("ne"))
+      val ladder = s.range(1).select(F.explode(F.expr(
+        "array(8L, 16L, 32L, 64L, 96L, 128L, 160L, 200L)")).as("k"))
+      val nk = F.broadcast(ladder)
+        .join(degHist, F.col("dg") > F.col("k"))
+        .groupBy("k").agg(F.sum("nn").as("n_nodes"))
+      val ek = F.broadcast(ladder)
+        .join(mdHist, F.col("md") > F.col("k"))
+        .groupBy("k").agg(F.sum("ne").as("n_edges"))
+      ladder.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .na.fill(0L, Seq("n_nodes", "n_edges"))
+        .select(F.col("k"), F.col("n_nodes"), F.col("n_edges"),
+          F.expr("""CASE WHEN n_nodes < 2 THEN 0L ELSE
+            |CAST(2 * CAST(n_edges AS DECIMAL(38,0)) * 1000000
+            |     div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1))
+            |     AS BIGINT) END""".stripMargin).as("phi_micro"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY 1),
+      dh AS (SELECT dg, CAST(count(*) AS BIGINT) AS nn
+             FROM deg GROUP BY 1),
+      mh AS (SELECT least(da.dg, db.dg) AS md,
+                    CAST(count(*) AS BIGINT) AS ne
+             FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+             GROUP BY 1),
+      lad AS (SELECT CAST(k AS BIGINT) AS k
+              FROM unnest([8, 16, 32, 64, 96, 128, 160, 200]) AS u(k)),
+      nk AS (SELECT k, CAST(sum(nn) AS BIGINT) AS n_nodes
+             FROM lad JOIN dh ON dh.dg > lad.k GROUP BY 1),
+      ek AS (SELECT k, CAST(sum(ne) AS BIGINT) AS n_edges
+             FROM lad JOIN mh ON mh.md > lad.k GROUP BY 1)
+      SELECT lad.k, coalesce(nk.n_nodes, 0) AS n_nodes,
+             coalesce(ek.n_edges, 0) AS n_edges,
+             CASE WHEN coalesce(nk.n_nodes, 0) < 2 THEN 0 ELSE
+               CAST(2 * CAST(coalesce(ek.n_edges, 0) AS HUGEINT) * 1000000
+                    // (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1))
+                    AS BIGINT) END AS phi_micro
+      FROM lad LEFT JOIN nk ON nk.k = lad.k
+               LEFT JOIN ek ON ek.k = lad.k
+      ORDER BY lad.k"""))
+
+  // ---------------------------------------------------------------- D74
+  /** Co-purchase edge drift — the TEMPORAL-graph read: the per-year
+    * edge sets' Jaccard overlap between adjacent years ("how much of
+    * last year's basket structure survives into this year"), the graph
+    * analog of the drift family (PSI/KS track value distributions; this
+    * tracks RELATIONSHIP turnover, the thing a stale recommender
+    * actually dies of). Exact integers: per unordered pair a 7-bit YEAR
+    * MASK (Σ over its distinct years of 2^(year−1995) — one map-side-
+    * combined aggregate over the year-carrying pair list), the six
+    * adjacent-year rows read off bit tests (∩ = both bits, ∪ = either),
+    * jaccard in micros via one division per row.
+    *
+    * Scale shape: the pair build is the coPurchasePairs shape with the
+    * order's year riding along (fan-out bounded by order size, never
+    * catalog size); the mask aggregate is pair-frame-sized; the
+    * adjacent-year finish is a ×6 bounded explode. */
+  private val graphEdgeDrift = QueryDef(
+    "graph_edge_drift",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+        .distinct()
+      val oy = Tables.t(s, d, "orders")
+        .select(F.col("o_orderkey").as("ok"),
+          F.year(F.col("o_orderdate")).cast("long").as("yr"))
+      val pairs = li.select(F.col("ok"), F.col("pk").as("pa"))
+        .join(li.select(F.col("ok"), F.col("pk").as("pb")), "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .join(oy, "ok")
+        .select("yr", "pa", "pb").distinct()
+      val masks = pairs
+        .select(F.col("pa"), F.col("pb"),
+          F.expr("shiftleft(1L, CAST(yr - 1995 AS INT))").as("bit"))
+        .groupBy("pa", "pb").agg(F.sum("bit").as("mask"))
+      masks
+        .select(F.col("mask"), F.explode(F.expr(
+          "array(1995L, 1996L, 1997L, 1998L, 1999L, 2000L)")).as("year_a"))
+        .select(F.col("year_a"),
+          F.expr("CAST(shiftright(mask, CAST(year_a - 1995 AS INT)) & 1 " +
+            "AS BIGINT)").as("ia"),
+          F.expr("CAST(shiftright(mask, CAST(year_a - 1994 AS INT)) & 1 " +
+            "AS BIGINT)").as("ib"))
+        .groupBy("year_a")
+        .agg(F.sum("ia").as("n_edges_a"), F.sum("ib").as("n_edges_b"),
+          F.sum(F.expr("ia * ib")).as("n_common"))
+        .select(F.col("year_a"), F.expr("year_a + 1").as("year_b"),
+          F.col("n_edges_a"), F.col("n_edges_b"), F.col("n_common"),
+          F.expr("""CASE WHEN n_edges_a + n_edges_b - n_common = 0 THEN 0L
+            |ELSE n_common * 1000000
+            |     div (n_edges_a + n_edges_b - n_common) END"""
+            .stripMargin).as("jaccard_micro"))
+        .orderBy("year_a")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      oy AS (SELECT o_orderkey AS ok,
+                    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+             FROM orders),
+      ey AS (SELECT DISTINCT oy.yr, a.pk AS pa, b.pk AS pb
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             JOIN oy ON oy.ok = a.ok),
+      masks AS (SELECT pa, pb,
+                       CAST(sum(1 << CAST(yr - 1995 AS INT)) AS BIGINT)
+                         AS mask
+                FROM ey GROUP BY 1, 2),
+      x AS (SELECT CAST(y AS BIGINT) AS year_a,
+                   CAST((mask >> CAST(y - 1995 AS INT)) & 1 AS BIGINT)
+                     AS ia,
+                   CAST((mask >> CAST(y - 1994 AS INT)) & 1 AS BIGINT)
+                     AS ib
+            FROM masks,
+                 unnest([1995, 1996, 1997, 1998, 1999, 2000]) AS u(y))
+      SELECT year_a, year_a + 1 AS year_b,
+             CAST(sum(ia) AS BIGINT) AS n_edges_a,
+             CAST(sum(ib) AS BIGINT) AS n_edges_b,
+             CAST(sum(ia * ib) AS BIGINT) AS n_common,
+             CASE WHEN sum(ia) + sum(ib) - sum(ia * ib) = 0 THEN 0
+               ELSE CAST(sum(ia * ib) * 1000000
+                    // (sum(ia) + sum(ib) - sum(ia * ib)) AS BIGINT)
+             END AS jaccard_micro
+      FROM x GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
     harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel,
-    betweennessSampled)
+    betweennessSampled, richClub, graphEdgeDrift)
 }

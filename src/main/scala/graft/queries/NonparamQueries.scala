@@ -940,7 +940,87 @@ object NonparamQueries {
                      / sqrt(CAST(v12 AS DOUBLE) / 12.0), 6) END AS z
       FROM b, z0 ORDER BY n_pairs"""))
 
+  // ---------------------------------------------------------------- M45
+  /** 1-Wasserstein (earth-mover) distance between the M33/M36 arms on
+    * extended price — the INTEGRAL distribution distance completing the
+    * two-sample family (M33 tests location, M36's KS is the sup gap;
+    * W₁ = ∫|F₁ − F₂| dx is the total work to morph one distribution
+    * into the other, in the value's own units). Exact integers end to
+    * end over the VALUE DOMAIN: per distinct cent value, the scaled CDF
+    * gap |cum₁·n₂ − cum₂·n₁| times the gap to the NEXT domain value —
+    * the next value via a rownumber self-join (rn+1), NOT a global
+    * lead() window (the domain can approach row count, M38's lesson) —
+    * summed through DECIMAL(38,0)/HUGEINT, ONE closing string-routed
+    * division by n₁·n₂. The final domain row's term is provably 0
+    * (both CDFs are complete there), so the join dropping it is exact.
+    *
+    * Scale shape: one map-side-combined corpus aggregate to the domain
+    * frame, two DistRank range passes (cumsum + rownumber), one
+    * domain-sized self-join. */
+  private val wasserstein1 = QueryDef(
+    "wasserstein_1",
+    (s, d) => {
+      val vals = t(s, d, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(F.expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)")
+          .as("cents"),
+          F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"))
+        .groupBy("cents")
+        .agg(F.sum("i1").as("n1v"), F.expr("count(*) ").cast("long")
+          .as("cnt"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        vals, "cnt", "cumt", F.col("cents").asc)
+      val cum1 = graft.operators.DistRank.globalCumSum(
+        cum, "n1v", "cum1", F.col("cents").asc)
+      val rn = graft.operators.DistRank.globalRowNumber(
+        cum1, "rn", F.col("cents").asc)
+      val nxt = rn.select(F.expr("rn - 1").as("rn"),
+        F.col("cents").as("_next"))
+      val tot = rn.agg(F.sum("n1v").cast("long").as("n1"),
+        F.expr("sum(cnt) - sum(n1v)").cast("long").as("n2"))
+      rn.join(nxt, "rn")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.max("n1").as("n1"), F.max("n2").as("n2"),
+          F.sum(F.expr(
+            """abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+              |    - CAST(cumt - cum1 AS DECIMAL(38,0)) * n1)
+              |* (_next - cents)""".stripMargin)).as("_w"))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(CAST(CAST(_w AS STRING) AS DOUBLE)
+            |     / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6) END"""
+            .stripMargin).as("w1"))
+        .orderBy("n1")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      c AS (SELECT cents, n1v, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cumt,
+                   CAST(sum(n1v) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+                   CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn
+            FROM v),
+      t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                   CAST(sum(cnt) - sum(n1v) AS BIGINT) AS n2
+            FROM v),
+      w AS (SELECT a.cents, a.cum1, a.cumt, b.cents AS nxt
+            FROM c a JOIN c b ON b.rn = a.rn + 1)
+      SELECT n1, n2,
+             CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(CAST(CAST(sum(abs(CAST(cum1 AS HUGEINT) * n2
+                     - CAST(cumt - cum1 AS HUGEINT) * n1)
+                     * (nxt - cents)) AS VARCHAR) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6) END AS w1
+      FROM w, t GROUP BY n1, n2 ORDER BY n1"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
-      friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank)
+      friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
+      wasserstein1)
 }

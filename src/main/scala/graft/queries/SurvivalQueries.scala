@@ -146,5 +146,109 @@ object SurvivalQueries {
              start_x AS streak_start_day
       FROM pk WHERE pick = 1 ORDER BY segment"""))
 
-  val all: Seq[QueryDef] = Seq(survivalCurve, longestStreak)
+  // ---------------------------------------------------------------- C85
+  /** Nelson-Aalen cumulative hazard of the first repeat order — the
+    * CENSORING-AWARE companion to C83's survival curve (C83 reads only
+    * customers who DID repeat; one-order customers carry information
+    * too — they survived event-free until the corpus horizon, and
+    * dropping them biases hazard upward). Subjects: every customer;
+    * time = gap to the second order (event) or to the corpus max date
+    * (right-censored, standard convention: censored at t stays in the
+    * risk set for events at t). Exact integers end to end: per distinct
+    * event time the increment d_t·10⁶ div n_t with the risk set
+    * n_t = N − #{time < t} from ONE DistRank cumsum over the
+    * calendar-bounded time domain, published as H(k) on the C83 day
+    * ladder (7/14/30/60/90/180) with missing-ladder rows completed to
+    * zero. Σ of integer-div terms — order-independent, hash-portable.
+    *
+    * Scale shape: one per-customer window (customer-keyed), one
+    * map-side-combined aggregate to the gap domain, one range cumsum,
+    * a 6-row ladder finish. */
+  private val hazardNa = QueryDef(
+    "hazard_na",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(F.col("o_custkey").as("ck"),
+          F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1992-01-01"))
+            .cast("long").as("day"),
+          F.col("o_orderkey").as("ok"))
+      val maxd = o.agg(F.max("day").as("maxd"))
+      val w = Window.partitionBy("ck").orderBy("day", "ok")
+      val subj = o
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nxt", F.lead("day", 1).over(w))
+        .where(F.col("rn") === 1)
+        .crossJoin(F.broadcast(maxd))
+        .select(
+          F.expr("CASE WHEN nxt IS NOT NULL THEN nxt - day " +
+            "ELSE maxd - day END").as("time"),
+          F.expr("CASE WHEN nxt IS NOT NULL THEN 1L ELSE 0L END").as("ev"))
+      val dom = subj.groupBy("time")
+        .agg(F.sum("ev").as("d"), F.count(F.lit(1)).as("cnt"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        dom, "cnt", "cumt", F.col("time").asc)
+      val nAll = dom.agg(F.sum("cnt").as("n_all"))
+      val terms = cum.crossJoin(F.broadcast(nAll))
+        .where(F.col("d") > 0)
+        .select(F.col("time"), F.col("d"),
+          F.expr("d * 1000000 div (n_all - (cumt - cnt))").as("term_ppm"))
+      val ladder = s.range(1)
+        .select(F.explode(F.expr("array(7L, 14L, 30L, 60L, 90L, 180L)"))
+          .as("k"))
+      val agg = terms
+        .select(F.col("time"), F.col("d"), F.col("term_ppm"),
+          F.explode(F.expr("array(7L, 14L, 30L, 60L, 90L, 180L)"))
+            .as("k"))
+        .where(F.col("time") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("d").as("n_events"), F.sum("term_ppm").as("h_ppm"))
+      ladder.join(agg, Seq("k"), "left")
+        .na.fill(0L, Seq("n_events", "h_ppm"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS ck,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS day,
+               o_orderkey AS ok
+        FROM orders),
+      mx AS (SELECT CAST(max(day) AS BIGINT) AS maxd FROM o),
+      r AS (
+        SELECT ck, day,
+               row_number() OVER (PARTITION BY ck ORDER BY day, ok) AS rn,
+               lead(day) OVER (PARTITION BY ck ORDER BY day, ok) AS nxt
+        FROM o),
+      subj AS (
+        SELECT CASE WHEN nxt IS NOT NULL THEN nxt - day
+                    ELSE maxd - day END AS time,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM r, mx WHERE rn = 1),
+      dom AS (SELECT time, CAST(sum(ev) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM subj GROUP BY 1),
+      c AS (SELECT time, d, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY time) AS BIGINT) AS cumt
+            FROM dom),
+      na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM dom),
+      terms AS (
+        SELECT time, d,
+               CAST(d * 1000000 // (n_all - (cumt - cnt)) AS BIGINT)
+                 AS term_ppm
+        FROM c, na WHERE d > 0),
+      agg AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(sum(d) AS BIGINT) AS n_events,
+               CAST(sum(term_ppm) AS BIGINT) AS h_ppm
+        FROM terms, unnest([7, 14, 30, 60, 90, 180]) AS u(k)
+        WHERE time <= k GROUP BY 1)
+      SELECT CAST(l.k AS BIGINT) AS k,
+             coalesce(a.n_events, 0) AS n_events,
+             coalesce(a.h_ppm, 0) AS h_ppm
+      FROM unnest([7, 14, 30, 60, 90, 180]) AS l(k)
+      LEFT JOIN agg a ON a.k = l.k
+      ORDER BY k"""))
+
+  val all: Seq[QueryDef] = Seq(survivalCurve, longestStreak, hazardNa)
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** First-principles replays for the r12 distance/lifecycle/topology
+  * quartet — wasserstein_1, hazard_na, rich_club, graph_edge_drift —
+  * on constructed fixtures with hand-computable answers. */
+class ShapeDriftSpec extends SparkSpec {
+
+  test("wasserstein_1 matches a hand-computed CDF-area on a tiny " +
+    "two-arm fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_w1").toString
+    // R: prices 1.00, 2.00, 2.00; N: 2.00, 4.00 (cents 100/200/400)
+    Seq(("R", 1.00), ("R", 2.00), ("R", 2.00), ("N", 2.00), ("N", 4.00))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("wasserstein_1")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    // F1 = (1/3 at 100, 1 at 200); F2 = (0 at 100, 1/2 at 200, 1 at 400)
+    // W1 = |1/3-0|*100 + |1-1/2|*200 = 33.333.. + 100 = 133.333.. cents
+    //    = 1.333333 dollars
+    assert(math.abs(r.getAs[Double]("w1") - 400.0 / 3 / 100) < 1e-5,
+      s"w1 ${r.getAs[Double]("w1")}")
+  }
+
+  test("hazard_na matches a first-principles Nelson-Aalen replay with " +
+    "censoring") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_na").toString
+    // customers: A repeats after 5d, B after 20d, C and D never repeat
+    // (censored at horizon). Max day = 1992-02-01 (day 31).
+    Seq(
+      ("A", "1992-01-01", 1L), ("A", "1992-01-06", 2L),
+      ("B", "1992-01-02", 3L), ("B", "1992-01-22", 4L),
+      ("C", "1992-01-10", 5L),
+      ("D", "1992-02-01", 6L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("hazard_na")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // subjects: A ev t=5, B ev t=20, C censored t=22, D censored t=0
+    // risk sets: t=5 -> {A,B,C} (D's time 0 < 5): n=3; t=20 -> {B,C}: n=2
+    // H(7) = 1e6/3 = 333333; H(14) same; H(30/60/90/180) += 1e6/2
+    assert(got(7L) == ((1L, 333333L)), s"k=7 ${got(7L)}")
+    assert(got(14L) == ((1L, 333333L)))
+    assert(got(30L) == ((2L, 333333L + 500000L)))
+    assert(got(180L) == ((2L, 833333L)))
+  }
+
+  test("rich_club: suffix-sum ladder matches a brute-force phi on a " +
+    "hub-clique fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rc").toString
+    // K12 hub clique (degrees 11 + spokes) with 200 leaves: two leaves
+    // per hub ensure hub degree 13 > 8; leaves degree 1.
+    val hub = for (i <- 1L to 12L; j <- (i + 1) to 12L) yield (i, j)
+    val leaves = for (i <- 1L to 12L; l <- 0L to 1L)
+      yield (i, 100L + 2 * i + l)
+    // encode each edge as one 2-line order
+    val rows = (hub ++ leaves).zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq((k.toLong, a), (k.toLong, b))
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("rich_club")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // degrees: hubs 11 + 2 = 13, leaves 1. k=8: N=12 hubs, E=66 clique
+    // edges (leaf edges have min degree 1) -> phi = 2*66/(12*11) = 1.0
+    assert(got(8L) == ((12L, 66L, 1000000L)), s"k=8 ${got(8L)}")
+    // k=16: no node has degree > 16 -> guard row
+    assert(got(16L) == ((0L, 0L, 0L)))
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("graph_edge_drift: year-mask jaccard matches hand-set overlap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_drift").toString
+    // 1995: edges {1-2, 3-4}; 1996: edges {1-2, 5-6, 7-8}
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 3L), (11L, 4L),
+      (20L, 1L), (20L, 2L), (21L, 5L), (21L, 6L), (22L, 7L), (22L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+    val od = Seq((10L, "1995-03-01"), (11L, "1995-04-01"),
+      (20L, "1996-03-01"), (21L, "1996-05-01"), (22L, "1996-06-01"))
+      .toDF("o_orderkey", "o_orderdate")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    li.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    od.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("graph_edge_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // 1995->1996: |A|=2, |B|=3, common {1-2} = 1, union 4 -> 250000
+    assert(got(1995L) == ((2L, 3L, 1L, 250000L)), s"1995 ${got(1995L)}")
+    // 1996->1997: |A|=3, |B|=0 -> jaccard 0 guard path exercised
+    assert(got(1996L) == ((3L, 0L, 0L, 0L)))
+    assert(got(2000L) == ((0L, 0L, 0L, 0L)))
+  }
+}
