@@ -199,6 +199,70 @@ object BiQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1, 2 ORDER BY price_bucket, qty"""))
 
+  // ---------------------------------------------------------------- C86
+  /** Leaderboard turnover: how much of each year's top-100 parts (by
+    * exact revenue) survives into the next year's top-100 — the
+    * RANKED-set drift read beside D74's raw edge drift and the PSI/KS
+    * value drifts (dashboards live off leaderboards; this measures how
+    * fast they churn). Per year the top-100 by (revenue cents DESC,
+    * partkey) — the row_number ≤ k pattern the C12b TopKRewrite turns
+    * into a bounded-heap aggregate, so no per-year full sort of the
+    * catalog at scale — then adjacent years compare as sets: common
+    * count, overlap in ppm of k. Exact integers throughout. */
+  private val leaderboardTurnover = QueryDef(
+    "leaderboard_turnover",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("long").as("yr"),
+          F.col("l_partkey").as("pk"))
+        .agg(F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))" +
+          " * 100 AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("yr")
+        .orderBy(F.col("cents").desc, F.col("pk"))
+      val top = rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100).select("yr", "pk")
+      val pairsOfYears = s.range(6)
+        .select((F.col("id") + 1995).as("year_a"))
+      F.broadcast(pairsOfYears)
+        .join(top.select(F.col("yr").as("year_a"), F.col("pk")), "year_a")
+        .join(top.select((F.col("yr") - 1).as("_ya"),
+          F.col("pk").as("_pk2")),
+          F.col("year_a") === F.col("_ya") &&
+            F.col("pk") === F.col("_pk2"), "left")
+        .groupBy("year_a")
+        .agg(F.sum(F.when(F.col("_pk2").isNotNull, 1L).otherwise(0L))
+          .as("n_common"))
+        .select(F.col("year_a"), F.expr("year_a + 1").as("year_b"),
+          F.col("n_common"),
+          F.expr("n_common * 10000 div 100").as("overlap_bp"))
+        .orderBy("year_a")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+               l_partkey AS pk,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+                    AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      top AS (
+        SELECT yr, pk FROM (
+          SELECT yr, pk, row_number() OVER (PARTITION BY yr
+            ORDER BY cents DESC, pk) AS rn
+          FROM rev) WHERE rn <= 100)
+      SELECT CAST(y.year_a AS BIGINT) AS year_a,
+             CAST(max(y.year_a) + 1 AS BIGINT) AS year_b,
+             CAST(sum(CASE WHEN b.pk IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_common,
+             CAST(sum(CASE WHEN b.pk IS NOT NULL THEN 1 ELSE 0 END)
+                  * 10000 // 100 AS BIGINT) AS overlap_bp
+      FROM generate_series(1995, 2000) AS y(year_a)
+      JOIN top a ON a.yr = y.year_a
+      LEFT JOIN top b ON b.yr = y.year_a + 1 AND b.pk = a.pk
+      GROUP BY y.year_a ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(shareOfTotal, yoyGrowth, maxDrawdown,
-    histogram2d)
+    histogram2d, leaderboardTurnover)
 }

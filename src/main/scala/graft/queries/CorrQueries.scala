@@ -182,5 +182,102 @@ object CorrQueries {
                   END AS tau
       FROM agg, g ORDER BY n_groups"""))
 
-  def all: Seq[QueryDef] = Seq(spearmanCorr, kendallTau)
+  // ---------------------------------------------------------------- M47
+  /** Lead-lag cross-correlation between the urgent and high daily
+    * revenue series over the full 1995 calendar grid (days without an
+    * arm's orders count 0 — the deterministic zero-fill any aligned
+    * series needs): Pearson r(x_t, y_{t+ℓ}) for lags −7..+7, the "does
+    * one series LEAD the other" read beside C43's same-time Pearson
+    * and the M31/M32 rank correlations. Exact integer moments per lag
+    * (n, Σx, Σy, Σxy, Σx², Σy² over DECIMAL(38,0)/HUGEINT — daily-cent
+    * squares overflow int64 at design scale), numerator and BOTH
+    * variance terms string-routed to exact doubles, one closing
+    * division; zero-variance lags guard to 0.
+    *
+    * Scale shape: one corpus aggregate to the 365-row calendar frame;
+    * the ±7-lag self-join and all moments are calendar-bounded
+    * metadata. */
+  private val crossCorrelation = QueryDef(
+    "cross_correlation",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .where(F.year(F.col("o_orderdate")) === 1995 &&
+          F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.datediff(F.to_date(F.col("o_orderdate")),
+          F.lit("1995-01-01")).cast("long").as("t"))
+        .agg(
+          F.expr("CAST(coalesce(sum(CASE WHEN o_orderpriority = " +
+            "'1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,4)) END)" +
+            " * 100, 0) AS BIGINT)").as("x"),
+          F.expr("CAST(coalesce(sum(CASE WHEN o_orderpriority = " +
+            "'2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,4)) END)" +
+            " * 100, 0) AS BIGINT)").as("y"))
+      val grid = s.range(365).select(F.col("id").as("t"))
+        .join(daily, Seq("t"), "left").na.fill(0L, Seq("x", "y"))
+      val lags = s.range(15).select((F.col("id") - 7).as("lag"))
+      val paired = F.broadcast(lags)
+        .join(grid.select(F.col("t"), F.col("x")),
+          F.lit(true))
+        .join(grid.select(F.col("t").as("_t2"), F.col("y")),
+          F.expr("_t2 = t + lag"))
+      paired.groupBy("lag")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("x").cast("decimal(38,0)")).as("_sx"),
+          F.sum(F.col("y").cast("decimal(38,0)")).as("_sy"),
+          F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).as("_sxy"),
+          F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).as("_sxx"),
+          F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).as("_syy"))
+        .select(F.col("lag"), F.col("n"),
+          F.expr("""CASE WHEN n * _sxx - _sx * _sx <= 0
+            |         OR n * _syy - _sy * _sy <= 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(
+            |  CAST(CAST(n * _sxy - _sx * _sy AS STRING) AS DOUBLE)
+            |  / sqrt(CAST(CAST(n * _sxx - _sx * _sx AS STRING) AS DOUBLE)
+            |         * CAST(CAST(n * _syy - _sy * _sy AS STRING)
+            |                AS DOUBLE)), 6) END""".stripMargin).as("r"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) * 100, 0)
+                 AS BIGINT) AS x,
+               CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) * 100, 0)
+                 AS BIGINT) AS y
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1),
+      grid AS (
+        SELECT CAST(g.t AS BIGINT) AS t, coalesce(d.x, 0) AS x,
+               coalesce(d.y, 0) AS y
+        FROM generate_series(0, 364) AS g(t)
+        LEFT JOIN daily d ON d.t = g.t),
+      paired AS (
+        SELECT CAST(l.lag AS BIGINT) AS lag, a.x, b.y
+        FROM generate_series(-7, 7) AS l(lag)
+        JOIN grid a ON true
+        JOIN grid b ON b.t = a.t + l.lag),
+      m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM paired GROUP BY 1)
+      SELECT lag, n,
+             CASE WHEN n * sxx - sx * sx <= 0
+                    OR n * syy - sy * sy <= 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(
+                 CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                               AS DOUBLE)), 6) END AS r
+      FROM m ORDER BY lag"""))
+
+  def all: Seq[QueryDef] = Seq(spearmanCorr, kendallTau, crossCorrelation)
 }

@@ -173,6 +173,56 @@ object RobustQueries {
                           / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) END AS z
       FROM v ORDER BY month"""))
 
+  // ---------------------------------------------------------------- M46
+  /** Hodges-Lehmann location estimator per month — the ROBUST "typical
+    * daily revenue" that pairs with C64's robust slope and M43's
+    * signed-rank test (it is the estimator that test inverts): the
+    * median of all Walsh averages (cᵢ+cⱼ)/2 over day pairs i ≤ j within
+    * the month — ≤ C(31,2)+31 pairs, calendar-bounded like C64's slope
+    * pairs. Exactness: Walsh sums ride ×2 (cᵢ+cⱼ stays integral), the
+    * median is the deterministic cumulative-count pick over the
+    * value-GROUPED pair frame (C64's percentile_disc discipline, no
+    * NTILE ambiguity), and the published dollars value is one closing
+    * division of an exact integer. 50 % breakdown vs the mean's zero. */
+  private val hodgesLehmann = QueryDef(
+    "hodges_lehmann",
+    (s, d) => {
+      val daily = dailyCents1995(s, d)
+      val walsh = daily.as("a")
+        .join(daily.as("b"), F.expr("a.month = b.month AND a.x <= b.x"))
+        .select(F.col("a.month").as("month"),
+          F.expr("a.cents + b.cents").as("w2"))
+      val grouped = walsh.groupBy("month", "w2")
+        .agg(F.count(F.lit(1)).as("c"))
+      val w = Window.partitionBy("month").orderBy("w2")
+      grouped
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("month")))
+        .groupBy("month")
+        .agg(F.max("tot").as("n_pairs"),
+          F.min(F.when(F.expr("2 * cum >= tot + 1"), F.col("w2")))
+            .as("_m2"))
+        .select(F.col("month"), F.col("n_pairs"),
+          F.expr("round(CAST(_m2 AS DOUBLE) / 200.0, 6)").as("hl_dollars"))
+        .orderBy("month")
+    },
+    Some(s"""
+      WITH $dailyCtesSql,
+      pr AS (SELECT a.month, a.cents + b.cents AS w2
+             FROM daily a JOIN daily b
+               ON a.month = b.month AND a.x <= b.x),
+      g AS (SELECT month, w2, CAST(count(*) AS BIGINT) AS c
+            FROM pr GROUP BY 1, 2),
+      cu AS (SELECT month, w2, c,
+                    sum(c) OVER (PARTITION BY month ORDER BY w2
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(c) OVER (PARTITION BY month) AS tot
+             FROM g)
+      SELECT month, CAST(max(tot) AS BIGINT) AS n_pairs,
+             round(CAST(min(CASE WHEN 2 * cum >= tot + 1 THEN w2 END)
+                        AS DOUBLE) / 200.0, 6) AS hl_dollars
+      FROM cu GROUP BY month ORDER BY month"""))
+
   // ---------------------------------------------------------------- M8
   /** Mutual information between two categorical metadata columns
     * (lang × source on documents) — the dependence audit behind "is
@@ -359,6 +409,6 @@ object RobustQueries {
                   AS BIGINT) AS var_rank
       FROM v ORDER BY dim"""))
 
-  val all: Seq[QueryDef] = Seq(theilSen, mannKendall, mutualInformation,
-    linkPredict, embedDimProfile)
+  val all: Seq[QueryDef] = Seq(theilSen, mannKendall, hodgesLehmann,
+    mutualInformation, linkPredict, embedDimProfile)
 }

@@ -84,6 +84,98 @@ class ShapeDriftSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("hodges_lehmann matches a brute-force Walsh-median replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hl").toString
+    // one month, 4 days with known cents (one outlier the HL resists)
+    val cents = Seq(100L, 200L, 300L, 99900L)
+    cents.zipWithIndex.map { case (c, i) =>
+      (f"1995-03-${i + 1}%02d", c / 100.0)
+    }.toDF("o_orderdate", "o_totalprice")
+      .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val walsh = (for (i <- cents.indices; j <- i until cents.length)
+      yield cents(i) + cents(j)).sorted
+    // the 2cum >= tot+1 pick is the first value whose cumulative count
+    // reaches ceil((n+1)/2) — 0-based index n/2 (house percentile_disc)
+    val m2 = walsh(walsh.length / 2)
+    val r = SparkEntry.queries("hodges_lehmann")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == walsh.length.toLong)
+    assert(math.abs(r.getAs[Double]("hl_dollars") - m2 / 200.0) < 1e-9,
+      s"hl ${r.getAs[Double]("hl_dollars")} vs ${m2 / 200.0}")
+  }
+
+  test("cross_correlation matches a brute-force lagged Pearson replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ccf").toString
+    // y leads x by 2 days: y_t = x_{t+2} shape on a 10-day burst
+    val xs = Seq(100L, 900L, 300L, 700L, 500L, 800L, 200L, 600L, 400L,
+      1000L)
+    val rows =
+      xs.zipWithIndex.map { case (c, t) =>
+        (f"1995-01-${t + 1}%02d", "1-URGENT", c / 100.0) } ++
+      xs.zipWithIndex.map { case (c, t) =>
+        (f"1995-01-${t + 3}%02d", "2-HIGH", c / 100.0) }
+    rows.toDF("o_orderdate", "o_orderpriority", "o_totalprice")
+      .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val x = Array.fill(365)(0L); val y = Array.fill(365)(0L)
+    xs.zipWithIndex.foreach { case (c, t) => x(t) = c; y(t + 2) = c }
+    def pearson(lag: Int): Double = {
+      val ts = (0 until 365).filter(t => t + lag >= 0 && t + lag < 365)
+      val n = ts.length.toDouble
+      val (sx, sy) = (ts.map(x(_)).sum.toDouble,
+        ts.map(t => y(t + lag)).sum.toDouble)
+      val sxy = ts.map(t => x(t).toDouble * y(t + lag)).sum
+      val sxx = ts.map(t => x(t).toDouble * x(t)).sum
+      val syy = ts.map(t => y(t + lag).toDouble * y(t + lag)).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx <= 0 || vy <= 0) 0.0 else (n * sxy - sx * sy) /
+        math.sqrt(vx * vy)
+    }
+    val got = SparkEntry.queries("cross_correlation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("r")).toMap
+    assert(got.size == 15)
+    for (lag <- -7 to 7)
+      assert(math.abs(got(lag.toLong) - pearson(lag)) < 1e-5,
+        s"lag $lag: ${got(lag.toLong)} vs ${pearson(lag)}")
+    // the planted lead: r at lag +2 must dominate every other lag
+    assert((-7 to 7).filter(_ != 2).forall(l =>
+      got(2L) > got(l.toLong)), "planted +2 lead must dominate")
+  }
+
+  test("leaderboard_turnover counts surviving top-set members exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lb").toString
+    // 1995 parts {1,2,3}; 1996 parts {2,3,4} (all inside top-100)
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 3L),
+      (20L, 2L), (20L, 3L), (21L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_extendedprice", F.col("l_partkey") * 10.0)
+    val od = Seq((10L, "1995-02-01"), (11L, "1995-03-01"),
+      (20L, "1996-02-01"), (21L, "1996-03-01"))
+      .toDF("o_orderkey", "o_orderdate")
+      .selectExpr("o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    li.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    od.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("leaderboard_turnover")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1995L) == ((2L, 200L)), s"1995 ${got(1995L)}") // {2,3}
+    assert(got(1996L) == ((0L, 0L)))
+  }
+
   test("graph_edge_drift: year-mask jaccard matches hand-set overlap") {
     import spark.implicits._
     val dir = java.nio.file.Files
