@@ -1883,7 +1883,75 @@ object PipelineQueries {
         ON e.query_id = a.query_id AND e.match_id = a.match_id
       GROUP BY e.query_id ORDER BY e.query_id"""))
 
+  // ---------------------------------------------------------------- D75
+  /** Deterministic NEGATIVE SAMPLING for contrastive training pairs —
+    * for every customer, k parts they did NOT buy, the negatives a
+    * two-tower recommender or embedding model trains against. The
+    * scale-critical shape is GENERATE, don't filter: candidates come
+    * straight from hash arithmetic (candidate i of customer c is
+    * hash60(c:i) mod |catalog| — m = 8 draws per customer, bounded fan
+    * out, no customer×catalog cross join anywhere), then one anti-join
+    * against the positives and a per-customer rank keeps the first k
+    * surviving draws (collisions collapse to their first draw index;
+    * heavy buyers can yield < k — published as-is, the honest sample).
+    * Fully hash-deterministic: same corpus, same negatives, any engine.
+    *
+    * Scale shape: |customers|·m candidate rows, one (ck, pk)-keyed
+    * anti-join against the distinct purchase pairs, per-customer
+    * windows over ≤ m rows. */
+  private val negativeSample = QueryDef(
+    "negative_sample",
+    (s, d) => {
+      val nParts = t(s, d, "part").agg(F.count(F.lit(1)).as("n_parts"))
+      val cand = t(s, d, "customer")
+        .select(F.col("c_custkey").as("ck"))
+        .crossJoin(F.broadcast(nParts))
+        .select(F.col("ck"),
+          F.explode(F.expr("sequence(0L, 7L)")).as("i"),
+          F.col("n_parts"))
+        .select(F.col("ck"), F.col("i"),
+          F.pmod(Hashing.hash60(
+            F.concat_ws(":", F.col("ck"), F.col("i"))),
+            F.col("n_parts")).as("pk"))
+        .groupBy("ck", "pk").agg(F.min("i").as("i"))
+      val pos = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("ck"),
+          F.col("l_partkey").as("pk")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ck").orderBy("i", "pk")
+      cand.join(pos, Seq("ck", "pk"), "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("ck"), F.col("rank").cast("long").as("rank"),
+          F.col("pk").as("neg_pk"))
+        .orderBy("ck", "rank")
+    },
+    Some(s"""
+      WITH np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+      cand0 AS (
+        SELECT c_custkey AS ck, CAST(i AS BIGINT) AS i,
+               ${Hashing.hash60Sql(
+                 "CAST(c_custkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                 % n_parts AS pk
+        FROM customer, np, generate_series(0, 7) AS g(i)),
+      cand AS (SELECT ck, pk, CAST(min(i) AS BIGINT) AS i
+               FROM cand0 GROUP BY 1, 2),
+      pos AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      neg AS (SELECT c.ck, c.pk, c.i FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.ck = c.ck AND p.pk = c.pk)),
+      r AS (SELECT ck, pk,
+                   CAST(row_number() OVER (PARTITION BY ck
+                     ORDER BY i, pk) AS BIGINT) AS rank
+            FROM neg)
+      SELECT ck, rank, pk AS neg_pk
+      FROM r WHERE rank <= 5 ORDER BY ck, rank"""))
+
   val all: Seq[QueryDef] = Seq(
+    negativeSample,
     dedupMinhashBatch, embedIvfRecall,
     phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,

@@ -545,7 +545,80 @@ object RetentionQueries {
       FROM deg d LEFT JOIN ein e ON d.brand = e.brand, mm
       ORDER BY d.brand"""))
 
+  // ---------------------------------------------------------------- M48
+  /** Sequential probability ratio test (Wald's SPRT) on the urgent-vs-
+    * high order mix — the SEQUENTIAL companion to C62's fixed-horizon
+    * Wilson interval (a monitored experiment wants to STOP the day the
+    * evidence suffices, not at a preplanned n): H₀ p = 0.45 vs
+    * H₁ p = 0.55 on the share of URGENT among urgent+high orders,
+    * log-likelihood increments quantized ONCE to exact integer micros
+    * (symmetric hypotheses ⇒ per-order increment ±ln(11/9) ⇒ the daily
+    * step is (2x_t − n_t)·200671 — a scaled walk of successes minus
+    * failures), cumulated over 1995's days via one DistRank range
+    * cumsum (no global row window), first boundary crossing at
+    * ±ln(19)·10⁶ (α = β = 0.05) read off with a min-day pick. The log
+    * constants are compile-time literals — no runtime log() whose ULPs
+    * could differ cross-engine (the js_divergence discipline taken all
+    * the way). One row: n_days, final llr_micro, crossing day (−1 =
+    * never), decision. */
+  private val abSprt = QueryDef(
+    "ab_sprt",
+    (s, d) => {
+      // round(ln(11/9)*1e6) = 200671; round(ln(19)*1e6) = 2944439
+      val daily = t(s, d, "orders")
+        .where(F.year(F.col("o_orderdate")) === 1995 &&
+          F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.datediff(F.to_date(F.col("o_orderdate")),
+          F.lit("1995-01-01")).cast("long").as("day"))
+        .agg(F.expr("sum(CASE WHEN o_orderpriority = '1-URGENT' " +
+          "THEN 1L ELSE 0L END)").as("x"),
+          F.count(F.lit(1)).as("n"))
+        .select(F.col("day"),
+          F.expr("(2 * x - n) * 200671L").as("step"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        daily, "step", "llr", F.col("day").asc)
+      cum.agg(
+          F.count(F.lit(1)).as("n_days"),
+          F.sum("step").as("llr_micro"),
+          F.min(F.when(F.expr("abs(llr) >= 2944439L"), F.col("day")))
+            .as("_cross"),
+          F.min(F.when(F.expr("abs(llr) >= 2944439L"),
+            F.struct(F.col("day"), F.col("llr")))).as("_cs"))
+        .select(F.col("n_days"), F.col("llr_micro"),
+          F.coalesce(F.col("_cross"), F.lit(-1L)).as("crossing_day"),
+          F.expr("""CASE WHEN _cs IS NULL THEN 'continue'
+            |WHEN _cs.llr > 0 THEN 'accept_h1'
+            |ELSE 'accept_h0' END""".stripMargin).as("decision"))
+        .orderBy("n_days")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS day,
+               CAST((2 * sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) - count(*)) * 200671
+                    AS BIGINT) AS step
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1),
+      c AS (SELECT day, step,
+                   CAST(sum(step) OVER (ORDER BY day) AS BIGINT) AS llr
+            FROM daily),
+      cr AS (SELECT min(day) AS cross_day FROM c
+             WHERE abs(llr) >= 2944439),
+      sg AS (SELECT c.llr AS llr_at FROM c, cr WHERE c.day = cr.cross_day)
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(step) AS BIGINT) AS llr_micro,
+             CAST(coalesce((SELECT cross_day FROM cr), -1) AS BIGINT)
+               AS crossing_day,
+             CASE WHEN (SELECT cross_day FROM cr) IS NULL THEN 'continue'
+                  WHEN (SELECT llr_at FROM sg) > 0 THEN 'accept_h1'
+                  ELSE 'accept_h0' END AS decision
+      FROM c ORDER BY n_days"""))
+
   val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
     kcore, funnelTimeStats, abWilson, topkOthers, embedDrift,
-    graphModularity)
+    graphModularity, abSprt)
 }

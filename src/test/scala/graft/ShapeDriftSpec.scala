@@ -176,6 +176,72 @@ class ShapeDriftSpec extends SparkSpec {
     assert(got(1996L) == ((0L, 0L)))
   }
 
+  test("negative_sample matches a driver-side hash replay and never " +
+    "emits a positive") {
+    val nParts = spark.read.parquet(s"$sf/part.parquet").count()
+    val pos = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        F.col("o_orderkey") === F.col("l_orderkey"))
+      .select(F.col("o_custkey").as("ck"), F.col("l_partkey").as("pk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expect = custs.flatMap { ck =>
+      val cands = (0L to 7L)
+        .map(i => (graft.operators.Hashing.hash60(s"$ck:$i") % nParts, i))
+        .groupBy(_._1).map { case (pk, xs) => (pk, xs.map(_._2).min) }
+        .toSeq
+        .filterNot { case (pk, _) => pos((ck, pk)) }
+        .sortBy { case (pk, i) => (i, pk) }
+        .take(5)
+      cands.zipWithIndex.map { case ((pk, _), r) =>
+        (ck, (r + 1).toLong, pk) }
+    }.sortBy(x => (x._1, x._2))
+    val got = SparkEntry.queries("negative_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expect.toSeq,
+      s"head got ${got.take(3)} vs replay ${expect.take(3).toSeq}")
+    assert(got.forall { case (ck, _, pk) => !pos((ck, pk)) })
+  }
+
+  test("ab_sprt stops at the planted crossing day with the right " +
+    "decision") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sprt").toString
+    // 15 urgent-only orders on day 0: step = 15*200671 = 3010065
+    // >= 2944439 -> crossing day 0, accept_h1; later days drift down
+    // but the decision is already taken.
+    val rows =
+      (1 to 15).map(i => ("1995-01-01", "1-URGENT", i.toLong)) ++
+      (1 to 30).map(i => ("1995-01-05", "2-HIGH", 100L + i))
+    rows.toDF("o_orderdate", "o_orderpriority", "o_orderkey")
+      .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("ab_sprt")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Long]("llr_micro") ==
+      15L * 200671 - 30L * 200671)
+    assert(r.getAs[Long]("crossing_day") == 0L)
+    assert(r.getAs[String]("decision") == "accept_h1")
+    // no-crossing fixture: a single balanced day stays 'continue'
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_sprt2").toString
+    Seq(("1995-01-01", "1-URGENT", 1L), ("1995-01-01", "2-HIGH", 2L))
+      .toDF("o_orderdate", "o_orderpriority", "o_orderkey")
+      .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir2/orders.parquet")
+    val r2 = SparkEntry.queries("ab_sprt")(spark, dir2).collect().head
+    assert(r2.getAs[Long]("crossing_day") == -1L)
+    assert(r2.getAs[String]("decision") == "continue")
+  }
+
   test("graph_edge_drift: year-mask jaccard matches hand-set overlap") {
     import spark.implicits._
     val dir = java.nio.file.Files
