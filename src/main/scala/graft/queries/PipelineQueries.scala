@@ -1883,6 +1883,129 @@ object PipelineQueries {
         ON e.query_id = a.query_id AND e.match_id = a.match_id
       GROUP BY e.query_id ORDER BY e.query_id"""))
 
+  // ---------------------------------------------------------------- D76
+  /** Capture-recapture estimate of the TRUE near-duplicate pair
+    * population — the "how many duplicates is my dedup MISSING"
+    * instrument: run two INDEPENDENT catchers (the banded-minhash
+    * candidates and the simhash hamming ≤ 6 candidates — independent
+    * because their hash families and blocking differ), verify each
+    * catch by exact 3-gram Jaccard ≥ 0.5 computed ONLY for candidate
+    * pairs (candidate-bounded — verification never enumerates the
+    * corpus pair space, which is the whole point at 100 TB), and read
+    * the population off the overlap: Lincoln-Petersen N̂ = n₁·n₂/m and
+    * the small-m Chapman form (n₁+1)(n₂+1)/(m+1) − 1, both exact
+    * integer divisions. The spec compares the estimates against the
+    * enumerable truth at test scale; production runs this where truth
+    * is unenumerable.
+    *
+    * Scale shape: both catchers are the existing bounded candidate
+    * generators; verification joins the pair union against per-doc
+    * shingle sets (|pairs|·shingles-per-doc rows); the finish is one
+    * row. */
+  private val dedupCapture = QueryDef(
+    "dedup_capture",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = Staged.minhashPairs(s, d)
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("_src", F.lit(1L))
+      val withLang = Dedup.simhash(docs, "doc_id", "text", SIMHASH_BITS)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val b = Dedup.simhashPairs(withLang, "lang", maxHamming = 6)
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("_src", F.lit(2L))
+      val cand = a.unionByName(b).groupBy("doc_a", "doc_b")
+        .agg(F.sum("_src").as("_src")) // 1 = A only, 2 = B only, 3 = both
+      val sh = TextOps.shingleDocs(docs, "doc_id", "text", 3)
+      val vh = sh.select(F.col("doc_id"),
+        Hashing.hash60(F.col("shingle")).as("h"))
+      val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+      val inter = cand
+        .join(vh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(vh.select(F.col("doc_id").as("doc_b"), F.col("h")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b", "_src")
+        .agg(F.count(F.lit(1)).as("n_common"))
+      val verified = inter
+        .join(sizes.select(F.col("doc_id").as("doc_a"),
+          F.col("n").as("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").as("doc_b"),
+          F.col("n").as("_nb")), "doc_b")
+        .where(F.expr(
+          "round(n_common * 1.0 / (_na + _nb - n_common), 6) >= 0.5"))
+      verified.agg(
+          F.sum(F.expr("CASE WHEN _src IN (1, 3) THEN 1L ELSE 0L END"))
+            .as("n_a"),
+          F.sum(F.expr("CASE WHEN _src IN (2, 3) THEN 1L ELSE 0L END"))
+            .as("n_b"),
+          F.sum(F.expr("CASE WHEN _src = 3 THEN 1L ELSE 0L END"))
+            .as("n_both"))
+        .select(F.col("n_a"), F.col("n_b"), F.col("n_both"),
+          F.expr("CASE WHEN n_both = 0 THEN -1L " +
+            "ELSE n_a * n_b div n_both END").as("lp_est"),
+          F.expr("(n_a + 1) * (n_b + 1) div (n_both + 1) - 1")
+            .as("chapman_est"))
+        .orderBy("n_a")
+    },
+    Some {
+      val bits = (0 until SIMHASH_BITS).map { bq =>
+        s"(CASE WHEN sum(cnt * (((h >> $bq) & 1) * 2 - 1)) > 0 " +
+          s"THEN ${1L << bq} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""WITH $minhashCtesSql,
+         |tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |tokh AS (SELECT doc_id, cnt, ${Hashing.hash60Sql("tok")} AS h
+         |         FROM tok),
+         |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |        FROM tokh GROUP BY doc_id),
+         |shl AS (SELECT sim.doc_id, simhash, lang
+         |        FROM sim JOIN documents USING (doc_id)),
+         |sh_pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shl a JOIN shl b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         |cand AS (
+         |  SELECT doc_a, doc_b, CAST(sum(src) AS BIGINT) AS src
+         |  FROM (SELECT DISTINCT doc_a, doc_b, 1 AS src FROM mh_pairs
+         |        UNION ALL
+         |        SELECT DISTINCT doc_a, doc_b, 2 FROM sh_pairs)
+         |  GROUP BY 1, 2),
+         |vh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS h
+         |       FROM sh),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, c.src,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM cand c JOIN vh a ON a.doc_id = c.doc_a
+         |       JOIN vh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2, 3),
+         |verified AS (
+         |  SELECT i.src FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+         |        >= 0.5),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN src IN (1, 3) THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN src IN (2, 3) THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN src = 3 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_both
+         |  FROM verified)
+         |SELECT n_a, n_b, n_both,
+         |       CASE WHEN n_both = 0 THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(n_a * n_b // n_both AS BIGINT) END AS lp_est,
+         |       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT)
+         |         AS chapman_est
+         |FROM agg ORDER BY n_a""".stripMargin
+    })
+
   // ---------------------------------------------------------------- D75
   /** Deterministic NEGATIVE SAMPLING for contrastive training pairs —
     * for every customer, k parts they did NOT buy, the negatives a
@@ -1951,7 +2074,7 @@ object PipelineQueries {
       FROM r WHERE rank <= 5 ORDER BY ck, rank"""))
 
   val all: Seq[QueryDef] = Seq(
-    negativeSample,
+    negativeSample, dedupCapture,
     dedupMinhashBatch, embedIvfRecall,
     phraseSearch, dedupMinhashRecall, langidConfusion,
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, simhashPairs,

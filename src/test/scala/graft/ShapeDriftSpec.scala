@@ -242,6 +242,33 @@ class ShapeDriftSpec extends SparkSpec {
     assert(r2.getAs[String]("decision") == "continue")
   }
 
+  test("dedup_capture: estimator invariants hold and the estimate " +
+    "lands near the enumerable truth") {
+    val r = SparkEntry.queries("dedup_capture")(spark, sf).collect().head
+    val (na, nb, m) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("n_both"))
+    val lp = r.getAs[Long]("lp_est")
+    val ch = r.getAs[Long]("chapman_est")
+    assert(m <= math.min(na, nb), "overlap cannot exceed either catch")
+    if (m > 0) {
+      assert(lp == na * nb / m)
+      assert(lp >= math.max(na, nb),
+        "LP estimate is bounded below by the larger catch")
+    }
+    assert(ch == (na + 1) * (nb + 1) / (m + 1) - 1)
+    // enumerable truth at test scale: exact 3-gram jaccard >= 0.5 pairs
+    val truth = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = None).count()
+    // on this corpus the simhash catch NESTS inside the minhash catch
+    // (m == n_b), so LP degenerates to the larger catch — an honest
+    // LOWER bound on the truth; assert the documented band
+    assert(lp <= truth, s"nested-catcher LP $lp must not exceed $truth")
+    assert(lp >= (truth * 7) / 10,
+      s"LP $lp vs truth $truth outside the documented 30% band")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("graph_edge_drift: year-mask jaccard matches hand-set overlap") {
     import spark.implicits._
     val dir = java.nio.file.Files
