@@ -1019,8 +1019,158 @@ object NonparamQueries {
                  / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6) END AS w1
       FROM w, t GROUP BY n1, n2 ORDER BY n1"""))
 
+  // ---------------------------------------------------------------- M49
+  /** Fleiss' κ across the three M42 keep/drop rules treated as RATERS —
+    * the chance-corrected AGREEMENT companion to Cochran's Q (Q asks
+    * "do the raters keep different fractions"; κ asks "beyond chance,
+    * do they agree on WHICH documents"). Two categories (keep/drop),
+    * k = 3 raters, so everything reduces to two exact integers from
+    * ONE map-side-combined pass: S = Σ_i Σ_j n_ij(n_ij−1) (per-doc
+    * agreement pairs) and C = total keeps; with E = C² + (3N−C)²,
+    * κ = (9N²S − 6N·E) / (54N³ − 6N·E) — exact DECIMAL(38,0)/HUGEINT
+    * numerator and denominator, ONE string-routed closing division,
+    * degenerate guard when P̄e = 1 (all raters unanimous on one
+    * category everywhere). */
+  private val fleissKappa = QueryDef(
+    "fleiss_kappa",
+    (s, d) => {
+      t(s, d, "documents")
+        .select(
+          F.expr("CASE WHEN n_chars >= 200 THEN 1L ELSE 0L END").as("a"),
+          F.expr("CASE WHEN regexp_count(text, '[a-z0-9]+') >= 40" +
+            " THEN 1L ELSE 0L END").as("b"),
+          F.expr("CASE WHEN regexp_count(text, '[.!?]') >= 3" +
+            " THEN 1L ELSE 0L END").as("c"))
+        .select(F.expr("a + b + c").as("nk"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("nk").as("n_keeps"),
+          F.sum(F.expr("nk * (nk - 1) + (3 - nk) * (2 - nk)")).as("_s"))
+        .withColumn("_e", F.expr(
+          """CAST(n_keeps AS DECIMAL(38,0)) * n_keeps
+            |+ CAST(3 * n_docs - n_keeps AS DECIMAL(38,0))
+            |  * (3 * n_docs - n_keeps)""".stripMargin))
+        .withColumn("_num", F.expr(
+          "9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs * _s - 6 * n_docs * _e"))
+        .withColumn("_den", F.expr(
+          "54 * CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs" +
+            " - 6 * n_docs * _e"))
+        .select(F.col("n_docs"), F.col("n_keeps"),
+          F.expr("""CASE WHEN _den <= 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(CAST(CAST(_num AS STRING) AS DOUBLE)
+            |     / CAST(CAST(_den AS STRING) AS DOUBLE), 6) END"""
+            .stripMargin).as("kappa"))
+        .orderBy("n_docs")
+    },
+    Some("""
+      WITH p AS (
+        SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                + CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+'))
+                       >= 40 THEN 1 ELSE 0 END
+                + CASE WHEN len(regexp_extract_all(text, '[.!?]'))
+                       >= 3 THEN 1 ELSE 0 END) AS nk
+        FROM documents),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nk) AS BIGINT) AS n_keeps,
+                   CAST(sum(nk * (nk - 1) + (3 - nk) * (2 - nk))
+                        AS BIGINT) AS s
+            FROM p),
+      b AS (SELECT n_docs, n_keeps, s,
+                   CAST(n_keeps AS HUGEINT) * n_keeps
+                   + CAST(3 * n_docs - n_keeps AS HUGEINT)
+                     * (3 * n_docs - n_keeps) AS e
+            FROM a)
+      SELECT n_docs, n_keeps,
+             CASE WHEN 54 * CAST(n_docs AS HUGEINT) * n_docs * n_docs
+                       - 6 * n_docs * e <= 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(
+                 CAST(CAST(9 * CAST(n_docs AS HUGEINT) * n_docs * s
+                           - 6 * n_docs * e AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(54 * CAST(n_docs AS HUGEINT) * n_docs
+                             * n_docs - 6 * n_docs * e AS VARCHAR)
+                        AS DOUBLE), 6) END AS kappa
+      FROM b ORDER BY n_docs"""))
+
+  // ---------------------------------------------------------------- M50
+  /** Simpson's-paradox audit on the urgent-vs-high order value gap —
+    * does the OVERALL direction of "urgent orders are bigger/smaller
+    * than high-priority orders" reverse inside any customer segment?
+    * (The aggregation-reversal trap every dashboard mean walks into.)
+    * All-INTEGER sign tests: mean₁ vs mean₂ compares as
+    * sgn(s₁·n₂ − s₂·n₁) on exact myriacent sums over DECIMAL(38,0)/
+    * HUGEINT — no division anywhere, so no rounding can flip a sign.
+    * One row per segment: counts, the segment's sign, the overall
+    * sign, and the reversal flag. One fact aggregate + a broadcast
+    * 1-row overall frame. */
+  private val simpsonsCheck = QueryDef(
+    "simpsons_check",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("c_mktsegment").as("segment"),
+          F.expr("CASE WHEN o_orderpriority = '1-URGENT' THEN 1L " +
+            "ELSE 0L END").as("u"),
+          F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 " +
+            "AS BIGINT)").as("myr"))
+      def arms(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
+        F.sum("u").as("n1"),
+        F.sum(F.expr("1 - u")).as("n2"),
+        F.sum(F.expr("CASE WHEN u = 1 THEN CAST(myr AS DECIMAL(38,0)) " +
+          "ELSE CAST(0 AS DECIMAL(38,0)) END")).as("s1"),
+        F.sum(F.expr("CASE WHEN u = 0 THEN CAST(myr AS DECIMAL(38,0)) " +
+          "ELSE CAST(0 AS DECIMAL(38,0)) END")).as("s2"))
+      val overall = arms(o.groupBy())
+        .select(F.expr("CAST(sign(s1 * n2 - s2 * n1) AS BIGINT)")
+          .as("overall_sign"))
+      arms(o.groupBy("segment"))
+        .withColumn("seg_sign",
+          F.expr("CAST(sign(s1 * n2 - s2 * n1) AS BIGINT)"))
+        .crossJoin(F.broadcast(overall))
+        .select(F.col("segment"), F.col("n1"), F.col("n2"),
+          F.col("seg_sign"), F.col("overall_sign"),
+          F.expr("""CASE WHEN seg_sign <> 0 AND overall_sign <> 0
+            |AND seg_sign <> overall_sign THEN 1L ELSE 0L END"""
+            .stripMargin).as("simpson_flag"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH o AS (
+        SELECT c_mktsegment AS segment,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS u,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS myr
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      seg AS (
+        SELECT segment, CAST(sum(u) AS BIGINT) AS n1,
+               CAST(sum(1 - u) AS BIGINT) AS n2,
+               sum(CASE WHEN u = 1 THEN CAST(myr AS HUGEINT)
+                   ELSE 0 END) AS s1,
+               sum(CASE WHEN u = 0 THEN CAST(myr AS HUGEINT)
+                   ELSE 0 END) AS s2
+        FROM o GROUP BY 1),
+      ov AS (
+        SELECT CAST(sign(sum(CASE WHEN u = 1 THEN CAST(myr AS HUGEINT)
+                             ELSE 0 END) * sum(1 - u)
+                    - sum(CASE WHEN u = 0 THEN CAST(myr AS HUGEINT)
+                          ELSE 0 END) * sum(u)) AS BIGINT)
+          AS overall_sign
+        FROM o)
+      SELECT segment, n1, n2,
+             CAST(sign(s1 * n2 - s2 * n1) AS BIGINT) AS seg_sign,
+             overall_sign,
+             CASE WHEN sign(s1 * n2 - s2 * n1) <> 0
+                   AND overall_sign <> 0
+                   AND CAST(sign(s1 * n2 - s2 * n1) AS BIGINT)
+                       <> overall_sign
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+               AS simpson_flag
+      FROM seg, ov ORDER BY segment"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
       friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
-      wasserstein1)
+      wasserstein1, fleissKappa, simpsonsCheck)
 }

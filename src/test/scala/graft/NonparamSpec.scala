@@ -580,6 +580,55 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("fleiss_kappa matches a brute-force per-doc agreement replay") {
+    val row = q("fleiss_kappa").collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).as("nw"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]")).as("ns"))
+      .collect().map { r =>
+        Seq(r.getLong(0) >= 200, r.getInt(1) >= 40, r.getInt(2) >= 3)
+          .count(identity)
+      }
+    val n = docs.length.toDouble
+    val k = 3.0
+    val pBar = docs.map(nk =>
+      (nk * (nk - 1) + (3 - nk) * (2 - nk)) / (k * (k - 1))).sum / n
+    val pKeep = docs.sum / (n * k)
+    val pe = pKeep * pKeep + (1 - pKeep) * (1 - pKeep)
+    val kappa = if (pe >= 1.0) 0.0 else (pBar - pe) / (1 - pe)
+    assert(row.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(row.getAs[Long]("n_keeps") == docs.sum.toLong)
+    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-5,
+      s"kappa ${row.getAs[Double]("kappa")} vs replay $kappa")
+  }
+
+  test("simpsons_check signs match brute-force mean comparisons") {
+    val rows = q("simpsons_check").collect()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("c_mktsegment", "o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(4) * 10000))
+    def signOf(rs: Seq[(String, String, BigDecimal)]): Long = {
+      val u = rs.filter(_._2 == "1-URGENT"); val h = rs.filterNot(_._2 == "1-URGENT")
+      val lhs = u.map(_._3).sum * h.length - h.map(_._3).sum * u.length
+      lhs.signum.toLong
+    }
+    val overall = signOf(o.toSeq)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val expect = signOf(o.filter(_._1 == seg).toSeq)
+      assert(r.getAs[Long]("seg_sign") == expect, s"$seg sign")
+      assert(r.getAs[Long]("overall_sign") == overall)
+      val flag = if (expect != 0 && overall != 0 && expect != overall) 1L
+        else 0L
+      assert(r.getAs[Long]("simpson_flag") == flag, s"$seg flag")
+    }
+  }
+
   test("levene_bf matches a brute-force median-centered decomposition") {
     val row = q("levene_bf").collect().head
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
