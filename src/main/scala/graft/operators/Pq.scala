@@ -192,12 +192,19 @@ object Pq {
       .partitionBy("query_id")
     // 1. route queries to their nprobe nearest lists (residual serving
     //    carries each probed list's integer-micro bias along)
-    val routed = queries.crossJoin(F.broadcast(listCentroids))
-      .select(F.col(idCol).as("query_id"),
-        F.col("ckey").as("centroid_label"),
-        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"),
-        F.floor(Similarity.dot(F.col(vecCol), F.col("centroid")) * 1e6)
+    // qc_micro (the per-list bias dot product) is paid ONLY in the
+    // residual path — the raw path's routing pass scores each
+    // (query, centroid) pair once with cosine and nothing else
+    val biasCols =
+      if (listBias)
+        Seq(F.floor(Similarity.dot(F.col(vecCol), F.col("centroid")) * 1e6)
           .cast("long").as("qc_micro"))
+      else Seq.empty
+    val routed = queries.crossJoin(F.broadcast(listCentroids))
+      .select(Seq(F.col(idCol).as("query_id"),
+        F.col("ckey").as("centroid_label"),
+        Similarity.cosine(F.col(vecCol), F.col("centroid")).as("_qc"))
+        ++ biasCols: _*)
       .withColumn("_rn", F.row_number().over(
         w.orderBy(F.col("_qc").desc, F.col("centroid_label"))))
       .filter(F.col("_rn") <= nprobe)

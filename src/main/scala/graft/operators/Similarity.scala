@@ -52,14 +52,28 @@ object Similarity {
     * nulls and non-positives clear the bit; NaN compares greater than 0
     * in both engines). 64 floats → 8 bytes is 32× compression and
     * Hamming distance becomes ONE xor + popcount per candidate. The
-    * packing is 64 constant IF terms (disjoint bits, so + is bitwise
-    * or) — whole-stage codegen, no lambda HOF on the corpus pass. */
-  def signPack(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val terms = (0 until 64).map(i =>
+    * packing is `dims` constant IF terms (disjoint bits, so + is
+    * bitwise or) — whole-stage codegen, no lambda HOF on the corpus
+    * pass.
+    *
+    * DIMENSION CONTRACT (fail-fast, not silent): every vector must be
+    * exactly `dims` long (dims ≤ 64 — one BIGINT of sign bits). A
+    * shorter vector would otherwise pack missing positions as 0-bits
+    * (element_at out of range is null, IF null clears the bit) and
+    * extra dims would be silently ignored — both quietly corrupt every
+    * downstream Hamming distance, so a mismatched row raises instead. */
+  def signPack(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"signPack packs into one BIGINT: dims must be in [1, 64], got $dims")
+    val terms = (0 until dims).map(i =>
       s"IF(element_at($vecCol, ${i + 1}) > CAST(0.0 AS FLOAT), " +
         s"shiftleft(1L, $i), 0L)")
     corpus.select(F.col(idCol).as("vec_id"),
-      F.expr(terms.mkString(" + ")).as("bits"))
+      F.expr(
+        s"CASE WHEN size($vecCol) = $dims THEN ${terms.mkString(" + ")} " +
+          s"ELSE raise_error(concat('signPack: expected $dims-dim vector, " +
+          s"got ', CAST(size($vecCol) AS STRING))) END").as("bits"))
   }
 
   /** Binary-code ANN serve: Hamming-distance shortlist over [[signPack]]
@@ -69,7 +83,15 @@ object Similarity {
     * cheapest possible first-stage filter at 100 TB; the float corpus is
     * touched only for the shortlistK reranked candidates per query
     * (broadcast ids, corpus streams once). Returns (query_id, rank,
-    * match_id, hamming, cos), rank ≤ k by exact cosine. */
+    * match_id, hamming, cos), rank ≤ k by exact cosine.
+    *
+    * QUERY CONTRACT — queries ⊆ corpus (self-top-k, like the
+    * bruteForceTopK family): the exact-cosine rerank resolves each
+    * query's float vector by joining shortlist query_ids back against
+    * `corpus` itself, so a query_id in `queryCodes` that is absent from
+    * `corpus` is silently DROPPED after the Hamming stage rather than
+    * erroring. Callers with external query vectors must union them into
+    * `corpus` (or extend this to take a query-vector frame). */
   def binaryTopK(corpus: DataFrame, codes: DataFrame,
       queryCodes: DataFrame, idCol: String, vecCol: String,
       k: Int, shortlistK: Int): DataFrame = {

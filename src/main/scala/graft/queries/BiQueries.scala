@@ -233,10 +233,14 @@ object BiQueries {
             F.col("pk") === F.col("_pk2"), "left")
         .groupBy("year_a")
         .agg(F.sum(F.when(F.col("_pk2").isNotNull, 1L).otherwise(0L))
-          .as("n_common"))
+          .as("n_common"),
+          // realized year_a list size — can be < k at small SFs or for
+          // sparse years, so the overlap is published relative to the
+          // ACTUAL ranked set, not the k=100 budget (r12 advice)
+          F.count(F.lit(1)).as("n_top"))
         .select(F.col("year_a"), F.expr("year_a + 1").as("year_b"),
-          F.col("n_common"),
-          F.expr("n_common * 10000 div 100").as("overlap_bp"))
+          F.col("n_common"), F.col("n_top"),
+          F.expr("n_common * 10000 div n_top").as("overlap_bp"))
         .orderBy("year_a")
     },
     Some("""
@@ -256,8 +260,9 @@ object BiQueries {
              CAST(max(y.year_a) + 1 AS BIGINT) AS year_b,
              CAST(sum(CASE WHEN b.pk IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_common,
+             CAST(count(*) AS BIGINT) AS n_top,
              CAST(sum(CASE WHEN b.pk IS NOT NULL THEN 1 ELSE 0 END)
-                  * 10000 // 100 AS BIGINT) AS overlap_bp
+                  * 10000 // count(*) AS BIGINT) AS overlap_bp
       FROM generate_series(1995, 2000) AS y(year_a)
       JOIN top a ON a.yr = y.year_a
       LEFT JOIN top b ON b.yr = y.year_a + 1 AND b.pk = a.pk

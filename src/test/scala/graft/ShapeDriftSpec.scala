@@ -170,10 +170,14 @@ class ShapeDriftSpec extends SparkSpec {
     od.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/orders.parquet")
     val got = SparkEntry.queries("leaderboard_turnover")(spark, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got(1995L) == ((2L, 200L)), s"1995 ${got(1995L)}") // {2,3}
-    assert(got(1996L) == ((0L, 0L)))
+    // overlap_bp is relative to the REALIZED list size (3 parts here,
+    // not the k=100 budget — r12 advice): 2*10000 div 3 = 6666
+    assert(got(1995L) == ((2L, 3L, 6666L)), s"1995 ${got(1995L)}") // {2,3}
+    assert(got(1996L) == ((0L, 3L, 0L)))
   }
 
   test("negative_sample matches a driver-side hash replay and never " +

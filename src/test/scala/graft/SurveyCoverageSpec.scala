@@ -38,6 +38,19 @@ class SurveyCoverageSpec extends AnyFunSuite {
         s"(add the inventory rows): ${missing.mkString(", ")}")
   }
 
+  test("SURVEY §2 inventory row IDs are unique") {
+    // r12 verdict hygiene nit: C85/C86 were each reused across §C and
+    // §M, making "row N" ambiguous in audits. Pin uniqueness so a
+    // future duplicate fails the suite instead of drifting.
+    val rowId = """(?m)^- \[[xo ]\] ([A-Z][0-9]+[a-z]?) """.r
+    val ids = rowId.findAllMatchIn(surveySection2).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).collect {
+      case (id, occ) if occ.size > 1 => s"$id (×${occ.size})"
+    }.toSeq.sorted
+    assert(dups.isEmpty,
+      s"duplicate SURVEY §2 row IDs: ${dups.mkString(", ")}")
+  }
+
   test("every oracle belongs to a registered query, and the registry " +
     "is oracle-complete") {
     val qs = SparkEntry.queries.keySet
