@@ -104,11 +104,19 @@ object Expr {
   /** 3-way comparison for heterogeneous row values. */
   private[dsl] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
+    // exact integral comparison — the double fallback would collapse
+    // longs that differ past 2^53, which Spark compares exactly
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Long, y: Int)  => java.lang.Long.compare(x, y.toLong)
+    case (x: Int, y: Long)  => java.lang.Long.compare(x.toLong, y)
+    case (x: Int, y: Int)   => java.lang.Integer.compare(x, y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
     case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
     case (x: Boolean, y: Boolean) => x.compareTo(y)
-    case _ => java.lang.Double.compare(toD(a), toD(b))
+    // + 0.0 normalizes -0.0 to 0.0 (Spark compares -0.0 == 0.0; raw
+    // Double.compare orders them) and leaves NaN/ordering untouched
+    case _ => java.lang.Double.compare(toD(a) + 0.0, toD(b) + 0.0)
   }
 }
 
@@ -148,8 +156,12 @@ final case class Bin(left: Expr, op: String, right: Expr) extends Expr {
       case "+"  => l + r
       case "-"  => l - r
       case "*"  => l * r
-      case "/"  => l / r
-      case "%"  => l % r
+      // total division: zero divisor → null on BOTH engines' modes
+      // (plain `/`/`%` throw under Spark 4's default ANSI, returned
+      // null pre-ANSI; try_divide/try_mod pin the null semantics the
+      // row interpreter implements)
+      case "/"  => F.try_divide(l, r)
+      case "%"  => F.try_mod(l, r)
       case "&"  => l && r
       case "|"  => l || r
     }
@@ -181,8 +193,17 @@ final case class Bin(left: Expr, op: String, right: Expr) extends Expr {
       case "+"  => numOp(a, b)(_ + _)(_ + _)
       case "-"  => numOp(a, b)(_ - _)(_ - _)
       case "*"  => numOp(a, b)(_ * _)(_ * _)
-      case "/"  => numOp(a, b)((x, y) => x.toDouble / y)(_ / _)
-      case "%"  => numOp(a, b)(_ % _)(_ % _)
+      // zero divisor → null, matching the Column path (Spark non-ANSI
+      // Divide/Remainder return NULL on /0 for EVERY numeric type,
+      // doubles included) — the interpreter previously produced
+      // Infinity / ArithmeticException here, a divergence the
+      // DslPropertySpec full-operator generator surfaces (r13)
+      case "/"  =>
+        if (toD(b) == 0.0) null
+        else numOp(a, b)((x, y) => x.toDouble / y)(_ / _)
+      case "%"  =>
+        if (toD(b) == 0.0) null
+        else numOp(a, b)(_ % _)(_ % _)
     }
   }
 }
@@ -219,10 +240,24 @@ final case class Un(op: String, operand: Expr, arg: Option[Any] = None) extends 
         v match {
           case x: Long => x
           case x: Int  => x.toLong
+          // NaN/Infinity pass through unchanged — Spark's Round guards
+          // them before its BigDecimal conversion (which would throw),
+          // so the interpreter must too (DslPropertySpec, r13)
+          case other if Expr.toD(other).isNaN ||
+            Expr.toD(other).isInfinite => Expr.toD(other)
           case other   => BigDecimal(Expr.toD(other)).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
-      case "floor" => math.floor(Expr.toD(v)).toLong
-      case "ceil"  => math.ceil(Expr.toD(v)).toLong
+      // integral inputs short-circuit: Spark's Floor/Ceil on an
+      // integral type is the identity (no double round-trip, which
+      // would corrupt |x| > 2^53 — DslPropertySpec, r13)
+      case "floor" => v match {
+        case x: Long => x; case x: Int => x.toLong
+        case other   => math.floor(Expr.toD(other)).toLong
+      }
+      case "ceil" => v match {
+        case x: Long => x; case x: Int => x.toLong
+        case other   => math.ceil(Expr.toD(other)).toLong
+      }
       case "sqrt"  => math.sqrt(Expr.toD(v))
       case "pow"   => math.pow(Expr.toD(v), arg.get.asInstanceOf[Double])
     }
@@ -284,8 +319,13 @@ final case class StrOp(op: String, operand: Expr, args: Seq[Any]) extends Expr {
       case "replace" =>
         args(0).asInstanceOf[String].r.replaceAllIn(v.asInstanceOf[String], args(1).asInstanceOf[String])
       case "extract" =>
+        // '' on no match AND on a non-participating group — the
+        // regexp_extract contract both engines (Spark, DuckDB) pin;
+        // the interpreter previously returned null on no match, a
+        // divergence the DslPropertySpec generator surfaces (r13)
         val m = args(0).asInstanceOf[String].r.findFirstMatchIn(v.asInstanceOf[String])
-        m.map(_.group(args(1).asInstanceOf[Int])).orNull
+        m.map(mm => Option(mm.group(args(1).asInstanceOf[Int]))
+          .getOrElse("")).getOrElse("")
       case "slice" =>
         val s = v.asInstanceOf[String]; val off = args(0).asInstanceOf[Int]
         val len = args(1).asInstanceOf[Int]
@@ -363,9 +403,15 @@ final case class InOp(operand: Expr, values: Seq[Any], nullsEqual: Boolean = fal
   }
   def eval(row: Map[String, Any]): Any = {
     val v = operand.eval(row)
+    val nonNull = values.filter(_ != null)
     if (v == null) {
-      if (nullsEqual) values.contains(null) else null
-    } else values.exists(x => x != null && Expr.cmp(v, x) == 0)
+      // empty candidate set → false even for null input (membership in
+      // the empty set is unconditionally false — Spark's isin() with no
+      // non-null values evaluates to false, not null; DslPropertySpec)
+      if (nullsEqual) values.contains(null)
+      else if (nonNull.isEmpty) false
+      else null
+    } else nonNull.exists(x => Expr.cmp(v, x) == 0)
   }
 }
 

@@ -894,6 +894,15 @@ object NonparamQueries {
           "2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - _tie"))
         .select(F.col("n_pairs"), F.col("n_zero"),
           F.expr("CAST(_w2 AS DOUBLE) / 2").as("w_plus"),
+          // matched rank-biserial r = (W⁺ − W⁻)/S with S = n(n+1)/2:
+          // the EFFECT SIZE the z answers significance for (r13, the
+          // r12 verdict's "how big, in a robust unit" item) — exact
+          // integer numerator _num2 = 2W⁺ − S already on hand, one
+          // closing division
+          F.expr("""CASE WHEN n_pairs = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(_num2 AS DOUBLE)
+            |      / (n_pairs * (n_pairs + 1) div 2), 6) END"""
+            .stripMargin).as("rank_biserial_r"),
           F.expr("""CASE WHEN _v12 <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
             |round(CAST(_num2 AS DOUBLE)
             |      / sqrt(CAST(_v12 AS DOUBLE) / 12.0), 6) END"""
@@ -935,6 +944,10 @@ object NonparamQueries {
             FROM a)
       SELECT n_pairs, n_zero,
              CAST(w2 AS DOUBLE) / 2 AS w_plus,
+             CASE WHEN n_pairs = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round(CAST(num2 AS DOUBLE)
+                     / (n_pairs * (n_pairs + 1) // 2), 6) END
+               AS rank_biserial_r,
              CASE WHEN v12 <= 0 THEN CAST(0.0 AS DOUBLE) ELSE
                round(CAST(num2 AS DOUBLE)
                      / sqrt(CAST(v12 AS DOUBLE) / 12.0), 6) END AS z
@@ -1169,8 +1182,104 @@ object NonparamQueries {
                AS simpson_flag
       FROM seg, ov ORDER BY segment"""))
 
+  // ---------------------------------------------------------------- M53
+  /** Cliff's delta between the M33 arms (returned 'R' vs pending 'N'
+    * line items on quantity) — the ROBUST EFFECT SIZE beside the
+    * significance ladder (r13, the r12 verdict's "eleven ways to ask
+    * 'is there a difference', zero to ask 'how big'"):
+    * δ = (#{x₁ > x₂} − #{x₁ < x₂}) / (n₁·n₂) over all cross pairs,
+    * ordinal-only (no variance, no normality), range [−1, 1].
+    *
+    * Pair counting is EXACT and never enumerates pairs: on the same
+    * value-grouped domain frame as mann_whitney, one
+    * [[graft.operators.DistRank.globalCumSum]] over the arm-2 counts
+    * gives cum₂(v) (inclusive); then with A = Σ n1v·cum₂(v) and
+    * B = Σ n1v·n2v (DECIMAL(38,0)/HUGEINT),
+    * concordant = A − B, tied = B, discordant = n₁n₂ − A — the
+    * cross-multiplied-CDF trick, all exact integers to ONE closing
+    * string-routed division. Publishes the raw pair counts (double via
+    * the string route — they square past int64 at corpus scale), δ at
+    * 6dp, and the Romano et al. 2006 magnitude label computed from the
+    * ROUNDED δ so both engines label identically.
+    *
+    * Scale shape: identical to M33 — one map-side-combined corpus
+    * aggregate to the value domain, one range-shuffle cumsum, one
+    * closing one-row reduction. */
+  private val cliffsDelta = QueryDef(
+    "cliffs_delta",
+    (s, d) => {
+      val vals = t(s, d, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(F.col("l_quantity").cast("long").as("q"),
+          F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"))
+        .groupBy("q")
+        .agg(F.sum("i1").as("n1v"),
+          F.sum(F.expr("1 - i1")).as("n2v"))
+      val cum = graft.operators.DistRank.globalCumSum(
+        vals, "n2v", "cum2", F.col("q").asc)
+      cum.agg(
+          F.sum("n1v").cast("long").as("n1"),
+          F.sum("n2v").cast("long").as("n2"),
+          F.sum(F.expr("CAST(n1v AS DECIMAL(38,0)) * cum2")).as("_a"),
+          F.sum(F.expr("CAST(n1v AS DECIMAL(38,0)) * n2v")).as("_b"))
+        .withColumn("_conc", F.expr("_a - _b"))
+        .withColumn("_disc",
+          F.expr("CAST(n1 AS DECIMAL(38,0)) * n2 - _a"))
+        .withColumn("_delta", F.expr(
+          """CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            |round(CAST(CAST(_conc - _disc AS STRING) AS DOUBLE)
+            |      / (CAST(n1 AS DOUBLE) * n2), 6) END""".stripMargin))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("CAST(CAST(_conc AS STRING) AS DOUBLE)")
+            .as("n_concordant"),
+          F.expr("CAST(CAST(_disc AS STRING) AS DOUBLE)")
+            .as("n_discordant"),
+          F.expr("CAST(CAST(_b AS STRING) AS DOUBLE)").as("n_tied"),
+          F.col("_delta").as("cliffs_delta"),
+          F.expr("""CASE WHEN abs(_delta) < 0.147 THEN 'negligible'
+            |WHEN abs(_delta) < 0.33 THEN 'small'
+            |WHEN abs(_delta) < 0.474 THEN 'medium'
+            |ELSE 'large' END""".stripMargin).as("magnitude"))
+        .orderBy("n1")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1v,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2v
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      c AS (SELECT n1v, n2v,
+                   CAST(sum(n2v) OVER (ORDER BY q) AS BIGINT) AS cum2
+            FROM v),
+      a AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                   CAST(sum(n2v) AS BIGINT) AS n2,
+                   sum(CAST(n1v AS HUGEINT) * cum2) AS a,
+                   sum(CAST(n1v AS HUGEINT) * n2v) AS b
+            FROM c),
+      b AS (SELECT n1, n2, a - b AS conc,
+                   CAST(n1 AS HUGEINT) * n2 - a AS disc, b AS tied
+            FROM a),
+      f AS (SELECT n1, n2, conc, disc, tied,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE round(CAST(CAST(conc - disc AS VARCHAR) AS DOUBLE)
+                                / (CAST(n1 AS DOUBLE) * n2), 6) END
+                     AS delta
+            FROM b)
+      SELECT n1, n2,
+             CAST(CAST(conc AS VARCHAR) AS DOUBLE) AS n_concordant,
+             CAST(CAST(disc AS VARCHAR) AS DOUBLE) AS n_discordant,
+             CAST(CAST(tied AS VARCHAR) AS DOUBLE) AS n_tied,
+             delta AS cliffs_delta,
+             CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                  WHEN abs(delta) < 0.33 THEN 'small'
+                  WHEN abs(delta) < 0.474 THEN 'medium'
+                  ELSE 'large' END AS magnitude
+      FROM f ORDER BY n1"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
       friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
-      wasserstein1, fleissKappa, simpsonsCheck)
+      wasserstein1, fleissKappa, simpsonsCheck, cliffsDelta)
 }

@@ -83,6 +83,41 @@ class NonparamPropertySpec extends SparkSpec {
     }
   }
 
+  test("cliffs_delta matches a brute-force all-pairs replay on random " +
+    "heavy-tie data") {
+    for (seed <- 1L to 6L) {
+      val rows = genRows(seed * 43)
+      val dir = writeDir(rows)
+      val row = SparkEntry.queries("cliffs_delta")(spark, dir)
+        .collect().head
+      // brute force: enumerate every (R, N) cross pair
+      val xs = rows.filter(_._2 == "R").map(_._1)
+      val ys = rows.filter(_._2 == "N").map(_._1)
+      var (conc, disc, tied) = (0L, 0L, 0L)
+      for (x <- xs; y <- ys) {
+        if (x > y) conc += 1 else if (x < y) disc += 1 else tied += 1
+      }
+      assert(row.getAs[Long]("n1") == xs.length.toLong &&
+        row.getAs[Long]("n2") == ys.length.toLong, s"seed $seed counts")
+      assert(row.getAs[Double]("n_concordant") == conc.toDouble,
+        s"seed $seed conc ${row.getAs[Double]("n_concordant")} vs $conc")
+      assert(row.getAs[Double]("n_discordant") == disc.toDouble,
+        s"seed $seed disc")
+      assert(row.getAs[Double]("n_tied") == tied.toDouble,
+        s"seed $seed tied")
+      val delta = (conc - disc).toDouble / (xs.length.toDouble * ys.length)
+      assert(math.abs(row.getAs[Double]("cliffs_delta") - delta) < 1e-5,
+        s"seed $seed: delta ${row.getAs[Double]("cliffs_delta")} vs $delta")
+      val mag = math.abs(row.getAs[Double]("cliffs_delta")) match {
+        case d if d < 0.147 => "negligible"
+        case d if d < 0.33  => "small"
+        case d if d < 0.474 => "medium"
+        case _              => "large"
+      }
+      assert(row.getAs[String]("magnitude") == mag, s"seed $seed magnitude")
+    }
+  }
+
   test("kruskal_wallis matches a first-principles replay on random " +
     "heavy-tie k-group data") {
     import spark.implicits._

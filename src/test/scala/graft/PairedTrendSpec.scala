@@ -89,6 +89,14 @@ class PairedTrendSpec extends SparkSpec {
       assert(row.getAs[Long]("n_zero") == zeros, s"seed $seed n_zero")
       assert(math.abs(row.getAs[Double]("w_plus") - wPlus) < 1e-9,
         s"seed $seed: w_plus ${row.getAs[Double]("w_plus")} vs $wPlus")
+      // matched rank-biserial r = (W⁺ − W⁻)/S from the definition (r13)
+      if (n > 0) {
+        val s0 = n.toDouble * (n + 1) / 2
+        val r = (wPlus - (s0 - wPlus)) / s0
+        assert(math.abs(row.getAs[Double]("rank_biserial_r") - r) < 1e-5,
+          s"seed $seed: r ${row.getAs[Double]("rank_biserial_r")} vs $r")
+      } else assert(row.getAs[Double]("rank_biserial_r") == 0.0,
+        s"seed $seed r guard")
       val tieT = sorted.groupBy(identity).values
         .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
       val v12 = 2.0 * n * (n + 1) * (2 * n + 1) - tieT
