@@ -546,8 +546,6 @@ object GraphMetricsQueries {
   val ANF_HOPS = 2
   private val MAX_HASH = 1152921504606846976L // 2^60, the hash60 range
 
-  private val anfRuns = new java.util.concurrent.atomic.AtomicLong()
-
   // ---------------------------------------------------------------- D66
   /** Approximate neighborhood function — HyperANF's shape [Boldi-Rosa-
     * Vigna 2011] with a DETERMINISTIC KMV sketch instead of HLL
@@ -567,39 +565,19 @@ object GraphMetricsQueries {
     * fixed k=16 constant), per-hop state materialized to scratch
     * parquet (the iterative-frame discipline of pagerank/LPA: hop h
     * feeds BOTH its estimate and hop h+1). */
-  /** Shared KMV-ANF hop loop (D66/D67): per-hop bottom-k sketches
-    * advanced over the symmetric edge frame, per-hop state staged to
-    * scratch parquet (the pagerank/LPA iterative-frame discipline),
-    * integer-division reach estimates. Returns one row per hop 1..hops:
-    * (hop, n_nodes, sum_reach_est). */
+  /** Shared KMV-ANF reach readout (D66/D67): one row per hop 1..hops,
+    * (hop, n_nodes, sum_reach_est) — per hop an O(k)-state aggregate
+    * over [[Staged.anfSketch]]'s staged hop frame. The hop LADDER
+    * itself lives under `Staged` (r13): graph_anf and
+    * graph_effective_diameter share hops 1–2 instead of each re-running
+    * the full loop from hop 0 (the r12 verdict's consolidation item —
+    * previously ~2× the ladder per sweep, ~53 s redundant at the 10×
+    * probe). First toucher builds; the ScaleTest probes price the
+    * single-shot build, the community_lpa convention. */
   private def anfReach(s: org.apache.spark.sql.SparkSession, d: String,
-      hops: Int): org.apache.spark.sql.DataFrame = {
-    val e = Staged.coPurchaseEdges(s, d)
-    val edges = graft.operators.CacheScope.persist(
-      e.select(F.col("pa").as("u"), F.col("pb").as("v"))
-        .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v"))))
-    val base = s"/tmp/graft_anf_${Harness.runId}/" +
-      s"run_${anfRuns.incrementAndGet()}"
-    val nodes = edges.select(F.col("u").as("v")).distinct()
-    nodes.select(F.col("v"),
-        F.array(graft.operators.Hashing.hash60(
-          F.col("v").cast("string"))).as("sk"))
-      .write.mode("overwrite").parquet(s"$base/h0")
-    var state = s.read.parquet(s"$base/h0")
-    val perHop = (1 to hops).map { h =>
-      val pairs = state.select(F.col("v"),
-        F.explode(F.col("sk")).as("h"))
-      val nbr = edges
-        .join(pairs.withColumnRenamed("v", "w"),
-          F.col("v") === F.col("w"))
-        .select(F.col("u").as("v"), F.col("h"))
-      pairs.unionAll(nbr)
-        .groupBy("v")
-        .agg(graft.operators.Sketch
-          .bottomKDistinctLong(F.col("h"), ANF_K).as("sk"))
-        .write.mode("overwrite").parquet(s"$base/h$h")
-      state = s.read.parquet(s"$base/h$h")
-      state
+      hops: Int): org.apache.spark.sql.DataFrame =
+    (1 to hops).map { h =>
+      Staged.anfSketch(s, d, h)
         .select(F.size(F.col("sk")).cast("long").as("_nk"),
           F.try_element_at(F.col("sk"), F.lit(ANF_K)).as("_kth"))
         .agg(F.count(F.lit(1)).as("n_nodes"),
@@ -610,9 +588,7 @@ object GraphMetricsQueries {
             .as("sum_reach_est"))
         .select(F.lit(h.toLong).as("hop"), F.col("n_nodes"),
           F.col("sum_reach_est"))
-    }
-    perHop.reduce(_ unionAll _)
-  }
+    }.reduce(_ unionAll _)
 
   private val graphAnf = QueryDef(
     "graph_anf",

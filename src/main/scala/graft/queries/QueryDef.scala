@@ -316,6 +316,47 @@ object Staged {
         Tables.t(s, d, "embeddings"), "vec_id", "embedding")
     }
 
+  /** Per-hop KMV-ANF sketch frame (v, sk) — the bottom-k distinct
+    * hash60 sketch of each node's h-hop ball over the co-purchase
+    * edges, staged once per (JVM, sf dir, hop) with hop h building
+    * from the staged hop h−1 (r13, the r12 verdict's consolidation
+    * item): D66 `graph_anf` (hops 1–2) and D67
+    * `graph_effective_diameter` (hops 1–3) previously each ran the
+    * FULL ladder from hop 0, paying the identical hops 1–2 twice per
+    * sweep (~6 s at sf0.1, ~53 s at the 10× probe). Now the pair costs
+    * one ladder + one cheap hop-3 extension; the first query to touch
+    * a hop builds it (single-shot build cost tracked by the ScaleTest
+    * probes, the community_lpa convention). At 100 TB these parquets
+    * are the checkpointed per-hop frontier state any HyperANF-style
+    * run persists between supersteps anyway. */
+  def anfSketch(s: SparkSession, d: String, hop: Int): DataFrame =
+    if (hop == 0)
+      stagedParquet(s, d, "anf_h0") {
+        val e = coPurchaseEdges(s, d)
+        e.select(F.col("pa").as("v"))
+          .unionAll(e.select(F.col("pb").as("v"))).distinct()
+          .select(F.col("v"),
+            F.array(graft.operators.Hashing.hash60(
+              F.col("v").cast("string"))).as("sk"))
+      }
+    else
+      stagedParquet(s, d, s"anf_h$hop") {
+        val e = coPurchaseEdges(s, d)
+        val edges = e.select(F.col("pa").as("u"), F.col("pb").as("v"))
+          .unionAll(e.select(F.col("pb").as("u"), F.col("pa").as("v")))
+        val pairs = anfSketch(s, d, hop - 1)
+          .select(F.col("v"), F.explode(F.col("sk")).as("h"))
+        val nbr = edges
+          .join(pairs.withColumnRenamed("v", "w"),
+            F.col("v") === F.col("w"))
+          .select(F.col("u").as("v"), F.col("h"))
+        pairs.unionAll(nbr)
+          .groupBy("v")
+          .agg(graft.operators.Sketch
+            .bottomKDistinctLong(F.col("h"), GraphMetricsQueries.ANF_K)
+            .as("sk"))
+      }
+
   /** PQ codebooks trained on [[pqResidualCorpus]] (the D64 index). */
   def pqResCodebooks(s: SparkSession, d: String): DataFrame =
     stagedParquet(s, d, "pq_res_codebooks") {
