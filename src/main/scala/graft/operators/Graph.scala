@@ -529,4 +529,94 @@ object Graph {
         F.expr("k_eff * (k_eff - 1) div 2").as("n_pairs"),
         F.col("n_closed"))
   }
+
+  /** HITS hubs/authorities [Kleinberg 1999] on a DIRECTED edge list —
+    * the directed complement of [[pageRank]] (a hub points at good
+    * authorities; an authority is pointed at by good hubs). All-integer
+    * fixed-point so the iterative joins are bit-identical across
+    * engines: every rung computes raw scores as exact DECIMAL(38,0)
+    * sums and L1-NORMALIZES by integer division back to ≤ [[SCALE]]
+    * (auth(v) = rawΣ_{u→v}hub(u) · SCALE div Σraw — the classical L2
+    * norm needs a sqrt no two engines round identically; L1 fixes the
+    * same ray, which is all HITS's relative read needs). hub₀ = SCALE
+    * for every node.
+    *
+    * Returns (scores, residual): scores = (v, hub_fp, auth_fp) for
+    * EVERY node (zero for nodes missing the relevant edge side);
+    * residual = 1 row (hub_resid_l1, auth_resid_l1) — the exact
+    * integer L1 deltas between the last two rungs, the published
+    * convergence read (Σ|Δ| over fixed-point scores that each sum to
+    * ~SCALE, so e.g. 2e7 ≈ 2 % of total mass still moving).
+    *
+    * Scale shape: the pageRank iterative-frame discipline — per rung
+    * two edge-linear join+aggregate passes (no window, map-side
+    * combined), each rung's node frame EAGERLY checkpointed and the
+    * superseded rung's blocks freed, 1-row normalizers broadcast. */
+  def hits(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val edges = CacheScope.persist(
+      edgesIn.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+        .distinct())
+    val nodes = CacheScope.persist(
+      edges.select(F.col("src").as("v"))
+        .unionByName(edges.select(F.col("dst").as("v"))).distinct())
+
+    // one L1-normalized half-rung: raw(v) = Σ join-side score, then
+    // score' = raw·SCALE div Σraw (exact integers end to end)
+    def halfRung(scores: DataFrame, scoreCol: String, joinOn: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = edges
+        .join(scores.withColumnRenamed("v", joinOn), joinOn)
+        .groupBy(F.col(outKey).as("v"))
+        .agg(F.sum(F.expr(s"CAST($scoreCol AS DECIMAL(38,0))")).as("_raw"))
+      val tot = raw.agg(F.sum("_raw").as("_t"))
+      nodes.join(raw, Seq("v"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("v"), F.expr(
+          s"""CASE WHEN _t IS NULL OR _t = 0 THEN 0L ELSE
+             |CAST(coalesce(_raw, CAST(0 AS DECIMAL(38,0))) * $SCALE
+             |     div _t AS BIGINT) END""".stripMargin).as(outCol))
+    }
+
+    var hubs = nodes.select(F.col("v"), F.lit(SCALE).as("hub"))
+    var auths: DataFrame = null
+    var prevHubs: DataFrame = null
+    var prevAuths: DataFrame = null
+    var oldHubCp: DataFrame = null
+    var oldAuthCp: DataFrame = null
+    for (_ <- 1 to iters) {
+      // auth rung reads hubs over in-edges; hub rung reads the FRESH
+      // auths over out-edges — the classical update order
+      val nextAuths = CacheScope.checkpoint(
+        halfRung(hubs, "hub", "src", "dst", "auth"), eager = true)
+      val nextHubs = CacheScope.checkpoint(
+        halfRung(nextAuths, "auth", "dst", "src", "hub"), eager = true)
+      // free the rung SUPERSEDED two generations back — the last two
+      // rungs stay live for the residual read
+      if (oldHubCp != null) CacheScope.unpersistCheckpoint(oldHubCp)
+      if (oldAuthCp != null) CacheScope.unpersistCheckpoint(oldAuthCp)
+      oldHubCp = prevHubs; oldAuthCp = prevAuths
+      prevHubs = hubs; prevAuths = auths
+      hubs = nextHubs; auths = nextAuths
+    }
+    val scores = hubs
+      .select(F.col("v"), F.col("hub").as("hub_fp"))
+      .join(auths.select(F.col("v"), F.col("auth").as("auth_fp")), "v")
+    val residual =
+      if (prevHubs == null)
+        scores.agg(F.lit(-1L).as("hub_resid_l1"),
+          F.lit(-1L).as("auth_resid_l1")) // iters = 1: no prior rung
+      else {
+        val h = hubs.join(prevHubs.withColumnRenamed("hub", "_ph"), "v")
+          .agg(F.sum(F.expr("abs(hub - _ph)")).as("hub_resid_l1"))
+        val a = auths.join(
+            (if (prevAuths == null)
+              nodes.select(F.col("v"), F.lit(0L).as("_pa"))
+            else prevAuths.withColumnRenamed("auth", "_pa")), "v")
+          .agg(F.sum(F.expr("abs(auth - _pa)")).as("auth_resid_l1"))
+        h.crossJoin(F.broadcast(a))
+      }
+    (scores, residual)
+  }
 }

@@ -1032,8 +1032,85 @@ object GraphMetricsQueries {
              END AS jaccard_micro
       FROM x GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- D77
+  /** HITS hubs/authorities over the DIRECTED co-purchase graph (r13,
+    * the r12 verdict's centrality-family completion beside pagerank /
+    * degree / harmonic / betweenness / ANF): edges oriented low→high
+    * part key (pa → pb — the house deterministic orientation; pa < pb
+    * by construction), two pinned power-iteration rungs of
+    * [[graft.operators.Graph.hits]] — per rung auth(v) = Σ_{u→v}hub(u)
+    * then hub(u) = Σ_{u→v}auth(v), each L1-normalized back to the 1e9
+    * fixed-point scale by exact integer division (DECIMAL(38,0)/
+    * HUGEINT raw sums; L2's sqrt would not round identically across
+    * engines, and L1 fixes the same ray). Publishes the full node
+    * frame plus the exact integer L1 residuals between the last two
+    * rungs (broadcast 1-row frame) — the convergence read production
+    * uses to pick depth.
+    *
+    * Scale shape: pageRank's iterative-frame discipline — per rung two
+    * edge-linear join+aggregate passes (map-side combined, no window),
+    * rung state eagerly checkpointed with superseded blocks freed,
+    * 1-row normalizers broadcast. Oracle = the identical rungs
+    * unrolled as CTEs. */
+  private val hitsScores = QueryDef(
+    "hits_scores",
+    (s, d) => {
+      val (scores, resid) = graft.operators.Graph.hits(
+        Staged.coPurchaseEdges(s, d), "pa", "pb", iters = 2)
+      scores.crossJoin(F.broadcast(resid))
+        .select(F.col("v").as("pk"), F.col("hub_fp"), F.col("auth_fp"),
+          F.expr("round(CAST(hub_fp AS DOUBLE) / 1000000000, 6)")
+            .as("hub"),
+          F.expr("round(CAST(auth_fp AS DOUBLE) / 1000000000, 6)")
+            .as("auth"),
+          F.col("hub_resid_l1"), F.col("auth_resid_l1"))
+        .orderBy("pk")
+    },
+    Some {
+      val S = graft.operators.Graph.SCALE
+      def rung(i: Int, prevHub: String): String =
+        s"""a${i}r AS (SELECT e.dst AS v, sum(CAST(h.hub AS HUGEINT)) AS raw
+           |  FROM edges e JOIN $prevHub h ON h.v = e.src GROUP BY 1),
+           |a${i}t AS (SELECT sum(raw) AS t FROM a${i}r),
+           |a$i AS MATERIALIZED (SELECT n.v,
+           |    CASE WHEN t IS NULL OR t = 0 THEN 0
+           |         ELSE CAST(coalesce(raw, 0) * $S // t AS BIGINT) END
+           |      AS auth
+           |  FROM nodes n LEFT JOIN a${i}r r ON r.v = n.v, a${i}t),
+           |h${i}r AS (SELECT e.src AS v, sum(CAST(a.auth AS HUGEINT)) AS raw
+           |  FROM edges e JOIN a$i a ON a.v = e.dst GROUP BY 1),
+           |h${i}t AS (SELECT sum(raw) AS t FROM h${i}r),
+           |h$i AS MATERIALIZED (SELECT n.v,
+           |    CASE WHEN t IS NULL OR t = 0 THEN 0
+           |         ELSE CAST(coalesce(raw, 0) * $S // t AS BIGINT) END
+           |      AS hub
+           |  FROM nodes n LEFT JOIN h${i}r r ON r.v = n.v, h${i}t)"""
+          .stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT v, CAST($S AS BIGINT) AS hub FROM nodes),
+         |${rung(1, "h0")},
+         |${rung(2, "h1")},
+         |hres AS (SELECT CAST(sum(abs(h2.hub - h1.hub)) AS BIGINT)
+         |           AS hub_resid_l1 FROM h2 JOIN h1 USING (v)),
+         |ares AS (SELECT CAST(sum(abs(a2.auth - a1.auth)) AS BIGINT)
+         |           AS auth_resid_l1 FROM a2 JOIN a1 USING (v))
+         |SELECT h2.v AS pk,
+         |       CAST(h2.hub AS BIGINT) AS hub_fp,
+         |       CAST(a2.auth AS BIGINT) AS auth_fp,
+         |       round(CAST(h2.hub AS DOUBLE) / $S, 6) AS hub,
+         |       round(CAST(a2.auth AS DOUBLE) / $S, 6) AS auth,
+         |       hub_resid_l1, auth_resid_l1
+         |FROM h2 JOIN a2 USING (v), hres, ares ORDER BY pk""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
     harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel,
-    betweennessSampled, richClub, graphEdgeDrift)
+    betweennessSampled, richClub, graphEdgeDrift, hitsScores)
 }

@@ -468,9 +468,16 @@ object ScaleTest {
     // aggregate (not a window sort) carries the 10× edge list.
     timeQ("graph_anf")
     // r12 probe: the effective-diameter readout is the SAME loop one
-    // hop deeper — expect ~1.5× graph_anf (three hops vs two), still
-    // edge-linear per hop; the crossing math is a 1-row frame.
+    // hop deeper — r13 stages the hop ladder under Staged.anfSketch,
+    // so graph_anf's probe pays the hops-1-2 build and this probe pays
+    // ONLY the hop-3 extension (was ~1.3× graph_anf when each re-ran
+    // the full ladder); the crossing math is a 1-row frame.
     timeQ("graph_effective_diameter")
+    // r13 probe: HITS is two L1-normalized power rungs — per rung two
+    // edge-linear join+aggregate passes plus a 1-row normalizer; the
+    // probe pins that rung cost tracks the 10× edge list with no
+    // window/sort anywhere.
+    timeQ("hits_scores")
     // r12 probes: ktruss round 1 pays the full √m-bounded wedge pass
     // (the clustering_coeff constant), rounds 2+ run on the peeled
     // remnant; community_converge is 2×3 accept-guarded move rungs —

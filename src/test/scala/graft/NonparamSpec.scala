@@ -490,6 +490,41 @@ class NonparamSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("hits_scores matches an exact-integer driver-side replay of " +
+    "the two L1-normalized rungs") {
+    val S = graft.operators.Graph.SCALE
+    val edges = graft.queries.Staged.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def halfRung(scores: Map[Long, Long], bySrc: Boolean): Map[Long, Long] = {
+      val raw = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      edges.foreach { case (src, dst) =>
+        if (bySrc) raw(dst) += scores(src) else raw(src) += scores(dst)
+      }
+      val tot = raw.values.sum
+      nodes.map(v =>
+        v -> (if (tot == 0) 0L else (raw(v) * S / tot).toLong)).toMap
+    }
+    var hub = nodes.map(_ -> S).toMap
+    val a1 = halfRung(hub, bySrc = true)
+    val h1 = halfRung(a1, bySrc = false)
+    val a2 = halfRung(h1, bySrc = true)
+    val h2 = halfRung(a2, bySrc = false)
+    val got = SparkEntry.queries("hits_scores")(spark, sf).collect()
+    assert(got.length == nodes.length, "node count")
+    got.foreach { r =>
+      val v = r.getAs[Long]("pk")
+      assert(r.getAs[Long]("hub_fp") == h2(v), s"hub($v)")
+      assert(r.getAs[Long]("auth_fp") == a2(v), s"auth($v)")
+    }
+    val hres = nodes.map(v => math.abs(h2(v) - h1(v))).sum
+    val ares = nodes.map(v => math.abs(a2(v) - a1(v))).sum
+    assert(got.head.getAs[Long]("hub_resid_l1") == hres, "hub residual")
+    assert(got.head.getAs[Long]("auth_resid_l1") == ares, "auth residual")
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("graph_effective_diameter: interpolated crossing replays from " +
     "the published reaches on every branch") {
     def replay(n0: Long, n1: Long, n2: Long, n3: Long): Double =
