@@ -418,6 +418,158 @@ object EvalQueries {
                AS autocorr_7
       FROM sums"""))
 
+  /** PACF horizon (M54) and the shared Durbin-Levinson recursion,
+    * generated ONCE as (column, expression) pairs over rho columns
+    * r1..r$PACF_LAGS and emitted into BOTH engines verbatim — the
+    * whole recursion is a closing double formula, and textual identity
+    * is what makes the two engines' IEEE results bit-equal. */
+  private val PACF_LAGS = 7
+
+  private def durbinLevinson: Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    out += (("phi_1_1", "r1"))
+    for (k <- 2 to PACF_LAGS) {
+      val num = s"r$k - (${(1 until k)
+        .map(j => s"phi_${k - 1}_$j * r${k - j}").mkString(" + ")})"
+      val den = s"CAST(1 AS DOUBLE) - (${(1 until k)
+        .map(j => s"phi_${k - 1}_$j * r$j").mkString(" + ")})"
+      out += ((s"phi_${k}_$k",
+        s"CASE WHEN ($den) = 0 THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE ($num) / ($den) END"))
+      for (j <- 1 until k)
+        out += ((s"phi_${k}_$j",
+          s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}"))
+    }
+    out.toSeq
+  }
+
+  /** rho_k closing formula over string-routed double moments dn, ds,
+    * dq (global) and dp$k, dab$k (per lag) — identical text both
+    * engines. */
+  private def rhoExpr(k: Int): String =
+    s"""CASE WHEN (dn * dn * dq - dn * ds * ds) = 0
+       |THEN CAST(0.0 AS DOUBLE)
+       |ELSE (dn * dn * dp$k - dn * ds * dab$k + (dn - $k) * ds * ds)
+       |     / (dn * dn * dq - dn * ds * ds) END""".stripMargin
+
+  // ---------------------------------------------------------------- M54
+  /** Partial autocorrelation function, lags 1..7 — the AR-order read
+    * beside M7's raw autocorrelation (r13, the r12 verdict's PACF
+    * item): ACF says "lag k correlates"; PACF says "lag k correlates
+    * AFTER regressing out lags 1..k−1", which is what an AR(p) pick
+    * actually reads (PACF cuts off at p).
+    *
+    * Moments are EXACT integers on the calendar frame: daily cents
+    * (M7's daily CTE), per lag k ∈ 1..7 the pair moments P_k = Σx_t·
+    * x_{t+k}, AB_k = Σx_t + Σx_{t+k} over the date-arithmetic pairs
+    * (a ×7 lag explode + ONE equi-join on day — no range join, no
+    * window), global n, S = Σx, Q = Σx² — all DECIMAL(38,0)/HUGEINT,
+    * order-independent. The closing math is doubles: ρ_k from the
+    * mean-centered moment identity n²γ_k = n²P_k − nS·AB_k + (n−k)S²,
+    * then the Durbin-Levinson recursion φ_kk unrolled as ~28 generated
+    * columns — the SAME generated expression text runs in both engines
+    * (sharing [[durbinLevinson]]), so the IEEE results are bit-equal;
+    * published at 6dp.
+    *
+    * Scale shape: one corpus aggregate to the calendar frame; the ×7
+    * pair frame is calendar-bounded metadata; the recursion runs on a
+    * 1-row frame. */
+  private val pacfLags = QueryDef(
+    "pacf_lags",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val glob = daily.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("cents").cast(DecimalType(38, 0))).as("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q"))
+      val lags = s.range(1, PACF_LAGS + 1).select(F.col("id").as("lag"))
+      val shifted = daily.crossJoin(F.broadcast(lags))
+        .select(F.expr("date_add(day, CAST(lag AS INT))").as("day"),
+          F.col("lag"), F.col("cents").as("x_early"))
+      val perLag = daily.join(shifted, "day")
+        .groupBy("lag")
+        .agg(
+          F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) * cents")).as("p"),
+          F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) + cents")).as("ab"))
+      val wideCols = (1 to PACF_LAGS).flatMap { k =>
+        Seq(
+          F.max(F.when(F.col("lag") === k, F.col("p"))).as(s"_p$k"),
+          F.max(F.when(F.col("lag") === k, F.col("ab"))).as(s"_ab$k"))
+      }
+      val wide = perLag.groupBy().agg(wideCols.head, wideCols.tail: _*)
+      var row = glob.crossJoin(F.broadcast(wide))
+        .withColumn("dn", F.expr("CAST(n AS DOUBLE)"))
+        .withColumn("ds", F.expr("CAST(CAST(s AS STRING) AS DOUBLE)"))
+        .withColumn("dq", F.expr("CAST(CAST(q AS STRING) AS DOUBLE)"))
+      for (k <- 1 to PACF_LAGS) {
+        row = row
+          .withColumn(s"dp$k", F.expr(
+            s"CAST(CAST(coalesce(_p$k, CAST(0 AS DECIMAL(38,0)))" +
+              s" AS STRING) AS DOUBLE)"))
+          .withColumn(s"dab$k", F.expr(
+            s"CAST(CAST(coalesce(_ab$k, CAST(0 AS DECIMAL(38,0)))" +
+              s" AS STRING) AS DOUBLE)"))
+          .withColumn(s"r$k", F.expr(rhoExpr(k)))
+      }
+      for ((name, e) <- durbinLevinson) row = row.withColumn(name, F.expr(e))
+      val stacked = (1 to PACF_LAGS).map(k =>
+        s"${k}L, round(r$k, 6), round(phi_${k}_$k, 6)").mkString(", ")
+      row.selectExpr(
+        s"stack($PACF_LAGS, $stacked) AS (lag, rho, pacf)")
+        .orderBy("lag")
+    },
+    Some {
+      val lagMoments = (1 to PACF_LAGS).map(k =>
+        s"""SELECT $k AS lag,
+           |  sum(CAST(b.cents AS HUGEINT) * a.cents) AS p,
+           |  sum(CAST(b.cents AS HUGEINT) + a.cents) AS ab
+           |FROM daily a JOIN daily b
+           |  ON a.day = b.day + INTERVAL $k DAY""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      val wideCols = (1 to PACF_LAGS).map(k =>
+        s"""CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN p END), 0)
+           |  AS VARCHAR) AS DOUBLE) AS dp$k,
+           |CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN ab END), 0)
+           |  AS VARCHAR) AS DOUBLE) AS dab$k""".stripMargin)
+        .mkString(",\n")
+      val rhoCols = (1 to PACF_LAGS).map(k => s"${rhoExpr(k)} AS r$k")
+        .mkString(",\n")
+      val dlCtes = durbinLevinson.zipWithIndex.map { case ((name, e), i) =>
+        val prev = if (i == 0) "rho" else s"lv${i - 1}"
+        s"lv$i AS (SELECT *, $e AS $name FROM $prev)"
+      }.mkString(",\n")
+      val last = s"lv${durbinLevinson.size - 1}"
+      val rows = (1 to PACF_LAGS).map(k =>
+        s"SELECT $k AS lag, round(r$k, 6) AS rho, " +
+          s"round(phi_${k}_$k, 6) AS pacf FROM $last")
+        .mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |gmom AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS dn,
+         |         CAST(CAST(sum(CAST(cents AS HUGEINT)) AS VARCHAR)
+         |              AS DOUBLE) AS ds,
+         |         CAST(CAST(sum(CAST(cents AS HUGEINT) * cents)
+         |              AS VARCHAR) AS DOUBLE) AS dq
+         |  FROM daily),
+         |lagm AS ($lagMoments),
+         |wide AS (SELECT
+         |$wideCols
+         |FROM lagm),
+         |rho AS (SELECT
+         |$rhoCols
+         |FROM gmom, wide),
+         |$dlCtes
+         |SELECT CAST(lag AS BIGINT) AS lag, rho, pacf FROM ($rows)
+         |ORDER BY lag""".stripMargin
+    })
+
   // ---------------------------------------------------------------- M14
   /** Precision–recall curve from SCORE-GROUPED counts (M1's histogram
     * discipline — the corpus shuffles once into ≤1001 score rows, the
@@ -995,5 +1147,5 @@ object EvalQueries {
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
     evalPrCurve, evalPrAuc, evalConfusion, evalBrier,
     conformalThreshold, powerSampleSize, ipsEval, fairnessAudit,
-    drEval, calibrationEce)
+    drEval, calibrationEce, pacfLags)
 }

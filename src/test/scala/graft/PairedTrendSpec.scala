@@ -144,4 +144,53 @@ class PairedTrendSpec extends SparkSpec {
       }
     }
   }
+
+  test("pacf_lags matches a first-principles Durbin-Levinson replay on " +
+    "random gapped daily series") {
+    for (seed <- 1L to 6L) {
+      val rows = genOrders(seed * 61)
+      val dir = writeDir(rows)
+      val got = SparkEntry.queries("pacf_lags")(spark, dir)
+        .collect().map(r => r.getAs[Long]("lag") ->
+          ((r.getAs[Double]("rho"), r.getAs[Double]("pacf")))).toMap
+      assert(got.size == 7, s"seed $seed rows")
+      // replay: daily cent sums on the observed calendar (gaps stay
+      // gaps — pairing is by date arithmetic, like the query)
+      val daily = rows.groupBy(r => (r._1, r._2))
+        .map { case ((m, day), rs) =>
+          // REAL epoch days: months run 1..28 here, so month boundaries
+          // are calendar gaps (jan 28 + 1 day = jan 29, absent) — the
+          // query's date_add pairing sees them as such
+          java.time.LocalDate.of(1995, m, day).toEpochDay.toInt ->
+            rs.map(_._4).sum }
+      val n = daily.size.toDouble
+      val s0 = daily.values.map(_.toDouble).sum
+      val q = daily.values.map(c => c.toDouble * c).sum
+      val den = n * n * q - n * s0 * s0
+      val rho = (1 to 7).map { k =>
+        val pairs = daily.toSeq.flatMap { case (t, x) =>
+          daily.get(t + k).map(y => (x, y)) }
+        val p = pairs.map { case (x, y) => x.toDouble * y }.sum
+        val ab = pairs.map { case (x, y) => x.toDouble + y }.sum
+        k -> (if (den == 0) 0.0
+              else (n * n * p - n * s0 * ab + (n - k) * s0 * s0) / den)
+      }.toMap
+      // textbook Durbin-Levinson over the replayed rho
+      var phi = Map(1 -> Map(1 -> rho(1)))
+      for (k <- 2 to 7) {
+        val pk = phi(k - 1)
+        val num = rho(k) - (1 until k).map(j => pk(j) * rho(k - j)).sum
+        val dd = 1.0 - (1 until k).map(j => pk(j) * rho(j)).sum
+        val pkk = if (dd == 0) 0.0 else num / dd
+        phi += k -> ((1 until k).map(j =>
+          j -> (pk(j) - pkk * pk(k - j))).toMap + (k -> pkk))
+      }
+      for (k <- 1 to 7) {
+        assert(math.abs(got(k.toLong)._1 - rho(k)) < 1e-5,
+          s"seed $seed lag $k rho ${got(k.toLong)._1} vs ${rho(k)}")
+        assert(math.abs(got(k.toLong)._2 - phi(k)(k)) < 1e-5,
+          s"seed $seed lag $k pacf ${got(k.toLong)._2} vs ${phi(k)(k)}")
+      }
+    }
+  }
 }
