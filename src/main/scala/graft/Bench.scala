@@ -13,6 +13,15 @@ object Bench {
       // multi-consumer persist patterns (r10)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // r13 (the r12 +13% shared-query inflation): ContextCleaner frees
+      // broadcast/shuffle/RDD state only when the DRIVER GC collects
+      // the weak references — and a 128 GiB heap almost never GCs on
+      // its own, so cleanup debt (and with it block-manager entries and
+      // /tmp shuffle files) accumulates across a ~390-query sweep. The
+      // periodic-GC interval (default 30 min) is tightened so the
+      // cleaner drains a few times per sweep even without the fence.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,6 +62,36 @@ object Bench {
       graft.operators.CacheScope.release(spark)
       dt
     }
+    // --- r13 sweep-health telemetry (the r12 verdict's item 1: +13%
+    // idle-to-idle inflation on untouched queries). Per query we record
+    // the GC-time delta and heap/storage occupancy so a future drift is
+    // attributable from bench_diag.json instead of re-arbitrated.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    def heapMb(): Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024 * 1024)
+    }
+    def storageMb(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / (1024 * 1024)
+    val diag = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)] // name, gc delta ms, heap, storage
+    // GC fence: an explicit full GC every `fence` queries, OUTSIDE the
+    // timed regions — System.gc() is what processes the cleaner's weak
+    // references, so this converts unbounded cleanup debt into a
+    // bounded, untimed cost. SPARK_GRAFT_GC_FENCE=0 disables (A/B).
+    val fence = sys.env.getOrElse("SPARK_GRAFT_GC_FENCE", "25").toInt
+    var sinceFence = 0
+    def maybeFence(): Unit = if (fence > 0) {
+      sinceFence += 1
+      if (sinceFence >= fence) { sinceFence = 0; System.gc() }
+    }
     // Bench canary (r11, from the r9/r10 driver-vs-builder arbitration
     // both needing a human to read two JSON files): ONE fixed reference
     // query timed median-of-3 at sweep START, MIDDLE and END. If the
@@ -73,7 +112,11 @@ object Bench {
     def sweep(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
-        name -> (1 to 3).map(_ => run(name, fn)).sorted.apply(1)
+        val gc0 = gcMs()
+        val med = (1 to 3).map(_ => run(name, fn)).sorted.apply(1)
+        diag += ((name, gcMs() - gc0, heapMb(), storageMb()))
+        maybeFence()
+        name -> med
       }
     val r1 = sweep(firstHalf)
     val canaryMid = if (only.isEmpty) canaryShot() else 0.0
@@ -141,9 +184,22 @@ object Bench {
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""sf":"$sfDir","action":"noop_write",""" +
+          s""""gc_fence":$fence,""" +
           s""""canary":${jsonMap(canary)},""" +
           s""""isolated":${jsonMap(isolated)},""" +
           s""""queries":${jsonMap(results)}}""" + "\n")
+      catch { case _: Throwable => () }
+    // full per-query sweep telemetry (r13): one line per query in sweep
+    // order — gc_ms is the GC time that fired DURING the query's three
+    // runs; heap/storage are post-query occupancy. The file is how a
+    // future round attributes a diffuse drift (rising gc_ms = heap
+    // debt; rising storage_mb = a leaked persist) without re-running.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_diag.json"),
+        diag.map { case (n, g, h, st) =>
+          s"""{"q":"$n","gc_ms":$g,"heap_mb":$h,"storage_mb":$st}"""
+        }.mkString("[\n", ",\n", "\n]") + "\n")
       catch { case _: Throwable => () }
     println(jsonLine(top.sortBy(_._1), total, meta(top.size)))
     spark.stop()

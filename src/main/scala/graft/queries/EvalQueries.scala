@@ -452,6 +452,91 @@ object EvalQueries {
        |ELSE (dn * dn * dp$k - dn * ds * dab$k + (dn - $k) * ds * ds)
        |     / (dn * dn * dq - dn * ds * ds) END""".stripMargin
 
+  /** Shared 1-row rho frame (M54 pacf_lags / M55 ljung_box): exact
+    * integer calendar moments → string-routed doubles dn, ds, dq,
+    * dp1..dp7, dab1..dab7, r1..r7. One corpus aggregate + a ×7
+    * calendar-bounded pair frame. */
+  private def rhoFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val daily = t(s, d, "orders")
+      .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val glob = daily.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.col("cents").cast(DecimalType(38, 0))).as("s"),
+      F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q"))
+    val lags = s.range(1, PACF_LAGS + 1).select(F.col("id").as("lag"))
+    val shifted = daily.crossJoin(F.broadcast(lags))
+      .select(F.expr("date_add(day, CAST(lag AS INT))").as("day"),
+        F.col("lag"), F.col("cents").as("x_early"))
+    val perLag = daily.join(shifted, "day")
+      .groupBy("lag")
+      .agg(
+        F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) * cents")).as("p"),
+        F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) + cents")).as("ab"))
+    val wideCols = (1 to PACF_LAGS).flatMap { k =>
+      Seq(
+        F.max(F.when(F.col("lag") === k, F.col("p"))).as(s"_p$k"),
+        F.max(F.when(F.col("lag") === k, F.col("ab"))).as(s"_ab$k"))
+    }
+    val wide = perLag.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    var row = glob.crossJoin(F.broadcast(wide))
+      .withColumn("dn", F.expr("CAST(n AS DOUBLE)"))
+      .withColumn("ds", F.expr("CAST(CAST(s AS STRING) AS DOUBLE)"))
+      .withColumn("dq", F.expr("CAST(CAST(q AS STRING) AS DOUBLE)"))
+    for (k <- 1 to PACF_LAGS) {
+      row = row
+        .withColumn(s"dp$k", F.expr(
+          s"CAST(CAST(coalesce(_p$k, CAST(0 AS DECIMAL(38,0)))" +
+            s" AS STRING) AS DOUBLE)"))
+        .withColumn(s"dab$k", F.expr(
+          s"CAST(CAST(coalesce(_ab$k, CAST(0 AS DECIMAL(38,0)))" +
+            s" AS STRING) AS DOUBLE)"))
+        .withColumn(s"r$k", F.expr(rhoExpr(k)))
+    }
+    row
+  }
+
+  /** DuckDB mirror of [[rhoFrame]]: CTE chain ending in `rho`
+    * (columns dn, r1..r7). */
+  private def rhoCtesSql: String = {
+    val lagMoments = (1 to PACF_LAGS).map(k =>
+      s"""SELECT $k AS lag,
+         |  sum(CAST(b.cents AS HUGEINT) * a.cents) AS p,
+         |  sum(CAST(b.cents AS HUGEINT) + a.cents) AS ab
+         |FROM daily a JOIN daily b
+         |  ON a.day = b.day + INTERVAL $k DAY""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    val wideCols = (1 to PACF_LAGS).map(k =>
+      s"""CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN p END), 0)
+         |  AS VARCHAR) AS DOUBLE) AS dp$k,
+         |CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN ab END), 0)
+         |  AS VARCHAR) AS DOUBLE) AS dab$k""".stripMargin)
+      .mkString(",\n")
+    val rhoCols = (1 to PACF_LAGS).map(k => s"${rhoExpr(k)} AS r$k")
+      .mkString(",\n")
+    s"""daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |gmom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS dn,
+       |         CAST(CAST(sum(CAST(cents AS HUGEINT)) AS VARCHAR)
+       |              AS DOUBLE) AS ds,
+       |         CAST(CAST(sum(CAST(cents AS HUGEINT) * cents)
+       |              AS VARCHAR) AS DOUBLE) AS dq
+       |  FROM daily),
+       |lagm AS ($lagMoments),
+       |wide AS (SELECT
+       |$wideCols
+       |FROM lagm),
+       |rho AS (SELECT dn,
+       |$rhoCols
+       |FROM gmom, wide)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- M54
   /** Partial autocorrelation function, lags 1..7 — the AR-order read
     * beside M7's raw autocorrelation (r13, the r12 verdict's PACF
@@ -477,43 +562,7 @@ object EvalQueries {
   private val pacfLags = QueryDef(
     "pacf_lags",
     (s, d) => {
-      val daily = t(s, d, "orders")
-        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
-          .as("cents"))
-      val glob = daily.agg(
-        F.count(F.lit(1)).as("n"),
-        F.sum(F.col("cents").cast(DecimalType(38, 0))).as("s"),
-        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q"))
-      val lags = s.range(1, PACF_LAGS + 1).select(F.col("id").as("lag"))
-      val shifted = daily.crossJoin(F.broadcast(lags))
-        .select(F.expr("date_add(day, CAST(lag AS INT))").as("day"),
-          F.col("lag"), F.col("cents").as("x_early"))
-      val perLag = daily.join(shifted, "day")
-        .groupBy("lag")
-        .agg(
-          F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) * cents")).as("p"),
-          F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) + cents")).as("ab"))
-      val wideCols = (1 to PACF_LAGS).flatMap { k =>
-        Seq(
-          F.max(F.when(F.col("lag") === k, F.col("p"))).as(s"_p$k"),
-          F.max(F.when(F.col("lag") === k, F.col("ab"))).as(s"_ab$k"))
-      }
-      val wide = perLag.groupBy().agg(wideCols.head, wideCols.tail: _*)
-      var row = glob.crossJoin(F.broadcast(wide))
-        .withColumn("dn", F.expr("CAST(n AS DOUBLE)"))
-        .withColumn("ds", F.expr("CAST(CAST(s AS STRING) AS DOUBLE)"))
-        .withColumn("dq", F.expr("CAST(CAST(q AS STRING) AS DOUBLE)"))
-      for (k <- 1 to PACF_LAGS) {
-        row = row
-          .withColumn(s"dp$k", F.expr(
-            s"CAST(CAST(coalesce(_p$k, CAST(0 AS DECIMAL(38,0)))" +
-              s" AS STRING) AS DOUBLE)"))
-          .withColumn(s"dab$k", F.expr(
-            s"CAST(CAST(coalesce(_ab$k, CAST(0 AS DECIMAL(38,0)))" +
-              s" AS STRING) AS DOUBLE)"))
-          .withColumn(s"r$k", F.expr(rhoExpr(k)))
-      }
+      var row = rhoFrame(s, d)
       for ((name, e) <- durbinLevinson) row = row.withColumn(name, F.expr(e))
       val stacked = (1 to PACF_LAGS).map(k =>
         s"${k}L, round(r$k, 6), round(phi_${k}_$k, 6)").mkString(", ")
@@ -522,21 +571,6 @@ object EvalQueries {
         .orderBy("lag")
     },
     Some {
-      val lagMoments = (1 to PACF_LAGS).map(k =>
-        s"""SELECT $k AS lag,
-           |  sum(CAST(b.cents AS HUGEINT) * a.cents) AS p,
-           |  sum(CAST(b.cents AS HUGEINT) + a.cents) AS ab
-           |FROM daily a JOIN daily b
-           |  ON a.day = b.day + INTERVAL $k DAY""".stripMargin)
-        .mkString("\nUNION ALL\n")
-      val wideCols = (1 to PACF_LAGS).map(k =>
-        s"""CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN p END), 0)
-           |  AS VARCHAR) AS DOUBLE) AS dp$k,
-           |CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN ab END), 0)
-           |  AS VARCHAR) AS DOUBLE) AS dab$k""".stripMargin)
-        .mkString(",\n")
-      val rhoCols = (1 to PACF_LAGS).map(k => s"${rhoExpr(k)} AS r$k")
-        .mkString(",\n")
       val dlCtes = durbinLevinson.zipWithIndex.map { case ((name, e), i) =>
         val prev = if (i == 0) "rho" else s"lv${i - 1}"
         s"lv$i AS (SELECT *, $e AS $name FROM $prev)"
@@ -546,29 +580,113 @@ object EvalQueries {
         s"SELECT $k AS lag, round(r$k, 6) AS rho, " +
           s"round(phi_${k}_$k, 6) AS pacf FROM $last")
         .mkString("\nUNION ALL\n")
-      s"""WITH daily AS (
-         |  SELECT CAST(o_orderdate AS DATE) AS day,
-         |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
-         |              AS BIGINT) AS cents
-         |  FROM orders GROUP BY 1),
-         |gmom AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS dn,
-         |         CAST(CAST(sum(CAST(cents AS HUGEINT)) AS VARCHAR)
-         |              AS DOUBLE) AS ds,
-         |         CAST(CAST(sum(CAST(cents AS HUGEINT) * cents)
-         |              AS VARCHAR) AS DOUBLE) AS dq
-         |  FROM daily),
-         |lagm AS ($lagMoments),
-         |wide AS (SELECT
-         |$wideCols
-         |FROM lagm),
-         |rho AS (SELECT
-         |$rhoCols
-         |FROM gmom, wide),
+      s"""WITH $rhoCtesSql,
          |$dlCtes
          |SELECT CAST(lag AS BIGINT) AS lag, rho, pacf FROM ($rows)
          |ORDER BY lag""".stripMargin
     })
+
+  // ---------------------------------------------------------------- M55
+  /** Ljung-Box portmanteau test at horizon 7 (r13) — the "is this
+    * series autocorrelated AT ALL" gate read before M7/M54's per-lag
+    * structure: Q_LB = n(n+2)·Σ_{k=1..7} ρ̂_k²/(n−k), large Q ⇒ reject
+    * white noise. Shares [[rhoFrame]]'s exact-integer moment machinery
+    * verbatim (one corpus aggregate + a ×7 calendar-bounded pair
+    * frame); the closing sum is the identical double expression in
+    * both engines. Publishes h, Q, the χ²₀.₉₅(7) literal both engines
+    * compare against, and the reject flag computed on the ROUNDED Q so
+    * the decision is engine-identical. */
+  private val ljungBox = QueryDef(
+    "ljung_box",
+    (s, d) => {
+      val terms = (1 to PACF_LAGS)
+        .map(k => s"r$k * r$k / (dn - $k)").mkString(" + ")
+      rhoFrame(s, d)
+        .withColumn("_q", F.expr(s"round(dn * (dn + 2) * ($terms), 6)"))
+        .select(F.lit(PACF_LAGS.toLong).as("h"),
+          F.col("n").as("n_days"),
+          F.col("_q").as("q_lb"),
+          F.lit(14.067140).as("chi2_crit_95"),
+          F.expr("CAST(CASE WHEN _q > 14.067140 THEN 1 ELSE 0 END" +
+            " AS BIGINT)").as("reject_white_noise"))
+    },
+    Some {
+      val terms = (1 to PACF_LAGS)
+        .map(k => s"r$k * r$k / (dn - $k)").mkString(" + ")
+      s"""WITH $rhoCtesSql,
+         |q AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |f AS (SELECT round(dn * (dn + 2) * ($terms), 6) AS q_lb, n_days
+         |      FROM rho, q)
+         |SELECT CAST($PACF_LAGS AS BIGINT) AS h, n_days, q_lb,
+         |       CAST(14.067140 AS DOUBLE) AS chi2_crit_95,
+         |       CAST(CASE WHEN q_lb > 14.067140 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS reject_white_noise
+         |FROM f""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- M57
+  /** Durbin-Watson statistic on the mean-centered daily revenue series
+    * (r13) — the lag-1 serial-correlation read (DW ≈ 2(1−ρ₁); < 2 ⇒
+    * positive autocorrelation) on the classical successive-difference
+    * form, the companion every regression report prints beside M55's
+    * portmanteau: DW = Σ(x_t − x_{t−1})² / Σ(x_t − x̄)² — the mean
+    * cancels in the numerator differences, so DW = n·ΣΔ² / (nQ − S²)
+    * with ΣΔ² over ADJACENT observed days (date-arithmetic pairing;
+    * calendar gaps break adjacency and the pair count is published).
+    * Exact DECIMAL(38,0)/HUGEINT moments, ONE string-routed closing
+    * division; zero-variance guard. One corpus aggregate to the
+    * calendar frame + one lag-1 equi-join on it. */
+  private val durbinWatson = QueryDef(
+    "durbin_watson",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val glob = daily.agg(
+        F.count(F.lit(1)).as("n_days"),
+        F.sum(F.col("cents").cast(DecimalType(38, 0))).as("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q"))
+      val diffs = daily.join(
+          daily.select(F.expr("date_add(day, 1)").as("day"),
+            F.col("cents").as("prev")), "day")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.coalesce(F.sum(F.expr(
+            "CAST(cents - prev AS DECIMAL(38,0)) * (cents - prev)")),
+            F.expr("CAST(0 AS DECIMAL(38,0))")).as("dd"))
+      glob.crossJoin(F.broadcast(diffs))
+        .select(F.col("n_days"), F.col("n_pairs"),
+          F.expr("""CASE WHEN CAST(n_days AS DECIMAL(38,0)) * q - s * s = 0
+            |THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(CAST(n_days AS DOUBLE)
+            |           * CAST(CAST(dd AS STRING) AS DOUBLE)
+            |           / CAST(CAST(CAST(n_days AS DECIMAL(38,0)) * q
+            |                       - s * s AS STRING) AS DOUBLE), 6)
+            |END""".stripMargin).as("dw"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   sum(CAST(cents AS HUGEINT)) AS s,
+                   sum(CAST(cents AS HUGEINT) * cents) AS q
+            FROM daily),
+      df AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                    coalesce(sum(CAST(a.cents - b.cents AS HUGEINT)
+                                 * (a.cents - b.cents)), 0) AS dd
+             FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY)
+      SELECT n_days, n_pairs,
+             CASE WHEN CAST(n_days AS HUGEINT) * q - s * s = 0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE round(CAST(n_days AS DOUBLE)
+                          * CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(CAST(n_days AS HUGEINT) * q - s * s
+                                      AS VARCHAR) AS DOUBLE), 6)
+             END AS dw
+      FROM g, df"""))
 
   // ---------------------------------------------------------------- M14
   /** Precision–recall curve from SCORE-GROUPED counts (M1's histogram
@@ -1147,5 +1265,5 @@ object EvalQueries {
     ksDrift, giniConcentration, seasonalityDow, autocorrLag,
     evalPrCurve, evalPrAuc, evalConfusion, evalBrier,
     conformalThreshold, powerSampleSize, ipsEval, fairnessAudit,
-    drEval, calibrationEce, pacfLags)
+    drEval, calibrationEce, pacfLags, ljungBox, durbinWatson)
 }

@@ -1278,8 +1278,186 @@ object NonparamQueries {
                   ELSE 'large' END AS magnitude
       FROM f ORDER BY n1"""))
 
+  // ---------------------------------------------------------------- M56
+  /** Cohen's κ between the two M41 keep/drop rules as raters (r13) —
+    * the TWO-rater chance-corrected agreement completing the family
+    * (M41 mcnemar: did swapping change decisions systematically; M49
+    * Fleiss: 3+ raters; this: how much do two specific rules agree
+    * beyond chance — the number a curation team reads before swapping
+    * rule A for rule B). Same paired cells as mcnemar from ONE
+    * map-side-combined pass (n11 both-keep, n10 A-only, n01 B-only,
+    * n00 neither); κ = (N·(n11+n00) − pe) / (N² − pe) with
+    * pe = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — all exact
+    * DECIMAL(38,0)/HUGEINT (cell products square past int64 at corpus
+    * scale), ONE string-routed closing division, perfect-agreement /
+    * degenerate-marginal guard (N² = pe ⇒ κ defined as 0). */
+  private val cohensKappa = QueryDef(
+    "cohens_kappa",
+    (s, d) => {
+      t(s, d, "documents")
+        .select(
+          F.expr("CASE WHEN n_chars >= 200 THEN 1L ELSE 0L END").as("a"),
+          F.expr("CASE WHEN regexp_count(text, '[a-z0-9]+') >= 40" +
+            " THEN 1L ELSE 0L END").as("b"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1L ELSE 0L END"))
+            .as("n11"),
+          F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1L ELSE 0L END"))
+            .as("n10"),
+          F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1L ELSE 0L END"))
+            .as("n01"),
+          F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1L ELSE 0L END"))
+            .as("n00"))
+        .withColumn("_pe", F.expr(
+          """CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+            |+ CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)"""
+            .stripMargin))
+        .withColumn("_den", F.expr(
+          "CAST(n_docs AS DECIMAL(38,0)) * n_docs - _pe"))
+        .select(F.col("n_docs"), F.col("n11"), F.col("n10"),
+          F.col("n01"), F.col("n00"),
+          F.expr("""CASE WHEN _den = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE round(CAST(CAST(CAST(n_docs AS DECIMAL(38,0))
+            |                      * (n11 + n00) - _pe AS STRING)
+            |                AS DOUBLE)
+            |           / CAST(CAST(_den AS STRING) AS DOUBLE), 6) END"""
+            .stripMargin).as("kappa"))
+        .orderBy("n_docs")
+    },
+    Some("""
+      WITH p AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 40
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n11,
+                     CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n10,
+                     CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n01,
+                     CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n00
+              FROM p),
+      k AS (SELECT n_docs, n11, n10, n01, n00,
+                   CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                   + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe,
+                   CAST(n_docs AS HUGEINT) * n_docs
+                   - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS den
+            FROM agg)
+      SELECT n_docs, n11, n10, n01, n00,
+             CASE WHEN den = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE round(CAST(CAST(CAST(n_docs AS HUGEINT) * (n11 + n00)
+                                    - pe AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(den AS VARCHAR) AS DOUBLE), 6)
+             END AS kappa
+      FROM k ORDER BY n_docs"""))
+
+  // ---------------------------------------------------------------- M58
+  /** Wald–Wolfowitz runs test on the direction of day-over-day revenue
+    * moves (r13) — the RANDOMNESS gate beside M55's autocorrelation
+    * read (a series can pass Ljung-Box yet alternate suspiciously;
+    * runs counts the actual up/down streak structure): signs of
+    * cents_t − cents_{t−1} over adjacent OBSERVED days (zeros dropped
+    * per the classical test, counted), R = 1 + #(sign changes between
+    * CONSECUTIVE elements of the filtered sequence), z = (R − μ)/σ
+    * with μ = 2n₁n₂/n + 1 and σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+    *
+    * Scale shape: one corpus aggregate to the calendar frame; sequence
+    * adjacency via [[graft.operators.DistRank.globalRowNumber]] + an
+    * rn+1 self-join (M45's pattern — never a global lag() window);
+    * R, n₁, n₂ exact integers, z one closing double from string-routed
+    * operands, degenerate guard (σ² ≤ 0 ⇒ 0). */
+  private val runsTest = QueryDef(
+    "runs_test",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val diffs = daily.join(
+          daily.select(F.expr("date_add(day, 1)").as("day"),
+            F.col("cents").as("prev")), "day")
+        .select(F.col("day"),
+          F.expr("CAST(sign(cents - prev) AS BIGINT)").as("sgn"))
+      val zeros = diffs.agg(F.coalesce(
+        F.sum(F.expr("CASE WHEN sgn = 0 THEN 1L ELSE 0L END")), F.lit(0L))
+        .as("n_zero"))
+      val seq0 = graft.operators.DistRank.globalRowNumber(
+        diffs.where(F.col("sgn") =!= 0), "rn", F.col("day").asc)
+      val nxt = seq0.select(F.expr("rn - 1").as("rn"),
+        F.col("sgn").as("_next"))
+      val changes = seq0.join(nxt, "rn")
+        .agg(F.coalesce(F.sum(F.expr(
+          "CASE WHEN sgn <> _next THEN 1L ELSE 0L END")), F.lit(0L))
+          .as("n_changes"))
+      seq0.agg(
+          F.coalesce(F.sum(F.expr("CASE WHEN sgn = 1 THEN 1L ELSE 0L END")),
+            F.lit(0L)).as("n_up"),
+          F.coalesce(F.sum(F.expr("CASE WHEN sgn = -1 THEN 1L ELSE 0L END")),
+            F.lit(0L)).as("n_down"))
+        .crossJoin(F.broadcast(changes))
+        .crossJoin(F.broadcast(zeros))
+        .withColumn("runs", F.expr(
+          "CASE WHEN n_up + n_down = 0 THEN 0L ELSE n_changes + 1 END"))
+        .select(F.col("n_up"), F.col("n_down"), F.col("n_zero"),
+          F.col("runs"),
+          F.expr("""CASE WHEN n_up + n_down < 2 OR n_up = 0 OR n_down = 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(runs AS DOUBLE)
+            |        - (2.0 * n_up * n_down
+            |           / (CAST(n_up AS DOUBLE) + n_down) + 1))
+            |      / sqrt(2.0 * n_up * n_down
+            |             * (2.0 * n_up * n_down - n_up - n_down)
+            |             / ((CAST(n_up AS DOUBLE) + n_down)
+            |                * (CAST(n_up AS DOUBLE) + n_down)
+            |                * (CAST(n_up AS DOUBLE) + n_down - 1))), 6)
+            |END""".stripMargin).as("z"))
+        .orderBy("runs")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      df AS (SELECT a.day, CAST(sign(a.cents - b.cents) AS BIGINT) AS sgn
+             FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY),
+      z0 AS (SELECT CAST(coalesce(sum(CASE WHEN sgn = 0 THEN 1 END), 0)
+                         AS BIGINT) AS n_zero FROM df),
+      sq AS (SELECT sgn, row_number() OVER (ORDER BY day) AS rn
+             FROM df WHERE sgn <> 0),
+      ch AS (SELECT CAST(coalesce(sum(CASE WHEN a.sgn <> b.sgn THEN 1 END),
+                                  0) AS BIGINT) AS n_changes
+             FROM sq a JOIN sq b ON b.rn = a.rn + 1),
+      ag AS (SELECT CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 END), 0)
+                         AS BIGINT) AS n_up,
+                    CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 END), 0)
+                         AS BIGINT) AS n_down
+             FROM sq),
+      f AS (SELECT n_up, n_down, n_zero,
+                   CASE WHEN n_up + n_down = 0 THEN 0
+                        ELSE n_changes + 1 END AS runs
+            FROM ag, ch, z0)
+      SELECT n_up, n_down, n_zero, CAST(runs AS BIGINT) AS runs,
+             CASE WHEN n_up + n_down < 2 OR n_up = 0 OR n_down = 0
+               THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(runs AS DOUBLE)
+                       - (2.0 * n_up * n_down
+                          / (CAST(n_up AS DOUBLE) + n_down) + 1))
+                     / sqrt(2.0 * n_up * n_down
+                            * (2.0 * n_up * n_down - n_up - n_down)
+                            / ((CAST(n_up AS DOUBLE) + n_down)
+                               * (CAST(n_up AS DOUBLE) + n_down)
+                               * (CAST(n_up AS DOUBLE) + n_down - 1))), 6)
+             END AS z
+      FROM f ORDER BY runs"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
       friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
-      wasserstein1, fleissKappa, simpsonsCheck, cliffsDelta)
+      wasserstein1, fleissKappa, simpsonsCheck, cliffsDelta, cohensKappa,
+      runsTest)
 }

@@ -417,6 +417,29 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("chi2_cc") - expect) < 1e-5)
   }
 
+  test("cohens_kappa matches a brute-force paired-rule replay") {
+    val row = q("cohens_kappa").collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).as("nw"))
+      .collect().map(r => (r.getLong(0) >= 200, r.getInt(1) >= 40))
+    val n = docs.length.toDouble
+    val n11 = docs.count { case (a, b) => a && b }.toDouble
+    val n10 = docs.count { case (a, b) => a && !b }.toDouble
+    val n01 = docs.count { case (a, b) => !a && b }.toDouble
+    val n00 = docs.count { case (a, b) => !a && !b }.toDouble
+    assert(row.getAs[Long]("n11") == n11.toLong &&
+      row.getAs[Long]("n10") == n10.toLong &&
+      row.getAs[Long]("n01") == n01.toLong &&
+      row.getAs[Long]("n00") == n00.toLong)
+    // textbook κ = (po − pe)/(1 − pe)
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    val expect = if (pe == 1.0) 0.0 else (po - pe) / (1 - pe)
+    assert(math.abs(row.getAs[Double]("kappa") - expect) < 1e-5,
+      s"kappa ${row.getAs[Double]("kappa")} vs $expect")
+  }
+
   test("cochran_q matches a brute-force three-rule replay") {
     val row = q("cochran_q").collect().head
     val docs = spark.read.parquet(s"$sf/documents.parquet")

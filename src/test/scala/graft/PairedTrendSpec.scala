@@ -193,4 +193,73 @@ class PairedTrendSpec extends SparkSpec {
       }
     }
   }
+
+  /** Daily cent sums keyed by REAL epoch day (calendar gaps preserved). */
+  private def dailyOf(rows: Seq[(Int, Int, String, Long)]): Map[Int, Long] =
+    rows.groupBy(r => (r._1, r._2)).map { case ((m, day), rs) =>
+      java.time.LocalDate.of(1995, m, day).toEpochDay.toInt ->
+        rs.map(_._4).sum }
+
+  test("ljung_box, durbin_watson and runs_test match first-principles " +
+    "replays on random gapped series") {
+    for (seed <- 1L to 6L) {
+      val rows = genOrders(seed * 71)
+      val dir = writeDir(rows)
+      val daily = dailyOf(rows)
+      val n = daily.size.toDouble
+      val s0 = daily.values.map(_.toDouble).sum
+      val q = daily.values.map(c => c.toDouble * c).sum
+      // --- ljung_box: n(n+2)·Σ ρ_k²/(n−k) over the M54-replay rho
+      val den = n * n * q - n * s0 * s0
+      val rho = (1 to 7).map { k =>
+        val pairs = daily.toSeq.flatMap { case (t, x) =>
+          daily.get(t + k).map(y => (x, y)) }
+        val p = pairs.map { case (x, y) => x.toDouble * y }.sum
+        val ab = pairs.map { case (x, y) => x.toDouble + y }.sum
+        if (den == 0) 0.0
+        else (n * n * p - n * s0 * ab + (n - k) * s0 * s0) / den
+      }
+      val qlb = n * (n + 2) * (1 to 7).map(k => {
+        val r = rho(k - 1); r * r / (n - k) }).sum
+      val lb = SparkEntry.queries("ljung_box")(spark, dir).collect().head
+      assert(lb.getAs[Long]("n_days") == daily.size.toLong, s"seed $seed n")
+      assert(math.abs(lb.getAs[Double]("q_lb") - qlb) < 1e-4,
+        s"seed $seed q_lb ${lb.getAs[Double]("q_lb")} vs $qlb")
+      assert(lb.getAs[Long]("reject_white_noise") ==
+        (if (lb.getAs[Double]("q_lb") > 14.067140) 1L else 0L))
+      // --- durbin_watson: n·ΣΔ²/(nQ − S²) over adjacent observed days
+      val adj = daily.toSeq.flatMap { case (t, x) =>
+        daily.get(t + 1).map(y => (x, y)) }
+      val dd = adj.map { case (prev, cur) =>
+        (cur - prev).toDouble * (cur - prev) }.sum
+      val dw = SparkEntry.queries("durbin_watson")(spark, dir)
+        .collect().head
+      assert(dw.getAs[Long]("n_pairs") == adj.length.toLong, s"seed $seed")
+      val dwExpect = if (den / n == 0) 0.0 else n * dd / (n * q - s0 * s0)
+      assert(math.abs(dw.getAs[Double]("dw") - dwExpect) < 1e-5,
+        s"seed $seed dw ${dw.getAs[Double]("dw")} vs $dwExpect")
+      // --- runs_test: runs over the zero-dropped sign sequence
+      val signs = daily.toSeq.sortBy(_._1).sliding(2).collect {
+        case Seq((t1, x1), (t2, x2)) if t2 == t1 + 1 =>
+          math.signum((x2 - x1).toDouble).toLong
+      }.toSeq
+      val nz = signs.filter(_ != 0)
+      val (n1, n2) = (nz.count(_ == 1L).toDouble, nz.count(_ == -1L).toDouble)
+      val runs = if (nz.isEmpty) 0L
+        else 1L + nz.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+      val rt = SparkEntry.queries("runs_test")(spark, dir).collect().head
+      assert(rt.getAs[Long]("n_up") == n1.toLong &&
+        rt.getAs[Long]("n_down") == n2.toLong, s"seed $seed counts")
+      assert(rt.getAs[Long]("n_zero") == signs.count(_ == 0L).toLong)
+      assert(rt.getAs[Long]("runs") == runs, s"seed $seed runs")
+      val nn = n1 + n2
+      if (nn >= 2 && n1 > 0 && n2 > 0) {
+        val mu = 2 * n1 * n2 / nn + 1
+        val va = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+        val z = (runs - mu) / math.sqrt(va)
+        assert(math.abs(rt.getAs[Double]("z") - z) < 1e-5,
+          s"seed $seed z ${rt.getAs[Double]("z")} vs $z")
+      } else assert(rt.getAs[Double]("z") == 0.0, s"seed $seed z guard")
+    }
+  }
 }
