@@ -389,7 +389,109 @@ object CurationQueries {
       FROM c, tt ORDER BY bin"""
     })
 
+  // ---------------------------------------------------------------- E79
+  /** Heaps-law vocabulary growth curve (r13) — V(N) at ten corpus-prefix
+    * checkpoints, the dedup/diversity health read E11's single global
+    * TTR can't give (a template-spammed corpus flattens early; a
+    * healthy crawl keeps V(N) ≈ K·N^β growing): docs ranked by doc_id
+    * ([[graft.operators.DistRank.globalRowNumber]] — the ingest order a
+    * production corpus has anyway), decile buckets via the exact
+    * ntile arithmetic ([[graft.operators.DistRank.ntileExpr]]), per
+    * decile the CUMULATIVE docs, token volume, vocabulary (terms whose
+    * FIRST occurrence rank falls at or before the checkpoint — one
+    * map-side-combined min per term, never a distinct per prefix) and
+    * exact-ppm type-token ratio.
+    *
+    * Scale shape: one rank pass, one token explode, one min-per-term
+    * aggregate — all corpus-linear; buckets/cumulation are 10-row
+    * metadata (broadcast non-equi join). Publishes exact integers
+    * only. */
+  private val vocabGrowth = QueryDef(
+    "vocab_growth",
+    (s, d) => {
+      import graft.operators.DistRank
+      val docs = t(s, d, "documents")
+      val rk = DistRank.globalRowNumber(
+        docs.select("doc_id"), "rn", F.col("doc_id").asc)
+      val tot = rk.agg(F.count(F.lit(1)).as("dd"))
+      val bk = rk.crossJoin(F.broadcast(tot))
+        .select(F.col("doc_id"), F.col("rn"),
+          DistRank.ntileExpr("rn", "dd", 10).as("bucket"))
+      val tok = docs.select(F.col("doc_id"),
+        F.explode(graft.operators.TextOps.tokens(F.col("text"))).as("term"))
+      val dtok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).as("nt"))
+        .join(bk.select("doc_id", "bucket"), "doc_id")
+        .groupBy("bucket").agg(F.sum("nt").as("n_toks"))
+      val ddocs = bk.groupBy("bucket").agg(F.count(F.lit(1)).as("n_docs"))
+      val tvocab = tok.join(bk.select("doc_id", "rn"), "doc_id")
+        .groupBy("term").agg(F.min("rn").as("frn"))
+        .crossJoin(F.broadcast(tot))
+        .select(DistRank.ntileExpr("frn", "dd", 10).as("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).as("n_new"))
+      val perBucket = ddocs
+        .join(dtok, Seq("bucket"), "full")
+        .join(tvocab, Seq("bucket"), "full")
+        .na.fill(0L, Seq("n_docs", "n_toks", "n_new"))
+      s.range(1, 11).select(F.col("id").as("decile"))
+        .join(F.broadcast(perBucket), F.col("bucket") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("n_docs").as("n_docs_cum"),
+          F.sum("n_toks").as("n_tokens_cum"),
+          F.sum("n_new").as("vocab_cum"))
+        .select(F.col("decile"), F.col("n_docs_cum"),
+          F.col("n_tokens_cum"), F.col("vocab_cum"),
+          F.expr("""CASE WHEN n_tokens_cum = 0 THEN 0L
+            |ELSE vocab_cum * 1000000L div n_tokens_cum END"""
+            .stripMargin).as("ttr_ppm"))
+        .orderBy("decile")
+    },
+    Some {
+      // exact ntile(10) arithmetic over (rank rn, total dd) — the SQL
+      // mirror of DistRank.ntileExpr with `div` → `//`
+      def ntileSql(rn: String): String =
+        s"""CASE WHEN $rn <= (dd % 10) * (dd // 10 + 1)
+           |THEN ($rn - 1) // (dd // 10 + 1) + 1
+           |ELSE (dd % 10) +
+           |  ($rn - (dd % 10) * (dd // 10 + 1) - 1) // (dd // 10) + 1
+           |END""".stripMargin
+      s"""WITH rk AS (SELECT doc_id,
+           |             row_number() OVER (ORDER BY doc_id) AS rn
+           |           FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+         |bk AS (SELECT doc_id, rn, ${ntileSql("rn")} AS bucket
+         |       FROM rk, tot),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dtok AS (SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_toks
+         |         FROM tok JOIN bk b USING (doc_id) GROUP BY 1),
+         |ddocs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |          FROM bk GROUP BY 1),
+         |tfirst AS (SELECT term, min(rn) AS frn
+         |           FROM tok JOIN rk USING (doc_id) GROUP BY 1),
+         |tvocab AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+         |           FROM (SELECT ${ntileSql("frn")} AS bucket
+         |                 FROM tfirst, tot) GROUP BY 1),
+         |pb AS (SELECT coalesce(d.bucket, t2.bucket, v.bucket) AS bucket,
+         |              coalesce(n_docs, 0) AS n_docs,
+         |              coalesce(n_toks, 0) AS n_toks,
+         |              coalesce(n_new, 0) AS n_new
+         |       FROM ddocs d
+         |       FULL JOIN dtok t2 ON d.bucket = t2.bucket
+         |       FULL JOIN tvocab v ON coalesce(d.bucket, t2.bucket)
+         |                             = v.bucket)
+         |SELECT CAST(g.decile AS BIGINT) AS decile,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_docs_cum,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens_cum,
+         |       CAST(sum(n_new) AS BIGINT) AS vocab_cum,
+         |       CASE WHEN sum(n_toks) = 0 THEN 0
+         |            ELSE CAST(sum(n_new) * 1000000 // sum(n_toks)
+         |                      AS BIGINT) END AS ttr_ppm
+         |FROM generate_series(1, 10) AS g(decile)
+         |JOIN pb ON pb.bucket <= g.decile
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qualityRules, textRepetition, contamination, packBins, domainMix,
-    keywordTfidf, termBurstiness, contaminationSweep, qualityDrift)
+    keywordTfidf, termBurstiness, contaminationSweep, qualityDrift,
+    vocabGrowth)
 }

@@ -196,4 +196,56 @@ class CurationSpec extends SparkSpec {
     assert(r2(1L) == 1.0 && r2(4L) == 2.0)
     graft.operators.CacheScope.release(spark)
   }
+
+  test("vocab_growth matches a brute-force prefix replay (exact ntile " +
+    "buckets, first-occurrence vocabulary)") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val dd = docs.length
+    def bucket(rn: Int): Int = { // exact SQL ntile(10)
+      val q = dd / 10; val r = dd % 10
+      if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+      else r + (rn - r * (q + 1) - 1) / q + 1
+    }
+    // mirror Spark's split(lower, ' +') exactly: limit -1 keeps leading
+    // AND trailing empty tokens (java default limit 0 would drop the
+    // trailing ones)
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split(" +", -1).toSeq
+    val firstSeen = scala.collection.mutable.Map.empty[String, Int]
+    val perBucket = Array.fill(11)((0L, 0L, 0L)) // docs, toks, newTerms
+    docs.zipWithIndex.foreach { case ((_, text), i) =>
+      val b = bucket(i + 1)
+      val ts = toks(text)
+      var newTerms = 0L
+      ts.foreach { t =>
+        if (!firstSeen.contains(t)) { firstSeen(t) = b; newTerms += 1 }
+      }
+      val (d0, t0, v0) = perBucket(b)
+      perBucket(b) = (d0 + 1, t0 + ts.length, v0 + newTerms)
+    }
+    val got = SparkEntry.queries("vocab_growth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    var (cd, ct, cv) = (0L, 0L, 0L)
+    for (dec <- 1 to 10) {
+      val (d0, t0, v0) = perBucket(dec)
+      cd += d0; ct += t0; cv += v0
+      val (gd, gt, gv, gttr) = got(dec.toLong)
+      assert(gd == cd && gt == ct && gv == cv,
+        s"decile $dec: ($gd,$gt,$gv) vs ($cd,$ct,$cv)")
+      assert(gttr == (if (ct == 0) 0L else cv * 1000000L / ct),
+        s"decile $dec ttr")
+    }
+    // sanity: cumulative vocabulary is monotone and TTR non-increasing
+    // (sub-linear Heaps growth; the tiny synthetic vocab saturates in
+    // decile 1, which is exactly the flattening the curve reports)
+    for (dec <- 2 to 10) {
+      assert(got(dec.toLong)._3 >= got(dec.toLong - 1)._3, s"monotone $dec")
+      assert(got(dec.toLong)._4 <= got(dec.toLong - 1)._4, s"ttr $dec")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
 }
