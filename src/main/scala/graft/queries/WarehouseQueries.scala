@@ -888,9 +888,81 @@ object WarehouseQueries {
       FROM p, nb WHERE n >= 2
       ORDER BY n DESC, part_a, part_b LIMIT 50"""))
 
+  // ---------------------------------------------------------------- C91
+  /** Association rules over the co-purchase baskets (r13) — the
+    * support/confidence/lift triple completing C49's support-only read
+    * (support says the pair is common; CONFIDENCE says "given a, how
+    * often b" — the cross-sell direction; LIFT says whether the pair
+    * beats independence — the number a recommender thresholds on):
+    * per unordered pair, supp = n_ab/N, conf(a→b) = n_ab/n_a,
+    * conf(b→a) = n_ab/n_b, lift = N·n_ab/(n_a·n_b) — ALL exact
+    * integer micros (the lift numerator rides DECIMAL(38,0)/HUGEINT:
+    * n_ab·N·10⁶ squares past int64 at corpus scale), min-support
+    * n_ab ≥ 3, top-50 by (lift DESC, part_a, part_b) — deterministic
+    * ranked read.
+    *
+    * Scale shape: pair counts read the STAGED weighted edge list
+    * ([[Staged.coPurchaseWeights]] — the build C49 prices live);
+    * per-part basket counts are one map-side-combined aggregate on the
+    * distinct (order, part) frame; the rule math is per-pair-row
+    * arithmetic, the ranked cut a bounded TopK. */
+  private val assocRules = QueryDef(
+    "assoc_rules",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+        .distinct()
+      val baskets = li.agg(
+        F.countDistinct(F.col("ok")).as("n_baskets"))
+      val perPart = li.groupBy("pk").agg(F.count(F.lit(1)).as("n_one"))
+      val pairs = Staged.coPurchaseWeights(s, d)
+        .select(F.col("pa").as("part_a"), F.col("pb").as("part_b"),
+          F.col("w").as("n_ab"))
+        .where(F.col("n_ab") >= 3)
+      pairs
+        .join(perPart.select(F.col("pk").as("part_a"),
+          F.col("n_one").as("n_a")), "part_a")
+        .join(perPart.select(F.col("pk").as("part_b"),
+          F.col("n_one").as("n_b")), "part_b")
+        .crossJoin(F.broadcast(baskets))
+        .select(F.col("part_a"), F.col("part_b"), F.col("n_ab"),
+          F.col("n_a"), F.col("n_b"),
+          F.expr("n_ab * 1000000L div n_baskets").as("support_micro"),
+          F.expr("n_ab * 1000000L div n_a").as("conf_ab_micro"),
+          F.expr("n_ab * 1000000L div n_b").as("conf_ba_micro"),
+          F.expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000
+            |div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+            .stripMargin).as("lift_micro"))
+        .orderBy(F.col("lift_micro").desc, F.col("part_a"),
+          F.col("part_b"))
+        .limit(50)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+             FROM li),
+      pp AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_one
+             FROM li GROUP BY 1),
+      pr AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                    CAST(count(*) AS BIGINT) AS n_ab
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT part_a, part_b, n_ab,
+             pa.n_one AS n_a, pb.n_one AS n_b,
+             CAST(n_ab * 1000000 // n_baskets AS BIGINT) AS support_micro,
+             CAST(n_ab * 1000000 // pa.n_one AS BIGINT) AS conf_ab_micro,
+             CAST(n_ab * 1000000 // pb.n_one AS BIGINT) AS conf_ba_micro,
+             CAST(CAST(n_ab AS HUGEINT) * n_baskets * 1000000
+                  // (CAST(pa.n_one AS HUGEINT) * pb.n_one) AS BIGINT)
+               AS lift_micro
+      FROM pr JOIN pp pa ON pa.pk = pr.part_a
+              JOIN pp pb ON pb.pk = pr.part_b, nb
+      ORDER BY lift_micro DESC, part_a, part_b LIMIT 50"""))
+
   def all: Seq[QueryDef] = Seq(
     scd2Build, attributionLinear, runningDistinct, anomalyMad,
     qualityClassifier, cdcMerge, markovTransitions, kAnonymity,
     tCloseness, scd2Asof, pmiCooccur, rollingMedian, driftPsi, trendFit,
-    rfm, basketAffinity, attributionPosition, dpRelease)
+    rfm, basketAffinity, attributionPosition, dpRelease, assocRules)
 }

@@ -188,4 +188,35 @@ class WarehouseSpec extends SparkSpec {
       .map(_.getLong(2)).sum
     assert(correct.toDouble / n > 0.5, s"accuracy ${correct.toDouble / n}")
   }
+
+  test("assoc_rules matches a brute-force support/confidence/lift " +
+    "replay on the real baskets") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val perPart = li.groupBy(_._2).map { case (pk, xs) =>
+      pk -> xs.length.toLong }
+    val pairCnt = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p2, xs) => p2 -> xs.size.toLong }
+    val expect = pairCnt.toSeq.collect {
+      case ((a, b), nab) if nab >= 3 =>
+        val (na, nb2) = (perPart(a), perPart(b))
+        val lift = (BigInt(nab) * nBaskets * 1000000 /
+          (BigInt(na) * nb2)).toLong
+        (a, b, nab, na, nb2,
+          nab * 1000000L / nBaskets, nab * 1000000L / na,
+          nab * 1000000L / nb2, lift)
+    }.sortBy(x => (-x._9, x._1, x._2)).take(50)
+    val got = SparkEntry.queries("assoc_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(got.length == expect.length, s"${got.length} vs ${expect.length}")
+    (got zip expect).foreach { case (g, e) => assert(g == e, s"$g vs $e") }
+    graft.operators.CacheScope.release(spark)
+  }
 }
