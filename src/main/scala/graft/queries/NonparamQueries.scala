@@ -158,7 +158,13 @@ object NonparamQueries {
             |THEN CAST(0.0 AS DOUBLE) ELSE
             |round((CAST(CAST(_ssb AS STRING) AS DOUBLE) * (n_rows - k_groups))
             |      / (CAST(CAST(_ssw AS STRING) AS DOUBLE) * (k_groups - 1)),
-            |      6) END""".stripMargin).as("f_stat"))
+            |      6) END""".stripMargin).as("f_stat"),
+          // η² = SSB/SST — the variance-explained EFFECT SIZE the F's
+          // significance answers for (r13, the r12 verdict's "how big"
+          // theme): exact integer ratio in ppm, one integral division
+          F.expr("""CASE WHEN _ssb + _ssw <= 0 THEN 0L ELSE
+            |CAST(_ssb * 1000000 div (_ssb + _ssw) AS BIGINT) END"""
+            .stripMargin).as("eta_sq_ppm"))
         .orderBy("k_groups")
     },
     Some("""
@@ -189,7 +195,10 @@ object NonparamQueries {
                round((CAST(CAST(ssb_x AS VARCHAR) AS DOUBLE)
                        * (n_rows - k_groups))
                      / (CAST(CAST(ssw_x AS VARCHAR) AS DOUBLE)
-                        * (k_groups - 1)), 6) END AS f_stat
+                        * (k_groups - 1)), 6) END AS f_stat,
+             CASE WHEN ssb_x + ssw_x <= 0 THEN 0 ELSE
+               CAST(ssb_x * 1000000 // (ssb_x + ssw_x) AS BIGINT)
+             END AS eta_sq_ppm
       FROM f ORDER BY k_groups"""))
 
   // ---------------------------------------------------------------- M35
@@ -1455,9 +1464,159 @@ object NonparamQueries {
              END AS z
       FROM f ORDER BY runs"""))
 
+  // ---------------------------------------------------------------- M59
+  /** Cohen's d (and Hedges' g) between the M33 arms on quantity (r13)
+    * — the PARAMETRIC effect size beside M53's ordinal Cliff's δ (δ is
+    * robust; d is the unit a power analysis and the meta-analysis
+    * literature speak): d = (m₁ − m₂)/s_pooled with
+    * s²_pooled = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2), g = d·J with the
+    * small-sample correction J = 1 − 3/(4(n₁+n₂) − 9). Exact
+    * DECIMAL(38,0)/HUGEINT moments (n, Σx, Σx² per arm) from ONE
+    * map-side-combined pass; the closing formula is the identical
+    * double expression in both engines (string-routed operands),
+    * degenerate guards. */
+  private val cohensD = QueryDef(
+    "cohens_d",
+    (s, d) => {
+      t(s, d, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(F.col("l_quantity").cast("long").as("q"),
+          F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"))
+        .agg(
+          F.sum("i1").as("n1"),
+          F.sum(F.expr("1 - i1")).as("n2"),
+          F.sum(F.expr("CAST(i1 * q AS DECIMAL(38,0))")).as("s1"),
+          F.sum(F.expr("CAST((1 - i1) * q AS DECIMAL(38,0))")).as("s2"),
+          F.sum(F.expr("CAST(i1 AS DECIMAL(38,0)) * q * q")).as("q1"),
+          F.sum(F.expr("CAST(1 - i1 AS DECIMAL(38,0)) * q * q")).as("q2"))
+        .withColumn("dn1", F.expr("CAST(n1 AS DOUBLE)"))
+        .withColumn("dn2", F.expr("CAST(n2 AS DOUBLE)"))
+        .withColumn("ds1", F.expr("CAST(CAST(s1 AS STRING) AS DOUBLE)"))
+        .withColumn("ds2", F.expr("CAST(CAST(s2 AS STRING) AS DOUBLE)"))
+        .withColumn("dq1", F.expr("CAST(CAST(q1 AS STRING) AS DOUBLE)"))
+        .withColumn("dq2", F.expr("CAST(CAST(q2 AS STRING) AS DOUBLE)"))
+        .withColumn("_d", F.expr(
+          """CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+            |(ds1 / dn1 - ds2 / dn2)
+            |/ sqrt(((dq1 - ds1 * ds1 / dn1) + (dq2 - ds2 * ds2 / dn2))
+            |       / (dn1 + dn2 - 2)) END""".stripMargin))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("round(_d, 6)").as("cohens_d"),
+          F.expr("""round(_d * (CAST(1 AS DOUBLE)
+            |- 3 / (4 * (dn1 + dn2) - 9)), 6)""".stripMargin)
+            .as("hedges_g"))
+        .orderBy("n1")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                   ELSE 0 END) AS s1,
+               sum(CASE WHEN l_returnflag = 'N'
+                   THEN CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                   ELSE 0 END) AS s2,
+               sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                        * CAST(l_quantity AS BIGINT) ELSE 0 END) AS q1,
+               sum(CASE WHEN l_returnflag = 'N'
+                   THEN CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                        * CAST(l_quantity AS BIGINT) ELSE 0 END) AS q2
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      b AS (SELECT n1, n2,
+                   CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+                   CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS ds1,
+                   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS ds2,
+                   CAST(CAST(q1 AS VARCHAR) AS DOUBLE) AS dq1,
+                   CAST(CAST(q2 AS VARCHAR) AS DOUBLE) AS dq2
+            FROM a),
+      c AS (SELECT n1, n2, dn1, dn2,
+                   CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+                     (ds1 / dn1 - ds2 / dn2)
+                     / sqrt(((dq1 - ds1 * ds1 / dn1)
+                             + (dq2 - ds2 * ds2 / dn2))
+                            / (dn1 + dn2 - 2)) END AS d
+            FROM b)
+      SELECT n1, n2, round(d, 6) AS cohens_d,
+             round(d * (CAST(1 AS DOUBLE)
+                        - 3 / (4 * (dn1 + dn2) - 9)), 6) AS hedges_g
+      FROM c ORDER BY n1"""))
+
+  // ---------------------------------------------------------------- M60
+  /** Poisson dispersion (variance-to-mean) test on daily ORDER COUNTS
+    * (r13) — the arrival-process read beside C86's per-user timing
+    * regularity: a Poisson arrival stream has D = s²/x̄ ≈ 1;
+    * overdispersion (D ≫ 1) = bursty/campaign-driven traffic,
+    * underdispersion (D ≪ 1) = rate-limited/scripted. Statistic
+    * (n−1)·D ~ χ²_{n−1} under H₀. Exact integer moments (n days,
+    * Σc, Σc² through DECIMAL(38,0)/HUGEINT) from the calendar frame;
+    * mean published in exact micros (integral division), D and the
+    * χ² statistic as identical closing double expressions. */
+  private val poissonDispersion = QueryDef(
+    "poisson_dispersion",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .agg(F.count(F.lit(1)).as("n_days"),
+          F.sum("c").cast("decimal(38,0)").as("sc"),
+          F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).as("qc"))
+        .select(F.col("n_days"),
+          F.expr("CAST(sc * 1000000 div n_days AS BIGINT)")
+            .as("mean_micro"),
+          F.expr("""CASE WHEN n_days < 2 OR sc = 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(n_days AS DOUBLE)
+            |        * CAST(CAST(qc AS STRING) AS DOUBLE)
+            |        - CAST(CAST(sc AS STRING) AS DOUBLE)
+            |          * CAST(CAST(sc AS STRING) AS DOUBLE))
+            |      / ((CAST(n_days AS DOUBLE) - 1)
+            |         * CAST(CAST(sc AS STRING) AS DOUBLE)), 6) END"""
+            .stripMargin).as("dispersion"),
+          F.expr("""CASE WHEN n_days < 2 OR sc = 0
+            |THEN CAST(0.0 AS DOUBLE) ELSE
+            |round((CAST(n_days AS DOUBLE)
+            |        * CAST(CAST(qc AS STRING) AS DOUBLE)
+            |        - CAST(CAST(sc AS STRING) AS DOUBLE)
+            |          * CAST(CAST(sc AS STRING) AS DOUBLE))
+            |      / CAST(CAST(sc AS STRING) AS DOUBLE), 6) END"""
+            .stripMargin).as("chi2_stat"))
+        .orderBy("n_days")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   sum(CAST(c AS HUGEINT)) AS sc,
+                   sum(CAST(c AS HUGEINT) * c) AS qc
+            FROM daily)
+      SELECT n_days,
+             CAST(sc * 1000000 // n_days AS BIGINT) AS mean_micro,
+             CASE WHEN n_days < 2 OR sc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(n_days AS DOUBLE)
+                       * CAST(CAST(qc AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sc AS VARCHAR) AS DOUBLE))
+                     / ((CAST(n_days AS DOUBLE) - 1)
+                        * CAST(CAST(sc AS VARCHAR) AS DOUBLE)), 6) END
+               AS dispersion,
+             CASE WHEN n_days < 2 OR sc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               round((CAST(n_days AS DOUBLE)
+                       * CAST(CAST(qc AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sc AS VARCHAR) AS DOUBLE))
+                     / CAST(CAST(sc AS VARCHAR) AS DOUBLE), 6) END
+               AS chi2_stat
+      FROM a ORDER BY n_days"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
       friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
       wasserstein1, fleissKappa, simpsonsCheck, cliffsDelta, cohensKappa,
-      runsTest)
+      runsTest, cohensD, poissonDispersion)
 }

@@ -61,6 +61,50 @@ class NonparamSpec extends SparkSpec {
       s"ssb ${row.getAs[Double]("ssb")} vs brute $ssb")
     assert(math.abs(row.getAs[Double]("ssw") - ssw) / ssw < 1e-6)
     assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-4)
+    // η² = SSB/SST in ppm (r13 effect-size column)
+    val eta = ssb / (ssb + ssw)
+    assert(math.abs(row.getAs[Long]("eta_sq_ppm") - eta * 1e6) < 2,
+      s"eta ${row.getAs[Long]("eta_sq_ppm")} vs ${eta * 1e6}")
+  }
+
+  test("cohens_d matches a brute-force pooled-sd replay") {
+    val row = q("cohens_d").collect().head
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+      .filter(r => r._1 == "R" || r._1 == "N")
+    val xs = vals.filter(_._1 == "R").map(_._2.toDouble)
+    val ys = vals.filter(_._1 == "N").map(_._2.toDouble)
+    val (m1, m2) = (xs.sum / xs.length, ys.sum / ys.length)
+    val sp = math.sqrt(
+      (xs.map(x => (x - m1) * (x - m1)).sum +
+        ys.map(y => (y - m2) * (y - m2)).sum) /
+        (xs.length + ys.length - 2))
+    val d0 = (m1 - m2) / sp
+    val g = d0 * (1 - 3.0 / (4.0 * (xs.length + ys.length) - 9))
+    assert(row.getAs[Long]("n1") == xs.length.toLong &&
+      row.getAs[Long]("n2") == ys.length.toLong)
+    assert(math.abs(row.getAs[Double]("cohens_d") - d0) < 1e-5,
+      s"d ${row.getAs[Double]("cohens_d")} vs $d0")
+    assert(math.abs(row.getAs[Double]("hedges_g") - g) < 1e-5)
+  }
+
+  test("poisson_dispersion matches a brute-force variance/mean replay") {
+    val row = q("poisson_dispersion").collect().head
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(F.expr("CAST(o_orderdate AS DATE)")).count()
+      .collect().map(_.getLong(1).toDouble)
+    val n = daily.length.toDouble
+    val mean = daily.sum / n
+    val s2 = daily.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
+    assert(row.getAs[Long]("mean_micro") ==
+      (BigInt((daily.sum * 1e6).round) / daily.length).toLong ||
+      math.abs(row.getAs[Long]("mean_micro") - mean * 1e6) < 2)
+    assert(math.abs(row.getAs[Double]("dispersion") - s2 / mean) < 1e-4,
+      s"D ${row.getAs[Double]("dispersion")} vs ${s2 / mean}")
+    assert(math.abs(row.getAs[Double]("chi2_stat") -
+      (n - 1) * s2 / mean) < 1e-2)
   }
 
   test("cramers_v matches a brute-force chi-square and sits in [0,1]") {
