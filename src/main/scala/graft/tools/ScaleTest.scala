@@ -478,6 +478,19 @@ object ScaleTest {
     // probe pins that rung cost tracks the 10× edge list with no
     // window/sort anywhere.
     timeQ("hits_scores")
+    // r13 probes: cliffs_delta rides mann_whitney's value-domain cumsum
+    // (row-linear scan, 50-value domain); pacf_lags is one corpus
+    // aggregate to the calendar frame + a ×7 calendar-bounded pair
+    // frame + a 1-row recursion (the whole ljung_box/durbin_watson/
+    // runs_test family shares this shape — pacf is the costliest
+    // member, so it carries the family probe); assoc_rules reads the
+    // staged weighted pair list + one distinct (order, part) aggregate;
+    // vocab_growth is one rank pass + one token explode + one
+    // min-per-term aggregate — all corpus-linear, cumulation metadata.
+    timeQ("cliffs_delta")
+    timeQ("pacf_lags")
+    timeQ("assoc_rules")
+    timeQ("vocab_growth")
     // r12 probes: ktruss round 1 pays the full √m-bounded wedge pass
     // (the clustering_coeff constant), rounds 2+ run on the peeled
     // remnant; community_converge is 2×3 accept-guarded move rungs —
