@@ -268,6 +268,99 @@ object BiQueries {
       LEFT JOIN top b ON b.yr = y.year_a + 1 AND b.pk = a.pk
       GROUP BY y.year_a ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- M61
+  /** Rank-biased overlap between adjacent years' top-100 revenue
+    * leaderboards (r13) [Webber-Moffat-Zobel 2010] — the RANK-WEIGHTED
+    * companion to M52's flat set overlap (turnover counts survivors;
+    * RBO weights agreement at the TOP, where a dashboard's eyes live):
+    * truncated RBO@100 with p = 0.9, rbo = (1−p)/p·Σ_{d=1..100}
+    * p^d·X_d/d, where X_d = |A_d ∩ B_d| counts common parts whose
+    * max(rank_a, rank_b) ≤ d.
+    *
+    * Determinism discipline: the p^d weights are quantized ONCE at
+    * compile time to integer picos (floor(0.9^d·10¹²) — the ab_sprt
+    * literal trick: no runtime pow() whose last ULP could differ
+    * cross-engine), each depth term w_d·X_d div d is an exact integer,
+    * the sum is order-independent, and ONE closing double division by
+    * 9·10¹² lands rbo at 6dp. Frames: the M52 rev/top CTEs (one corpus
+    * aggregate, per-year top-100 via the TopKRewrite heap shape), the
+    * common-pair join and the 100-depth grid are ≤ 600-row metadata. */
+  private val leaderboardRbo = QueryDef(
+    "leaderboard_rbo",
+    (s, d) => {
+      val wLits = (1 to 100)
+        .map(dd => math.floor(math.pow(0.9, dd) * 1e12).toLong)
+      val wArr = wLits.mkString("array(", "L, ", "L)")
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("long").as("yr"),
+          F.col("l_partkey").as("pk"))
+        .agg(F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))" +
+          " * 100 AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("yr")
+        .orderBy(F.col("cents").desc, F.col("pk"))
+      val top = rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100).select("yr", "pk", "rn")
+      val years = s.range(6).select((F.col("id") + 1995).as("year_a"))
+      val common = top.select(F.col("yr").as("year_a"), F.col("pk"),
+          F.col("rn").as("ra"))
+        .join(top.select((F.col("yr") - 1).as("year_a"),
+          F.col("pk"), F.col("rn").as("rb")), Seq("year_a", "pk"))
+        .select(F.col("year_a"), F.expr("greatest(ra, rb)").as("m"))
+      val depths = s.range(1, 101).select(F.col("id").as("dep"))
+      val terms = F.broadcast(common)
+        .join(F.broadcast(depths), F.col("m") <= F.col("dep"))
+        .groupBy("year_a", "dep")
+        .agg(F.count(F.lit(1)).as("x_d"))
+        .select(F.col("year_a"),
+          F.expr(s"element_at($wArr, CAST(dep AS INT)) * x_d div dep")
+            .as("term"))
+        .groupBy("year_a")
+        .agg(F.sum("term").as("_s"))
+      F.broadcast(years)
+        .join(terms, Seq("year_a"), "left")
+        .select(F.col("year_a"), F.expr("year_a + 1").as("year_b"),
+          F.expr("""round(CAST(coalesce(_s, 0L) AS DOUBLE)
+            |/ 9000000000000.0, 6)""".stripMargin).as("rbo"))
+        .orderBy("year_a")
+    },
+    Some {
+      val wRows = (1 to 100)
+        .map(dd => s"($dd, ${math.floor(math.pow(0.9, dd) * 1e12).toLong})")
+        .mkString(", ")
+      s"""WITH rev AS (
+         |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         |         l_partkey AS pk,
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+         |              AS BIGINT) AS cents
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT yr, pk, rn FROM (
+         |    SELECT yr, pk, row_number() OVER (PARTITION BY yr
+         |      ORDER BY cents DESC, pk) AS rn
+         |    FROM rev) WHERE rn <= 100),
+         |wt(dep, w) AS (VALUES $wRows),
+         |com AS (
+         |  SELECT a.yr AS year_a, greatest(a.rn, b.rn) AS m
+         |  FROM top a JOIN top b ON b.yr = a.yr + 1 AND b.pk = a.pk),
+         |tm AS (
+         |  SELECT year_a, CAST(sum(w * x_d // dep) AS BIGINT) AS s
+         |  FROM (SELECT c.year_a, t.dep, t.w,
+         |               CAST(count(*) AS BIGINT) AS x_d
+         |        FROM com c JOIN wt t ON c.m <= t.dep
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1)
+         |SELECT CAST(y.year_a AS BIGINT) AS year_a,
+         |       CAST(y.year_a + 1 AS BIGINT) AS year_b,
+         |       round(CAST(coalesce(s, 0) AS DOUBLE)
+         |             / 9000000000000.0, 6) AS rbo
+         |FROM generate_series(1995, 2000) AS y(year_a)
+         |LEFT JOIN tm ON tm.year_a = y.year_a
+         |ORDER BY 1""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(shareOfTotal, yoyGrowth, maxDrawdown,
-    histogram2d, leaderboardTurnover)
+    histogram2d, leaderboardTurnover, leaderboardRbo)
 }

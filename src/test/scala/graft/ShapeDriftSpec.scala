@@ -178,6 +178,22 @@ class ShapeDriftSpec extends SparkSpec {
     // not the k=100 budget — r12 advice): 2*10000 div 3 = 6666
     assert(got(1995L) == ((2L, 3L, 6666L)), s"1995 ${got(1995L)}") // {2,3}
     assert(got(1996L) == ((0L, 3L, 0L)))
+
+    // leaderboard_rbo on the same fixture: 1995 ranks (3,2,1)→rn(1,2,3),
+    // 1996 ranks (4,3,2)→rn(1,2,3); common parts 3 (m=2) and 2 (m=3).
+    // Replay the integer-pico weighted sum exactly.
+    val rbo = SparkEntry.queries("leaderboard_rbo")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ms = Seq(2, 3) // max(rank_a, rank_b) of the common parts
+    val expect = (1 to 100).map { dep =>
+      val w = math.floor(math.pow(0.9, dep) * 1e12).toLong
+      val x = ms.count(_ <= dep)
+      w * x / dep
+    }.sum / 9e12
+    assert(math.abs(rbo(1995L) - expect) < 1e-6,
+      s"rbo 1995 ${rbo(1995L)} vs $expect")
+    assert(rbo(1996L) == 0.0 && rbo(2000L) == 0.0)
+    assert(rbo.size == 6)
   }
 
   test("negative_sample matches a driver-side hash replay and never " +
