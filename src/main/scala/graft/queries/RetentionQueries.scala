@@ -575,23 +575,39 @@ object RetentionQueries {
           F.count(F.lit(1)).as("n"))
         .select(F.col("day"),
           F.expr("(2 * x - n) * 200671L").as("step"))
-      val cum = graft.operators.DistRank.globalCumSum(
-        daily, "step", "llr", F.col("day").asc)
-      cum.agg(
-          F.count(F.lit(1)).as("n_days"),
-          F.sum("step").as("llr_micro"),
-          F.min(F.when(F.expr("abs(llr) >= 2944439L"), F.col("day")))
-            .as("_cross"),
-          F.min(F.when(F.expr("abs(llr) >= 2944439L"),
-            F.struct(F.col("day"), F.col("llr")))).as("_cs"))
-        .select(F.col("n_days"), F.col("llr_micro"),
-          F.coalesce(F.col("_cross"), F.lit(-1L)).as("crossing_day"),
-          F.expr("""CASE WHEN _cs IS NULL THEN 'continue'
-            |WHEN _cs.llr > 0 THEN 'accept_h1'
-            |ELSE 'accept_h0' END""".stripMargin).as("decision"))
-        .orderBy("n_days")
+      sprtAssemble(daily)
     },
-    Some("""
+    Some(sprtOracleSql))
+
+  /** Closing SPRT assembly over a (day, step) integer-micro LLR frame
+    * — shared by M48 `ab_sprt` (batch daily aggregate) and G30
+    * `stream_sprt` (the SAME aggregate computed as a real streaming
+    * aggregation, then assembled batch-side on the drained
+    * calendar-bounded frame — the stream_srm sharing pattern): one
+    * DistRank range cumsum, first ±ln(19)·10⁶ boundary crossing via a
+    * min-day struct pick. */
+  private[queries] def sprtAssemble(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cum = graft.operators.DistRank.globalCumSum(
+      daily, "step", "llr", F.col("day").asc)
+    cum.agg(
+        F.count(F.lit(1)).as("n_days"),
+        F.sum("step").as("llr_micro"),
+        F.min(F.when(F.expr("abs(llr) >= 2944439L"), F.col("day")))
+          .as("_cross"),
+        F.min(F.when(F.expr("abs(llr) >= 2944439L"),
+          F.struct(F.col("day"), F.col("llr")))).as("_cs"))
+      .select(F.col("n_days"), F.col("llr_micro"),
+        F.coalesce(F.col("_cross"), F.lit(-1L)).as("crossing_day"),
+        F.expr("""CASE WHEN _cs IS NULL THEN 'continue'
+          |WHEN _cs.llr > 0 THEN 'accept_h1'
+          |ELSE 'accept_h0' END""".stripMargin).as("decision"))
+      .orderBy("n_days")
+  }
+
+  // a def, not a val: abSprt above captures it during object init — a
+  // val would still be null at that point (forward reference)
+  private[queries] def sprtOracleSql: String = ("""
       WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1995-01-01',
                               CAST(o_orderdate AS DATE)) AS BIGINT)
@@ -616,7 +632,7 @@ object RetentionQueries {
              CASE WHEN (SELECT cross_day FROM cr) IS NULL THEN 'continue'
                   WHEN (SELECT llr_at FROM sg) > 0 THEN 'accept_h1'
                   ELSE 'accept_h0' END AS decision
-      FROM c ORDER BY n_days"""))
+      FROM c ORDER BY n_days""")
 
   val all: Seq[QueryDef] = Seq(bitmapRetention, twap, joinCardAudit,
     kcore, funnelTimeStats, abWilson, topkOthers, embedDrift,

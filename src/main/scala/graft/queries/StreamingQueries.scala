@@ -1475,11 +1475,42 @@ object StreamingQueries {
     },
     Some(EvalQueries.ipsOracleSql))
 
+  // ----------------------------------------------------------------- G31
+  /** Wald's SPRT ON INGEST (r13) — the sequential test IS a streaming
+    * monitor by nature, so M48's fixed-corpus replay gets its live
+    * twin (the stream_srm sharing pattern: the per-day integer-micro
+    * LLR aggregate runs as a REAL streaming aggregation — state
+    * calendar-bounded at ~365 day rows — and the drained frame feeds
+    * the SAME batch assembly `RetentionQueries.sprtAssemble`, one
+    * DistRank cumsum + boundary pick). Per-order increments quantized
+    * to the M48 compile-time literals (no runtime log()); complete
+    * output mode because every micro-batch revises its day's x/n.
+    * Oracle = M48's verbatim (`sprtOracleSql`) — stream drain must
+    * equal the batch aggregate exactly. */
+  private val streamSprt = QueryDef(
+    "stream_sprt",
+    (s, d) => {
+      val dir = stage(s, d, "orders")
+      val daily = stagedStream(s, dir)
+        .where(F.expr("year(CAST(o_orderdate AS DATE)) = 1995 AND " +
+          "o_orderpriority IN ('1-URGENT', '2-HIGH')"))
+        .groupBy(F.datediff(F.to_date(F.col("o_orderdate")),
+          F.lit("1995-01-01")).cast("long").as("day"))
+        .agg(F.expr("sum(CASE WHEN o_orderpriority = '1-URGENT' " +
+          "THEN 1L ELSE 0L END)").as("x"),
+          F.count(F.lit(1)).as("n"))
+      val drained = withStatePartitions(s, 5) { drain(daily, "complete") }
+      RetentionQueries.sprtAssemble(
+        drained.select(F.col("day"),
+          F.expr("(2 * x - n) * 200671L").as("step")))
+    },
+    Some(RetentionQueries.sprtOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
-    streamSrm, streamAsof, streamConformal, streamIps)
+    streamSrm, streamAsof, streamConformal, streamIps, streamSprt)
 }

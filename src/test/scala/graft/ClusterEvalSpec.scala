@@ -166,6 +166,12 @@ class ClusterEvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream_sprt matches the batch ab_sprt row") {
+    val a = q("ab_sprt").collect().map(_.toString).toSeq
+    val b = q("stream_sprt").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("knn_confusion cells re-aggregate the prediction frame; rows sum to knn_accuracy") {
     val emb = graft.queries.Tables.t(spark, sf, "embeddings")
     val labels = emb.select("vec_id", "label").collect()
