@@ -600,6 +600,12 @@ object Graph {
       prevHubs = hubs; prevAuths = auths
       hubs = nextHubs; auths = nextAuths
     }
+    // only the last two rungs feed the residual read — free the
+    // grandparent rungs that survived the final iteration (at
+    // iters >= 3 these are superseded checkpoints; at iters = 2
+    // oldHubCp is the never-persisted hub-init frame, a no-op free)
+    if (oldHubCp != null) CacheScope.unpersistCheckpoint(oldHubCp)
+    if (oldAuthCp != null) CacheScope.unpersistCheckpoint(oldAuthCp)
     val scores = hubs
       .select(F.col("v"), F.col("hub").as("hub_fp"))
       .join(auths.select(F.col("v"), F.col("auth").as("auth_fp")), "v")

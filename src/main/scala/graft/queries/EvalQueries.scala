@@ -444,12 +444,17 @@ object EvalQueries {
   }
 
   /** rho_k closing formula over string-routed double moments dn, ds,
-    * dq (global) and dp$k, dab$k (per lag) — identical text both
-    * engines. */
+    * dq (global) and dp$k, dab$k, dm$k (per lag) — identical text both
+    * engines. The mean-centering term carries the ACTUAL pair count
+    * m_k (dm$k), not the gapless-calendar shorthand n−k: pairing is by
+    * date arithmetic, so on a calendar with holes the lag-k frame has
+    * fewer than n−k rows and n−k would push rho_k outside [−1, 1]
+    * (r13 advice; dense TPC-H dates make dm$k = n−k, so values are
+    * unchanged there — but the formula no longer assumes it). */
   private def rhoExpr(k: Int): String =
     s"""CASE WHEN (dn * dn * dq - dn * ds * ds) = 0
        |THEN CAST(0.0 AS DOUBLE)
-       |ELSE (dn * dn * dp$k - dn * ds * dab$k + (dn - $k) * ds * ds)
+       |ELSE (dn * dn * dp$k - dn * ds * dab$k + dm$k * ds * ds)
        |     / (dn * dn * dq - dn * ds * ds) END""".stripMargin
 
   /** Shared 1-row rho frame (M54 pacf_lags / M55 ljung_box): exact
@@ -474,11 +479,13 @@ object EvalQueries {
       .groupBy("lag")
       .agg(
         F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) * cents")).as("p"),
-        F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) + cents")).as("ab"))
+        F.sum(F.expr("CAST(x_early AS DECIMAL(38,0)) + cents")).as("ab"),
+        F.count(F.lit(1)).as("m"))
     val wideCols = (1 to PACF_LAGS).flatMap { k =>
       Seq(
         F.max(F.when(F.col("lag") === k, F.col("p"))).as(s"_p$k"),
-        F.max(F.when(F.col("lag") === k, F.col("ab"))).as(s"_ab$k"))
+        F.max(F.when(F.col("lag") === k, F.col("ab"))).as(s"_ab$k"),
+        F.max(F.when(F.col("lag") === k, F.col("m"))).as(s"_m$k"))
     }
     val wide = perLag.groupBy().agg(wideCols.head, wideCols.tail: _*)
     var row = glob.crossJoin(F.broadcast(wide))
@@ -493,6 +500,8 @@ object EvalQueries {
         .withColumn(s"dab$k", F.expr(
           s"CAST(CAST(coalesce(_ab$k, CAST(0 AS DECIMAL(38,0)))" +
             s" AS STRING) AS DOUBLE)"))
+        .withColumn(s"dm$k",
+          F.expr(s"CAST(coalesce(_m$k, 0L) AS DOUBLE)"))
         .withColumn(s"r$k", F.expr(rhoExpr(k)))
     }
     row
@@ -504,7 +513,8 @@ object EvalQueries {
     val lagMoments = (1 to PACF_LAGS).map(k =>
       s"""SELECT $k AS lag,
          |  sum(CAST(b.cents AS HUGEINT) * a.cents) AS p,
-         |  sum(CAST(b.cents AS HUGEINT) + a.cents) AS ab
+         |  sum(CAST(b.cents AS HUGEINT) + a.cents) AS ab,
+         |  CAST(count(*) AS BIGINT) AS m
          |FROM daily a JOIN daily b
          |  ON a.day = b.day + INTERVAL $k DAY""".stripMargin)
       .mkString("\nUNION ALL\n")
@@ -512,7 +522,9 @@ object EvalQueries {
       s"""CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN p END), 0)
          |  AS VARCHAR) AS DOUBLE) AS dp$k,
          |CAST(CAST(coalesce(max(CASE WHEN lag = $k THEN ab END), 0)
-         |  AS VARCHAR) AS DOUBLE) AS dab$k""".stripMargin)
+         |  AS VARCHAR) AS DOUBLE) AS dab$k,
+         |CAST(coalesce(max(CASE WHEN lag = $k THEN m END), 0)
+         |  AS DOUBLE) AS dm$k""".stripMargin)
       .mkString(",\n")
     val rhoCols = (1 to PACF_LAGS).map(k => s"${rhoExpr(k)} AS r$k")
       .mkString(",\n")

@@ -36,8 +36,7 @@ object GraphMetricsQueries {
   private val clusteringCoeff = QueryDef(
     "clustering_coeff",
     (s, d) => {
-      val pn = graft.operators.Graph.localClustering(
-        Staged.coPurchaseEdges(s, d), "pa", "pb")
+      val pn = Staged.clusteringExact(s, d)
       pn.withColumn("_w", F.expr("dg * (dg - 1) div 2"))
         .withColumn("_micro", F.expr(
           "CASE WHEN _w = 0 THEN 0L ELSE (n_tri * 1000000) div _w END"))
@@ -181,8 +180,7 @@ object GraphMetricsQueries {
   private val clusteringCoeffSampled = QueryDef(
     "clustering_coeff_sampled",
     (s, d) => {
-      val pn = graft.operators.Graph.localClusteringSampled(
-        Staged.coPurchaseEdges(s, d), "pa", "pb", SAMPLE_K)
+      val pn = Staged.clusteringSampled(s, d)
       pn.withColumn("_micro", F.expr(
           "CASE WHEN n_pairs = 0 THEN 0L" +
             " ELSE (n_closed * 1000000) div n_pairs END"))
@@ -249,16 +247,14 @@ object GraphMetricsQueries {
   private val clusteringSampleAudit = QueryDef(
     "clustering_sample_audit",
     (s, d) => {
-      val ex = graft.operators.Graph.localClustering(
-        Staged.coPurchaseEdges(s, d), "pa", "pb")
+      val ex = Staged.clusteringExact(s, d)
         .withColumn("_w", F.expr("dg * (dg - 1) div 2"))
         .select(F.col("v"),
           F.expr("CASE WHEN _w = 0 THEN 0L" +
             " ELSE (n_tri * 1000000) div _w END").as("_me"),
           F.expr("CASE WHEN _w = 0 THEN -1L" +
             " ELSE least(99L, (n_tri * 100) div _w) END").as("bucket"))
-      val sp = graft.operators.Graph.localClusteringSampled(
-        Staged.coPurchaseEdges(s, d), "pa", "pb", SAMPLE_K)
+      val sp = Staged.clusteringSampled(s, d)
         .select(F.col("v"),
           F.expr("CASE WHEN n_pairs = 0 THEN 0L" +
             " ELSE (n_closed * 1000000) div n_pairs END").as("_ms"))
@@ -377,8 +373,11 @@ object GraphMetricsQueries {
   /** Shared D65/D68 estimator core: deduped-frontier BFS from the
     * HC_SOURCES hash60-min pivots, bounded to HC_HOPS. Returns the
     * per-node estimate frame (node, n_sources, h_micro) for every
-    * reached node. */
-  private def pivotHarmonic(s: org.apache.spark.sql.SparkSession,
+    * reached node. BUILD function for [[Staged.harmonicEstimates]]
+    * (r14) — consumers read the staged parquet, never call this
+    * directly. */
+  private[queries] def pivotHarmonicBuild(
+      s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val e = Staged.coPurchaseEdges(s, d)
     val edges = graft.operators.CacheScope.persist(
@@ -437,7 +436,7 @@ object GraphMetricsQueries {
 
   private val harmonicCentrality = QueryDef(
     "harmonic_centrality",
-    (s, d) => pivotHarmonic(s, d)
+    (s, d) => Staged.harmonicEstimates(s, d)
       .select(F.col("node"), F.col("n_sources"), F.col("h_micro"),
         F.expr("CAST(h_micro AS DOUBLE) / 1000000.0").as("harmonic"))
       .orderBy(F.col("h_micro").desc, F.col("node")).limit(100),
@@ -489,7 +488,7 @@ object GraphMetricsQueries {
       val ex = deg.join(hop2, Seq("v"), "left").na.fill(0L, Seq("n2"))
         .select(F.col("v"), F.col("n1"),
           F.expr("1000000 * n1 + 500000 * n2").as("_hex"))
-      val est = pivotHarmonic(s, d)
+      val est = Staged.harmonicEstimates(s, d)
         .select(F.col("node").as("v"), F.col("h_micro"))
       ex.join(est, Seq("v"), "left").na.fill(0L, Seq("h_micro"))
         .crossJoin(F.broadcast(nn))

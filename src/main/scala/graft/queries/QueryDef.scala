@@ -357,6 +357,46 @@ object Staged {
             .as("sk"))
       }
 
+  /** D65/D68 per-node pivot-harmonic estimate frame (node, n_sources,
+    * h_micro) — the hop-bounded multi-source BFS from the HC_SOURCES
+    * hash-min pivots, staged once per (JVM, sf dir) (r14, the r13
+    * verdict's #1 item: `harmonic_centrality` and
+    * `harmonic_sample_audit` each re-ran the identical BFS, ~7 s
+    * combined idle — the anfSketch consolidation applied to the last
+    * duplicated graph ladder). First toucher pays the build
+    * (single-shot cost tracked by the `harmonic_centrality_10x`
+    * ScaleTest probe — the community_lpa convention); at 100 TB this
+    * parquet is the centrality snapshot a serving layer joins against
+    * anyway. */
+  def harmonicEstimates(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "harmonic") {
+      GraphMetricsQueries.pivotHarmonicBuild(s, d)
+    }
+
+  /** D57/D61 EXACT per-node clustering frame (v, dg, n_tri) — the
+    * oriented-wedge triangle census over [[coPurchaseEdges]], the
+    * suite's heaviest exact build, staged once per (JVM, sf dir)
+    * (r14): `clustering_coeff` histograms it and
+    * `clustering_sample_audit` joins it against the sampled frame —
+    * before this each re-enumerated the full wedge list (~41 M rows at
+    * sf0.1) per execution. */
+  def clusteringExact(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "clustering_exact") {
+      graft.operators.Graph.localClustering(
+        coPurchaseEdges(s, d), "pa", "pb")
+    }
+
+  /** D60/D61 SAMPLED per-node clustering frame (v, dg, n_pairs,
+    * n_closed) — hash-min K-neighbor closure counts, staged beside
+    * [[clusteringExact]] for the same two-consumer reason
+    * (`clustering_coeff_sampled` histograms, the audit joins). */
+  def clusteringSampled(s: SparkSession, d: String): DataFrame =
+    stagedParquet(s, d, "clustering_sampled") {
+      graft.operators.Graph.localClusteringSampled(
+        coPurchaseEdges(s, d), "pa", "pb",
+        GraphMetricsQueries.SAMPLE_K)
+    }
+
   /** PQ codebooks trained on [[pqResidualCorpus]] (the D64 index). */
   def pqResCodebooks(s: SparkSession, d: String): DataFrame =
     stagedParquet(s, d, "pq_res_codebooks") {

@@ -24,12 +24,14 @@ import org.scalacheck.rng.Seed
   * Deterministic seeds throughout (the offline cache has no
   * scalatest-scalacheck bridge, so sampling is explicit).
   *
-  * The generator surfaced four real divergences, fixed in Expr.scala
-  * (r13): /0 and %0 now null like Spark's non-ANSI Divide/Remainder;
-  * round() passes NaN/∞ through like Spark's Round; floor/ceil
-  * short-circuit integral inputs; extract returns '' on no match /
-  * non-participating group like regexp_extract in both engines; cmp
-  * compares longs exactly instead of via double.
+  * The generator surfaced seven behavioral fixes in Expr.scala
+  * (r13): /0 and %0 now null like Spark's non-ANSI Divide/Remainder
+  * (two operators, two fixes); round() passes NaN/∞ through like
+  * Spark's Round; floor/ceil short-circuit integral inputs; extract
+  * returns '' on no match / non-participating group like
+  * regexp_extract in both engines; cmp compares longs exactly instead
+  * of via double; and comparison keys normalize −0.0 to 0.0 the way
+  * Spark's equality does.
   */
 class DslPropertySpec extends SparkSpec {
   import scala.jdk.CollectionConverters._

@@ -172,8 +172,11 @@ class PairedTrendSpec extends SparkSpec {
           daily.get(t + k).map(y => (x, y)) }
         val p = pairs.map { case (x, y) => x.toDouble * y }.sum
         val ab = pairs.map { case (x, y) => x.toDouble + y }.sum
+        // ACTUAL pair count m_k, not the gapless shorthand n-k: this
+        // calendar HAS gaps (month boundaries), and the r13-advice fix
+        // makes the query carry m_k — the replay now checks it
         k -> (if (den == 0) 0.0
-              else (n * n * p - n * s0 * ab + (n - k) * s0 * s0) / den)
+              else (n * n * p - n * s0 * ab + pairs.size * s0 * s0) / den)
       }.toMap
       // textbook Durbin-Levinson over the replayed rho
       var phi = Map(1 -> Map(1 -> rho(1)))
@@ -217,7 +220,7 @@ class PairedTrendSpec extends SparkSpec {
         val p = pairs.map { case (x, y) => x.toDouble * y }.sum
         val ab = pairs.map { case (x, y) => x.toDouble + y }.sum
         if (den == 0) 0.0
-        else (n * n * p - n * s0 * ab + (n - k) * s0 * s0) / den
+        else (n * n * p - n * s0 * ab + pairs.size * s0 * s0) / den
       }
       val qlb = n * (n + 2) * (1 to 7).map(k => {
         val r = rho(k - 1); r * r / (n - k) }).sum
