@@ -232,5 +232,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SaltedAggRewrite)
   }
 }

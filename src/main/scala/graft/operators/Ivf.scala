@@ -183,6 +183,17 @@ object Skew {
       .groupBy(keyCol)
       .agg(F.sum("_partial").as("n"))
 
+  /** Declare a grouping key SKEWED: wraps the column in
+    * [[graft.plans.SkewHint]], the opt-in marker
+    * [[graft.plans.SaltedAggRewrite]] rewrites into the two-phase
+    * salted plan [[saltedCount]] builds by hand. Pass-through if the
+    * rule bails out or isn't installed — the hint can never change
+    * results. Learn WHICH keys to tag from `Audit.skewProfile` (C40). */
+  def skewHint(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.SkewHint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Salted fact⋈dim join: fact rows get a deterministic salt (their
     * input partition id mod `salts`), the dim side is replicated once
     * per salt, and the join key becomes (key, salt) — a skewed fact key

@@ -671,12 +671,21 @@ object PipelineQueries {
       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)"""))
 
   // ------------------------------------------------------ skew (count)
-  /** Two-phase salted count (partial per input partition, then final):
-    * the skewed key's rows never meet in one task. Oracle = plain
-    * GROUP BY count, which the two-phase plan must equal exactly. */
+  /** Two-phase salted count — since r14 produced by the OPTIMIZER, not
+    * by hand: the query is a plain `groupBy(key).count` with the key
+    * tagged [[Skew.skewHint]], and
+    * [[graft.plans.SaltedAggRewrite]] rewrites it into the salted
+    * partial-per-input-partition + final-merge plan that
+    * [[Skew.saltedCount]] builds manually (the skewed key's rows never
+    * meet in one task). Oracle = plain GROUP BY count, which the
+    * rewritten plan must equal exactly; PlanAuditSpec asserts the
+    * rewrite actually fired (two Aggregates + the salt project) and
+    * that bail-out shapes keep their single-phase plan. */
   private val saltedCount = QueryDef(
     "salted_count",
-    (s, d) => Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag")
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(Skew.skewHint(F.col("l_returnflag")).as("l_returnflag"))
+      .agg(F.count(F.lit(1)).as("n"))
       .orderBy("l_returnflag"),
     Some("""
       SELECT l_returnflag, count(*) AS n

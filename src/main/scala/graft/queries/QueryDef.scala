@@ -48,6 +48,11 @@ object Tables {
       if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.SaltedAggRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.SaltedAggRewrite
     }
 
     if (name == "events") {

@@ -113,4 +113,104 @@ class PlanAuditSpec extends SparkSpec {
       s"stale funnel allowlist entries (remove): " +
         staleFunnels.toSeq.sorted.mkString(", "))
   }
+
+  // ------------------------------------------------ SaltedAggRewrite
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
+    avg, expr, max, min, sum}
+  import graft.operators.Skew
+  import graft.plans.SkewHint
+
+  /** (n aggregates, salt present, a SkewHint survived) — the three
+    * plan facts the salted-agg tests assert on. */
+  private def saltShape(df: DataFrame): (Int, Boolean, Boolean) = {
+    val opt = df.queryExecution.optimizedPlan
+    val aggs = opt.collect { case a: Aggregate => a }
+    val salted = aggs.exists(_.groupingExpressions.exists(
+      _.exists { case a: org.apache.spark.sql.catalyst.expressions
+        .AttributeReference => a.name == "_graft_salt"; case _ => false }))
+    val hintLeft = opt.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[SkewHint])))
+    (aggs.size, salted, hintLeft)
+  }
+
+  private def ensureRule(): Unit =
+    graft.queries.Tables.t(spark, sf, "region") // registers the rule
+
+  test("SaltedAggRewrite fires on the hinted salted_count shape and " +
+    "matches the plain plan's rows") {
+    val df = SparkEntry.queries("salted_count")(spark, sf)
+    val (nAggs, salted, hintLeft) = saltShape(df)
+    assert(nAggs == 2, "expected the two-phase salted aggregate pair")
+    assert(salted, "inner aggregate must group by _graft_salt")
+    assert(!hintLeft, "no SkewHint marker may survive optimization")
+    val plain = graft.queries.Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("SaltedAggRewrite handles all four merges, multi-key and " +
+    "expression keys, preserving schema and values") {
+    ensureRule()
+    val src = spark.range(0, 20000).select(
+      (col("id") % 7).as("k"), (col("id") % 3).as("k2"),
+      col("id").as("v"),
+      (col("id") % 100).cast("decimal(18,4)").as("dec"))
+    def aggs(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"), sum("dec").as("sd"))
+    val hinted = aggs(src.groupBy(
+        Skew.skewHint(col("k") * 2).as("kk"), col("k2")))
+      .orderBy("kk", "k2")
+    val plain = aggs(src.groupBy((col("k") * 2).as("kk"), col("k2")))
+      .orderBy("kk", "k2")
+    val (nAggs, salted, hintLeft) = saltShape(hinted)
+    assert(nAggs == 2 && salted && !hintLeft)
+    // exprIds/names/types must survive the rewrite bit-for-bit
+    assert(hinted.schema == plain.schema,
+      s"\n${hinted.schema}\nvs\n${plain.schema}")
+    assert(hinted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("SaltedAggRewrite bails out (hint stripped, single-phase plan, " +
+    "same rows) on unsupported shapes") {
+    ensureRule()
+    val src = spark.range(0, 5000).select(
+      (col("id") % 5).as("k"), col("id").as("v"))
+    val g = () => src.groupBy(Skew.skewHint(col("k")).as("k"))
+    val gp = () => src.groupBy(col("k"))
+    val cases: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("avg", g().agg(avg("v").as("a")), gp().agg(avg("v").as("a"))),
+      ("count distinct",
+        g().agg(countDistinct(col("v") % 10).as("nd")),
+        gp().agg(countDistinct(col("v") % 10).as("nd"))),
+      ("composite output",
+        g().agg((sum("v") + count(lit(1))).as("c")),
+        gp().agg((sum("v") + count(lit(1))).as("c"))),
+      ("filter clause",
+        g().agg(expr("count(1) FILTER (WHERE v % 2 = 0)").as("f")),
+        gp().agg(expr("count(1) FILTER (WHERE v % 2 = 0)").as("f"))))
+    for ((name, hinted, plain) <- cases) {
+      val (_, salted, hintLeft) = saltShape(hinted)
+      assert(!salted, s"$name: rule must NOT fire")
+      assert(!hintLeft, s"$name: hint must be stripped on bail-out")
+      assert(hinted.orderBy("k").collect().toSeq ==
+        plain.orderBy("k").collect().toSeq, s"$name: rows differ")
+    }
+  }
+
+  test("skewHint is a pass-through when the rule is not installed") {
+    val s = spark.newSession() // fresh session: no extraOptimizations
+    val src = s.range(0, 1000).select((col("id") % 4).as("k"),
+      col("id").as("v"))
+    val df = src.groupBy(Skew.skewHint(col("k")).as("k"))
+      .agg(sum("v").as("sv")).orderBy("k")
+    val (nAggs, salted, _) = saltShape(df)
+    assert(nAggs == 1 && !salted)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      src.groupBy(col("k")).agg(sum("v").as("sv")).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
