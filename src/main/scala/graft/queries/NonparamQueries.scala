@@ -1614,9 +1614,160 @@ object NonparamQueries {
                AS chi2_stat
       FROM a ORDER BY n_days"""))
 
+  /** Benjamini-Hochberg χ²₁ threshold triangle in integer MICROS:
+    * BH_THR(m−1)(k−1) = invχ²₁(1 − α·k/m) for α = 0.05, family sizes
+    * m = 1..25 — quantized ONCE at compile time (the leaderboard_rbo
+    * integer-pico discipline: no runtime erf/quantile whose last ULP
+    * could differ cross-engine; both engines read the same literals).
+    * Generated by bisection on erfc(√(c/2)) = α·k/m; the (25,25) and
+    * (1,1) corners are the textbook 3.841459 (χ²₁ at 0.95), the (25,1)
+    * corner 9.549536 (z = 3.09²). */
+  private[graft] val BH_THR: Seq[Seq[Long]] = Seq(
+    Seq(3841459L),
+    Seq(5023886L, 3841459L),
+    Seq(5731139L, 4528577L, 3841459L),
+    Seq(6238533L, 5023886L, 4327558L, 3841459L),
+    Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L),
+    Seq(6960401L, 5731139L, 5023886L, 4528577L, 4148693L, 3841459L),
+    Seq(7236689L, 6002489L, 5291596L, 4793252L, 4410695L, 4101028L, 3841459L),
+    Seq(7476773L, 6238533L, 5524683L, 5023886L, 4639176L, 4327558L, 4066184L, 3841459L),
+    Seq(7689093L, 6447460L, 5731139L, 5228302L, 4841807L, 4528577L, 4265715L, 4039597L, 3841459L),
+    Seq(7879439L, 6634897L, 5916468L, 5411894L, 5023886L, 4709292L, 4445175L, 4217885L, 4018640L, 3841459L),
+    Seq(8051956L, 6804879L, 6084621L, 5578545L, 5189231L, 4873462L, 4608267L, 4379970L, 4179777L, 4001694L, 3841459L),
+    Seq(8209716L, 6960401L, 6238533L, 5731139L, 5340681L, 5023886L, 4757749L, 4528577L, 4327558L, 4148693L, 3987709L, 3841459L),
+    Seq(8355057L, 7103745L, 6380443L, 5871880L, 5480408L, 5162705L, 4895737L, 4665792L, 4464047L, 4284494L, 4122852L, 3975971L, 3841459L),
+    Seq(8489801L, 7236689L, 6512101L, 6002489L, 5610110L, 5291596L, 5023886L, 4793252L, 4590861L, 4410695L, 4248470L, 4101028L, 3965977L, 3841459L),
+    Seq(8615396L, 7360651L, 6634897L, 6124336L, 5731139L, 5411894L, 5143517L, 4912264L, 4709292L, 4528577L, 4365828L, 4217885L, 4082351L, 3957366L, 3841459L),
+    Seq(8733011L, 7476773L, 6749956L, 6238533L, 5844592L, 5524683L, 5255700L, 5023886L, 4820389L, 4639176L, 4475954L, 4327558L, 4191589L, 4066184L, 3949870L, 3841459L),
+    Seq(8843605L, 7585994L, 6858202L, 6345988L, 5951366L, 5630851L, 5361316L, 5128990L, 4925014L, 4743349L, 4579697L, 4430889L, 4294524L, 4168738L, 4052054L, 3943284L, 3841459L),
+    Seq(8947972L, 7689093L, 6960401L, 6447460L, 6052212L, 5731139L, 5461096L, 5228302L, 5023886L, 4841807L, 4677761L, 4528577L, 4391850L, 4265715L, 4148693L, 4039597L, 3937453L, 3841459L),
+    Seq(9046780L, 7786723L, 7057198L, 6543583L, 6147756L, 5826169L, 5555658L, 5322430L, 5117610L, 4935149L, 4770741L, 4621210L, 4484151L, 4357696L, 4240365L, 4130968L, 4028532L, 3932254L, 3841459L),
+    Seq(9140593L, 7879439L, 7149139L, 6634897L, 6238533L, 5916468L, 5645523L, 5411894L, 5206700L, 5023886L, 4859143L, 4709292L, 4571926L, 4445175L, 4327558L, 4217885L, 4115180L, 4018640L, 3927589L, 3841459L),
+    Seq(9229895L, 7967714L, 7236689L, 6721863L, 6324998L, 6002489L, 5731139L, 5497138L, 5291596L, 5108454L, 4943400L, 4793252L, 4655602L, 4528577L, 4410695L, 4300765L, 4197811L, 4101028L, 4009741L, 3923380L, 3841459L),
+    Seq(9315102L, 8051956L, 7320253L, 6804879L, 6407546L, 6084621L, 5812894L, 5578545L, 5372678L, 5189231L, 5023886L, 4873462L, 4735547L, 4608267L, 4490139L, 4379970L, 4276785L, 4179777L, 4088270L, 4001694L, 3919563L, 3841459L),
+    Seq(9396574L, 8132521L, 7400179L, 6884292L, 6486518L, 6163203L, 5891123L, 5656449L, 5450278L, 5266544L, 5100928L, 4950246L, 4812083L, 4684564L, 4566207L, 4455815L, 4352414L, 4255196L, 4163485L, 4076709L, 3994383L, 3916087L, 3841459L),
+    Seq(9474626L, 8209716L, 7476773L, 6960401L, 6562214L, 6238533L, 5966120L, 5731139L, 5524683L, 5340681L, 5174811L, 5023886L, 4885491L, 4757749L, 4639176L, 4528577L, 4424973L, 4327558L, 4235656L, 4148693L, 4066184L, 3987709L, 3912906L, 3841459L),
+    Seq(9549536L, 8283815L, 7550303L, 7033474L, 6634897L, 6310869L, 6038143L, 5802874L, 5596149L, 5411894L, 5245785L, 5094632L, 4956019L, 4828067L, 4709292L, 4598497L, 4494704L, 4397105L, 4305022L, 4217885L, 4135204L, 4056562L, 3981594L, 3909986L, 3841459L))
+
+  /** Nested-CASE threshold lookup emitted into BOTH engines verbatim
+    * (the durbinLevinson shared-text pattern): thr(m, k) in micros. */
+  private def bhThrSql(mCol: String, kCol: String): String = {
+    val byM = BH_THR.zipWithIndex.map { case (row, mi) =>
+      val byK = row.zipWithIndex.map { case (c, ki) =>
+        s"WHEN ${ki + 1} THEN $c" }.mkString(" ")
+      s"WHEN ${mi + 1} THEN (CASE $kCol $byK END)"
+    }.mkString(" ")
+    s"CAST((CASE $mCol $byM END) AS BIGINT)"
+  }
+
+  // ---------------------------------------------------------------- M62
+  /** Benjamini-Hochberg FDR step-up over an IN-DATA hypothesis family
+    * (r14, the r13 verdict's multiple-comparison capstone): the family
+    * is the C47 priority×segment contingency cells (m ≤ 25 hypotheses
+    * — "is this cell's count consistent with row/col independence?"),
+    * each carrying the exact-integer 1-df cell statistic
+    * χ_i = (n·nt − nr·nc)² / (nt·nr·nc) (the per-cell Pearson term —
+    * BH is valid under the PRDS positive dependence these residuals
+    * exhibit). p_i = P(χ²₁ > χ_i) is monotone DECREASING in χ_i, so
+    * the step-up never touches a p-value: cells rank by χ DESC
+    * (deterministic micros + (priority, segment) tie-break), and
+    * p_(k) ≤ k·α/m ⟺ χ_(k) ≥ invχ²₁(1 − k·α/m) — the right side read
+    * from the compile-time [[BH_THR]] triangle for the OBSERVED family
+    * size m, the comparison exact integer cross-multiplication
+    * ((n·nt − nr·nc)²·10⁶ ≥ thr_micro·nt·nr·nc, DECIMAL(38,0)/HUGEINT).
+    * Published: every cell with its rank, exact-integer χ micros, its
+    * rank's threshold, the largest-k pick k*, and the step-up
+    * rejection flag (rank ≤ k* — step-up rejects everything above the
+    * crossing, including interior ranks that miss their own
+    * threshold).
+    *
+    * Scale shape: one map-side-combined fact aggregate (the C47
+    * assembly); everything after is the ≤25-row cell frame — the
+    * global window is metadata-sized by construction (WindowAuditSpec
+    * entry). Exact to nt < 10⁸ facts as written (A²·10⁶ headroom in
+    * 38 digits); beyond that, rescale micros. */
+  private val fdrBh = QueryDef(
+    "fdr_bh",
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .join(F.broadcast(t(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("o_orderpriority").as("priority"),
+          F.col("c_mktsegment").as("segment"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val rows = cells.groupBy("priority")
+        .agg(F.sum("n").cast("long").as("nr"))
+      val colsT = cells.groupBy("segment")
+        .agg(F.sum("n").cast("long").as("nc"))
+      val total = cells.agg(F.sum("n").cast("long").as("nt"),
+        F.count(F.lit(1)).as("m"))
+      val base = cells
+        .join(F.broadcast(rows), Seq("priority"))
+        .join(F.broadcast(colsT), Seq("segment"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_a", F.expr(
+          "CAST(n AS DECIMAL(38,0)) * nt - CAST(nr AS DECIMAL(38,0)) * nc"))
+        .withColumn("_den", F.expr("CAST(nt AS DECIMAL(38,0)) * nr * nc"))
+        .withColumn("chi_micro",
+          F.expr("CAST(_a * _a * 1000000 div _den AS BIGINT)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("chi_micro").desc, F.col("priority"),
+          F.col("segment"))
+      val ranked = base
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn("thr_micro", F.expr(bhThrSql("m", "k")))
+        .withColumn("_pass", F.expr(
+          "_a * _a * 1000000 >= CAST(thr_micro AS DECIMAL(38,0)) * _den"))
+      val kstar = ranked
+        .agg(F.max(F.when(F.col("_pass"), F.col("k"))).as("_ks"))
+      ranked.crossJoin(F.broadcast(kstar))
+        .select(F.col("k"), F.col("priority"), F.col("segment"),
+          F.col("n"), F.col("chi_micro"), F.col("thr_micro"),
+          F.expr("CAST(coalesce(_ks, 0) AS BIGINT)").as("k_star"),
+          F.expr("CASE WHEN _ks IS NOT NULL AND k <= _ks THEN 1L" +
+            " ELSE 0L END").as("rejected"))
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      r AS (SELECT priority, CAST(sum(n) AS BIGINT) AS nr
+            FROM cells GROUP BY 1),
+      c AS (SELECT segment, CAST(sum(n) AS BIGINT) AS nc
+            FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS m FROM cells),
+      base AS (
+        SELECT priority, segment, n, m,
+               CAST(n AS HUGEINT) * nt - CAST(nr AS HUGEINT) * nc AS a,
+               CAST(nt AS HUGEINT) * nr * nc AS den
+        FROM cells JOIN r USING (priority) JOIN c USING (segment), t),
+      ranked AS (
+        SELECT priority, segment, n, m, a, den,
+               CAST(a * a * 1000000 // den AS BIGINT) AS chi_micro,
+               CAST(row_number() OVER (
+                 ORDER BY a * a * 1000000 // den DESC, priority, segment)
+                 AS BIGINT) AS k
+        FROM base),
+      flags AS (
+        SELECT *, ${bhThrSql("m", "k")} AS thr_micro,
+               CASE WHEN a * a * 1000000 >=
+                 CAST(${bhThrSql("m", "k")} AS HUGEINT) * den
+               THEN 1 ELSE 0 END AS pass
+        FROM ranked),
+      ks AS (SELECT max(CASE WHEN pass = 1 THEN k END) AS kstar
+             FROM flags)
+      SELECT k, priority, segment, n, chi_micro, thr_micro,
+             CAST(coalesce(kstar, 0) AS BIGINT) AS k_star,
+             CAST(CASE WHEN kstar IS NOT NULL AND k <= kstar
+                  THEN 1 ELSE 0 END AS BIGINT) AS rejected
+      FROM flags, ks ORDER BY k"""))
+
   def all: Seq[QueryDef] =
     Seq(mannWhitney, anovaF, cramersV, ks2Sample, leveneBf, kruskalWallis,
       friedman, kendallW, mcnemar, cochranQ, wilcoxonSignedRank,
       wasserstein1, fleissKappa, simpsonsCheck, cliffsDelta, cohensKappa,
-      runsTest, cohensD, poissonDispersion)
+      runsTest, cohensD, poissonDispersion, fdrBh)
 }

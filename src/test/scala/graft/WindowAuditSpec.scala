@@ -32,6 +32,8 @@ class WindowAuditSpec extends SparkSpec {
     "embed_outliers" -> ("row_number<=20: native WindowGroupLimit " +
       "bounds the final window's input to k rows per upstream partition"),
     "eval_auc" -> "score-grouped counts: per-mille domain, <= 1001 rows",
+    "fdr_bh" -> ("rank over the <= 25-cell priority x segment " +
+      "contingency family (catalog-bounded, never corpus-sized)"),
     "eval_lift" -> "score-grouped counts, <= 1001 rows",
     "eval_pr_auc" -> "score-grouped counts, <= 1001 rows",
     "eval_pr_curve" -> "score-grouped counts, <= 1001 rows",
