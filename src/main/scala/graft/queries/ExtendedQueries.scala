@@ -248,6 +248,35 @@ object ExtendedQueries {
     },
     Some("SELECT * FROM supplier ORDER BY s_suppkey"))
 
+  // ----------------------------------------------------------------- H10
+  /** Transactional DSv2 sink round-trip
+    * ([[graft.sources.GraftAtomicSinkProvider]], r14): the supplier
+    * table is written through the manifest-gated atomic sink
+    * (SaveMode.Overwrite → SupportsTruncate) and read back through the
+    * same provider's scan — schema from the committed manifest, one
+    * input partition per committed file. The oracle reads the source
+    * directly, so the hash compare covers the WHOLE write+read path:
+    * task staging, commit messages, manifest publication, escaped-TSV
+    * encode/decode (ints, longs, strings, and doubles via the exact
+    * Double.toString round-trip). Commit/abort atomicity itself is
+    * proven by GraftSinkSpec's injected task failures. */
+  private val sinkRoundtrip = QueryDef(
+    "sink_roundtrip",
+    (s, d) => {
+      val base = s"/tmp/graft_h10_${Harness.runId}_" +
+        s"${new java.io.File(d).getName}/sink"
+      val sup = t(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      sup.write.format("graft.sources.GraftAtomicSinkProvider")
+        .option("path", base).mode("overwrite").save()
+      s.read.format("graft.sources.GraftAtomicSinkProvider")
+        .option("path", base).load()
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey"""))
+
   // ------------------------------------------------------------------ H3
   /** Partitioned parquet write + partition-pruned read: orders land
     * hive-partitioned by priority; the read back filters ONE partition
@@ -1088,5 +1117,5 @@ object ExtendedQueries {
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
     windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
     stateIslands, resampleInterp, winsorize, tableDiff, corrMatrix,
-    orcRoundtrip, dppJoin, synthSource)
+    orcRoundtrip, dppJoin, synthSource, sinkRoundtrip)
 }
