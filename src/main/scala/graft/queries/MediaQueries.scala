@@ -184,6 +184,228 @@ object MediaQueries {
              CAST(list_sum(tpx) * 62500 AS BIGINT) AS mean_micro
       FROM tp ORDER BY doc_id, tile_idx"""))
 
+  // ------------------------------------------------------- F8/F9 shared
+  /** 8-point DCT-II basis quantized ONCE at compile time to integer
+    * per-mille-ish units: DCT_T(u)(x) = round(1024·cos((2x+1)uπ/16)).
+    * The quantized table IS the algorithm (the C65 discrete-bucket
+    * discipline): both engines multiply the same integer weights, so
+    * every coefficient — and therefore every sign bit — is exact and
+    * identical, with no runtime cos() whose last ULP could differ. */
+  private val DCT_T: Seq[Seq[Long]] = Seq(
+    Seq(1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L),
+    Seq(1004L, 851L, 569L, 200L, -200L, -569L, -851L, -1004L),
+    Seq(946L, 392L, -392L, -946L, -946L, -392L, 392L, 946L),
+    Seq(851L, -200L, -1004L, -569L, 569L, 1004L, 200L, -851L),
+    Seq(724L, -724L, -724L, 724L, 724L, -724L, -724L, 724L),
+    Seq(569L, -1004L, 200L, 851L, -851L, -200L, 1004L, -569L),
+    Seq(392L, -946L, 946L, -392L, -392L, 946L, -946L, 392L),
+    Seq(200L, -569L, 851L, -1004L, 1004L, -851L, 569L, -200L))
+
+  /** The 63 non-DC (u,v) coefficients ordered low→high frequency
+    * (u+v, then u): bit b of the signature is the SIGN of coefficient
+    * COEFF_ORDER(b). */
+  private val COEFF_ORDER: Seq[(Int, Int)] =
+    (for (u <- 0 until 8; v <- 0 until 8 if (u, v) != (0, 0))
+      yield (u, v)).sortBy { case (u, v) => (u + v, u, v) }
+
+  /** Planted-near-dup grid parameters: docs group into quads
+    * (g = doc_id div 4) sharing a BASE 8×8 md5-stub grid; variant
+    * v = doc_id % 4 adds a per-pixel md5 perturbation of amplitude
+    * ±v·PHASH_AMP (v = 0 is the pristine anchor). The quad is the
+    * ground-truth near-dup family the F9 audit scores against. */
+  val PHASH_AMP = 8
+  /** Near-dup decision: Hamming over the 63 sign bits ≤ this. */
+  val PHASH_HAM = 4
+  /** Band layout over the 63 bits: 5 bands (13,13,13,12,12 bits) —
+    * pigeonhole-complete for PHASH_HAM = 4 (4 flipped bits cannot
+    * touch all 5 bands, so every qualifying pair shares ≥1 exact
+    * band key). */
+  private val BAND_LOS = Seq(0, 13, 26, 39, 51)
+  private val BAND_WIDTHS = Seq(13, 13, 13, 12, 12)
+
+  /** Engine-shared pixel-grid text: 64-element array of [0,255] longs.
+    * `q` quotes div; `hex(s)` is the engine's hex-byte extractor. */
+  private def pxSql(spark: Boolean): String = {
+    val (div, cast) =
+      if (spark) ("div", "AS STRING") else ("//", "AS VARCHAR")
+    def hexByte(key: String): String =
+      if (spark)
+        s"CAST(conv(substring(md5($key), 1 + 2 * (j % 16), 2), 16, 10) AS BIGINT)"
+      else
+        s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
+    val baseKey =
+      s"concat(CAST(doc_id $div 4 $cast), '#', CAST(j $div 16 $cast))"
+    val noiseKey =
+      s"concat(CAST(doc_id $cast), '!', CAST(j $div 16 $cast))"
+    val body =
+      s"""least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |${hexByte(baseKey)}
+         |+ CASE WHEN doc_id % 4 = 0 THEN CAST(0 AS BIGINT) ELSE
+         |  ${hexByte(noiseKey)}
+         |  % (2 * (doc_id % 4) * $PHASH_AMP + 1)
+         |  - (doc_id % 4) * $PHASH_AMP END))""".stripMargin
+    if (spark) s"transform(sequence(0, 63), j -> $body)"
+    else s"list_transform(generate_series(0, 63), j -> $body)"
+  }
+
+  /** Engine-shared 63-bit DCT sign-pack text over a `px` column:
+    * bit b set iff Σ_j px_j · T(u, j div 8) · T(v, j mod 8) > 0. */
+  private def sigSql(spark: Boolean): String = {
+    val terms = COEFF_ORDER.zipWithIndex.map { case ((u, v), b) =>
+      val w = (0 until 64).map(j => DCT_T(u)(j / 8) * DCT_T(v)(j % 8))
+      val dot =
+        if (spark)
+          s"aggregate(zip_with(px, array(${w.mkString(", ")}), " +
+            "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        else
+          s"list_sum(list_transform(generate_series(1, 64), " +
+            s"i -> px[i] * ([${w.mkString(",")}])[i]))"
+      s"CASE WHEN $dot > 0 THEN CAST(${1L << b} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"
+    }
+    terms.mkString("(", "\n + ", ")")
+  }
+
+  // ---------------------------------------------------------------- F8
+  /** DCT perceptual-hash near-dup detection over the grayscale grids —
+    * the classical pHash pipeline made engine-exact: 8×8 luma grid →
+    * integer 2-D DCT-II with the compile-time [[DCT_T]] table → 63-bit
+    * LOW-FREQUENCY SIGN PACK (one BIGINT per doc, the D69 sign-pack
+    * shape) → banded exact-match blocking (5 bands over the 63 bits;
+    * pigeonhole-complete for Hamming ≤ [[PHASH_HAM]]) → per-candidate
+    * Hamming via bit_count(xor). Publishes every pair with Hamming ≤
+    * PHASH_HAM. Unlike F4's average-hash negative control, the grid
+    * generator PLANTS near-dup quads (shared base + graded
+    * perturbation), so detection has real signal and F9 can measure
+    * recall against exact pixel distance.
+    *
+    * Scale shape: signature build is one narrow codegen pass (64
+    * integer mults × 63 coefficients per doc, no shuffle); blocking
+    * ships 5 band rows per doc and joins on exact (band, key) — a
+    * 2⁻¹²·⁶-selective key, so candidates stay ~10⁻³ of the pair
+    * space; the Hamming check is one xor+popcount per candidate.
+    * Real deployment swaps the md5 grid stub for a decode-resize in
+    * F2's batched shape and keeps EVERYTHING downstream unchanged. */
+  private val phashDct = QueryDef(
+    "phash_dct",
+    (s, d) => {
+      val sig = CacheScope.persist(
+        t(s, d, "documents")
+          .select(F.col("doc_id"), F.expr(pxSql(spark = true)).as("px"))
+          .select(F.col("doc_id"), F.expr(sigSql(spark = true)).as("sig")))
+      val bands = sig.select(F.col("doc_id"), F.col("sig"),
+        F.explode(F.expr(
+          BAND_LOS.zip(BAND_WIDTHS).zipWithIndex.map {
+            case ((lo, w), i) =>
+              s"named_struct('band', $i, 'key', " +
+                s"(sig div CAST(${1L << lo} AS BIGINT)) % " +
+                s"CAST(${1L << w} AS BIGINT))"
+          }.mkString("array(", ", ", ")"))).as("b"))
+        .select(F.col("doc_id"), F.col("sig"),
+          F.col("b.band").as("band"), F.col("b.key").as("key"))
+      val a = bands.toDF("doc_a", "sig_a", "band", "key")
+      val b = bands.toDF("doc_b", "sig_b", "band", "key")
+      a.join(b, Seq("band", "key"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_a"), F.col("doc_b"),
+          F.expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= PHASH_HAM)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH sig AS MATERIALIZED (
+        SELECT doc_id, ${sigSql(spark = false)} AS sig
+        FROM (SELECT doc_id, ${pxSql(spark = false)} AS px
+              FROM documents)),
+      bands AS (
+        SELECT doc_id, sig, b.i AS band,
+               (sig // CAST(${BAND_LOS.map(l => 1L << l)
+                 .mkString("[", ",", "]")}[b.i + 1] AS BIGINT))
+               % CAST(${BAND_WIDTHS.map(w => 1L << w)
+                 .mkString("[", ",", "]")}[b.i + 1] AS BIGINT) AS key
+        FROM sig, (SELECT unnest(generate_series(0, 4)) AS i) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(CAST(a.sig AS UBIGINT),
+                                  CAST(b.sig AS UBIGINT))) AS BIGINT)
+                 AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand
+      WHERE hamming <= $PHASH_HAM ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------- F9
+  /** Honesty audit of the F8 detector against EXACT pixel distance on
+    * a bounded cohort (the D61/D68 audit pattern — the audit pays the
+    * exact all-pixels cost on a deterministic slice, the serving query
+    * never does): for families g ≡ 0 (mod 17), every within-quad pair
+    * gets its exact squared-L2 pixel distance (integer, 64 diffs) and
+    * its 63-bit signature Hamming; published per (variant_a,
+    * variant_b) bucket — the planted perturbation amplitude — with
+    * pair count, detected count (Hamming ≤ PHASH_HAM), recall in ppm,
+    * exact summed L2 and its per-pair mean. The graded read: recall
+    * near 1 at ±8 perturbation, decaying toward the ±24 variants
+    * whose pixel distance has genuinely left near-dup territory. */
+  private val phashDctRecall = QueryDef(
+    "phash_dct_recall",
+    (s, d) => {
+      val cohort = t(s, d, "documents")
+        .where(F.expr("(doc_id div 4) % 17 = 0"))
+        .select(F.col("doc_id"), F.expr("doc_id div 4").as("g"),
+          F.expr("doc_id % 4").as("v"),
+          F.expr(pxSql(spark = true)).as("px"))
+      val sigd = CacheScope.persist(cohort
+        .select(F.col("doc_id"), F.col("g"), F.col("v"), F.col("px"),
+          F.expr(sigSql(spark = true)).as("sig")))
+      val a = sigd.toDF("doc_a", "g", "va", "px_a", "sig_a")
+      val b = sigd.toDF("doc_b", "g", "vb", "px_b", "sig_b")
+      a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("va"), F.col("vb"),
+          F.expr("aggregate(zip_with(px_a, px_b, " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+            "(acc, z) -> acc + z)").as("_l2"),
+          F.expr("bit_count(sig_a ^ sig_b)").cast("long").as("_h"))
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.sum(F.expr(s"CASE WHEN _h <= $PHASH_HAM THEN 1 ELSE 0 END"))
+            .as("n_detected"),
+          F.sum("_l2").as("sum_l2"))
+        .select(F.col("va"), F.col("vb"), F.col("n_pairs"),
+          F.col("n_detected"),
+          F.expr("n_detected * 1000000 div n_pairs").as("recall_ppm"),
+          F.col("sum_l2"),
+          F.expr("round(CAST(sum_l2 AS DOUBLE) / n_pairs, 2)")
+            .as("mean_l2"))
+        .orderBy("va", "vb")
+    },
+    Some(s"""
+      WITH cohort AS MATERIALIZED (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+               ${pxSql(spark = false)} AS px
+        FROM documents WHERE (doc_id // 4) % 17 = 0),
+      sigd AS MATERIALIZED (
+        SELECT doc_id, g, v, px, ${sigSql(spark = false)} AS sig
+        FROM cohort),
+      pairs AS (
+        SELECT a.v AS va, b.v AS vb,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> (a.px[i] - b.px[i]) * (a.px[i] - b.px[i])))
+                 AS BIGINT) AS l2,
+               bit_count(xor(CAST(a.sig AS UBIGINT),
+                             CAST(b.sig AS UBIGINT))) AS h
+        FROM sigd a JOIN sigd b
+          ON a.g = b.g AND a.doc_id < b.doc_id)
+      SELECT va, vb, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN h <= $PHASH_HAM THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_detected,
+             CAST(sum(CASE WHEN h <= $PHASH_HAM THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+             CAST(sum(l2) AS BIGINT) AS sum_l2,
+             round(CAST(CAST(sum(l2) AS BIGINT) AS DOUBLE) / count(*), 2)
+               AS mean_l2
+      FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(payloadEntropy, audioRmsWindows,
-    imageTileStats)
+    imageTileStats, phashDct, phashDctRecall)
 }
