@@ -147,6 +147,15 @@ object Bench {
         name -> (1 to 3).map(_ => run(name, SparkEntry.queries(name)))
           .sorted.apply(1)
       }
+    // r14 (verdict item 6): the sweep-health telemetry is now a GATE,
+    // not just a record — DiagCheck evaluates the two r12/r13 drift
+    // signatures (late-sweep GC accumulation, post-release storage
+    // residency) against documented thresholds and the verdict ships
+    // in bench_out.json; tools/diagcheck.py re-applies the same
+    // thresholds offline and exits nonzero.
+    val diagVerdict = graft.tools.DiagCheck.evaluate(diag.toSeq)
+    if (only.isEmpty && !diagVerdict.pass)
+      System.err.println(s"[bench] DIAG CHECK FAILED: ${diagVerdict.json}")
     // 3-decimal (ms) precision: full doubles made the 85-query JSON line
     // long enough that the driver's log capture truncated the tail.
     // Locale.ROOT: the f-interpolator is locale-dependent — a
@@ -171,6 +180,7 @@ object Bench {
     var top = results.sortBy(-_._2).take(20)
     def meta(n: Int): String =
       s""","query_count":${results.size},"queries_in_map":$n""" +
+        s""","diag_pass":${if (diagVerdict.pass) 1 else 0}""" +
         s""","queries_full":"bench_out.json","note":"queries = $n slowest""""
     while (top.nonEmpty &&
       jsonLine(top.sortBy(_._1), total, meta(top.size)).length > 1600)
@@ -186,6 +196,7 @@ object Bench {
           s""""sf":"$sfDir","action":"noop_write",""" +
           s""""gc_fence":$fence,""" +
           s""""canary":${jsonMap(canary)},""" +
+          s""""diag_check":${diagVerdict.json},""" +
           s""""isolated":${jsonMap(isolated)},""" +
           s""""queries":${jsonMap(results)}}""" + "\n")
       catch { case _: Throwable => () }
