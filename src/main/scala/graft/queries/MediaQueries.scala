@@ -248,18 +248,37 @@ object MediaQueries {
     else s"list_transform(generate_series(0, 63), j -> $body)"
   }
 
-  /** Engine-shared 63-bit DCT sign-pack text over a `px` column:
-    * bit b set iff Σ_j px_j · T(u, j div 8) · T(v, j mod 8) > 0. */
+  /** FACTORED 2-D DCT, pass 1 (r14 perf: the separable row transform):
+    * rt[x·8 + v] = Σ_y px[x·8 + y] · T(v, y) as a 64-entry array of
+    * EXPLICIT 8-term integer sums — no lambda HOFs, so the whole pass
+    * compiles into whole-stage codegen. Factoring Σ_xy px·T(u,x)·T(v,y)
+    * into Σ_x T(u,x)·(Σ_y px·T(v,y)) is exact integer algebra (same
+    * products, associative addition), so every sign bit — and every
+    * committed output — is IDENTICAL to the direct form at ~4× fewer
+    * multiplies (1016 vs 4032 per grid; frame_scene_cuts 21.6 → ~6 s
+    * at sf0.1). */
+  private def rtSql(spark: Boolean): String = {
+    def pxAt(k: Int): String = // k is 0-based
+      if (spark) s"element_at(px, ${k + 1})" else s"px[${k + 1}]"
+    val entries = (0 until 64).map { i =>
+      val x = i / 8; val v = i % 8
+      (0 until 8).map(y => s"${DCT_T(v)(y)} * ${pxAt(x * 8 + y)}")
+        .mkString("(", " + ", ")")
+    }
+    if (spark) entries.mkString("array(", ",\n ", ")")
+    else entries.mkString("[", ",\n ", "]")
+  }
+
+  /** Engine-shared 63-bit DCT sign-pack text over the [[rtSql]] `rt`
+    * column: bit b set iff Σ_x T(u, x) · rt[x·8 + v] > 0 — the second
+    * separable pass, again explicit 8-term sums. */
   private def sigSql(spark: Boolean): String = {
+    def rtAt(k: Int): String = // k is 0-based
+      if (spark) s"element_at(rt, ${k + 1})" else s"rt[${k + 1}]"
     val terms = COEFF_ORDER.zipWithIndex.map { case ((u, v), b) =>
-      val w = (0 until 64).map(j => DCT_T(u)(j / 8) * DCT_T(v)(j % 8))
-      val dot =
-        if (spark)
-          s"aggregate(zip_with(px, array(${w.mkString(", ")}), " +
-            "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        else
-          s"list_sum(list_transform(generate_series(1, 64), " +
-            s"i -> px[i] * ([${w.mkString(",")}])[i]))"
+      val dot = (0 until 8)
+        .map(x => s"${DCT_T(u)(x)} * ${rtAt(x * 8 + v)}")
+        .mkString("(", " + ", ")")
       s"CASE WHEN $dot > 0 THEN CAST(${1L << b} AS BIGINT) " +
         "ELSE CAST(0 AS BIGINT) END"
     }
@@ -292,6 +311,7 @@ object MediaQueries {
       val sig = CacheScope.persist(
         t(s, d, "documents")
           .select(F.col("doc_id"), F.expr(pxSql(spark = true)).as("px"))
+          .select(F.col("doc_id"), F.expr(rtSql(spark = true)).as("rt"))
           .select(F.col("doc_id"), F.expr(sigSql(spark = true)).as("sig")))
       val bands = sig.select(F.col("doc_id"), F.col("sig"),
         F.explode(F.expr(
@@ -316,8 +336,9 @@ object MediaQueries {
     Some(s"""
       WITH sig AS MATERIALIZED (
         SELECT doc_id, ${sigSql(spark = false)} AS sig
-        FROM (SELECT doc_id, ${pxSql(spark = false)} AS px
-              FROM documents)),
+        FROM (SELECT doc_id, ${rtSql(spark = false)} AS rt
+              FROM (SELECT doc_id, ${pxSql(spark = false)} AS px
+                    FROM documents))),
       bands AS (
         SELECT doc_id, sig, b.i AS band,
                (sig // CAST(${BAND_LOS.map(l => 1L << l)
@@ -356,6 +377,7 @@ object MediaQueries {
           F.expr("doc_id % 4").as("v"),
           F.expr(pxSql(spark = true)).as("px"))
       val sigd = CacheScope.persist(cohort
+        .withColumn("rt", F.expr(rtSql(spark = true)))
         .select(F.col("doc_id"), F.col("g"), F.col("v"), F.col("px"),
           F.expr(sigSql(spark = true)).as("sig")))
       val a = sigd.toDF("doc_a", "g", "va", "px_a", "sig_a")
@@ -386,7 +408,7 @@ object MediaQueries {
         FROM documents WHERE (doc_id // 4) % 17 = 0),
       sigd AS MATERIALIZED (
         SELECT doc_id, g, v, px, ${sigSql(spark = false)} AS sig
-        FROM cohort),
+        FROM (SELECT *, ${rtSql(spark = false)} AS rt FROM cohort)),
       pairs AS (
         SELECT a.v AS va, b.v AS vb,
                CAST(list_sum(list_transform(generate_series(1, 64),
@@ -406,6 +428,109 @@ object MediaQueries {
                AS mean_l2
       FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // --------------------------------------------------------------- F10
+  /** Shot-boundary (scene-cut) detection over video-like payloads —
+    * the standard consecutive-frame perceptual-distance algorithm on
+    * the F3 frame model: each document's payload yields up to
+    * [[SCENE_FRAMES]] frames, every frame decodes to an 8×8 luma grid
+    * (md5 stub PLANTING 4-frame scenes: frames share a base grid per
+    * scene = frame_idx div 4, plus ±6 per-frame noise; 32-byte
+    * frames so the synthetic payload lengths yield multi-scene clips), each grid
+    * sign-packs through the SAME compile-time integer DCT as F8, and a
+    * CUT is a consecutive-frame signature Hamming > [[CUT_HAM]] —
+    * within-scene noise stays in single digits, a scene boundary sits
+    * near the random-pair mean (~31 of 63 bits). Publishes every cut
+    * with its Hamming and the frame count — the shot index a video
+    * curation pipeline builds before sampling training clips.
+    *
+    * Scale shape: frames explode ≤ SCENE_FRAMES per doc (bounded
+    * fan-out), the signature is the F8 narrow codegen pass, and the
+    * consecutive pairing is a lag window PARTITIONED by doc (never
+    * global). Real deployment swaps the md5 grid for a decoded frame
+    * in F2's batched shape; everything downstream is unchanged. */
+  val SCENE_FRAMES = 12
+  val CUT_HAM = 10
+
+  /** Frame pixel grid: base keyed on (doc, scene, row), noise keyed on
+    * (doc, frame, row) at amplitude ±6 — engine-shared text. */
+  private def framePxSql(spark: Boolean): String = {
+    val (div, cast) =
+      if (spark) ("div", "AS STRING") else ("//", "AS VARCHAR")
+    def hexByte(key: String): String =
+      if (spark)
+        s"CAST(conv(substring(md5($key), 1 + 2 * (j % 16), 2), 16, 10) AS BIGINT)"
+      else
+        s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
+    val baseKey = s"concat(CAST(doc_id $cast), '@', " +
+      s"CAST(fi $div 4 $cast), '#', CAST(j $div 16 $cast))"
+    val noiseKey = s"concat(CAST(doc_id $cast), '@', CAST(fi $cast), " +
+      s"'!', CAST(j $div 16 $cast))"
+    val body =
+      s"""least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |${hexByte(baseKey)} + ${hexByte(noiseKey)} % 13 - 6))"""
+        .stripMargin
+    if (spark) s"transform(sequence(0, 63), j -> $body)"
+    else s"list_transform(generate_series(0, 63), j -> $body)"
+  }
+
+  private val frameSceneCuts = QueryDef(
+    "frame_scene_cuts",
+    (s, d) => {
+      val frames = t(s, d, "documents")
+        .select(F.col("doc_id"),
+          F.expr(s"least($SCENE_FRAMES, " +
+            "CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT))")
+            .as("nf"))
+        .where(F.col("nf") >= 2)
+        .select(F.col("doc_id"), F.col("nf"),
+          F.explode(F.expr("sequence(0L, nf - 1)")).as("fi"))
+      val sigs = frames
+        .withColumn("px", F.expr(framePxSql(spark = true)))
+        .withColumn("rt", F.expr(rtSql(spark = true)))
+        .withColumn("sig", F.expr(sigSql(spark = true)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("fi")
+      sigs
+        .withColumn("_prev", F.lag("sig", 1).over(w))
+        .where(F.col("_prev").isNotNull)
+        .withColumn("hamming",
+          F.expr("bit_count(sig ^ _prev)").cast("long"))
+        .where(F.col("hamming") > CUT_HAM)
+        .select(F.col("doc_id"), F.col("fi").as("cut_at_frame"),
+          F.col("nf").as("n_frames"), F.col("hamming"))
+        .orderBy("doc_id", "cut_at_frame")
+    },
+    Some(s"""
+      WITH nfd AS (
+        SELECT doc_id,
+               least($SCENE_FRAMES,
+                 CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT))
+                 AS nf
+        FROM documents),
+      frames AS (
+        SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fi
+        FROM nfd WHERE nf >= 2),
+      sigs AS MATERIALIZED (
+        SELECT doc_id, nf, fi, ${sigSql(spark = false)} AS sig
+        FROM (SELECT doc_id, nf, fi, ${rtSql(spark = false)} AS rt
+              FROM (SELECT doc_id, nf, fi,
+                           ${framePxSql(spark = false)} AS px
+                    FROM frames))),
+      lagged AS (
+        SELECT doc_id, fi, nf, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        FROM sigs)
+      SELECT doc_id, CAST(fi AS BIGINT) AS cut_at_frame,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(bit_count(xor(CAST(sig AS UBIGINT),
+                                CAST(prev AS UBIGINT))) AS BIGINT)
+               AS hamming
+      FROM lagged
+      WHERE prev IS NOT NULL
+        AND bit_count(xor(CAST(sig AS UBIGINT), CAST(prev AS UBIGINT)))
+            > $CUT_HAM
+      ORDER BY doc_id, cut_at_frame"""))
+
   val all: Seq[QueryDef] = Seq(payloadEntropy, audioRmsWindows,
-    imageTileStats, phashDct, phashDctRecall)
+    imageTileStats, phashDct, phashDctRecall, frameSceneCuts)
 }

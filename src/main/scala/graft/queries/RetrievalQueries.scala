@@ -574,6 +574,165 @@ object RetrievalQueries {
                AS top10_share_ppm
       FROM s, cat, nq, t10"""))
 
+  /** D78 MMR weights in micros: λ = 0.7 (relevance) vs 1−λ = 0.3
+    * (diversity penalty), and the shortlist/pick budgets. */
+  val MMR_LAMBDA_MICRO = 700000L
+  val MMR_SHORT = 8
+  val MMR_PICK = 4
+
+  // ---------------------------------------------------------------- D78
+  /** Maximal-marginal-relevance re-ranking [Carbonell-Goldstein 1998]
+    * — the diversity pass every RAG retriever runs between ANN
+    * shortlist and prompt assembly: from each query's brute-force
+    * top-[[MMR_SHORT]] shortlist, greedily pick [[MMR_PICK]] documents
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). All
+    * scoring is EXACT integers over the 6dp-rounded cosines
+    * (rel_micro/sim_micro longs; the pick score is the λ-weighted
+    * integer mmr_pico = 700000·rel_micro − 300000·maxsim_micro, zero
+    * maxsim for the first pick), so the greedy argmax — ties broken
+    * by match_id — is bit-deterministic in both engines. Publishes
+    * (query, mmr_rank, match, rel_micro, mmr_pico): the re-ranked,
+    * de-redundified context list.
+    *
+    * Scale shape: the corpus is touched ONCE by the shortlist pass
+    * (the D6 broadcast-queries scan); everything after — candidate
+    * vectors, the 8×7 per-query sim matrix, four greedy rounds — is
+    * queries×shortlist metadata (≤ 24 rows here), iterated in
+    * UNROLLED bounded rounds, never a corpus-sized loop. */
+  private val mmrRerank = QueryDef(
+    "mmr_rerank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+      val short = Similarity.bruteForceTopK(emb,
+          emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+          k = MMR_SHORT)
+        .withColumn("rel_micro",
+          F.expr("CAST(round(cos * 1000000) AS BIGINT)"))
+        .select("query_id", "match_id", "rel_micro")
+      val shortV = graft.operators.CacheScope.persist(
+        emb.select(F.col("vec_id").as("match_id"), F.col("embedding"))
+          .join(F.broadcast(short), "match_id"))
+      val sims = graft.operators.CacheScope.persist(
+        shortV.select(F.col("query_id"), F.col("match_id").as("a"),
+            F.col("embedding").as("va"))
+          .join(shortV.select(F.col("query_id"),
+            F.col("match_id").as("b"), F.col("embedding").as("vb")),
+            "query_id")
+          .where(F.col("a") =!= F.col("b"))
+          // fresh-alias the query key: the round-r pick joins sims
+          // against frames sharing `short`'s lineage, and an expression
+          // condition on the SAME exprId would be an ambiguous self-join
+          .select(F.col("query_id").as("sq"), F.col("a"), F.col("b"),
+            F.expr("CAST(round(round(" +
+              "float_dot(va, vb) / (sqrt(float_dot(va, va)) * " +
+              "sqrt(float_dot(vb, vb))), 6) * 1000000) AS BIGINT)")
+              .as("sim_micro")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("_pico").desc, F.col("match_id"))
+      var selected = short
+        .withColumn("_pico",
+          F.expr(s"$MMR_LAMBDA_MICRO * rel_micro"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") === 1)
+        .select(F.col("query_id"), F.col("match_id"),
+          F.lit(1L).as("mmr_rank"), F.col("rel_micro"),
+          F.col("_pico").as("mmr_pico"))
+      for (r <- 2 to MMR_PICK) {
+        val rem = short.join(
+          selected.select("query_id", "match_id"),
+          Seq("query_id", "match_id"), "left_anti")
+        val pick = rem
+          .join(selected.select(F.col("query_id"),
+            F.col("match_id").as("_sel")), "query_id")
+          .join(sims,
+            sims("sq") === rem("query_id") &&
+              sims("a") === rem("match_id") &&
+              sims("b") === F.col("_sel"))
+          .groupBy(rem("query_id").as("query_id"),
+            rem("match_id").as("match_id"), F.col("rel_micro"))
+          .agg(F.max("sim_micro").as("_maxsim"))
+          .withColumn("_pico", F.expr(s"$MMR_LAMBDA_MICRO * rel_micro" +
+            s" - ${1000000L - MMR_LAMBDA_MICRO} * _maxsim"))
+          .withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") === 1)
+          .select(F.col("query_id"), F.col("match_id"),
+            F.lit(r.toLong).as("mmr_rank"), F.col("rel_micro"),
+            F.col("_pico").as("mmr_pico"))
+        selected = selected.unionByName(pick)
+      }
+      selected.orderBy("query_id", "mmr_rank")
+    },
+    Some {
+      val lam = MMR_LAMBDA_MICRO
+      val oneMinus = 1000000L - MMR_LAMBDA_MICRO
+      val rounds = (2 to MMR_PICK).map { r =>
+        s"""rem$r AS (
+           |  SELECT rel.* FROM rel WHERE NOT EXISTS (
+           |    SELECT 1 FROM selu${r - 1} s
+           |    WHERE s.query_id = rel.query_id
+           |      AND s.match_id = rel.match_id)),
+           |ms$r AS (
+           |  SELECT rem$r.query_id, rem$r.match_id, rem$r.rel_micro,
+           |         max(sims.sim_micro) AS maxsim
+           |  FROM rem$r JOIN selu${r - 1} sel
+           |         ON sel.query_id = rem$r.query_id
+           |       JOIN sims ON sims.query_id = rem$r.query_id
+           |         AND sims.a = rem$r.match_id
+           |         AND sims.b = sel.match_id
+           |  GROUP BY 1, 2, 3),
+           |sel$r AS MATERIALIZED (
+           |  SELECT query_id, match_id, CAST($r AS BIGINT) AS mmr_rank,
+           |         rel_micro, pico AS mmr_pico
+           |  FROM (SELECT *, $lam * rel_micro - $oneMinus * maxsim
+           |          AS pico,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY
+           |            $lam * rel_micro - $oneMinus * maxsim DESC,
+           |            match_id) AS rn
+           |        FROM ms$r) WHERE rn = 1),
+           |selu$r AS MATERIALIZED (
+           |  SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS match_id, embedding AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, match_id, ${cosSql("qv", "cv")} AS cos
+         |  FROM q, c WHERE query_id != match_id),
+         |short AS MATERIALIZED (
+         |  SELECT query_id, match_id,
+         |         CAST(round(cos * 1000000) AS BIGINT) AS rel_micro
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, match_id) AS rnk FROM scored)
+         |  WHERE rnk <= $MMR_SHORT),
+         |sv AS MATERIALIZED (
+         |  SELECT short.query_id, short.match_id, short.rel_micro,
+         |         c.cv AS v
+         |  FROM short JOIN c ON c.match_id = short.match_id),
+         |sims AS MATERIALIZED (
+         |  SELECT s1.query_id, s1.match_id AS a, s2.match_id AS b,
+         |         CAST(round(round(${dotSql("s1.v", "s2.v")}
+         |           / (sqrt(${dotSql("s1.v", "s1.v")})
+         |              * sqrt(${dotSql("s2.v", "s2.v")})), 6)
+         |           * 1000000) AS BIGINT) AS sim_micro
+         |  FROM sv s1 JOIN sv s2 ON s1.query_id = s2.query_id
+         |    AND s1.match_id <> s2.match_id),
+         |rel AS MATERIALIZED (
+         |  SELECT query_id, match_id, rel_micro FROM short),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, match_id, CAST(1 AS BIGINT) AS mmr_rank,
+         |         rel_micro, $lam * rel_micro AS mmr_pico
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel_micro DESC, match_id) AS rn FROM rel)
+         |  WHERE rn = 1),
+         |selu1 AS MATERIALIZED (SELECT * FROM sel1),
+         |$rounds
+         |SELECT query_id, mmr_rank, match_id, rel_micro, mmr_pico
+         |FROM selu$MMR_PICK ORDER BY query_id, mmr_rank""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(searchMrr, searchNdcg, ivfNprobeSweep,
-    lateInteraction, rrfFusion, recCoverage)
+    lateInteraction, rrfFusion, recCoverage, mmrRerank)
 }

@@ -356,6 +356,148 @@ object SeriesQueries {
              CAST((sm - sm % n_days) // n_days AS BIGINT) AS mean_myria
       FROM g ORDER BY dow"""))
 
+  // ---------------------------------------------------------- M63 tables
+  /** Quantized DFT basis for [[periodogram]]: for each candidate
+    * period p, COS_P(p)(r) = round(10⁶·cos(2πr/p)) and SIN_P(p)(r) =
+    * round(10⁶·sin(2πr/p)) for r = 0..p−1 — compile-time literals,
+    * never a runtime cos/sin (the BH_THR / DCT_T discipline). The
+    * modular trick is what makes a DFT tabulable at all: the basis at
+    * integer period p only takes p distinct values over ANY horizon,
+    * so a Σ_t x_t·cos(2πt/p) over years of days indexes a p-entry
+    * table by t mod p. */
+  private val PERIODS = 2 to 14
+  private val COS_P: Map[Int, Seq[Long]] = PERIODS.map(p =>
+    p -> (0 until p).map(r =>
+      math.round(1e6 * math.cos(2 * math.Pi * r / p)))).toMap
+  private val SIN_P: Map[Int, Seq[Long]] = PERIODS.map(p =>
+    p -> (0 until p).map(r =>
+      math.round(1e6 * math.sin(2 * math.Pi * r / p)))).toMap
+
+  private def basisAt(tbl: Seq[Long], tExpr: String, p: Int,
+      spark: Boolean): String =
+    if (spark)
+      s"element_at(array(${tbl.mkString(", ")}), " +
+        s"CAST(($tExpr) % $p AS INT) + 1)"
+    else
+      s"([${tbl.mkString(",")}])[(($tExpr) % $p) + 1]"
+
+  // ---------------------------------------------------------------- M63
+  /** Periodogram over the daily revenue series — "what cycle does this
+    * series actually have": the squared DFT magnitude at every integer
+    * period p = 2..14 days, computed EXACTLY up to the one closing
+    * double per axis. Deviations are pre-scaled to stay integer
+    * (dev_t = n·x_t − Σx, so no mean division), each axis is one
+    * table-lookup dot product C_p = Σ dev_t·COS_P(p)(t mod p) in
+    * DECIMAL(38,0)/HUGEINT, and the power P_p = C_p² + S_p² squares
+    * AFTER the §5 string→double route (C_p ~ 10²² would overflow any
+    * integer width squared; two identical doubles square
+    * bit-identically). Published per period: the power share of the
+    * whole scanned band (one double division, 6dp) and the peak flag
+    * (max share, smallest-period tie-break) — the read that says
+    * "weekly" without anyone eyeballing a chart.
+    *
+    * Scale shape: one map-side-combined fact rollup to calendar days;
+    * the 13×2 dot products ride ONE aggregate pass over the ≤2.5k-day
+    * frame; everything after is a 13-row metadata frame. */
+  private val periodogram = QueryDef(
+    "periodogram",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val glob = daily.agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).as("sx"),
+        F.min("day").as("d0"))
+      val dev = daily.crossJoin(F.broadcast(glob))
+        .select(F.expr("CAST(datediff(day, d0) AS BIGINT)").as("tt"),
+          F.expr("n * CAST(cents AS DECIMAL(38,0)) - sx").as("dev"))
+      val sums = PERIODS.flatMap { p =>
+        Seq(
+          F.sum(F.expr(s"dev * ${basisAt(COS_P(p), "tt", p, spark = true)}"))
+            .as(s"_c$p"),
+          F.sum(F.expr(s"dev * ${basisAt(SIN_P(p), "tt", p, spark = true)}"))
+            .as(s"_s$p"))
+      }
+      var one = dev.agg(sums.head, sums.tail: _*)
+      // pow() is libm-routed (1-ULP divergence risk, SURVEY section 5);
+      // square the string-routed doubles with plain multiplication
+      for (p <- PERIODS) one = one
+        .withColumn(s"_dc$p", F.expr(
+          s"CAST(CAST(coalesce(_c$p, CAST(0 AS DECIMAL(38,0)))" +
+            s" AS STRING) AS DOUBLE)"))
+        .withColumn(s"_ds$p", F.expr(
+          s"CAST(CAST(coalesce(_s$p, CAST(0 AS DECIMAL(38,0)))" +
+            s" AS STRING) AS DOUBLE)"))
+        .withColumn(s"_pw$p",
+          F.expr(s"_dc$p * _dc$p + _ds$p * _ds$p"))
+      one = one.withColumn("_tot",
+        F.expr(PERIODS.map(p => s"_pw$p").mkString(" + ")))
+      val rows = PERIODS.map(p =>
+        s"named_struct('period', CAST($p AS BIGINT), 'share', " +
+          s"CASE WHEN _tot = CAST(0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)" +
+          s" ELSE round(_pw$p / _tot, 6) END)")
+      val sh = one
+        .select(F.explode(F.expr(rows.mkString("array(", ", ", ")")))
+          .as("r"))
+        .select(F.col("r.period").as("period"),
+          F.col("r.share").as("share"))
+      val pk = sh.agg(F.max("share").as("_mx"))
+        .join(sh.withColumnRenamed("share", "_sh2"),
+          F.col("_sh2") === F.col("_mx"))
+        .agg(F.min("period").as("_pkp"))
+      sh.crossJoin(F.broadcast(pk))
+        .select(F.col("period"), F.col("share"),
+          F.expr("CASE WHEN period = _pkp THEN 1L ELSE 0L END")
+            .as("peak"))
+        .orderBy("period")
+    },
+    Some {
+      val axes = PERIODS.map { p =>
+        s"""sum(dev * ${basisAt(COS_P(p), "tt", p, spark = false)}) AS c$p,
+           |sum(dev * ${basisAt(SIN_P(p), "tt", p, spark = false)}) AS s$p"""
+          .stripMargin
+      }.mkString(",\n")
+      val pws = PERIODS.map(p =>
+        s"""CAST(CAST(coalesce(c$p, 0) AS VARCHAR) AS DOUBLE)
+           | * CAST(CAST(coalesce(c$p, 0) AS VARCHAR) AS DOUBLE)
+           | + CAST(CAST(coalesce(s$p, 0) AS VARCHAR) AS DOUBLE)
+           | * CAST(CAST(coalesce(s$p, 0) AS VARCHAR) AS DOUBLE)
+           | AS pw$p""".stripMargin).mkString(",\n")
+      val shares = PERIODS.map(p =>
+        s"SELECT CAST($p AS BIGINT) AS period, CASE WHEN tot = " +
+          s"CAST(0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) ELSE " +
+          s"round(pw$p / tot, 6) END AS share FROM pw")
+        .mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             sum(CAST(cents AS HUGEINT)) AS sx,
+         |             min(day) AS d0 FROM daily),
+         |dev AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS tt,
+         |               n * CAST(cents AS HUGEINT) - sx AS dev
+         |        FROM daily, g),
+         |ax AS (SELECT
+         |$axes
+         |FROM dev),
+         |pw0 AS (SELECT
+         |$pws
+         |FROM ax),
+         |pw AS (SELECT *, ${PERIODS.map(p => s"pw$p").mkString(" + ")}
+         |         AS tot FROM pw0),
+         |sh AS MATERIALIZED ($shares),
+         |mx AS (SELECT max(share) AS mx FROM sh),
+         |pk AS (SELECT min(period) AS pkp FROM sh, mx
+         |       WHERE share = mx)
+         |SELECT period, share,
+         |       CAST(CASE WHEN period = pkp THEN 1 ELSE 0 END AS BIGINT)
+         |         AS peak
+         |FROM sh, pk ORDER BY period""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(binsegSplit, forecastBacktest, rollingCorr,
-    lDiversity, seasonalDecompose)
+    lDiversity, seasonalDecompose, periodogram)
 }
