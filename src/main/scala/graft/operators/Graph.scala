@@ -78,6 +78,60 @@ object Graph {
       F.round(F.col("rank").cast("double") / SCALE, 6).as("rank"))
   }
 
+  /** PERSONALIZED PageRank [random walk with restart to a seed set] in
+    * the same integer fixed-point as [[pageRank]]: restart mass lands
+    * ONLY on seeds (teleport = (den−num)·SCALE/den per seed, zero
+    * elsewhere), initial rank = SCALE on seeds / 0 elsewhere, so after
+    * k rounds rank(v) is the exact integer fixed-point of "probability
+    * a damped walk from the seed cohort sits at v" — the
+    * recommendation/expansion read ("what is NEAR these products")
+    * that global PageRank's uniform teleport washes out.
+    *
+    * Scale shape: identical to [[pageRank]] — one node-keyed shuffle
+    * per round, eager per-round checkpoints, superseded blocks freed.
+    * Seeds ride as a persisted flag column on the node spine (never a
+    * driver-side collect). */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      s"need iters >= 1 and 0 <= dampNum <= dampDen, got $iters, $dampNum/$dampDen")
+    val edges = CacheScope.persist(
+      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+        .distinct())
+    val degrees = CacheScope.persist(
+      edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("deg")))
+    val spine = CacheScope.persist(
+      degrees.select("v")
+        .join(seeds.select(F.col(seeds.columns.head).as("v")).distinct()
+          .withColumn("_s", F.lit(1L)), Seq("v"), "left")
+        .select(F.col("v"), F.coalesce(F.col("_s"), F.lit(0L)).as("is_seed")))
+    val teleport = (dampDen - dampNum) * SCALE / dampDen
+    var ranks = spine.select(F.col("v"),
+      F.expr(s"is_seed * $SCALE").as("rank"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(degrees.withColumnRenamed("v", "src"), "src")
+        .select(F.col("dst").as("v"),
+          F.expr("rank div deg").as("_share"))
+        .groupBy("v").agg(F.sum("_share").as("_in"))
+      val nextPlan = spine.join(contrib, Seq("v"), "left")
+        .select(F.col("v"),
+          F.expr(s"is_seed * $teleport + " +
+            s"($dampNum * coalesce(_in, 0L)) div $dampDen").as("rank"))
+      val next = CacheScope.checkpoint(nextPlan, eager = true)
+      if (prev != null) CacheScope.unpersistCheckpoint(prev)
+      prev = next
+      ranks = next
+    }
+    spine.join(ranks, "v")
+      .select(F.col("v"), F.col("is_seed"), F.col("rank").as("rank_fp"),
+        F.round(F.col("rank").cast("double") / SCALE, 6).as("rank"))
+  }
+
   /** Exact triangle count via degree orientation [Cohen 2009 / the
     * standard MPC formulation]: orient every canonical edge (a < b)
     * from the (degree, id)-SMALLER endpoint to the larger, join

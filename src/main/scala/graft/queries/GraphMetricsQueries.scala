@@ -1108,8 +1108,76 @@ object GraphMetricsQueries {
          |FROM h2 JOIN a2 USING (v), hres, ares ORDER BY pk""".stripMargin
     })
 
+  /** D79 seed modulus (nodes ≡ 0 mod this form the restart cohort)
+    * and the walk's round count. */
+  val PPR_MOD = 97
+  val PPR_ITERS = 3
+
+  // ---------------------------------------------------------------- D79
+  /** Personalized PageRank from a seed cohort over the co-purchase
+    * graph ([[graft.operators.Graph.personalizedPageRank]]): restart
+    * mass lands only on the deterministic seed set v ≡ 0 (mod
+    * PPR_MOD), so rank(v) reads "how reachable is v by a damped walk
+    * from these products" — the related-items expansion global
+    * PageRank (D15) washes out with its uniform teleport. Same
+    * integer fixed-point discipline as D15 (per-neighbor share and
+    * damping as exact integer divisions; bit-identical across
+    * engines, rounds and cluster sizes). Publishes the top 100 nodes
+    * by fixed-point rank with the seed flag — seeds keep their
+    * teleport mass, and the interesting rows are the NON-seeds that
+    * rank high purely through proximity.
+    *
+    * Scale shape: one node-keyed shuffle per round over the staged
+    * edges, eager per-round checkpoints (the D15 lineage discipline);
+    * the seed flag rides the node spine, never a driver collect. */
+  private val pprSeeded = QueryDef(
+    "ppr_seeded",
+    (s, d) => {
+      val e = Staged.coPurchaseEdges(s, d)
+      val seeds = e.select(F.col("pa").as("v"))
+        .unionAll(e.select(F.col("pb").as("v")))
+        .where(F.col("v") % PPR_MOD === 0).distinct()
+      graft.operators.Graph
+        .personalizedPageRank(e, "pa", "pb", seeds, iters = PPR_ITERS)
+        .orderBy(F.col("rank_fp").desc, F.col("v")).limit(100)
+    },
+    Some {
+      val scale = graft.operators.Graph.SCALE
+      val teleport = 15L * scale / 100L
+      val rounds = (1 to PPR_ITERS).map { r =>
+        s"""r$r AS (SELECT sp.v,
+           |  CAST(sp.is_seed * $teleport
+           |       + (85 * coalesce(c.inr, 0)) // 100 AS BIGINT) AS rank
+           |  FROM spine sp LEFT JOIN (
+           |    SELECT e.dst AS v, sum(r.rank // g.deg) AS inr
+           |    FROM edges e JOIN r${r - 1} r ON r.v = e.src
+           |                 JOIN deg g ON g.v = e.src
+           |    GROUP BY 1) c ON c.v = sp.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (
+         |  SELECT pa AS src, pb AS dst FROM pairs
+         |  UNION SELECT pb, pa FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+         |spine AS MATERIALIZED (
+         |  SELECT v, CASE WHEN v % $PPR_MOD = 0 THEN 1 ELSE 0 END
+         |    AS is_seed FROM deg),
+         |r0 AS (SELECT v, CAST(is_seed * $scale AS BIGINT) AS rank
+         |       FROM spine),
+         |$rounds
+         |SELECT sp.v, CAST(sp.is_seed AS BIGINT) AS is_seed,
+         |       r.rank AS rank_fp,
+         |       round(CAST(r.rank AS DOUBLE) / $scale, 6) AS rank
+         |FROM spine sp JOIN r$PPR_ITERS r ON r.v = sp.v
+         |ORDER BY rank_fp DESC, sp.v LIMIT 100""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
     harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel,
-    betweennessSampled, richClub, graphEdgeDrift, hitsScores)
+    betweennessSampled, richClub, graphEdgeDrift, hitsScores, pprSeeded)
 }
