@@ -498,6 +498,70 @@ object SeriesQueries {
          |FROM sh, pk ORDER BY period""".stripMargin
     })
 
+  // ---------------------------------------------------------------- M64
+  /** Additive Holt-Winters smoothing of the daily revenue series
+    * ([[graft.operators.SeriesOps.holtWintersFold]], r14): level +
+    * trend + 7-observation season, all-INTEGER recursions (α = 1/4,
+    * β = γ = 1/8 via the portable truncating division (a − a%k)/k —
+    * identical on signed deseasonalized terms in both engines), so the
+    * full state series is hash-portable where float Holt-Winters
+    * drifts an ULP per step. Publishes every day with its one-step-
+    * ahead fitted value, the residual, and the level/trend/seasonal
+    * decomposition — the capacity-forecast companion to M12's
+    * seasonal-naive backtest (this is the model that backtest is the
+    * baseline FOR). Seasonal lag is by observation index; TPC-H dates
+    * are gapless daily so observation-7 = calendar-7 here.
+    *
+    * Scale shape: one map-side corpus collapse to the ≤2.5k-day grid,
+    * one calendar-bounded array fold (the E51 ewmaFold shape), then an
+    * explode back to rows; the oracle runs the SAME integer recursion
+    * as a depth-n recursive CTE (the E51 precedent). */
+  private val holtWinters = QueryDef(
+    "holt_winters",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      graft.operators.SeriesOps.holtWintersFold(daily, "day", "cents")
+        .orderBy("day")
+    },
+    Some {
+      def td(a: String, k: Int) = s"(($a) - ($a) % $k) // $k"
+      val x = "s.cents"
+      val s7 = "r.seas[1]"
+      val lnew = s"${td(s"$x - $s7", 4)} + ${td("3 * (r.lvl + r.tr)", 4)}"
+      val tnew = s"${td(s"($lnew) - r.lvl", 8)} + ${td("7 * r.tr", 8)}"
+      val snew = s"${td(s"$x - ($lnew)", 8)} + ${td(s"7 * ($s7)", 8)}"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |seq AS MATERIALIZED (
+         |  SELECT day, cents,
+         |         row_number() OVER (ORDER BY day) AS rn FROM daily),
+         |r AS (
+         |  SELECT rn, day, cents, cents AS lvl,
+         |         CAST(0 AS BIGINT) AS tr,
+         |         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS seas,
+         |         cents AS fitted, CAST(0 AS BIGINT) AS err,
+         |         CAST(0 AS BIGINT) AS seasonal
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.rn, s.day, s.cents,
+         |         CAST($lnew AS BIGINT),
+         |         CAST($tnew AS BIGINT),
+         |         list_append(r.seas[2:7], CAST($snew AS BIGINT)),
+         |         CAST(r.lvl + r.tr + $s7 AS BIGINT),
+         |         CAST($x - (r.lvl + r.tr + $s7) AS BIGINT),
+         |         CAST($snew AS BIGINT)
+         |  FROM r JOIN seq s ON s.rn = r.rn + 1)
+         |SELECT day, cents, fitted, err, lvl AS level, tr AS trend,
+         |       seasonal
+         |FROM r ORDER BY day""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(binsegSplit, forecastBacktest, rollingCorr,
-    lDiversity, seasonalDecompose, periodogram)
+    lDiversity, seasonalDecompose, periodogram, holtWinters)
 }
