@@ -506,6 +506,32 @@ object ScaleTest {
     // r10: assortativity must stay edge-linear (two degree joins + one
     // aggregate over the 10 disjoint co-purchase replicas)
     timeQ("degree_assortativity")
+    // r14 probes. phash_dct: the factored DCT sign pack is one narrow
+    // codegen pass (corpus-linear), the 5-band blocking ships 5 rows
+    // per doc and candidates stay ~2^-12.6-selective — the probe pins
+    // both; its recall audit's exact side is a fixed 1/17 cohort
+    // fraction (corpus-linear, unlike the excluded clustering audit).
+    // frame_scene_cuts: <= 12 frames per doc, sig pass, doc-partitioned
+    // lag — corpus-linear with a 12x constant. ppr_seeded: one
+    // node-keyed shuffle per round over the replicated (disjoint)
+    // co-purchase graphs — edge-linear x rounds. fdr_bh / periodogram /
+    // holt_winters: one corpus aggregate each to a <= 25-cell /
+    // calendar frame — the pacf/friedman family shape, probed because
+    // each adds a new finish (BH cross-multiplication, 13 x 2
+    // table-lookup axes, the depth-n integer fold).
+    timeQ("phash_dct")
+    timeQ("phash_dct_recall")
+    timeQ("frame_scene_cuts")
+    timeQ("ppr_seeded")
+    timeQ("fdr_bh")
+    timeQ("periodogram")
+    timeQ("holt_winters")
+    // mmr_rerank: corpus cost is the D6 shortlist scan (already pinned
+    // by topk_brute_10q); everything after is queries x 8 metadata —
+    // probed end-to-end against a 10x embeddings dir to prove it.
+    spark.read.parquet(s"$out/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$qdir/embeddings.parquet")
+    timeQ("mmr_rerank")
     spark.stop()
   }
 }
