@@ -191,22 +191,14 @@ object MediaQueries {
     * discipline): both engines multiply the same integer weights, so
     * every coefficient — and therefore every sign bit — is exact and
     * identical, with no runtime cos() whose last ULP could differ. */
-  private val DCT_T: Seq[Seq[Long]] = Seq(
-    Seq(1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L),
-    Seq(1004L, 851L, 569L, 200L, -200L, -569L, -851L, -1004L),
-    Seq(946L, 392L, -392L, -946L, -946L, -392L, 392L, 946L),
-    Seq(851L, -200L, -1004L, -569L, 569L, 1004L, 200L, -851L),
-    Seq(724L, -724L, -724L, 724L, 724L, -724L, -724L, 724L),
-    Seq(569L, -1004L, 200L, 851L, -851L, -200L, 1004L, -569L),
-    Seq(392L, -946L, 946L, -392L, -392L, 946L, -946L, 392L),
-    Seq(200L, -569L, 851L, -1004L, 1004L, -851L, 569L, -200L))
+  private val DCT_T: Seq[Seq[Long]] =
+    graft.operators.DctHash.T.map(_.toSeq).toSeq
 
   /** The 63 non-DC (u,v) coefficients ordered low→high frequency
     * (u+v, then u): bit b of the signature is the SIGN of coefficient
     * COEFF_ORDER(b). */
   private val COEFF_ORDER: Seq[(Int, Int)] =
-    (for (u <- 0 until 8; v <- 0 until 8 if (u, v) != (0, 0))
-      yield (u, v)).sortBy { case (u, v) => (u + v, u, v) }
+    graft.operators.DctHash.COEFF_ORDER.toSeq
 
   /** Planted-near-dup grid parameters: docs group into quads
     * (g = doc_id div 4) sharing a BASE 8×8 md5-stub grid; variant
@@ -226,13 +218,11 @@ object MediaQueries {
   /** Engine-shared pixel-grid text: 64-element array of [0,255] longs.
     * `q` quotes div; `hex(s)` is the engine's hex-byte extractor. */
   private def pxSql(spark: Boolean): String = {
-    val (div, cast) =
-      if (spark) ("div", "AS STRING") else ("//", "AS VARCHAR")
+    require(!spark, "since r14 the Spark side runs DctHash (typed " +
+      "batched stage); these generators emit DuckDB oracle text only")
+    val (div, cast) = ("//", "AS VARCHAR")
     def hexByte(key: String): String =
-      if (spark)
-        s"CAST(conv(substring(md5($key), 1 + 2 * (j % 16), 2), 16, 10) AS BIGINT)"
-      else
-        s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
+      s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
     val baseKey =
       s"concat(CAST(doc_id $div 4 $cast), '#', CAST(j $div 16 $cast))"
     val noiseKey =
@@ -244,8 +234,7 @@ object MediaQueries {
          |  ${hexByte(noiseKey)}
          |  % (2 * (doc_id % 4) * $PHASH_AMP + 1)
          |  - (doc_id % 4) * $PHASH_AMP END))""".stripMargin
-    if (spark) s"transform(sequence(0, 63), j -> $body)"
-    else s"list_transform(generate_series(0, 63), j -> $body)"
+    s"list_transform(generate_series(0, 63), j -> $body)"
   }
 
   /** FACTORED 2-D DCT, pass 1 (r14 perf: the separable row transform):
@@ -258,23 +247,22 @@ object MediaQueries {
     * multiplies (1016 vs 4032 per grid; frame_scene_cuts 21.6 → ~6 s
     * at sf0.1). */
   private def rtSql(spark: Boolean): String = {
-    def pxAt(k: Int): String = // k is 0-based
-      if (spark) s"element_at(px, ${k + 1})" else s"px[${k + 1}]"
+    require(!spark)
+    def pxAt(k: Int): String = s"px[${k + 1}]" // k is 0-based
     val entries = (0 until 64).map { i =>
       val x = i / 8; val v = i % 8
       (0 until 8).map(y => s"${DCT_T(v)(y)} * ${pxAt(x * 8 + y)}")
         .mkString("(", " + ", ")")
     }
-    if (spark) entries.mkString("array(", ",\n ", ")")
-    else entries.mkString("[", ",\n ", "]")
+    entries.mkString("[", ",\n ", "]")
   }
 
   /** Engine-shared 63-bit DCT sign-pack text over the [[rtSql]] `rt`
     * column: bit b set iff Σ_x T(u, x) · rt[x·8 + v] > 0 — the second
     * separable pass, again explicit 8-term sums. */
   private def sigSql(spark: Boolean): String = {
-    def rtAt(k: Int): String = // k is 0-based
-      if (spark) s"element_at(rt, ${k + 1})" else s"rt[${k + 1}]"
+    require(!spark)
+    def rtAt(k: Int): String = s"rt[${k + 1}]" // k is 0-based
     val terms = COEFF_ORDER.zipWithIndex.map { case ((u, v), b) =>
       val dot = (0 until 8)
         .map(x => s"${DCT_T(u)(x)} * ${rtAt(x * 8 + v)}")
@@ -298,21 +286,22 @@ object MediaQueries {
     * perturbation), so detection has real signal and F9 can measure
     * recall against exact pixel distance.
     *
-    * Scale shape: signature build is one narrow codegen pass (64
-    * integer mults × 63 coefficients per doc, no shuffle); blocking
-    * ships 5 band rows per doc and joins on exact (band, key) — a
-    * 2⁻¹²·⁶-selective key, so candidates stay ~10⁻³ of the pair
-    * space; the Hamming check is one xor+popcount per candidate.
-    * Real deployment swaps the md5 grid stub for a decode-resize in
-    * F2's batched shape and keeps EVERYTHING downstream unchanged. */
+    * Scale shape: the signature build runs as the F2 batched typed
+    * stage ([[graft.operators.DctHash]] mapPartitions — tight
+    * primitive loops, one digest per grid row, narrow/no shuffle;
+    * r14: the equivalent Catalyst expression tree exceeded janino's
+    * 64 KB whole-stage-codegen method limit and silently fell back to
+    * interpreted, 4× slower); blocking ships 5 band rows per doc and
+    * joins on exact (band, key) — a 2⁻¹²·⁶-selective key, so
+    * candidates stay ~10⁻³ of the pair space; the Hamming check is
+    * one xor+popcount per candidate. Real deployment swaps the md5
+    * grid stub for a decode-resize inside the SAME mapPartitions and
+    * keeps everything downstream unchanged. */
   private val phashDct = QueryDef(
     "phash_dct",
     (s, d) => {
-      val sig = CacheScope.persist(
-        t(s, d, "documents")
-          .select(F.col("doc_id"), F.expr(pxSql(spark = true)).as("px"))
-          .select(F.col("doc_id"), F.expr(rtSql(spark = true)).as("rt"))
-          .select(F.col("doc_id"), F.expr(sigSql(spark = true)).as("sig")))
+      val sig = CacheScope.persist(graft.operators.DctHash.docSigs(
+        t(s, d, "documents"), "doc_id", PHASH_AMP))
       val bands = sig.select(F.col("doc_id"), F.col("sig"),
         F.explode(F.expr(
           BAND_LOS.zip(BAND_WIDTHS).zipWithIndex.map {
@@ -371,15 +360,9 @@ object MediaQueries {
   private val phashDctRecall = QueryDef(
     "phash_dct_recall",
     (s, d) => {
-      val cohort = t(s, d, "documents")
-        .where(F.expr("(doc_id div 4) % 17 = 0"))
-        .select(F.col("doc_id"), F.expr("doc_id div 4").as("g"),
-          F.expr("doc_id % 4").as("v"),
-          F.expr(pxSql(spark = true)).as("px"))
-      val sigd = CacheScope.persist(cohort
-        .withColumn("rt", F.expr(rtSql(spark = true)))
-        .select(F.col("doc_id"), F.col("g"), F.col("v"), F.col("px"),
-          F.expr(sigSql(spark = true)).as("sig")))
+      val sigd = CacheScope.persist(graft.operators.DctHash.docGrids(
+        t(s, d, "documents").where(F.expr("(doc_id div 4) % 17 = 0")),
+        "doc_id", PHASH_AMP))
       val a = sigd.toDF("doc_a", "g", "va", "px_a", "sig_a")
       val b = sigd.toDF("doc_b", "g", "vb", "px_b", "sig_b")
       a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
@@ -454,13 +437,10 @@ object MediaQueries {
   /** Frame pixel grid: base keyed on (doc, scene, row), noise keyed on
     * (doc, frame, row) at amplitude ±6 — engine-shared text. */
   private def framePxSql(spark: Boolean): String = {
-    val (div, cast) =
-      if (spark) ("div", "AS STRING") else ("//", "AS VARCHAR")
+    require(!spark)
+    val (div, cast) = ("//", "AS VARCHAR")
     def hexByte(key: String): String =
-      if (spark)
-        s"CAST(conv(substring(md5($key), 1 + 2 * (j % 16), 2), 16, 10) AS BIGINT)"
-      else
-        s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
+      s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
     val baseKey = s"concat(CAST(doc_id $cast), '@', " +
       s"CAST(fi $div 4 $cast), '#', CAST(j $div 16 $cast))"
     val noiseKey = s"concat(CAST(doc_id $cast), '@', CAST(fi $cast), " +
@@ -469,8 +449,7 @@ object MediaQueries {
       s"""least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
          |${hexByte(baseKey)} + ${hexByte(noiseKey)} % 13 - 6))"""
         .stripMargin
-    if (spark) s"transform(sequence(0, 63), j -> $body)"
-    else s"list_transform(generate_series(0, 63), j -> $body)"
+    s"list_transform(generate_series(0, 63), j -> $body)"
   }
 
   private val frameSceneCuts = QueryDef(
@@ -484,10 +463,7 @@ object MediaQueries {
         .where(F.col("nf") >= 2)
         .select(F.col("doc_id"), F.col("nf"),
           F.explode(F.expr("sequence(0L, nf - 1)")).as("fi"))
-      val sigs = frames
-        .withColumn("px", F.expr(framePxSql(spark = true)))
-        .withColumn("rt", F.expr(rtSql(spark = true)))
-        .withColumn("sig", F.expr(sigSql(spark = true)))
+      val sigs = graft.operators.DctHash.frameSigs(frames)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("fi")
       sigs

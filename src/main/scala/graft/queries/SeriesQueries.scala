@@ -526,7 +526,14 @@ object SeriesQueries {
       graft.operators.SeriesOps.holtWintersFold(daily, "day", "cents")
         .orderBy("day")
     },
-    Some {
+    Some(hwOracleSql))
+
+  /** Shared M64/G32 oracle (a def — the ab_sprt forward-reference
+    * lesson): the integer Holt-Winters recursion as a depth-n
+    * recursive CTE. The streaming twin drains the SAME day grid from a
+    * watermarked windowed aggregation and folds identically, so both
+    * engines and both execution modes hash-match one text. */
+  private[queries] def hwOracleSql: String = {
       def td(a: String, k: Int) = s"(($a) - ($a) % $k) // $k"
       val x = "s.cents"
       val s7 = "r.seas[1]"
@@ -560,7 +567,7 @@ object SeriesQueries {
          |SELECT day, cents, fitted, err, lvl AS level, tr AS trend,
          |       seasonal
          |FROM r ORDER BY day""".stripMargin
-    })
+  }
 
   val all: Seq[QueryDef] = Seq(binsegSplit, forecastBacktest, rollingCorr,
     lDiversity, seasonalDecompose, periodogram, holtWinters)

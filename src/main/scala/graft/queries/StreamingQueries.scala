@@ -1506,11 +1506,43 @@ object StreamingQueries {
     },
     Some(RetentionQueries.sprtOracleSql))
 
+  // ----------------------------------------------------------------- G32
+  /** M64's Holt-Winters AS A STREAM (the stream_ewma twin pattern one
+    * model up): the daily cents grid is computed by a REAL watermarked
+    * 1-day-window streaming aggregation over the staged orders
+    * (complete mode — the grid is calendar-bounded state), drained,
+    * and folded through the SAME all-integer level/trend/season
+    * recursion as the batch query — so the live capacity forecast and
+    * the batch backfill hash-match one oracle. o_orderdate stages as
+    * NTZ micros; the cast to TIMESTAMP reinterprets in the UTC session
+    * (the Tables.t events convention), which is exactly batch's
+    * CAST(o_orderdate AS DATE) day. */
+  private val streamHoltWinters = QueryDef(
+    "stream_holt_winters",
+    (s, d) => withStatePartitions(s, 4) {
+      val dir = stage(s, d, "orders")
+      val stream = stagedStream(s, dir)
+      val agg = stream
+        .select(F.col("o_orderdate").cast("timestamp").as("ots"),
+          F.col("o_totalprice"))
+        .withWatermark("ots", "1 day")
+        .groupBy(F.window(F.col("ots"), "1 day"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+        .select(F.to_date(F.col("window.start")).as("day"),
+          F.col("cents"))
+      val grid = drain(agg, "complete")
+      graft.operators.SeriesOps.holtWintersFold(grid, "day", "cents")
+        .orderBy("day")
+    },
+    Some(SeriesQueries.hwOracleSql))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
     streamTopk, streamAnomaly, streamTransitions, streamHopping, streamEwma,
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
-    streamSrm, streamAsof, streamConformal, streamIps, streamSprt)
+    streamSrm, streamAsof, streamConformal, streamIps, streamSprt,
+    streamHoltWinters)
 }
