@@ -147,12 +147,15 @@ object Bench {
         name -> (1 to 3).map(_ => run(name, SparkEntry.queries(name)))
           .sorted.apply(1)
       }
-    // r14 (verdict item 6): the sweep-health telemetry is now a GATE,
-    // not just a record — DiagCheck evaluates the two r12/r13 drift
+    // r14 (verdict item 6): DiagCheck evaluates the two r12/r13 drift
     // signatures (late-sweep GC accumulation, post-release storage
     // residency) against documented thresholds and the verdict ships
-    // in bench_out.json; tools/diagcheck.py re-applies the same
-    // thresholds offline and exits nonzero.
+    // in bench_out.json. The in-JVM check is ADVISORY (stderr +
+    // diag_pass=0; the JVM still exits 0 so the driver's JSON capture
+    // survives a failed gate) — `tools/diagcheck.py` is the ENFORCING
+    // gate: it re-applies the same thresholds offline and exits
+    // nonzero, and the round's iron rule is that a committed bench
+    // must pass it.
     val diagVerdict = graft.tools.DiagCheck.evaluate(diag.toSeq)
     if (only.isEmpty && !diagVerdict.pass)
       System.err.println(s"[bench] DIAG CHECK FAILED: ${diagVerdict.json}")

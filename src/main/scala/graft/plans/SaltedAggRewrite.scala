@@ -72,11 +72,12 @@ case class SkewHint(child: Expression) extends UnaryExpression {
   *  - every output column is a grouping key (bare or renamed) or a
   *    direct aggregate alias — composite expressions over aggregates
   *    bail.
-  *  - Sum's widened two-phase result (decimal precision +10 per level)
-  *    is cast back to the single-phase result type, preserving both
-  *    the value and the ANSI overflow contract; Count's
-  *    sum-of-partials is coalesced to 0 so the output stays
-  *    non-nullable.
+  *  - DecimalType sums bail entirely (r14 ADVICE: a non-ANSI partial
+  *    overflowing to null would be silently SKIPPED by the outer Sum —
+  *    non-null wrong total where single-phase returns null); integral/
+  *    floating sums merge with the result cast back to the
+  *    single-phase type; Count's sum-of-partials is coalesced to 0 so
+  *    the output stays non-nullable.
   * Whether the rewrite fires or bails, every [[SkewHint]] marker is
   * stripped before physical planning (it is a pass-through, so the
   * single-phase plan runs untouched on bail-out).
@@ -102,7 +103,15 @@ object SaltedAggRewrite extends Rule[LogicalPlan] {
   private def supported(ae: AggregateExpression): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && ae.mode == Complete &&
       (ae.aggregateFunction match {
-        case _: Count | _: Sum | _: Min | _: Max => true
+        // Decimal Sum bails (r14 ADVICE): in non-ANSI mode a
+        // per-(key,salt) partial that overflows the widened precision
+        // becomes null, and the outer Sum SKIPS nulls — a silently
+        // wrong non-null total where the single-phase plan returns
+        // null. Long sums wrap associatively (identical either way)
+        // and ANSI throws in both plans, but the rewrite must be safe
+        // under every conf, so DecimalType keeps its single-phase plan.
+        case s: Sum => !s.dataType.isInstanceOf[DecimalType]
+        case _: Count | _: Min | _: Max => true
         case _ => false
       })
 

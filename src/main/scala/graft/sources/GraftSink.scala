@@ -31,30 +31,78 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (written to a temp name and renamed — the single atomic step);
   *    an append manifest lists the previous version's files plus the
   *    new ones, a truncate (SaveMode.Overwrite) manifest lists only
-  *    the new ones;
-  *  - readers resolve the LATEST manifest and scan exactly the files
-  *    it lists. A failed job never publishes a manifest ([[BatchWrite
-  *    .abort]] deletes the staging directory), so readers see the
-  *    previous committed snapshot in full or — on a fresh path — a
-  *    "no committed snapshot" error. Partial output is unreachable by
-  *    construction, which GraftSinkSpec proves by injecting a
-  *    mid-write task failure.
+  *    the new ones. N is resolved AT COMMIT TIME (not plan time), so
+  *    overlapping writers serialize: whoever commits second sees the
+  *    first's snapshot and appends onto it, and the publish step
+  *    retries on a version-name collision instead of clobbering;
+  *  - an APPEND onto a prior snapshot requires the incoming schema to
+  *    match the committed manifest schema by field names and types
+  *    (r14 ADVICE: ACCEPT_ANY_SCHEMA disables Spark's own check, and a
+  *    reordered/retyped append would silently reinterpret the carried-
+  *    forward files' cells under the new header);
+  *  - readers resolve the LATEST manifest — or, with
+  *    `option("version", N)`, exactly manifest N: the snapshot chain
+  *    is never rewritten, so every committed version stays readable
+  *    (time travel, the Iceberg snapshot-id read) — and scan exactly
+  *    the files it lists. A failed job never publishes a manifest
+  *    ([[GraftSinkBatchWrite.abort]] deletes the staging directory),
+  *    so readers see the previous committed snapshot in full or — on
+  *    a fresh path — a "no committed snapshot" error. Partial output
+  *    is unreachable by construction, which GraftSinkSpec proves by
+  *    injecting a mid-write task failure.
   *
-  * Row encoding is escaped TSV (`\t`/`\n`/`\r`/`\\` escaped, null =
-  * unescapable `\N`), longs/ints as decimal strings and doubles via
-  * `Double.toString` — an exact round-trip for every supported type
-  * (int, long, double, string), which is what lets the DuckDB oracle
-  * hash-compare a round-tripped table (`sink_roundtrip`). At 100 TB
-  * the encoding would be parquet, but the TRANSACTIONAL surface —
-  * staging, task messages, manifest versions, atomic rename — is
-  * exactly this one; all paths go through the Hadoop FileSystem API,
-  * so `file://` in tests and HDFS/S3A on a cluster are the same code.
+  * Row encoding is per-file, named by extension in the manifest:
+  *  - `tsv` (default): escaped TSV (`\t`/`\n`/`\r`/`\\` escaped, null
+  *    = unescapable `\N`), longs/ints as decimal strings and doubles
+  *    via `Double.toString` — an exact round-trip for every supported
+  *    type, which is what lets the DuckDB oracle hash-compare a
+  *    round-tripped table (`sink_roundtrip`);
+  *  - `parquet` (`option("format", "parquet")`): real columnar pages
+  *    through parquet-java's public writer (snappy-compressed,
+  *    optional int32/int64/double/UTF-8 primitives) — the encoding a
+  *    100 TB deployment runs, behind the SAME staging/manifest
+  *    transaction (`sink_time_travel` oracles this path).
+  * Formats interoperate: a snapshot may list files of both kinds and
+  * each partition reader dispatches on the extension. All paths go
+  * through the Hadoop FileSystem API with the SESSION's Hadoop
+  * configuration threaded to executors ([[SerializableHadoopConf]]),
+  * so `file://` in tests and HDFS/S3A on a cluster are the same code
+  * INCLUDING fs.defaultFS/credentials.
   */
+/** Java-serializable Hadoop Configuration carrier (the r14 ADVICE fix:
+  * `new Configuration()` on executors dropped the session's
+  * fs.defaultFS / S3A credentials). The driver captures
+  * `sparkContext.hadoopConfiguration` once per write/scan and ships it
+  * inside the factories; executors deserialize the same settings. */
+class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object GraftSink {
   val MANIFEST_PREFIX = "_graft_commit_v"
 
+  /** Driver-side Hadoop conf: the active session's (so fs.defaultFS /
+    * S3A settings apply), falling back to defaults off-session (specs
+    * that probe manifests before any SparkSession exists). */
+  private[sources] def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   private[sources] def fs(p: Path): FileSystem =
-    p.getFileSystem(new Configuration())
+    p.getFileSystem(driverConf())
+
+  private[sources] def fs(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf)
 
   /** (version, manifestPath) of the latest committed snapshot. */
   private[sources] def latestManifest(root: Path): Option[(Long, Path)] = {
@@ -68,6 +116,12 @@ object GraftSink {
         v.toLongOption.map(_ -> p)
       }
       .sortBy(_._1).lastOption
+  }
+
+  /** Manifest path of committed version `v`, if that snapshot exists. */
+  private[sources] def manifestAt(root: Path, v: Long): Option[Path] = {
+    val p = new Path(root, s"$MANIFEST_PREFIX$v.json")
+    if (fs(root).exists(p)) Some(p) else None
   }
 
   /** Manifest body: line 1 = schema json, then one `file<TAB>rows`
@@ -100,6 +154,15 @@ object GraftSink {
       }
     }
 
+  /** Append-compatibility: same field names and types in the same
+    * order as the committed snapshot (nullability is not load-bearing
+    * — both encodings mark nulls explicitly per cell). */
+  private[sources] def compatible(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (x, y) =>
+        x.name == y.name && x.dataType == y.dataType
+      }
+
   private[sources] def escape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
@@ -129,19 +192,42 @@ object GraftSink {
     }
     b.toString
   }
+
+  /** Parquet MessageType for a (pre-checked) sink schema: optional
+    * primitives, strings as UTF-8-annotated binary. */
+  private[sources] def parquetType(
+      schema: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case IntegerType => b.optional(INT32).named(f.name)
+        case LongType => b.optional(INT64).named(f.name)
+        case DoubleType => b.optional(DOUBLE).named(f.name)
+        case StringType => b.optional(BINARY)
+          .as(org.apache.parquet.schema.LogicalTypeAnnotation.stringType())
+          .named(f.name)
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+    }
+    b.named("graft_sink")
+  }
 }
 
 class GraftAtomicSinkProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Reads infer from the latest committed manifest; a fresh path
-    * (write-only so far) infers an empty schema — the scan builder
-    * throws the real "no committed snapshot" error if a read follows. */
+  /** Reads infer from the requested (or latest) committed manifest; a
+    * fresh path (write-only so far) infers an empty schema — the scan
+    * builder throws the real "no committed snapshot" error if a read
+    * follows. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = new Path(options.get("path"))
-    GraftSink.latestManifest(path)
-      .map { case (_, m) => GraftSink.readManifest(m)._1 }
-      .getOrElse(new StructType())
+    val manifest = Option(options.get("version")) match {
+      case Some(v) => GraftSink.manifestAt(path, v.toLong)
+      case None => GraftSink.latestManifest(path).map(_._2)
+    }
+    manifest.map(GraftSink.readManifest(_)._1).getOrElse(new StructType())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -160,22 +246,26 @@ class GraftSinkTable(path: String, schema0: StructType)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSinkScanBuilder(path)
+    new GraftSinkScanBuilder(path,
+      Option(options.get("version")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(),
-      truncate = false)
+      truncate = false,
+      format = Option(info.options.get("format")).getOrElse("tsv"))
 }
 
 class GraftSinkWriteBuilder(path: String, schema: StructType,
-    queryId: String, truncate: Boolean)
+    queryId: String, truncate: Boolean, format: String)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true)
+    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true, format)
   override def build(): Write = new Write {
     GraftSink.checkSchema(schema)
+    require(format == "tsv" || format == "parquet",
+      s"graft sink format must be tsv or parquet, got '$format'")
     override def toBatch: BatchWrite =
-      new GraftSinkBatchWrite(path, schema, queryId, truncate)
+      new GraftSinkBatchWrite(path, schema, queryId, truncate, format)
   }
 }
 
@@ -183,13 +273,15 @@ case class GraftSinkCommitMessage(stagedFile: String, fileName: String,
     rows: Long) extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean) extends BatchWrite {
+    queryId: String, truncate: Boolean, format: String) extends BatchWrite {
   private val root = new Path(path)
   private val stagingDir = new Path(root, s"_staging/$queryId")
+  private val sconf = new SerializableHadoopConf(GraftSink.driverConf())
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(stagingDir.toString, schema.json)
+    new GraftSinkWriterFactory(stagingDir.toString, schema.json, format,
+      sconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftSink.fs(root)
@@ -202,22 +294,50 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
       if (!ok) throw new java.io.IOException(
         s"commit failed to publish ${m.stagedFile}")
     }
+    // snapshot resolution happens HERE, not at plan time: an
+    // overlapping writer that committed since this job was planned is
+    // visible now, so its snapshot is what an append carries forward
+    val latest = GraftSink.latestManifest(root)
     val prior: Seq[(String, Long)] =
       if (truncate) Seq.empty
-      else GraftSink.latestManifest(root)
-        .map { case (_, m) => GraftSink.readManifest(m)._2 }
-        .getOrElse(Seq.empty)
-    val version = GraftSink.latestManifest(root).map(_._1).getOrElse(0L) + 1
+      else latest.map { case (_, m) =>
+        val (priorSchema, priorFiles) = GraftSink.readManifest(m)
+        // r14 ADVICE (medium): ACCEPT_ANY_SCHEMA disables Spark's own
+        // append validation, and a reordered/retyped append would
+        // reinterpret the carried-forward files' cells under the new
+        // header — refuse instead
+        if (!GraftSink.compatible(schema, priorSchema))
+          throw new IllegalArgumentException(
+            s"graft sink append schema ${schema.simpleString} is " +
+              s"incompatible with committed snapshot schema " +
+              s"${priorSchema.simpleString}; use SaveMode.Overwrite " +
+              "to replace the table")
+        priorFiles
+      }.getOrElse(Seq.empty)
     val body = (schema.json +:
       (prior ++ mine.map(m => (m.fileName, m.rows)))
         .map { case (n, r) => s"$n\t$r" }).mkString("\n")
-    // the ONE atomic step: temp manifest renamed onto its version name
+    // the ONE atomic step: temp manifest renamed onto its version
+    // name. On stores whose rename fails when the destination exists
+    // (HDFS), a concurrent publish loses the rename and retries at the
+    // next version; the exists-check narrows the same race on local fs
     val tmp = new Path(root, s".manifest_tmp_${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp,
-        new Path(root, s"${GraftSink.MANIFEST_PREFIX}$version.json")))
-      throw new java.io.IOException("commit failed to publish manifest")
+    var version = latest.map(_._1).getOrElse(0L) + 1
+    var published = false
+    var attempts = 0
+    while (!published) {
+      val target = new Path(root, s"${GraftSink.MANIFEST_PREFIX}$version.json")
+      if (fs.exists(target)) version += 1
+      else if (fs.rename(tmp, target)) published = true
+      else {
+        attempts += 1
+        if (attempts > 64) throw new java.io.IOException(
+          "commit failed to publish manifest")
+        version += 1
+      }
+    }
     fs.delete(stagingDir, true)
   }
 
@@ -229,22 +349,29 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
   }
 }
 
-class GraftSinkWriterFactory(stagingDir: String, schemaJson: String)
+class GraftSinkWriterFactory(stagingDir: String, schemaJson: String,
+    format: String, sconf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new GraftSinkDataWriter(stagingDir,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId)
+      taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (format == "parquet")
+      new GraftSinkParquetWriter(stagingDir, schema, partitionId, taskId,
+        sconf.conf)
+    else
+      new GraftSinkDataWriter(stagingDir, schema, partitionId, taskId,
+        sconf.conf)
+  }
 }
 
 class GraftSinkDataWriter(stagingDir: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, conf: Configuration)
+    extends DataWriter[InternalRow] {
   private val fileName =
     s"part-$partitionId-$taskId-${UUID.randomUUID()}.tsv"
   private val staged = new Path(new Path(stagingDir), fileName)
   private val out = {
-    val f = GraftSink.fs(staged)
+    val f = GraftSink.fs(staged, conf)
     f.mkdirs(staged.getParent)
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       f.create(staged, true), "UTF-8"))
@@ -274,7 +401,60 @@ class GraftSinkDataWriter(stagingDir: String, schema: StructType,
 
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
-    try GraftSink.fs(staged).delete(staged, false)
+    try GraftSink.fs(staged, conf).delete(staged, false)
+    catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Columnar task writer: parquet-java's public example writer (real
+  * page encoding + snappy), same staging/commit-message protocol as
+  * the TSV writer — the transaction does not care about the encoding. */
+class GraftSinkParquetWriter(stagingDir: String, schema: StructType,
+    partitionId: Int, taskId: Long, conf: Configuration)
+    extends DataWriter[InternalRow] {
+  private val fileName =
+    s"part-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+  private val staged = new Path(new Path(stagingDir), fileName)
+  private val msgType = GraftSink.parquetType(schema)
+  private val writer = {
+    GraftSink.fs(staged, conf).mkdirs(staged.getParent)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(staged, conf))
+      .withType(msgType)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+  private val groups =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = groups.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case IntegerType => g.add(i, row.getInt(i))
+        case LongType => g.add(i, row.getLong(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case StringType => g.add(i, row.getUTF8String(i).toString)
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    GraftSinkCommitMessage(staged.toString, fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    try GraftSink.fs(staged, conf).delete(staged, false)
     catch { case _: Throwable => () }
   }
 
@@ -283,13 +463,21 @@ class GraftSinkDataWriter(stagingDir: String, schema: StructType,
 
 // ---------------------------------------------------------------- read
 
-class GraftSinkScanBuilder(path: String) extends ScanBuilder {
+class GraftSinkScanBuilder(path: String, version: Option[Long])
+    extends ScanBuilder {
   override def build(): Scan = {
     val root = new Path(path)
-    val (schema, files) = GraftSink.latestManifest(root)
-      .map { case (_, m) => GraftSink.readManifest(m) }
-      .getOrElse(throw new IllegalStateException(
-        s"graft sink at $path has no committed snapshot"))
+    val manifest = version match {
+      case Some(v) => GraftSink.manifestAt(root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft sink at $path has no committed version $v " +
+            s"(latest: ${GraftSink.latestManifest(root).map(_._1)
+              .getOrElse("none")})"))
+      case None => GraftSink.latestManifest(root).map(_._2).getOrElse(
+        throw new IllegalStateException(
+          s"graft sink at $path has no committed snapshot"))
+    }
+    val (schema, files) = GraftSink.readManifest(manifest)
     new GraftSinkScan(path, schema, files)
   }
 }
@@ -305,24 +493,28 @@ class GraftSinkScan(path: String, schema: StructType,
       GraftSinkFilePartition(new Path(new Path(path), s"data/$name").toString)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(schema.json)
+    new GraftSinkReaderFactory(schema.json,
+      new SerializableHadoopConf(GraftSink.driverConf()))
 }
 
-class GraftSinkReaderFactory(schemaJson: String)
-    extends PartitionReaderFactory {
+class GraftSinkReaderFactory(schemaJson: String,
+    sconf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftSinkPartitionReader(
-      partition.asInstanceOf[GraftSinkFilePartition].file,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftSinkFilePartition].file
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (file.endsWith(".parquet"))
+      new GraftSinkParquetReader(file, schema, sconf.conf)
+    else new GraftSinkPartitionReader(file, schema, sconf.conf)
+  }
 }
 
-class GraftSinkPartitionReader(file: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+class GraftSinkPartitionReader(file: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
-      GraftSink.fs(p).open(p), "UTF-8"))
+      GraftSink.fs(p, conf).open(p), "UTF-8"))
   }
   private var line: String = _
 
@@ -347,4 +539,38 @@ class GraftSinkPartitionReader(file: String, schema: StructType)
   }
 
   override def close(): Unit = in.close()
+}
+
+/** Columnar task reader: parquet-java Group reader over one committed
+  * file; cells with repetition count 0 are the nulls the writer
+  * skipped. */
+class GraftSinkParquetReader(file: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val reader = {
+    val c = new Configuration(conf)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new Path(file))
+      .withConf(c)
+      .build()
+  }
+  private var group: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = { group = reader.read(); group != null }
+
+  override def get(): InternalRow = {
+    val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (group.getFieldRepetitionCount(i) == 0) null
+      else f.dataType match {
+        case IntegerType => java.lang.Integer.valueOf(group.getInteger(i, 0))
+        case LongType => java.lang.Long.valueOf(group.getLong(i, 0))
+        case DoubleType => java.lang.Double.valueOf(group.getDouble(i, 0))
+        case StringType => UTF8String.fromString(group.getString(i, 0))
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
 }
