@@ -224,7 +224,15 @@ class GraftAtomicSinkProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = new Path(options.get("path"))
     val manifest = Option(options.get("version")) match {
-      case Some(v) => GraftSink.manifestAt(path, v.toLong)
+      case Some(v) =>
+        // only readers pass `version`; a missing snapshot must fail
+        // HERE with the real error (an empty inferred schema would
+        // surface as an unresolved-column analysis error downstream)
+        Some(GraftSink.manifestAt(path, v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft sink at $path has no committed version $v " +
+              s"(latest: ${GraftSink.latestManifest(path).map(_._1)
+                .getOrElse("none")})")))
       case None => GraftSink.latestManifest(path).map(_._2)
     }
     manifest.map(GraftSink.readManifest(_)._1).getOrElse(new StructType())

@@ -100,6 +100,125 @@ class GraftSinkSpec extends SparkSpec {
     assert(!staging.exists() || staging.listFiles().isEmpty)
   }
 
+  test("time travel: option(version, N) reads exactly snapshot N; " +
+    "missing versions error with the latest named") {
+    val path = tmpDir()
+    import spark.implicits._
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val v2 = Seq((3, "c")).toDF("id", "s")
+    v1.write.format(FMT).option("path", path).mode("overwrite").save()
+    v2.write.format(FMT).option("path", path).mode("append").save()
+    def readV(v: Long) = spark.read.format(FMT).option("path", path)
+      .option("version", v.toString).load().orderBy("id")
+    assert(readV(1).collect().map(_.getInt(0)).toSeq == Seq(1, 2),
+      "version 1 must be the first commit's content, untouched by the append")
+    assert(readV(2).collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // latest (no option) == newest version
+    assert(spark.read.format(FMT).option("path", path).load()
+      .orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // a truncate starts v3 fresh, and v1/v2 STAY readable (the chain
+    // is never rewritten)
+    v2.write.format(FMT).option("path", path).mode("overwrite").save()
+    assert(readV(3).collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(readV(1).collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val err = intercept[Exception] { readV(9).collect() }
+    assert(err.getMessage.contains("no committed version 9") &&
+      err.getMessage.contains("3"), s"got: ${err.getMessage}")
+  }
+
+  test("overlapping writers serialize: a commit planned before another " +
+    "writer's commit still appends onto the NEWEST snapshot") {
+    val path = tmpDir()
+    import spark.implicits._
+    Seq((1, 10L)).toDF("id", "v").write.format(FMT)
+      .option("path", path).mode("overwrite").save()
+    // two BatchWrites created against the SAME v1 snapshot, committed
+    // in sequence — commit-time resolution must chain them (v2 then
+    // v3 carrying v2's files), not have the second clobber the first
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def stagedCommit(tag: String, id: Int): Unit = {
+      val bw = new graft.sources.GraftSinkBatchWrite(
+        path, schema, s"q_$tag", truncate = false, format = "tsv")
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](id, id * 10L))
+      w.write(row)
+      bw.commit(Array(w.commit()))
+    }
+    stagedCommit("a", 2)
+    stagedCommit("b", 3)
+    val all = spark.read.format(FMT).option("path", path).load()
+      .orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(all == Seq(1, 2, 3), s"lost an overlapping commit: $all")
+    val v2 = spark.read.format(FMT).option("path", path)
+      .option("version", "2").load().collect().map(_.getInt(0)).toSeq
+    assert(v2.sorted == Seq(1, 2))
+  }
+
+  test("append with a reordered/retyped schema is refused instead of " +
+    "reinterpreting committed files") {
+    val path = tmpDir()
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "s").write.format(FMT)
+      .option("path", path).mode("overwrite").save()
+    val err = intercept[Exception] {
+      Seq(("b", 2)).toDF("s", "id").write.format(FMT)
+        .option("path", path).mode("append").save()
+    }
+    assert(err.getMessage.contains("incompatible"),
+      s"got: ${err.getMessage}")
+    // the snapshot is untouched and an overwrite with the new schema works
+    assert(spark.read.format(FMT).option("path", path).load()
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    Seq(("b", 2)).toDF("s", "id").write.format(FMT)
+      .option("path", path).mode("overwrite").save()
+    assert(spark.read.format(FMT).option("path", path).load()
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("parquet format round-trips exactly behind the same transaction " +
+    "and interoperates with tsv snapshots") {
+    val path = tmpDir()
+    import spark.implicits._
+    val df1 = Seq(
+      (1, 10L, math.Pi, "plain"),
+      (2, 20L, -0.0, "tab\there and line\nbreak"),
+      (3, 30L, Double.MinPositiveValue, null.asInstanceOf[String]))
+      .toDF("i", "l", "d", "s")
+    df1.write.format(FMT).option("path", path).option("format", "parquet")
+      .mode("overwrite").save()
+    val files = new java.io.File(path, "data").listFiles()
+      .filterNot(_.getName.startsWith(".")) // Hadoop .crc companions
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".parquet")),
+      "expected parquet-encoded data files")
+    val got = spark.read.format(FMT).option("path", path).load()
+      .orderBy("i")
+    assert(got.schema == df1.schema)
+    assert(got.collect().toSeq == df1.orderBy("i").collect().toSeq)
+    assert(got.collect().map(r => java.lang.Double
+      .doubleToRawLongBits(r.getDouble(2))).toSeq ==
+      df1.orderBy("i").collect().map(r => java.lang.Double
+        .doubleToRawLongBits(r.getDouble(2))).toSeq)
+    // a TSV append onto a parquet snapshot: one scan reads both encodings
+    Seq((4, 40L, 1.5, "tsv row")).toDF("i", "l", "d", "s")
+      .write.format(FMT).option("path", path).mode("append").save()
+    val mixed = spark.read.format(FMT).option("path", path).load()
+    assert(mixed.count() == 4)
+    assert(mixed.orderBy("i").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3, 4))
+    // a failed parquet write is as invisible as a failed tsv write
+    intercept[Exception] {
+      poisoned.write.format(FMT).option("path", path)
+        .option("format", "parquet").mode("append").save()
+    }
+    assert(spark.read.format(FMT).option("path", path).load()
+      .count() == 4)
+  }
+
   test("unsupported column types fail at write-build time with a clear " +
     "error") {
     import spark.implicits._
