@@ -233,5 +233,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SaltedAggRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SaltedJoinRewrite)
   }
 }

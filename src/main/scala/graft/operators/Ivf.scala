@@ -194,11 +194,25 @@ object Skew {
       graft.plans.SkewHint(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Declare a fact-side JOIN key SKEWED: wraps the column in
+    * [[graft.plans.SkewJoinHint]], the opt-in marker
+    * [[graft.plans.SaltedJoinRewrite]] rewrites into the two-phase
+    * salted join [[saltedJoin]] builds by hand. Pass-through if the
+    * rule bails out or isn't installed. */
+  def skewJoinHint(c: org.apache.spark.sql.Column,
+      salts: Int = 8): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.SkewJoinHint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), salts))
+
   /** Salted fact⋈dim join: fact rows get a deterministic salt (their
     * input partition id mod `salts`), the dim side is replicated once
     * per salt, and the join key becomes (key, salt) — a skewed fact key
     * spreads over `salts` reducers. Equivalent to the plain join when
-    * dim keys are unique. */
+    * dim keys are unique. Since r15 this shape is what the OPTIMIZER
+    * emits from a [[skewJoinHint]]-tagged plain join
+    * ([[graft.plans.SaltedJoinRewrite]]); kept as the composable
+    * hand-built form. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
       F.pmod(F.spark_partition_id().cast("long"), F.lit(salts.toLong)))

@@ -522,13 +522,23 @@ object PipelineQueries {
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   // ------------------------------------------------------- skew pattern
+  /** Salted fact⋈dim join — since r15 produced by the OPTIMIZER, not
+    * by hand: the query is a plain inner join with the fact key tagged
+    * [[Skew.skewJoinHint]], and [[graft.plans.SaltedJoinRewrite]]
+    * rewrites it into the salt-fact/replicate-dim two-phase plan
+    * [[Skew.saltedJoin]] builds manually (the skewed key's rows spread
+    * over 8 reducers instead of one). Oracle = the plain join, which
+    * the rewritten plan must equal exactly; PlanAuditSpec asserts the
+    * rewrite fired (dim-side explode + salt equi-conjunct) and that
+    * bail-out shapes keep their single-phase plan. */
   private val joinSalted = QueryDef(
     "join_salted",
     (s, d) => {
       val li = t(s, d, "lineitem")
       val supp = t(s, d, "supplier")
         .select(F.col("s_suppkey").as("l_suppkey"), F.col("s_name"))
-      Skew.saltedJoin(li, supp, "l_suppkey", salts = 8)
+      li.join(supp,
+          Skew.skewJoinHint(li("l_suppkey"), salts = 8) === supp("l_suppkey"))
         .groupBy("s_name")
         .agg(
           F.sum(F.col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))

@@ -53,6 +53,11 @@ object Tables {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+
             graft.plans.SaltedAggRewrite
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.SaltedJoinRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.SaltedJoinRewrite
     }
 
     if (name == "events") {

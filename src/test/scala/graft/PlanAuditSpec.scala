@@ -206,6 +206,125 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  import graft.plans.SkewJoinHint
+
+  /** (dim-side explode present, salt equi-conjunct present, a
+    * SkewJoinHint survived) — the plan facts the salted-join tests
+    * assert on. */
+  private def saltJoinShape(df: DataFrame): (Boolean, Boolean, Boolean) = {
+    val opt = df.queryExecution.optimizedPlan
+    val exploded = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.generatorOutput.exists(_.name == "_graft_dsalt") => g
+    }.nonEmpty
+    val saltCond = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.exists {
+          case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => a.name == "_graft_fsalt"
+          case _ => false
+        }) => j
+    }.nonEmpty
+    val hintLeft = opt.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[SkewJoinHint])))
+    (exploded, saltCond, hintLeft)
+  }
+
+  test("SaltedJoinRewrite fires on the hinted join_salted shape and " +
+    "matches the plain join's rows") {
+    val df = SparkEntry.queries("join_salted")(spark, sf)
+    val (exploded, saltCond, hintLeft) = saltJoinShape(df)
+    assert(exploded, "dim side must be replicated via explode")
+    assert(saltCond, "join condition must gain the salt equi-conjunct")
+    assert(!hintLeft, "no SkewJoinHint marker may survive optimization")
+    val li = graft.queries.Tables.t(spark, sf, "lineitem")
+    val supp = graft.queries.Tables.t(spark, sf, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val plain = li.join(supp, Seq("l_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("string").cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("SaltedJoinRewrite preserves multiset semantics on NON-unique " +
+    "dim keys and composes with extra join conjuncts") {
+    ensureRule()
+    val fact = spark.range(0, 10000).select(
+      (col("id") % 5).as("k"), col("id").as("fv"))
+    // duplicate dim keys: every fact row must match BOTH dim rows once
+    val dim = spark.range(0, 10).select(
+      (col("id") % 5).as("k"), (col("id") % 2).as("side"),
+      (col("id") * 100).as("dv"))
+    val hinted = fact.join(dim,
+        Skew.skewJoinHint(fact("k"), salts = 4) === dim("k") &&
+          col("fv") % 2 === col("side"))
+      .groupBy(dim("k").as("k"), col("side"))
+      .agg(count(lit(1)).as("n"), sum("dv").as("sd"))
+      .orderBy("k", "side")
+    val plain = fact.join(dim,
+        fact("k") === dim("k") && col("fv") % 2 === col("side"))
+      .groupBy(dim("k").as("k"), col("side"))
+      .agg(count(lit(1)).as("n"), sum("dv").as("sd"))
+      .orderBy("k", "side")
+    val (exploded, saltCond, hintLeft) = saltJoinShape(hinted)
+    assert(exploded && saltCond && !hintLeft)
+    assert(hinted.schema == plain.schema)
+    assert(hinted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("SaltedJoinRewrite bails out (hint stripped, plain plan, same " +
+    "rows) on unsupported shapes") {
+    ensureRule()
+    val fact = spark.range(0, 5000).select(
+      (col("id") % 7).as("k"), col("id").as("fv"))
+    val dim = spark.range(0, 7).select(
+      col("id").as("k"), (col("id") * 10).as("dv"))
+    val cases: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("left outer",
+        fact.join(dim, Skew.skewJoinHint(fact("k")) === dim("k"),
+          "left_outer"),
+        fact.join(dim, fact("k") === dim("k"), "left_outer")),
+      ("non-equi",
+        fact.join(dim, Skew.skewJoinHint(fact("k")) < dim("k")),
+        fact.join(dim, fact("k") < dim("k"))),
+      ("double hint",
+        fact.join(dim, Skew.skewJoinHint(fact("k")) ===
+          Skew.skewJoinHint(dim("k"))),
+        fact.join(dim, fact("k") === dim("k"))),
+      // k % 4 stays an expression post-optimizer (k + 0 would
+      // constant-fold to a bare attribute and legitimately fire)
+      ("expression key",
+        fact.join(dim, Skew.skewJoinHint(fact("k") % 4) === dim("k")),
+        fact.join(dim, fact("k") % 4 === dim("k"))))
+    for ((name, hinted, plain) <- cases) {
+      val (exploded, saltCond, hintLeft) = saltJoinShape(hinted)
+      assert(!exploded && !saltCond, s"$name: rule must NOT fire")
+      assert(!hintLeft, s"$name: hint must be stripped on bail-out")
+      assert(hinted.orderBy("fv", "dv").collect().toSeq ==
+        plain.orderBy("fv", "dv").collect().toSeq, s"$name: rows differ")
+    }
+  }
+
+  test("skewJoinHint is a pass-through when the rule is not installed") {
+    val s = spark.newSession() // fresh session: no extraOptimizations
+    val fact = s.range(0, 1000).select((col("id") % 4).as("k"),
+      col("id").as("fv"))
+    val dim = s.range(0, 4).select(col("id").as("k"),
+      (col("id") * 10).as("dv"))
+    val df = fact.join(dim, Skew.skewJoinHint(fact("k")) === dim("k"))
+      .groupBy(dim("k").as("k")).agg(count(lit(1)).as("n")).orderBy("k")
+    val (exploded, _, _) = saltJoinShape(df)
+    assert(!exploded)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      fact.join(dim, fact("k") === dim("k"))
+        .groupBy(dim("k").as("k")).agg(count(lit(1)).as("n")).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("skewHint is a pass-through when the rule is not installed") {
     val s = spark.newSession() // fresh session: no extraOptimizations
     val src = s.range(0, 1000).select((col("id") % 4).as("k"),
