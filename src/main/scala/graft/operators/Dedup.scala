@@ -302,6 +302,82 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Longest-duplicated-span ladder — the CUT-vs-DROP decision of
+    * production exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499 §4: spans over a length threshold are CUT from
+    * the document; documents that are substantially duplicated are
+    * DROPPED), approximated without a suffix array by running the
+    * [[substringDupStats]] fixed-w window discipline at a bounded
+    * LADDER of widths: a doc's longest duplicated span is bracketed by
+    * the largest w at which it still has a corpus-duplicated window
+    * (a duplicated span of length L covers duplicated w-windows for
+    * every w ≤ L — so the ladder flags are provably monotone, which
+    * the spec asserts as a theorem).
+    *
+    * Output per doc: base-width window count, duplicated-window count
+    * at EVERY ladder width (the span profile), `max_dup_w` = largest
+    * width with any duplication (0 = clean), and the decision —
+    * 'drop' when max_dup_w ≥ `dropW` (a long shared span: the doc is
+    * substantially duplicated material), 'cut' when duplication exists
+    * only below dropW (excise the spans, keep the doc), 'keep' when
+    * clean.
+    *
+    * Scale shape: ONE tokens pass fans out to |ladder| window explodes
+    * (total instances ≤ |ladder|·corpus tokens — the bounded cost that
+    * replaces a distributed suffix array's global ordering), every
+    * width collapses map-side to (w, doc, hash, count) before the one
+    * shuffle keyed (w, doc, hash), the corpus-wide count re-aggregates
+    * the persisted index on (w, hash), and the per-doc rollup is pure
+    * conditional aggregation over ≤|ladder| rows per doc. */
+  def spanLadder(docs: DataFrame, idCol: String, textCol: String,
+      ws: Seq[Int], dropW: Int): DataFrame = {
+    require(ws == ws.sorted && ws.distinct == ws, "ladder must ascend")
+    val toks = docs.select(F.col(idCol).as("doc_id"),
+      TextOps.tokens(F.col(textCol)).as("_toks"))
+    val wins = ws.map { w =>
+      toks.select(F.col("doc_id"), F.lit(w).as("w"),
+        F.explode(TextOps.shinglesOf(F.col("_toks"), w)).as("win"))
+    }.reduce(_ unionAll _)
+      .select(F.col("doc_id"), F.col("w"),
+        Hashing.hash60(F.col("win")).as("wh"))
+    val local = CacheScope.persist(
+      wins.groupBy("w", "doc_id", "wh").agg(F.count(F.lit(1)).as("k_local")))
+    val global = local.groupBy("w", "wh")
+      .agg(F.sum(F.col("k_local")).as("k_global"))
+    val perW = local.join(global, Seq("w", "wh"))
+      .groupBy("doc_id", "w")
+      .agg(F.sum(F.col("k_local")).as("n_windows"),
+        F.sum(F.when(F.col("k_global") >= 2, F.col("k_local"))
+          .otherwise(0L)).as("n_dup"))
+    val dupCols = ws.map { w =>
+      F.coalesce(F.sum(F.when(F.col("w") === w, F.col("n_dup"))),
+        F.lit(0L)).as(s"dup_w$w")
+    }
+    val base = perW.groupBy("doc_id").agg(
+      F.coalesce(F.sum(F.when(F.col("w") === ws.head,
+        F.col("n_windows"))), F.lit(0L)).as(s"n_w${ws.head}"),
+      dupCols: _*)
+    // max_dup_w / dup_at_max as pure CASE chains over the profile
+    // columns (identical text both engines — no arg-max semantics to
+    // match); descending so the first hit is the largest width
+    val desc = ws.reverse
+    val maxDupW = desc.tail.foldLeft(
+      F.when(F.col(s"dup_w${desc.head}") > 0, F.lit(desc.head))) {
+      (acc, w) => acc.when(F.col(s"dup_w$w") > 0, F.lit(w))
+    }.otherwise(F.lit(0)).cast("int")
+    val dupAtMax = desc.tail.foldLeft(
+      F.when(F.col(s"dup_w${desc.head}") > 0, F.col(s"dup_w${desc.head}"))) {
+      (acc, w) => acc.when(F.col(s"dup_w$w") > 0, F.col(s"dup_w$w"))
+    }.otherwise(F.lit(0L)).cast("long")
+    base
+      .withColumn("max_dup_w", maxDupW)
+      .withColumn("dup_at_max", dupAtMax)
+      .withColumn("decision",
+        F.when(F.col("max_dup_w") >= dropW, "drop")
+          .when(F.col("max_dup_w") > 0, "cut")
+          .otherwise("keep"))
+  }
+
   /** Semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540) as one composition: k-means-cluster the
     * embeddings ([[Ivf.kmeansCentroids]] — pass `trainFraction` there

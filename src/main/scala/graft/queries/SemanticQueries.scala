@@ -47,6 +47,62 @@ object SemanticQueries {
       FROM l JOIN g USING (wh)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- D70
+  /** Longest-duplicated-span ladder (r15, the cut-vs-drop half of Lee
+    * et al. D17 stops short of): [[Dedup.spanLadder]] at
+    * w ∈ {5, 10, 20, 40} over the 10–99-token synthetic docs (the
+    * paper's 50-token threshold scaled to corpus span lengths),
+    * drop at max_dup_w ≥ 20. The oracle rebuilds the identical ladder
+    * in SQL — same hash, same (w, doc, hash) collapse, same CASE
+    * chains — so the decision column is hash-compared end to end. */
+  private val LADDER_WS = Seq(5, 10, 20, 40)
+  private val LADDER_DROP_W = 20
+  private val dedupSpanLadder = QueryDef(
+    "dedup_span_ladder",
+    (s, d) => Dedup.spanLadder(t(s, d, "documents"), "doc_id", "text",
+      LADDER_WS, LADDER_DROP_W)
+      .orderBy("doc_id"),
+    Some {
+      val winCtes = LADDER_WS.map(w =>
+        s"SELECT doc_id, $w AS w, unnest(${gramsSql(w)}) AS win FROM tk")
+        .mkString("\n      UNION ALL ")
+      val dupCols = LADDER_WS.map(w =>
+        s"CAST(coalesce(sum(CASE WHEN w = $w THEN n_dup END), 0) " +
+          s"AS BIGINT) AS dup_w$w").mkString(",\n             ")
+      val desc = LADDER_WS.reverse
+      val maxCase = desc.map(w => s"WHEN dup_w$w > 0 THEN $w")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      val atMaxCase = desc.map(w => s"WHEN dup_w$w > 0 THEN dup_w$w")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      w AS ($winCtes),
+      h AS (SELECT doc_id, w, ${Hashing.hash60Sql("win")} AS wh FROM w),
+      l AS (SELECT doc_id, w, wh, count(*) AS k_local
+            FROM h GROUP BY 1, 2, 3),
+      g AS (SELECT w, wh, CAST(sum(k_local) AS BIGINT) AS k_global
+            FROM l GROUP BY 1, 2),
+      pw AS (SELECT doc_id, w,
+                    CAST(sum(k_local) AS BIGINT) AS n_windows,
+                    CAST(sum(CASE WHEN k_global >= 2 THEN k_local
+                             ELSE 0 END) AS BIGINT) AS n_dup
+             FROM l JOIN g USING (w, wh) GROUP BY 1, 2),
+      pd AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN w = ${LADDER_WS.head}
+                  THEN n_windows END), 0) AS BIGINT)
+               AS n_w${LADDER_WS.head},
+             $dupCols
+             FROM pw GROUP BY doc_id)
+      SELECT doc_id, n_w${LADDER_WS.head},
+             ${LADDER_WS.map(w => s"dup_w$w").mkString(", ")},
+             CAST($maxCase AS INTEGER) AS max_dup_w,
+             CAST($atMaxCase AS BIGINT) AS dup_at_max,
+             CASE WHEN $maxCase >= $LADDER_DROP_W THEN 'drop'
+                  WHEN $maxCase > 0 THEN 'cut'
+                  ELSE 'keep' END AS decision
+      FROM pd ORDER BY doc_id"""
+    })
+
   // ---------------------------------------------------------------- D18
   /** Same k-means configuration as `embed_kmeans` (k=4, 2 iterations)
     * and the same cosine threshold as `embed_neardup` (0.35), so the
@@ -616,7 +672,8 @@ object SemanticQueries {
       FROM p ORDER BY lang"""))
 
   def all: Seq[QueryDef] = Seq(
-    dedupSubstring, semanticDedup, surprisalBigram, domainTemperature,
+    dedupSubstring, dedupSpanLadder, semanticDedup, surprisalBigram,
+    domainTemperature,
     dsirWeights, bpePairs, heavyHittersCms, sketchSetOps, ccnetBuckets,
     vocabOverlap, jsDivergence, epochPlan)
 }
