@@ -247,4 +247,61 @@ object DctHash {
       val id = r.getLong(0); val fi = r.getLong(2)
       Row(id, r.getLong(1), fi, sig63(framePx(md, id, fi)))
     }
+
+  /** 8×8 frame grid for the F11/F12 VIDEO near-dup model: videos group
+    * into quads (g = doc_id div 4) and variant v = doc_id % 4 REPLACES
+    * its first v scenes with video-unique content — scene s ≥ v is a
+    * bit-identical COPY of the group's clip (base AND ±6 noise keyed on
+    * (g, scene/frame), the copied-clip editing model: shared segments
+    * are pasted bytes, not re-noised), scene s < v is keyed on the doc.
+    * Mirrors `MediaQueries.videoPxSql` byte for byte. */
+  def videoPx(md: java.security.MessageDigest, docId: Long,
+      fi: Long): Array[Long] = {
+    val g = docId / 4
+    val s = fi / 4
+    val shared = s >= docId % 4
+    val px = new Array[Long](64)
+    var r = 0
+    while (r < 4) {
+      val base =
+        if (shared) md5Hex(md, s"$g&$s#$r") else md5Hex(md, s"$docId~$s#$r")
+      val noise =
+        if (shared) md5Hex(md, s"$g&$fi!$r") else md5Hex(md, s"$docId~$fi!$r")
+      var k = 0
+      while (k < 16) {
+        val j = r * 16 + k
+        val b = java.lang.Long.parseLong(base.substring(2 * k, 2 * k + 2), 16)
+        val d = java.lang.Long.parseLong(
+          noise.substring(2 * k, 2 * k + 2), 16) % 13 - 6
+        px(j) = math.min(255L, math.max(0L, b + d))
+        k += 1
+      }
+      r += 1
+    }
+    px
+  }
+
+  /** (doc_id, nf, fi) → + sig: the F11 per-frame signature pass. */
+  def videoSigs(frames: DataFrame): DataFrame =
+    mapRows(frames.select("doc_id", "nf", "fi"),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("nf", LongType, nullable = false),
+        StructField("fi", LongType, nullable = false),
+        StructField("sig", LongType, nullable = false)))) { (md, r) =>
+      val id = r.getLong(0); val fi = r.getLong(2)
+      Row(id, r.getLong(1), fi, sig63(videoPx(md, id, fi)))
+    }
+
+  /** (doc_id, nf, fi) → + px: grids kept for the F12 exact-pixel truth
+    * side (scene-start frames only — the audit's bounded exact cost). */
+  def videoGrids(frames: DataFrame): DataFrame =
+    mapRows(frames.select("doc_id", "nf", "fi"),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("nf", LongType, nullable = false),
+        StructField("fi", LongType, nullable = false),
+        StructField("px", ArrayType(LongType, containsNull = false),
+          nullable = false)))) { (md, r) =>
+      val id = r.getLong(0); val fi = r.getLong(2)
+      Row(id, r.getLong(1), fi, videoPx(md, id, fi).toSeq)
+    }
 }

@@ -507,6 +507,273 @@ object MediaQueries {
             > $CUT_HAM
       ORDER BY doc_id, cut_at_frame"""))
 
+  // ----------------------------------------------------- F11/F12 shared
+  /** Video near-dup model: videos quad into groups (g = doc_id div 4)
+    * and variant v = doc_id % 4 REPLACES its first v scenes with
+    * video-unique content — scene s ≥ v is a bit-identical COPY of the
+    * group's clip (shared segments are pasted bytes, the copied-clip
+    * editing model), scene s < v is doc-keyed. Engine-shared pixel
+    * text; the Spark side runs [[graft.operators.DctHash.videoPx]]. */
+  private def videoPxSql(spark: Boolean): String = {
+    require(!spark)
+    val (div, cast) = ("//", "AS VARCHAR")
+    def hexByte(key: String): String =
+      s"CAST(('0x' || substr(md5($key), 1 + 2 * (j % 16), 2)) AS BIGINT)"
+    val sharedCond = s"fi $div 4 >= doc_id % 4"
+    def keyed(mid: String, sep: String): String =
+      s"""CASE WHEN $sharedCond
+         |  THEN ${hexByte(s"concat(CAST(doc_id $div 4 $cast), '&', $mid, " +
+        s"'$sep', CAST(j $div 16 $cast))")}
+         |  ELSE ${hexByte(s"concat(CAST(doc_id $cast), '~', $mid, " +
+        s"'$sep', CAST(j $div 16 $cast))")} END""".stripMargin
+    val base = keyed(s"CAST(fi $div 4 $cast)", "#")
+    val noise = keyed(s"CAST(fi $cast)", "!")
+    val body =
+      s"""least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |$base + ($noise) % 13 - 6))""".stripMargin
+    s"list_transform(generate_series(0, 63), j -> $body)"
+  }
+
+  /** Keyframe-signature selection threshold (the F10 cut rule) and the
+    * D5-style document-frequency cap on the inverted index: a keyframe
+    * signature shared by more than this many videos is a "stop clip"
+    * (intro cards, test patterns) — joined on, it would fan out by
+    * df², so it is dropped from CANDIDATE GENERATION (in-model df ≤ 4,
+    * so nothing real is lost; at 100 TB this cap is what bounds the
+    * self-join). Containment τ = ⅓: a pair is near-dup when it shares
+    * at least a third of the smaller video's keyframe set — the
+    * clip-level threshold that grades three variant buckets of the
+    * planted quad structure instead of only adjacent variants. */
+  val VIDEO_DF_CAP = 8
+
+  private def videoFramesDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .select(F.col("doc_id"),
+        F.expr(s"least($SCENE_FRAMES, " +
+          "CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT))")
+          .as("nf"))
+      .where(F.col("nf") >= 2)
+      .select(F.col("doc_id"), F.col("nf"),
+        F.explode(F.expr("sequence(0L, nf - 1)")).as("fi"))
+
+  /** Per-video DISTINCT keyframe-signature set: frame 0 plus every
+    * F10-detected scene cut. */
+  private def keyframeSigs(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    sigs.withColumn("_prev", F.lag("sig", 1).over(w))
+      .where(F.col("_prev").isNull ||
+        F.expr(s"bit_count(sig ^ _prev) > $CUT_HAM"))
+      .select("doc_id", "sig").distinct()
+  }
+
+  /** Engine-shared CTE chain: frames → sig → lag → distinct keyframe
+    * sets → size k per video → df-capped inverted index → shared-sig
+    * counts per pair. `cohort` optionally restricts the corpus. */
+  private def videoDetectSql(cohort: String): String = s"""
+      nfd AS (
+        SELECT doc_id,
+               least($SCENE_FRAMES,
+                 CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT))
+                 AS nf
+        FROM documents$cohort),
+      vids AS (SELECT doc_id, nf, doc_id // 4 AS g, (nf + 3) // 4 AS ns
+               FROM nfd WHERE nf >= 2),
+      frames AS (
+        SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fi
+        FROM vids),
+      sigs AS MATERIALIZED (
+        SELECT doc_id, fi, ${sigSql(spark = false)} AS sig
+        FROM (SELECT doc_id, fi, ${rtSql(spark = false)} AS rt
+              FROM (SELECT doc_id, fi, ${videoPxSql(spark = false)} AS px
+                    FROM frames))),
+      lagged AS (
+        SELECT doc_id, fi, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        FROM sigs),
+      kf AS (
+        SELECT DISTINCT doc_id, sig FROM lagged
+        WHERE prev IS NULL
+           OR bit_count(xor(CAST(sig AS UBIGINT), CAST(prev AS UBIGINT)))
+              > $CUT_HAM),
+      k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k
+            FROM kf GROUP BY 1),
+      dfc AS (SELECT sig FROM (SELECT sig, count(*) AS c FROM kf
+                               GROUP BY 1) WHERE c <= $VIDEO_DF_CAP),
+      idx AS (SELECT kf.doc_id, kf.sig FROM kf JOIN dfc USING (sig)),
+      shared AS (
+        SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM idx a JOIN idx b
+          ON a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
+  // --------------------------------------------------------------- F11
+  /** VIDEO-level near-duplicate detection — the composition the r14
+    * verdict asked for (F10 scene cuts × F8 DCT signatures × the D5
+    * df-capped inverted-index discipline): per video, the keyframe set
+    * is frame 0 plus every detected scene cut; each keyframe carries
+    * its 63-bit integer-DCT sign signature; two videos are near-dups
+    * when they SHARE at least a third of the smaller keyframe-signature
+    * set (exact-match containment — shared scenes are pasted clip
+    * bytes, so their keyframe signatures collide exactly; re-noised
+    * content does not). Publishes (video_a, video_b, n_shared, k_a,
+    * k_b, contain_ppm).
+    *
+    * Scale shape: the signature pass is the F2 batched typed stage
+    * (narrow); the cut window is partitioned per video; candidate
+    * generation is an inverted-index self-join on the signature with
+    * the document-frequency cap [[VIDEO_DF_CAP]] bounding fan-out to
+    * df² per signature — videos², the thing that kills video dedup at
+    * 100 TB, is never formed. The containment join touches per-video
+    * metadata (keyframe counts), not frames. */
+  private val videoNeardup = QueryDef(
+    "video_neardup",
+    (s, d) => {
+      val kf = CacheScope.persist(keyframeSigs(
+        graft.operators.DctHash.videoSigs(videoFramesDf(s, d))))
+      val k = kf.groupBy("doc_id").agg(F.count(F.lit(1)).as("k"))
+      val dfc = kf.groupBy("sig").agg(F.count(F.lit(1)).as("_c"))
+        .where(F.col("_c") <= VIDEO_DF_CAP).select("sig")
+      val idx = kf.join(dfc, "sig")
+      val a = idx.select(F.col("sig"), F.col("doc_id").as("video_a"))
+      val b = idx.select(F.col("sig"), F.col("doc_id").as("video_b"))
+      a.join(b, "sig").where(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).as("n_shared"))
+        .join(k.select(F.col("doc_id").as("video_a"), F.col("k").as("k_a")),
+          "video_a")
+        .join(k.select(F.col("doc_id").as("video_b"), F.col("k").as("k_b")),
+          "video_b")
+        .where(F.expr("3 * n_shared >= least(k_a, k_b)"))
+        .select(F.col("video_a"), F.col("video_b"), F.col("n_shared"),
+          F.col("k_a"), F.col("k_b"),
+          F.expr("n_shared * 1000000 div least(k_a, k_b)")
+            .as("contain_ppm"))
+        .orderBy("video_a", "video_b")
+    },
+    Some(s"""
+      WITH ${videoDetectSql(cohort = "")}
+      SELECT video_a, video_b, n_shared, ka.k AS k_a, kb.k AS k_b,
+             CAST(n_shared * 1000000 // least(ka.k, kb.k) AS BIGINT)
+               AS contain_ppm
+      FROM shared
+           JOIN k ka ON ka.doc_id = video_a
+           JOIN k kb ON kb.doc_id = video_b
+      WHERE 3 * n_shared >= least(ka.k, kb.k)
+      ORDER BY video_a, video_b"""))
+
+  // --------------------------------------------------------------- F12
+  /** Honesty audit of F11 against EXACT pixel truth on a bounded
+    * cohort (groups g ≡ 0 mod 17 — the F9/D61 discipline): ground
+    * truth for a same-group pair is the count of scene indices whose
+    * SCENE-START frames are pixel-identical in both videos (the plant:
+    * shared scenes are pasted bytes), a pair is TRULY near-dup when
+    * 3·t ≥ min scene count — the detector's τ applied to the truth;
+    * the detector (keyframes → df-capped containment) runs on the same
+    * cohort and is scored against it. Published per (variant_a,
+    * variant_b) bucket: pair count, true near-dups, detected true
+    * near-dups, recall ppm. The graded read: recall ≈ 1 on low-variant
+    * pairs (big shared suffixes), truth count falling to 0 as variants
+    * replace every shared scene. Recall < 1 can only come from missed
+    * cuts (a scene boundary whose Hamming ≤ $CUT_HAM) — measured, not
+    * assumed. */
+  private val videoNeardupRecall = QueryDef(
+    "video_neardup_recall",
+    (s, d) => {
+      val frames = videoFramesDf(s, d)
+        .where(F.expr("(doc_id div 4) % 17 = 0"))
+      val vids = frames.select("doc_id", "nf").distinct()
+        .select(F.col("doc_id"), F.expr("doc_id div 4").as("g"),
+          F.expr("(nf + 3) div 4").as("ns"))
+      val kf = CacheScope.persist(keyframeSigs(
+        graft.operators.DctHash.videoSigs(frames)))
+      val k = kf.groupBy("doc_id").agg(F.count(F.lit(1)).as("k"))
+      val dfc = kf.groupBy("sig").agg(F.count(F.lit(1)).as("_c"))
+        .where(F.col("_c") <= VIDEO_DF_CAP).select("sig")
+      val idx = kf.join(dfc, "sig")
+      val det = idx.select(F.col("sig"), F.col("doc_id").as("va_id"))
+        .join(idx.select(F.col("sig"), F.col("doc_id").as("vb_id")), "sig")
+        .where(F.col("va_id") < F.col("vb_id"))
+        .groupBy("va_id", "vb_id")
+        .agg(F.count(F.lit(1)).as("n_shared"))
+        .join(k.select(F.col("doc_id").as("va_id"), F.col("k").as("k_a")),
+          "va_id")
+        .join(k.select(F.col("doc_id").as("vb_id"), F.col("k").as("k_b")),
+          "vb_id")
+        .where(F.expr("3 * n_shared >= least(k_a, k_b)"))
+        .select(F.col("va_id"), F.col("vb_id"), F.lit(1L).as("_det"))
+      // exact truth: scene-start grids, pixel-identical across the pair
+      val grids = graft.operators.DctHash.videoGrids(
+        frames.where(F.expr("fi % 4 = 0")))
+      val sm = grids.select(F.col("doc_id").as("va_id"),
+          F.expr("doc_id div 4").as("g"), F.col("fi"), F.col("px"))
+        .join(grids.select(F.col("doc_id").as("vb_id"),
+          F.expr("doc_id div 4").as("g"), F.col("fi"),
+          F.col("px").as("px_b")), Seq("g", "fi"))
+        .where(F.col("va_id") < F.col("vb_id") &&
+          F.col("px") === F.col("px_b"))
+        .groupBy("va_id", "vb_id").agg(F.count(F.lit(1)).as("_t"))
+      val pairs = vids.select(F.col("doc_id").as("va_id"), F.col("g"),
+          F.col("ns").as("ns_a"))
+        .join(vids.select(F.col("doc_id").as("vb_id"), F.col("g"),
+          F.col("ns").as("ns_b")), "g")
+        .where(F.col("va_id") < F.col("vb_id"))
+        .join(sm, Seq("va_id", "vb_id"), "left").na.fill(0L, Seq("_t"))
+        .join(det, Seq("va_id", "vb_id"), "left").na.fill(0L, Seq("_det"))
+        .select(F.expr("va_id % 4").as("va"), F.expr("vb_id % 4").as("vb"),
+          F.expr("CASE WHEN 3 * _t >= least(ns_a, ns_b) THEN 1 ELSE 0 END")
+            .as("_true"),
+          F.col("_det"))
+      pairs.groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.sum("_true").as("n_true"),
+          F.sum(F.expr("_true * _det")).as("n_detected"))
+        .select(F.col("va"), F.col("vb"), F.col("n_pairs"),
+          F.col("n_true"), F.col("n_detected"),
+          F.expr("CASE WHEN n_true > 0 THEN n_detected * 1000000 div n_true " +
+            "ELSE 0 END").as("recall_ppm"))
+        .orderBy("va", "vb")
+    },
+    Some(s"""
+      WITH ${videoDetectSql(cohort = " WHERE (doc_id // 4) % 17 = 0")},
+      det AS (
+        SELECT video_a AS va_id, video_b AS vb_id
+        FROM shared
+             JOIN k ka ON ka.doc_id = video_a
+             JOIN k kb ON kb.doc_id = video_b
+        WHERE 3 * n_shared >= least(ka.k, kb.k)),
+      sgrids AS MATERIALIZED (
+        SELECT doc_id, doc_id // 4 AS g, fi,
+               ${videoPxSql(spark = false)} AS px
+        FROM frames WHERE fi % 4 = 0),
+      sm AS (
+        SELECT a.doc_id AS va_id, b.doc_id AS vb_id,
+               CAST(count(*) AS BIGINT) AS t
+        FROM sgrids a JOIN sgrids b
+          ON a.g = b.g AND a.fi = b.fi AND a.doc_id < b.doc_id
+             AND a.px = b.px
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT a.doc_id % 4 AS va, b.doc_id % 4 AS vb,
+               CASE WHEN 3 * coalesce(sm.t, 0) >= least(a.ns, b.ns)
+                    THEN 1 ELSE 0 END AS tr,
+               CASE WHEN d.va_id IS NOT NULL THEN 1 ELSE 0 END AS det
+        FROM vids a
+             JOIN vids b ON a.g = b.g AND a.doc_id < b.doc_id
+             LEFT JOIN sm ON sm.va_id = a.doc_id AND sm.vb_id = b.doc_id
+             LEFT JOIN det d ON d.va_id = a.doc_id AND d.vb_id = b.doc_id)
+      SELECT va, vb, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(tr) AS BIGINT) AS n_true,
+             CAST(sum(tr * det) AS BIGINT) AS n_detected,
+             CAST(CASE WHEN sum(tr) > 0
+                  THEN sum(tr * det) * 1000000 // sum(tr)
+                  ELSE 0 END AS BIGINT) AS recall_ppm
+      FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(payloadEntropy, audioRmsWindows,
-    imageTileStats, phashDct, phashDctRecall, frameSceneCuts)
+    imageTileStats, phashDct, phashDctRecall, frameSceneCuts,
+    videoNeardup, videoNeardupRecall)
 }
