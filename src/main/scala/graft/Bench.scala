@@ -147,6 +147,48 @@ object Bench {
         name -> (1 to 3).map(_ => run(name, SparkEntry.queries(name)))
           .sorted.apply(1)
       }
+    // --- r15 (verdict item 3): canary-NORMALIZED round-over-round
+    // comparison, replacing the prose arbitration §6 ran every round.
+    // bench_prev.json is the PREVIOUS round's committed record (the
+    // round workflow snapshots bench_out.json -> bench_prev.json at
+    // round start; Bench never writes it). The machine factor is the
+    // canary-mean ratio; the gate is the shared-query subtotal ratio
+    // DIVIDED by that factor (<= NORM_RATIO_MAX in DiagCheck) — a
+    // slower sandbox no longer reads as a regression, and a real plan
+    // regression can no longer hide behind "the machine was slow".
+    def parseNumMap(json: String, key: String): Map[String, Double] = {
+      val i = json.indexOf("\"" + key + "\":{")
+      if (i < 0) Map.empty
+      else {
+        val start = json.indexOf('{', i)
+        val end = json.indexOf('}', start) // both maps are flat
+        """"([^"]+)":(-?[0-9.eE+]+)""".r
+          .findAllMatchIn(json.substring(start + 1, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val canaryMean = (canaryStart + canaryMid + canaryEnd) / 3
+    val sharedBlock: Option[(Int, Double, Double, Double)] =
+      if (only.nonEmpty) None
+      else try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/root/repo/bench_prev.json"))
+        val pq = parseNumMap(txt, "queries")
+        val pc = parseNumMap(txt, "canary")
+        val prevCanary = Seq("start", "mid", "end").flatMap(pc.get)
+        val shared = results.filter { case (n, _) => pq.contains(n) }
+        if (shared.isEmpty || prevCanary.size != 3) None
+        else {
+          val sub = shared.map(_._2).sum
+          val psub = shared.map { case (n, _) => pq(n) }.sum
+          val pcm = prevCanary.sum / 3
+          if (psub <= 0 || pcm <= 0 || canaryMean <= 0) None
+          else Some((shared.size, sub, psub, pcm))
+        }
+      } catch { case _: Throwable => None }
+    val normalizedRatio = sharedBlock.map { case (_, sub, psub, pcm) =>
+      (sub / psub) / (canaryMean / pcm)
+    }
     // r14 (verdict item 6): DiagCheck evaluates the two r12/r13 drift
     // signatures (late-sweep GC accumulation, post-release storage
     // residency) against documented thresholds and the verdict ships
@@ -156,7 +198,8 @@ object Bench {
     // gate: it re-applies the same thresholds offline and exits
     // nonzero, and the round's iron rule is that a committed bench
     // must pass it.
-    val diagVerdict = graft.tools.DiagCheck.evaluate(diag.toSeq)
+    val diagVerdict = graft.tools.DiagCheck.evaluate(diag.toSeq,
+      normalizedRatio)
     if (only.isEmpty && !diagVerdict.pass)
       System.err.println(s"[bench] DIAG CHECK FAILED: ${diagVerdict.json}")
     // 3-decimal (ms) precision: full doubles made the 85-query JSON line
@@ -199,6 +242,13 @@ object Bench {
           s""""sf":"$sfDir","action":"noop_write",""" +
           s""""gc_fence":$fence,""" +
           s""""canary":${jsonMap(canary)},""" +
+          s""""shared":${sharedBlock.map { case (n, sub, psub, pcm) =>
+            s"""{"n":$n,"subtotal":${fmt(sub)},""" +
+              s""""prev_subtotal":${fmt(psub)},""" +
+              s""""canary_mean":${fmt(canaryMean)},""" +
+              s""""prev_canary_mean":${fmt(pcm)},""" +
+              s""""normalized_ratio":${fmt(normalizedRatio.get)}}"""
+          }.getOrElse("null")},""" +
           s""""diag_check":${diagVerdict.json},""" +
           s""""isolated":${jsonMap(isolated)},""" +
           s""""queries":${jsonMap(results)}}""" + "\n")

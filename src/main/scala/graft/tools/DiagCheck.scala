@@ -29,25 +29,35 @@ object DiagCheck {
   val STORAGE_MAX_MB = 512L
   val GC_LATE_FACTOR = 3.0
   val GC_LATE_SLACK_MS = 200.0
+  /** r15 (the r14 verdict's item 3): the round-over-round shared-query
+    * subtotal, NORMALIZED by the canary's machine factor, must not
+    * inflate beyond this — the gate that replaces the prose canary
+    * arbitration §6 ran every round (r14's +20%-looking idle total was
+    * a ×1.2 machine baseline; normalized it was ~1.04). */
+  val NORM_RATIO_MAX = 1.15
 
   /** One sweep row: (query, gcDeltaMs, heapMb, storageMb). */
   type Row = (String, Long, Long, Long)
 
   final case class Verdict(pass: Boolean, gcEarlyMs: Double,
       gcLateMs: Double, storageMaxMb: Long,
-      storageOffenders: Seq[(String, Long)]) {
+      storageOffenders: Seq[(String, Long)],
+      normalizedRatio: Option[Double] = None) {
     def json: String = {
-      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
-      s"""{"pass":${if (pass) 1 else 0},"gc_early_ms":${f(gcEarlyMs)},""" +
+      s"""{"pass":${if (pass) 1 else 0},""" +
+        s""""gc_early_ms":${f(gcEarlyMs)},""" +
         s""""gc_late_ms":${f(gcLateMs)},"storage_max_mb":$storageMaxMb,""" +
+        s""""normalized_ratio":${normalizedRatio.map(f).getOrElse("null")},""" +
         s""""storage_offenders":${storageOffenders
           .map { case (q, m) => s"""\"$q:${m}mb\"""" }
           .mkString("[", ",", "]")}}"""
     }
   }
 
-  def evaluate(diag: Seq[Row]): Verdict = {
+  def evaluate(diag: Seq[Row],
+      normalizedRatio: Option[Double] = None): Verdict = {
     val q = math.max(1, diag.size / 4)
     val early = diag.take(q).map(_._2.toDouble)
     val late = diag.takeRight(q).map(_._2.toDouble)
@@ -59,7 +69,8 @@ object DiagCheck {
       case (n, _, _, st) if st > STORAGE_MAX_MB => (n, st)
     }
     val storageMax = if (diag.isEmpty) 0L else diag.map(_._4).max
-    Verdict(gcOk && offenders.isEmpty, earlyMean, lateMean,
-      storageMax, offenders)
+    val normOk = normalizedRatio.forall(_ <= NORM_RATIO_MAX)
+    Verdict(gcOk && offenders.isEmpty && normOk, earlyMean, lateMean,
+      storageMax, offenders, normalizedRatio)
   }
 }

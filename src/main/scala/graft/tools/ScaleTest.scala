@@ -532,6 +532,20 @@ object ScaleTest {
     spark.read.parquet(s"$out/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$qdir/embeddings.parquet")
     timeQ("mmr_rerank")
+    // r15 probes. dedup_span_ladder: |ladder|=4 window explodes over
+    // the 10x corpus, each collapsing map-side before the one
+    // (w, doc, hash) shuffle — corpus-linear with the ladder constant.
+    // video_neardup: the sig pass is frame_scene_cuts' shape (<=12
+    // frames/doc, typed stage, doc-partitioned lag); the id-shifted
+    // replicas mint DISJOINT video groups (content keys derive from
+    // ids), so candidates grow linearly and the df-capped index join
+    // must too — the probe pins that videos^2 never forms. The recall
+    // audit's exact side is the fixed 1/17 cohort fraction.
+    // (sink_time_travel is IO-bound like jsonl_roundtrip: write+read
+    // throughput, not a plan shape — not probed.)
+    timeQ("dedup_span_ladder")
+    timeQ("video_neardup")
+    timeQ("video_neardup_recall")
     spark.stop()
   }
 }

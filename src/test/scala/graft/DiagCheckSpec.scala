@@ -54,6 +54,26 @@ class DiagCheckSpec extends SparkSpec {
       rows(Seq(0L, 0L, 0L), storage = 9999L)).pass)
   }
 
+  test("the canary-normalized round-over-round gate fails above " +
+    "NORM_RATIO_MAX, passes below, and is skipped when absent") {
+    val healthy = rows(Seq.fill(100)(16L))
+    // a 20% machine factor fully absorbed: ratio ~1.0 passes
+    assert(DiagCheck.evaluate(healthy, Some(1.004)).pass)
+    // boundary: exactly the max passes, just above fails
+    assert(DiagCheck.evaluate(healthy, Some(DiagCheck.NORM_RATIO_MAX)).pass)
+    val v = DiagCheck.evaluate(healthy, Some(1.151))
+    assert(!v.pass)
+    assert(v.storageOffenders.isEmpty &&
+      v.gcLateMs <= DiagCheck.GC_LATE_FACTOR * v.gcEarlyMs +
+        DiagCheck.GC_LATE_SLACK_MS,
+      "it must be the normalized gate that fired")
+    assert(v.json.contains("\"normalized_ratio\":1.151"))
+    // no prior record -> the gate is skipped, json says null
+    val skipped = DiagCheck.evaluate(healthy, None)
+    assert(skipped.pass)
+    assert(skipped.json.contains("\"normalized_ratio\":null"))
+  }
+
   test("verdict json is well-formed and carries the gate numbers") {
     val v = DiagCheck.evaluate(
       rows(Seq.fill(100)(16L)).updated(3, ("bad", 16L, 0L, 600L)))
