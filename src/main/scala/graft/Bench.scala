@@ -23,6 +23,10 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
+      // dedicated local dir so the shuffle-file telemetry counts THIS
+      // JVM's blockmgr state, not a neighbor run's (r15, item 5)
+      .config("spark.local.dir",
+        s"/tmp/graft_bench_local_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region (otherwise the first
@@ -80,8 +84,38 @@ object Bench {
     def storageMb(): Long =
       spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum / (1024 * 1024)
+    // r15 (verdict item 5): the extended per-query telemetry the
+    // community-family A/B needs — JIT code-cache occupancy (a filled
+    // cache deoptimizes/flushes hot methods) and the block-manager
+    // disk store (leaked shuffle/RDD files cost page cache + seeks).
+    def codeCacheMb(): Long = {
+      var t = 0L
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .forEach { p =>
+          if (p.getName.contains("CodeHeap") ||
+            p.getName.contains("Code Cache"))
+            t += p.getUsage.getUsed
+        }
+      t / (1024 * 1024)
+    }
+    def diskStats(): (Long, Long) = { // (files, MB) under this JVM's local dir
+      val root = new java.io.File(
+        s"/tmp/graft_bench_local_${ProcessHandle.current().pid()}")
+      var n = 0L; var bytes = 0L
+      def walk(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach { k =>
+          if (k.isDirectory) walk(k)
+          else { n += 1; bytes += k.length() }
+        }
+      }
+      if (root.exists()) walk(root)
+      (n, bytes / (1024 * 1024))
+    }
     val diag = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long)] // name, gc delta ms, heap, storage
+    val diagExt = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // code cache MB, disk files, disk MB
     // GC fence: an explicit full GC every `fence` queries, OUTSIDE the
     // timed regions — System.gc() is what processes the cleaner's weak
     // references, so this converts unbounded cleanup debt into a
@@ -105,8 +139,24 @@ object Bench {
     def canaryShot(): Double =
       (1 to 3).map(_ => run(canaryName, SparkEntry.queries(canaryName)))
         .sorted.apply(1)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // r15 (item 5): SPARK_GRAFT_ORDER=community_first|community_last
+    // reorders the heavy graph block for the in-suite-inflation A/B;
+    // anything but the default "alpha" order never persists artifacts
+    // (an A/B run must not clobber the committed record).
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "alpha")
+    val isCommunity = (n: String) => n.startsWith("community_") ||
+      n == "ktruss_peel"
+    val alpha = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    val ordered = order match {
+      case "community_first" =>
+        alpha.filter(q => isCommunity(q._1)) ++
+          alpha.filterNot(q => isCommunity(q._1))
+      case "community_last" =>
+        alpha.filterNot(q => isCommunity(q._1)) ++
+          alpha.filter(q => isCommunity(q._1))
+      case _ => alpha
+    }
     val canaryStart = if (only.isEmpty) canaryShot() else 0.0
     val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
     def sweep(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
@@ -115,6 +165,8 @@ object Bench {
         val gc0 = gcMs()
         val med = (1 to 3).map(_ => run(name, fn)).sorted.apply(1)
         diag += ((name, gcMs() - gc0, heapMb(), storageMb()))
+        val (dn, dmb) = diskStats()
+        diagExt += ((codeCacheMb(), dn, dmb))
         maybeFence()
         name -> med
       }
@@ -199,7 +251,9 @@ object Bench {
     // nonzero, and the round's iron rule is that a committed bench
     // must pass it.
     val diagVerdict = graft.tools.DiagCheck.evaluate(diag.toSeq,
-      normalizedRatio)
+      normalizedRatio,
+      diag.zip(diagExt).map { case ((n, _, _, _), (_, _, dmb)) => (n, dmb) }
+        .toSeq)
     if (only.isEmpty && !diagVerdict.pass)
       System.err.println(s"[bench] DIAG CHECK FAILED: ${diagVerdict.json}")
     // 3-decimal (ms) precision: full doubles made the 85-query JSON line
@@ -235,7 +289,7 @@ object Bench {
     // must not clobber the committed full-suite record. `isolated`
     // carries the guard numbers (suite-median vs isolated single-shot
     // for the 5 slowest — SURVEY §6 documents the acceptable delta).
-    if (only.isEmpty)
+    if (only.isEmpty && order == "alpha")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
@@ -260,9 +314,12 @@ object Bench {
     // debt; rising storage_mb = a leaked persist) without re-running.
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/bench_diag.json"),
-        diag.map { case (n, g, h, st) =>
-          s"""{"q":"$n","gc_ms":$g,"heap_mb":$h,"storage_mb":$st}"""
+        java.nio.file.Paths.get(if (order == "alpha")
+          "/root/repo/bench_diag.json"
+        else s"/root/repo/bench_diag_$order.json"),
+        diag.zip(diagExt).map { case ((n, g, h, st), (cc, dn, dmb)) =>
+          s"""{"q":"$n","gc_ms":$g,"heap_mb":$h,"storage_mb":$st,""" +
+            s""""code_cache_mb":$cc,"disk_files":$dn,"disk_mb":$dmb}"""
         }.mkString("[\n", ",\n", "\n]") + "\n")
       catch { case _: Throwable => () }
     println(jsonLine(top.sortBy(_._1), total, meta(top.size)))

@@ -35,6 +35,14 @@ object DiagCheck {
     * arbitration §6 ran every round (r14's +20%-looking idle total was
     * a ×1.2 machine baseline; normalized it was ~1.04). */
   val NORM_RATIO_MAX = 1.15
+  /** r15 (item 5's documented bound): post-release block-manager DISK
+    * residency per query. The r15 A/B measured the suite's known max —
+    * ktruss_peel leaves ~930 MB of local-checkpoint blocks that the
+    * ContextCleaner drains within a few queries (930→913→…→10 MB by
+    * sweep end in the community-first run) — so the bound is ~2× that
+    * known residue: a query leaving more has leaked an UNBOUNDED
+    * checkpoint chain, not the documented peel rounds. */
+  val DISK_MAX_MB = 2048L
 
   /** One sweep row: (query, gcDeltaMs, heapMb, storageMb). */
   type Row = (String, Long, Long, Long)
@@ -42,22 +50,26 @@ object DiagCheck {
   final case class Verdict(pass: Boolean, gcEarlyMs: Double,
       gcLateMs: Double, storageMaxMb: Long,
       storageOffenders: Seq[(String, Long)],
-      normalizedRatio: Option[Double] = None) {
+      normalizedRatio: Option[Double] = None,
+      diskOffenders: Seq[(String, Long)] = Nil) {
     def json: String = {
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
+      def offs(o: Seq[(String, Long)]) =
+        o.map { case (q, m) => s"""\"$q:${m}mb\"""" }
+          .mkString("[", ",", "]")
       s"""{"pass":${if (pass) 1 else 0},""" +
         s""""gc_early_ms":${f(gcEarlyMs)},""" +
         s""""gc_late_ms":${f(gcLateMs)},"storage_max_mb":$storageMaxMb,""" +
         s""""normalized_ratio":${normalizedRatio.map(f).getOrElse("null")},""" +
-        s""""storage_offenders":${storageOffenders
-          .map { case (q, m) => s"""\"$q:${m}mb\"""" }
-          .mkString("[", ",", "]")}}"""
+        s""""disk_offenders":${offs(diskOffenders)},""" +
+        s""""storage_offenders":${offs(storageOffenders)}}"""
     }
   }
 
   def evaluate(diag: Seq[Row],
-      normalizedRatio: Option[Double] = None): Verdict = {
+      normalizedRatio: Option[Double] = None,
+      diskMb: Seq[(String, Long)] = Nil): Verdict = {
     val q = math.max(1, diag.size / 4)
     val early = diag.take(q).map(_._2.toDouble)
     val late = diag.takeRight(q).map(_._2.toDouble)
@@ -70,7 +82,11 @@ object DiagCheck {
     }
     val storageMax = if (diag.isEmpty) 0L else diag.map(_._4).max
     val normOk = normalizedRatio.forall(_ <= NORM_RATIO_MAX)
-    Verdict(gcOk && offenders.isEmpty && normOk, earlyMean, lateMean,
-      storageMax, offenders, normalizedRatio)
+    val diskOffenders = diskMb.collect {
+      case (n, mb) if mb > DISK_MAX_MB => (n, mb)
+    }
+    Verdict(gcOk && offenders.isEmpty && normOk && diskOffenders.isEmpty,
+      earlyMean, lateMean, storageMax, offenders, normalizedRatio,
+      diskOffenders)
   }
 }

@@ -74,6 +74,18 @@ class DiagCheckSpec extends SparkSpec {
     assert(skipped.json.contains("\"normalized_ratio\":null"))
   }
 
+  test("the disk-residency bound passes ktruss's documented 930 MB " +
+    "and fails an unbounded checkpoint chain") {
+    val healthy = rows(Seq.fill(100)(16L))
+    assert(DiagCheck.evaluate(healthy,
+      diskMb = Seq(("ktruss_peel", 930L), ("agg_q1", 5L))).pass)
+    val v = DiagCheck.evaluate(healthy,
+      diskMb = Seq(("leaky_chain", 3000L)))
+    assert(!v.pass)
+    assert(v.diskOffenders == Seq(("leaky_chain", 3000L)))
+    assert(v.json.contains("\"leaky_chain:3000mb\""))
+  }
+
   test("verdict json is well-formed and carries the gate numbers") {
     val v = DiagCheck.evaluate(
       rows(Seq.fill(100)(16L)).updated(3, ("bad", 16L, 0L, 600L)))

@@ -29,6 +29,7 @@ STORAGE_MAX_MB = 512
 GC_LATE_FACTOR = 3.0
 GC_LATE_SLACK_MS = 200.0
 NORM_RATIO_MAX = 1.15
+DISK_MAX_MB = 2048  # r15: ~2x ktruss_peel's documented 930 MB residue
 
 
 def evaluate(diag):
@@ -41,6 +42,8 @@ def evaluate(diag):
         late_mean <= GC_LATE_FACTOR * early_mean + GC_LATE_SLACK_MS)
     offenders = [(r["q"], r["storage_mb"]) for r in diag
                  if r["storage_mb"] > STORAGE_MAX_MB]
+    offenders += [(r["q"], r["disk_mb"]) for r in diag
+                  if r.get("disk_mb", 0) > DISK_MAX_MB]
     return gc_ok and not offenders, early_mean, late_mean, offenders
 
 
