@@ -1537,6 +1537,52 @@ object StreamingQueries {
     },
     Some(SeriesQueries.hwOracleSql))
 
+  // ----------------------------------------------------------------- G32
+  /** Streaming write into the transactional DSv2 sink (r15): the
+    * filtered event stream drains THROUGH [[graft.sources.GraftSink]]'s
+    * StreamingWrite surface — one manifest commit per epoch carrying an
+    * `#epoch` idempotence marker (a replayed epoch after driver
+    * recovery is detected against the latest manifest and dropped —
+    * exactly-once, proven directly in GraftSinkSpec) — and the graded
+    * read is the committed snapshot read back through the same
+    * provider's batch scan. Stateless append stream (timestamps land
+    * as integer micros — the sink's int/long/double/string surface),
+    * so the whole query is write-path proof: staging per epoch, atomic
+    * manifest chain, epoch markers, TSV decode. At 100 TB this is the
+    * continuous-ingest half of the sink: micro-batches append
+    * snapshots, batch readers time-travel over them. */
+  private val streamSinkExactlyOnce = QueryDef(
+    "stream_sink_exactly_once",
+    (s, d) => {
+      val dir = stage(s, d, "events")
+      val stream = stagedStream(s, dir)
+      val out = stream
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+          F.unix_micros(F.col("ts")).as("ts_us"))
+      val n = nameCounter.incrementAndGet()
+      val sinkPath = s"/tmp/graft_gsink_${Harness.runId}_" +
+        s"${new java.io.File(d).getName}/t$n"
+      val ckpt = ckptRoot.map(r => s"$r/gsink_$n")
+        .getOrElse(s"/tmp/graft_gsink_ckpt_${Harness.runId}_$n")
+      val q = withDrainConfs(s) {
+        out.writeStream.format("graft.sources.GraftAtomicSinkProvider")
+          .option("path", sinkPath).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination()
+      finally deleteRecursively(java.nio.file.Paths.get(ckpt))
+      s.read.format("graft.sources.GraftAtomicSinkProvider")
+        .option("path", sinkPath).load()
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
@@ -1544,5 +1590,5 @@ object StreamingQueries {
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
     streamSrm, streamAsof, streamConformal, streamIps, streamSprt,
-    streamHoltWinters)
+    streamHoltWinters, streamSinkExactlyOnce)
 }

@@ -124,25 +124,40 @@ object GraftSink {
     if (fs(root).exists(p)) Some(p) else None
   }
 
-  /** Manifest body: line 1 = schema json, then one `file<TAB>rows`
-    * line per committed data file. */
-  private[sources] def readManifest(p: Path): (StructType, Seq[(String, Long)]) = {
+  private[sources] def readText(p: Path): String = {
     val in = fs(p).open(p)
-    val text = try {
+    try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       bytes.toString("UTF-8")
     } finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Manifest body: line 1 = schema json, then one `file<TAB>rows`
+    * line per committed data file. Lines starting with `#` are
+    * metadata (streaming epoch markers) and skipped here. */
+  private[sources] def readManifest(p: Path): (StructType, Seq[(String, Long)]) = {
+    val lines = readText(p).split("\n").toSeq.filter(_.nonEmpty)
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val files = lines.tail.map { l =>
+    val files = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(name, rows) = l.split("\t")
       (name, rows.toLong)
     }
     (schema, files)
   }
+
+  /** Streaming epoch markers in a manifest: highest committed epoch
+    * per streaming query id (`#epoch<TAB>qid<TAB>e` lines). */
+  private[sources] def readEpochs(p: Path): Map[String, Long] =
+    readText(p).split("\n").toSeq
+      .filter(_.startsWith("#epoch\t"))
+      .map { l =>
+        val parts = l.split("\t")
+        parts(1) -> parts(2).toLong
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
 
   private[sources] def checkSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
@@ -249,8 +264,8 @@ class GraftSinkTable(path: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -274,6 +289,9 @@ class GraftSinkWriteBuilder(path: String, schema: StructType,
       s"graft sink format must be tsv or parquet, got '$format'")
     override def toBatch: BatchWrite =
       new GraftSinkBatchWrite(path, schema, queryId, truncate, format)
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite =
+      new GraftSinkStreamingWrite(path, schema, queryId, format)
   }
 }
 
@@ -291,21 +309,51 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
     new GraftSinkWriterFactory(stagingDir.toString, schema.json, format,
       sconf)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkCommit.publish(root, stagingDir, schema, truncate,
+      messages.collect { case m: GraftSinkCommitMessage => m },
+      epochMarker = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // no manifest was published, so nothing became visible; drop the
+    // whole staging directory (covers tasks that never sent a message)
+    try GraftSink.fs(root).delete(stagingDir, true)
+    catch { case _: Throwable => () }
+  }
+}
+
+/** The shared manifest-publication protocol — batch and streaming
+  * commits differ only in staging dir and the idempotence marker. */
+private[sources] object GraftSinkCommit {
+  def publish(root: Path, stagingDir: Path, schema: StructType,
+      truncate: Boolean, mine: Seq[GraftSinkCommitMessage],
+      epochMarker: Option[(String, Long)]): Unit = {
     val fs = GraftSink.fs(root)
+    // snapshot resolution happens HERE, not at plan time: an
+    // overlapping writer that committed since this job was planned is
+    // visible now, so its snapshot is what an append carries forward
+    val latest = GraftSink.latestManifest(root)
+    val priorEpochs: Map[String, Long] =
+      latest.map { case (_, m) => GraftSink.readEpochs(m) }
+        .getOrElse(Map.empty)
+    // streaming EXACTLY-ONCE: a re-committed epoch (driver recovery
+    // replays the last epoch against the same checkpoint) is a no-op —
+    // the marker proves the snapshot already holds its rows, and the
+    // retry's staged files must be dropped, not double-published
+    epochMarker.foreach { case (qid, epoch) =>
+      if (priorEpochs.get(qid).exists(_ >= epoch)) {
+        try fs.delete(stagingDir, true) catch { case _: Throwable => () }
+        return
+      }
+    }
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
-    val mine = messages.collect { case m: GraftSinkCommitMessage => m }
     mine.foreach { m =>
       val ok = fs.rename(new Path(m.stagedFile),
         new Path(dataDir, m.fileName))
       if (!ok) throw new java.io.IOException(
         s"commit failed to publish ${m.stagedFile}")
     }
-    // snapshot resolution happens HERE, not at plan time: an
-    // overlapping writer that committed since this job was planned is
-    // visible now, so its snapshot is what an append carries forward
-    val latest = GraftSink.latestManifest(root)
     val prior: Seq[(String, Long)] =
       if (truncate) Seq.empty
       else latest.map { case (_, m) =>
@@ -322,9 +370,13 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
               "to replace the table")
         priorFiles
       }.getOrElse(Seq.empty)
+    val epochs: Map[String, Long] =
+      (if (truncate) Map.empty[String, Long] else priorEpochs) ++
+        epochMarker.toMap
     val body = (schema.json +:
-      (prior ++ mine.map(m => (m.fileName, m.rows)))
-        .map { case (n, r) => s"$n\t$r" }).mkString("\n")
+      (epochs.toSeq.sortBy(_._1).map { case (q, e) => s"#epoch\t$q\t$e" } ++
+        (prior ++ mine.map(m => (m.fileName, m.rows)))
+          .map { case (n, r) => s"$n\t$r" })).mkString("\n")
     // the ONE atomic step: temp manifest renamed onto its version
     // name. On stores whose rename fails when the destination exists
     // (HDFS), a concurrent publish loses the rename and retries at the
@@ -348,12 +400,57 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
     }
     fs.delete(stagingDir, true)
   }
+}
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // no manifest was published, so nothing became visible; drop the
-    // whole staging directory (covers tasks that never sent a message)
-    try GraftSink.fs(root).delete(stagingDir, true)
+/** STREAMING write surface (r15): the same staging/manifest
+  * transaction, one commit per epoch, appended onto the snapshot
+  * chain. Exactly-once comes from the `#epoch` marker each commit
+  * records: a replayed epoch (post-recovery) is detected against the
+  * latest manifest and dropped instead of double-published — the
+  * Delta/Iceberg txn-id discipline on this sink's own chain. */
+class GraftSinkStreamingWrite(path: String, schema: StructType,
+    queryId: String, format: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val root = new Path(path)
+  private val sconf = new SerializableHadoopConf(GraftSink.driverConf())
+
+  private def epochStaging(epochId: Long): Path =
+    new Path(root, s"_staging/$queryId/e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
+      .streaming.StreamingDataWriterFactory =
+    new GraftSinkStreamingWriterFactory(
+      new Path(root, s"_staging/$queryId").toString, schema.json, format,
+      sconf)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkCommit.publish(root, epochStaging(epochId), schema,
+      truncate = false,
+      messages.collect { case m: GraftSinkCommitMessage => m },
+      epochMarker = Some((queryId, epochId)))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    try GraftSink.fs(root).delete(epochStaging(epochId), true)
     catch { case _: Throwable => () }
+  }
+}
+
+class GraftSinkStreamingWriterFactory(stagingRoot: String,
+    schemaJson: String, format: String, sconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val dir = s"$stagingRoot/e$epochId"
+    if (format == "parquet")
+      new GraftSinkParquetWriter(dir, schema, partitionId, taskId,
+        sconf.conf)
+    else new GraftSinkDataWriter(dir, schema, partitionId, taskId,
+      sconf.conf)
   }
 }
 

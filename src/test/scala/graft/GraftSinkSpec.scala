@@ -219,6 +219,82 @@ class GraftSinkSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("streaming write: epochs append snapshots; a REPLAYED epoch is " +
+    "dropped, not double-published (exactly-once)") {
+    val path = tmpDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType)))
+    val sw = new graft.sources.GraftSinkStreamingWrite(
+      path, schema, "qs", "tsv")
+    def commitEpoch(epoch: Long, ids: Seq[Int],
+        w: graft.sources.GraftSinkStreamingWrite = sw): Unit = {
+      val writer = w.createStreamingWriterFactory(null)
+        .createWriter(0, 0L, epoch)
+      ids.foreach { i =>
+        writer.write(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i)))
+      }
+      w.commit(epoch, Array(writer.commit()))
+    }
+    commitEpoch(0L, Seq(1, 2))
+    commitEpoch(1L, Seq(3))
+    def readIds() = spark.read.format(FMT).option("path", path).load()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(readIds() == Seq(1, 2, 3))
+    // replay epoch 1 (post-recovery, even from a FRESH StreamingWrite
+    // instance): the #epoch marker must make it a no-op
+    val recovered = new graft.sources.GraftSinkStreamingWrite(
+      path, schema, "qs", "tsv")
+    commitEpoch(1L, Seq(3), recovered)
+    assert(readIds() == Seq(1, 2, 3), "replayed epoch double-published")
+    // a LATER epoch still lands, and earlier snapshots stay readable
+    commitEpoch(2L, Seq(4), recovered)
+    assert(readIds() == Seq(1, 2, 3, 4))
+    assert(spark.read.format(FMT).option("path", path)
+      .option("version", "2").load().count() == 3)
+    // an INDEPENDENT streaming query's epoch 1 is not confused with qs's
+    val other = new graft.sources.GraftSinkStreamingWrite(
+      path, schema, "qt", "tsv")
+    commitEpoch(1L, Seq(9), other)
+    assert(readIds() == Seq(1, 2, 3, 4, 9))
+  }
+
+  test("a real writeStream through the sink drains and reads back " +
+    "exactly (AvailableNow, file source)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    (1 to 50).map(i => (i, i * 2L)).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val path = tmpDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .where(col("id") % 2 === 0)
+      .writeStream.format(FMT)
+      .option("path", path).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.format(FMT).option("path", path).load()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == (2 to 50 by 2).map(i => (i, i * 2L)))
+    // restarting against the same checkpoint with no new data appends
+    // nothing (the file-source offsets + epoch markers both hold)
+    val q2 = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .where(col("id") % 2 === 0)
+      .writeStream.format(FMT)
+      .option("path", path).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.format(FMT).option("path", path).load()
+      .count() == 25)
+  }
+
   test("unsupported column types fail at write-build time with a clear " +
     "error") {
     import spark.implicits._
