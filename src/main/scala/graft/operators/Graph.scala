@@ -679,4 +679,53 @@ object Graph {
       }
     (scores, residual)
   }
+
+  /** Deterministic uniform random walks over an undirected edge list —
+    * the walk-corpus generator of DeepWalk/node2vec (Perozzi et al.
+    * 2014, arXiv:1403.6652; Grover & Leskovec 2016, arXiv:1607.00653,
+    * p = q = 1), made ENGINE-EXACT: instead of a PRNG, step t of walk w
+    * at node u picks neighbor index hash60("w|t|u") mod degree(u) over
+    * the value-ranked adjacency — both engines derive the identical
+    * corpus, and on a cluster every step is reproducible regardless of
+    * task placement (a seeded PRNG per task is NOT — partition
+    * assignment changes the stream).
+    *
+    * Scale shape: the ranked adjacency (u, idx, v, deg) is ONE window
+    * pass partitioned per node (degree-bounded sorts, never global),
+    * persisted and reused by every step; each step is one equi-join of
+    * the frontier on the current node with the rank condition applied
+    * as the join filter — degree-bounded fan-out, i.e. the same
+    * edge-linear per-round cost as a BFS hop, for `steps` rounds.
+    * Walks never die: the adjacency is undirected, so every reached
+    * node has degree ≥ 1. */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+      starts: DataFrame, startCol: String, steps: Int): DataFrame = {
+    val und = edges.select(F.col(aCol).as("u"), F.col(bCol).as("v"))
+      .unionAll(edges.select(F.col(bCol).as("u"), F.col(aCol).as("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("v")
+    val adj = CacheScope.persist(und
+      .withColumn("idx", F.row_number().over(w).cast("long") - 1)
+      .withColumn("deg", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u"))))
+    var walks = starts.select(F.col(startCol).as("walk_id"),
+      F.lit(0L).as("step"), F.col(startCol).as("node"))
+    var frontier = walks
+    for (t <- 1 to steps) {
+      val key = F.concat(
+        F.col("walk_id").cast("string"), F.lit("|"),
+        F.lit(t.toString), F.lit("|"), F.col("_cu").cast("string"))
+      val cur = frontier
+        .select(F.col("walk_id"), F.col("node").as("_cu"))
+        .withColumn("_h", Hashing.hash60(key))
+      val next = cur.join(adj,
+          cur("_cu") === adj("u") &&
+            adj("idx") === F.pmod(cur("_h"), adj("deg")))
+        .select(F.col("walk_id"), F.lit(t.toLong).as("step"),
+          F.col("v").as("node"))
+      walks = walks.unionAll(next)
+      frontier = next
+    }
+    walks
+  }
 }

@@ -1176,7 +1176,63 @@ object GraphMetricsQueries {
          |ORDER BY rank_fp DESC, sp.v LIMIT 100""".stripMargin
     })
 
-  def all: Seq[QueryDef] = Seq(clusteringCoeff, degreeAssortativity,
+  // ---------------------------------------------------------------- D71
+  /** Deterministic random-WALK corpus over the co-purchase graph
+    * (r15, self-chosen — [[graft.operators.Graph.randomWalks]]): the
+    * DeepWalk/node2vec training-corpus generator with the PRNG
+    * replaced by hash60("walk|step|node") mod degree over the
+    * value-ranked adjacency, so both engines — and every cluster
+    * topology — derive the IDENTICAL corpus. Walks start from the
+    * deterministic anchor cohort v ≡ 0 (mod 31) (the D31 scale lever:
+    * corpus cost is one ranked-adjacency build; walk cost is
+    * |cohort|·steps degree-bounded join rows) and take 4 steps;
+    * publishes (walk_id, step, node) — the sentences a skip-gram
+    * embedding trains on. Oracle: a recursive CTE stepping the same
+    * hash over the same ranked adjacency. */
+  private val graphRandomWalks = QueryDef(
+    "graph_random_walks",
+    (s, d) => {
+      val edges = Staged.coPurchaseEdges(s, d)
+      val starts = edges.select(F.col("pa").as("node"))
+        .unionAll(edges.select(F.col("pb").as("node")))
+        .distinct()
+        .where(F.col("node") % 31 === 0)
+      graft.operators.Graph
+        .randomWalks(edges, "pa", "pb", starts, "node", steps = 4)
+        .orderBy("walk_id", "step")
+    },
+    Some(s"""
+      WITH RECURSIVE e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey),
+      und AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM e0
+        UNION ALL SELECT pb, pa FROM e0),
+      adj AS MATERIALIZED (
+        SELECT u, v,
+               CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                    AS BIGINT) AS idx,
+               CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+        FROM und),
+      starts AS (SELECT DISTINCT u AS node FROM und WHERE u % 31 = 0),
+      walk(walk_id, step, node) AS (
+        SELECT node, CAST(0 AS BIGINT), node FROM starts
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.v
+        FROM walk w JOIN adj a
+          ON a.u = w.node
+         AND a.idx = ${graft.operators.Hashing.hash60Sql(
+      "concat(CAST(w.walk_id AS VARCHAR), '|', " +
+        "CAST(w.step + 1 AS VARCHAR), '|', CAST(w.node AS VARCHAR))")}
+                     % a.deg
+        WHERE w.step < 4)
+      SELECT walk_id, step, node FROM walk
+      ORDER BY walk_id, step"""))
+
+  def all: Seq[QueryDef] = Seq(graphRandomWalks,
+    clusteringCoeff, degreeAssortativity,
     clusteringCoeffSampled, clusteringSampleAudit, harmonicCentrality,
     harmonicSampleAudit, graphAnf, graphEffectiveDiameter, ktrussPeel,
     betweennessSampled, richClub, graphEdgeDrift, hitsScores, pprSeeded)

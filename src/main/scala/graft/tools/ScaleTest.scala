@@ -546,6 +546,11 @@ object ScaleTest {
     timeQ("dedup_span_ladder")
     timeQ("video_neardup")
     timeQ("video_neardup_recall")
+    // graph_random_walks: one ranked-adjacency window pass (degree-
+    // bounded sorts) + 4 frontier joins over the replicated disjoint
+    // co-purchase graphs — adjacency edge-linear, walk cost
+    // cohort-bounded; the probe pins both as the graph grows 10x.
+    timeQ("graph_random_walks")
     spark.stop()
   }
 }
