@@ -1176,7 +1176,7 @@ object GraphMetricsQueries {
          |ORDER BY rank_fp DESC, sp.v LIMIT 100""".stripMargin
     })
 
-  // ---------------------------------------------------------------- D71
+  // ---------------------------------------------------------------- D80
   /** Deterministic random-WALK corpus over the co-purchase graph
     * (r15, self-chosen — [[graft.operators.Graph.randomWalks]]): the
     * DeepWalk/node2vec training-corpus generator with the PRNG

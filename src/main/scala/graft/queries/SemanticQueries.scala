@@ -47,7 +47,7 @@ object SemanticQueries {
       FROM l JOIN g USING (wh)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  // ---------------------------------------------------------------- D70
+  // ---------------------------------------------------------------- D81
   /** Longest-duplicated-span ladder (r15, the cut-vs-drop half of Lee
     * et al. D17 stops short of): [[Dedup.spanLadder]] at
     * w ∈ {5, 10, 20, 40} over the 10–99-token synthetic docs (the

@@ -1583,6 +1583,48 @@ object StreamingQueries {
       FROM events WHERE event_type IN ('view', 'purchase')
       ORDER BY event_id"""))
 
+  // ----------------------------------------------------------------- G34
+  /** The transactional sink consumed AS A STREAM (r15, the read twin
+    * of G33): two batch commits build a 2-version snapshot chain, and
+    * `readStream.format(provider)` drives GraftSink's MicroBatchStream
+    * — offsets are manifest VERSIONS, each micro-batch the file delta
+    * a version range added (the Delta "table as a stream" pattern on
+    * the sink's own chain; GraftSinkSpec proves the incremental case —
+    * a restarted stream consumes only versions committed since its
+    * checkpoint, re-reading nothing). The drained streaming aggregate
+    * over the full chain must equal the batch oracle over the source
+    * rows — proving version-delta planning loses and duplicates
+    * nothing. */
+  private val streamSinkSource = QueryDef(
+    "stream_sink_source",
+    (s, d) => {
+      val fmt = "graft.sources.GraftAtomicSinkProvider"
+      val sup = t(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val n = nameCounter.incrementAndGet()
+      val sinkPath = s"/tmp/graft_gsrc_${Harness.runId}_" +
+        s"${new java.io.File(d).getName}/t$n"
+      sup.where(F.col("s_suppkey") % 2 === 0)
+        .write.format(fmt).option("path", sinkPath)
+        .mode("overwrite").save()
+      sup.where(F.col("s_suppkey") % 2 =!= 0)
+        .write.format(fmt).option("path", sinkPath)
+        .mode("append").save()
+      val stream = s.readStream.format(fmt).option("path", sinkPath).load()
+      drain(stream
+        .groupBy((F.col("s_suppkey") % 10).as("bucket"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("s_acctbal").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("string").as("total_bal")), "complete")
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT s_suppkey % 10 AS bucket, count(*) AS n,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+               AS total_bal
+      FROM supplier GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamValidate, streamDedup,
     streamSession, streamQuality, streamPii, streamDedupIncr, streamJoin,
     streamJoinOuter, streamUpsert, streamDedupWatermark, streamCms,
@@ -1590,5 +1632,5 @@ object StreamingQueries {
     streamFunnel, streamFunnelWindow, streamRetention, streamContamination,
     streamSample, streamPsi, streamBalance, streamFirstSeen, streamUrlDedup,
     streamSrm, streamAsof, streamConformal, streamIps, streamSprt,
-    streamHoltWinters, streamSinkExactlyOnce)
+    streamHoltWinters, streamSinkExactlyOnce, streamSinkSource)
 }

@@ -264,6 +264,7 @@ class GraftSinkTable(path: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
@@ -600,6 +601,69 @@ class GraftSinkScan(path: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(schema.json,
       new SerializableHadoopConf(GraftSink.driverConf()))
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftSinkMicroBatchStream(path, schema)
+}
+
+/** A committed-snapshot VERSION as a streaming offset. */
+case class GraftSinkOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** STREAMING read surface (r15): the manifest chain consumed as a
+  * stream — each micro-batch is the set of data files a version range
+  * ADDED (the Delta/Iceberg "table as a stream" pattern on this sink's
+  * own chain). Offsets are manifest versions, so restart resumes
+  * exactly where the checkpoint left off and nothing is re-read; the
+  * chain is append-only (appends carry prior files forward), so
+  * files(end) − files(start) is precisely the delta. A TRUNCATE
+  * surfaces only the rows it wrote (its manifest drops prior files —
+  * replaced history is not replayed), which is the documented
+  * change-feed semantics for overwrites. */
+class GraftSinkMicroBatchStream(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  private val root = new Path(path)
+
+  private def filesAt(version: Long): Set[String] =
+    if (version <= 0) Set.empty
+    else GraftSink.manifestAt(root, version)
+      .map(m => GraftSink.readManifest(m)._2.map(_._1).toSet)
+      .getOrElse(Set.empty)
+
+  override def latestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftSinkOffset(GraftSink.latestManifest(root).map(_._1).getOrElse(0L))
+
+  override def initialOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftSinkOffset(0L)
+
+  override def deserializeOffset(json: String):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftSinkOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset):
+      Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSinkOffset].version
+    val e = end.asInstanceOf[GraftSinkOffset].version
+    val delta = (filesAt(e) -- filesAt(s)).toSeq.sorted
+    delta.map(name => GraftSinkFilePartition(
+      new Path(new Path(path), s"data/$name").toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(schema.json,
+      new SerializableHadoopConf(GraftSink.driverConf()))
+
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 class GraftSinkReaderFactory(schemaJson: String,

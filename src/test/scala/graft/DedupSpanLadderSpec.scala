@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
-/** Properties of the D70 longest-duplicated-span ladder
+/** Properties of the D81 longest-duplicated-span ladder
   * ([[Dedup.spanLadder]]):
   *
   *  - monotone flags (a THEOREM for exact windows): a corpus-

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Graph, Hashing}
 
-/** Properties of the D71 deterministic walk-corpus generator:
+/** Properties of the D80 deterministic walk-corpus generator:
   * every transition is a real edge, every walk runs full length
   * (undirected adjacency has no dead ends), and the neighbor choice
   * is exactly the hash-rank rule — re-derived INDEPENDENTLY here from
