@@ -312,6 +312,41 @@ object ExtendedQueries {
       SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier WHERE s_suppkey % 2 = 0 ORDER BY s_suppkey"""))
 
+  // ----------------------------------------------------------------- H21
+  /** Sink CHANGE-FEED read (r15, the batch twin of the G34 streaming
+    * delta): after the H20 chain (even-key overwrite = v1, odd-key
+    * append = v2), `option("startVersion", 1)` plans exactly the files
+    * versions (1, latest] ADDED — the incremental-consumer pattern
+    * ("give me what changed since the version I processed") without a
+    * streaming checkpoint. The oracle recomputes commit 2's content,
+    * so the hash compare proves the version set-difference loses and
+    * duplicates nothing. Idempotent within a bench JVM for the same
+    * reason H20 is: re-runs append versions whose delta past v1 is
+    * recomputed fresh each run... so the read pins BOTH bounds —
+    * version = 2 AND startVersion = 1 — making every re-run read the
+    * same (v1, v2] delta. */
+  private val sinkChangeFeed = QueryDef(
+    "sink_change_feed",
+    (s, d) => {
+      val base = s"/tmp/graft_h21_${Harness.runId}_" +
+        s"${new java.io.File(d).getName}/sink_cf"
+      val fmt = "graft.sources.GraftAtomicSinkProvider"
+      val sup = t(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      sup.where(F.col("s_suppkey") % 2 === 0)
+        .write.format(fmt).option("path", base)
+        .mode("overwrite").save()
+      sup.where(F.col("s_suppkey") % 2 =!= 0)
+        .write.format(fmt).option("path", base)
+        .mode("append").save()
+      s.read.format(fmt).option("path", base)
+        .option("version", "2").option("startVersion", "1")
+        .load().orderBy("s_suppkey")
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 1 ORDER BY s_suppkey"""))
+
   // ------------------------------------------------------------------ H3
   /** Partitioned parquet write + partition-pruned read: orders land
     * hive-partitioned by priority; the read back filters ONE partition
@@ -1152,5 +1187,6 @@ object ExtendedQueries {
     scalarSubquery, intervalJoin, aggMaxBy, windowHopping, aggMode,
     windowPercent, intervalJoinBinned, bloomPrune, zorderLayout,
     stateIslands, resampleInterp, winsorize, tableDiff, corrMatrix,
-    orcRoundtrip, dppJoin, synthSource, sinkRoundtrip, sinkTimeTravel)
+    orcRoundtrip, dppJoin, synthSource, sinkRoundtrip, sinkTimeTravel,
+    sinkChangeFeed)
 }

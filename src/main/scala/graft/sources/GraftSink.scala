@@ -271,7 +271,8 @@ class GraftSinkTable(path: String, schema0: StructType)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(path,
-      Option(options.get("version")).map(_.toLong))
+      Option(options.get("version")).map(_.toLong),
+      Option(options.get("startVersion")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(),
@@ -569,8 +570,14 @@ class GraftSinkParquetWriter(stagingDir: String, schema: StructType,
 
 // ---------------------------------------------------------------- read
 
-class GraftSinkScanBuilder(path: String, version: Option[Long])
-    extends ScanBuilder {
+/** Batch read resolution: `version` pins the snapshot (else latest);
+  * `startVersion` turns the scan into a CHANGE-FEED read — exactly the
+  * files versions (start, end] ADDED (the batch twin of the streaming
+  * MicroBatchStream's version-delta planning; startVersion = 0 is the
+  * full snapshot, a truncate in the range surfaces only rows written
+  * after it). */
+class GraftSinkScanBuilder(path: String, version: Option[Long],
+    startVersion: Option[Long]) extends ScanBuilder {
   override def build(): Scan = {
     val root = new Path(path)
     val manifest = version match {
@@ -584,7 +591,16 @@ class GraftSinkScanBuilder(path: String, version: Option[Long])
           s"graft sink at $path has no committed snapshot"))
     }
     val (schema, files) = GraftSink.readManifest(manifest)
-    new GraftSinkScan(path, schema, files)
+    val delta = startVersion match {
+      case Some(s) if s > 0 =>
+        val startFiles = GraftSink.manifestAt(root, s).map(m =>
+          GraftSink.readManifest(m)._2.map(_._1).toSet).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft sink at $path has no committed startVersion $s"))
+        files.filterNot { case (n, _) => startFiles(n) }
+      case _ => files
+    }
+    new GraftSinkScan(path, schema, delta)
   }
 }
 

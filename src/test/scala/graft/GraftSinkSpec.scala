@@ -332,6 +332,36 @@ class GraftSinkSpec extends SparkSpec {
     assert(outIds() == Seq(1, 2, 3, 4))
   }
 
+  test("batch change feed: startVersion plans exactly the files the " +
+    "range added") {
+    import spark.implicits._
+    val path = tmpDir()
+    Seq((1, "a"), (2, "b")).toDF("id", "s").write.format(FMT)
+      .option("path", path).mode("overwrite").save()
+    Seq((3, "c")).toDF("id", "s").write.format(FMT)
+      .option("path", path).mode("append").save()
+    Seq((4, "d")).toDF("id", "s").write.format(FMT)
+      .option("path", path).mode("append").save()
+    def feed(opts: (String, String)*) = {
+      val r = opts.foldLeft(spark.read.format(FMT)
+        .option("path", path)) { case (b, (k, v)) => b.option(k, v) }
+      r.load().collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(feed("startVersion" -> "1") == Seq(3, 4))
+    assert(feed("startVersion" -> "2") == Seq(4))
+    assert(feed("startVersion" -> "3") == Seq())
+    assert(feed("startVersion" -> "0") == Seq(1, 2, 3, 4))
+    // both bounds: the (1, 2] delta stays stable as the chain grows
+    assert(feed("version" -> "2", "startVersion" -> "1") == Seq(3))
+    val err = intercept[Exception] { feed("startVersion" -> "9") }
+    assert(err.getMessage.contains("no committed startVersion 9"))
+    // a truncate resets the feed baseline: only rows written after it
+    Seq((5, "e")).toDF("id", "s").write.format(FMT)
+      .option("path", path).mode("overwrite").save()
+    assert(feed("startVersion" -> "2") == Seq(5),
+      "replaced history must not replay through the feed")
+  }
+
   test("unsupported column types fail at write-build time with a clear " +
     "error") {
     import spark.implicits._
