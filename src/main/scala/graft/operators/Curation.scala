@@ -80,23 +80,36 @@ object Curation {
   def repetitionStats(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 2,
       maxDupTokenFrac: Double = 0.55, maxTopGramFrac: Double = 0.10): DataFrame = {
-    val base = docs.select(
+    // r15 (§2.4: remove shuffles outright): every output is a pure
+    // per-document function, so the old explode → (doc, gram) aggregate
+    // → per-doc aggregate pipeline shuffled the whole exploded gram
+    // frame twice (carrying n_tokens/n_distinct on every gram row) for
+    // values computable NARROW inside the row: n_grams = |grams|, and
+    // max_gram_freq = the longest equal-run of the SORTED gram array
+    // (identical to max per-gram count). Zero exchanges at any scale.
+    val runBest = F.aggregate(
+      F.col("_grams"),
+      F.struct(F.lit(null).cast("string").as("p"), F.lit(0L).as("run"),
+        F.lit(0L).as("best")),
+      (acc, x) => {
+        val run = F.when(acc("p").isNotNull && acc("p") === x,
+          acc("run") + 1L).otherwise(F.lit(1L))
+        F.struct(x.as("p"), run.as("run"),
+          F.greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val perDoc = docs.select(
       F.col(idCol).as("doc_id"),
       TextOps.tokens(F.col(textCol)).as("_toks"))
       .select(
         F.col("doc_id"),
         F.size(F.col("_toks")).cast("long").as("n_tokens"),
         F.size(F.array_distinct(F.col("_toks"))).cast("long").as("n_distinct"),
-        F.explode_outer(TextOps.shinglesOf(F.col("_toks"), n)).as("gram"))
-    val perGram = base.groupBy("doc_id", "gram").agg(
-      F.sum(F.when(F.col("gram").isNotNull, 1L).otherwise(0L)).as("c"),
-      F.first("n_tokens").as("n_tokens"),
-      F.first("n_distinct").as("n_distinct"))
-    val perDoc = perGram.groupBy("doc_id").agg(
-      F.first("n_tokens").as("n_tokens"),
-      F.first("n_distinct").as("n_distinct"),
-      F.sum("c").as("n_grams"),
-      F.max("c").as("max_gram_freq"))
+        F.array_sort(TextOps.shinglesOf(F.col("_toks"), n)).as("_grams"))
+      .select(
+        F.col("doc_id"), F.col("n_tokens"), F.col("n_distinct"),
+        F.size(F.col("_grams")).cast("long").as("n_grams"),
+        runBest.as("max_gram_freq"))
     val dupFrac = F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6)
     val topFrac = F.when(F.col("n_grams") === 0, 0.0)
       .otherwise(F.round(F.col("max_gram_freq").cast("double") / F.col("n_grams"), 6))

@@ -75,6 +75,64 @@ object DistRank {
     spark.createDataFrame(withCum, schema)
   }
 
+  /** FUSED form (r15, §2.4): several exact global running sums plus an
+    * optional global row number computed in ONE range-partition + sort
+    * + two-job pass. Chaining [[globalCumSum]] / [[globalRowNumber]]
+    * calls re-range-shuffles, re-sorts and re-crosses the RDD↔DataFrame
+    * boundary once per call on identically-ordered data (wasserstein_1
+    * paid the pass three times, ks_2sample twice); the fusion computes
+    * the same columns — same names, same order, same values, `keys`
+    * still a total order — from a single sorted RDD instance. */
+  def globalCumSumsRowNumber(df: DataFrame,
+      weights: Seq[(String, String)], rowNumOut: Option[String],
+      keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(shardsFor(df), keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val wIdx = weights.map { case (w, _) => sorted.schema.fieldIndex(w) }
+      .toArray
+    val rdd = sorted.rdd // ONE instance: both jobs reuse its shuffle
+    val partStats = rdd
+      .mapPartitions({ it =>
+        val sums = new Array[Long](wIdx.length)
+        var n = 0L
+        it.foreach { row =>
+          var i = 0
+          while (i < wIdx.length) { sums(i) += row.getLong(wIdx(i)); i += 1 }
+          n += 1L
+        }
+        Iterator.single((sums, n))
+      }, preservesPartitioning = true)
+      .collect() // one (sums, count) per shard — bounded by shard count
+    val sumOffsets = partStats.map(_._1)
+      .scanLeft(new Array[Long](wIdx.length)) { (acc, s) =>
+        Array.tabulate(wIdx.length)(i => acc(i) + s(i))
+      }
+    val rowOffsets = partStats.map(_._2).scanLeft(0L)(_ + _)
+    var schema = sorted.schema
+    weights.foreach { case (_, out) =>
+      schema = schema.add(out, LongType, nullable = false)
+    }
+    rowNumOut.foreach { out =>
+      schema = schema.add(out, LongType, nullable = false)
+    }
+    val emitRn = rowNumOut.isDefined
+    val withCum = rdd.mapPartitionsWithIndex { (i, it) =>
+      val cums = sumOffsets(i).clone()
+      var rn = rowOffsets(i)
+      it.map { row =>
+        val extra = new Array[Any](wIdx.length + (if (emitRn) 1 else 0))
+        var j = 0
+        while (j < wIdx.length) {
+          cums(j) += row.getLong(wIdx(j)); extra(j) = cums(j); j += 1
+        }
+        if (emitRn) { rn += 1L; extra(wIdx.length) = rn }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }
+    spark.createDataFrame(withCum, schema)
+  }
+
   /** Exact SQL `ntile(n)` bucket from a 1-based global rank column and
     * a total-count column, matching the standard semantics: with
     * q = total div n and r = total mod n, the first r buckets hold

@@ -499,9 +499,13 @@ object Graph {
     * map-side-combined count — the credit pass is triangle-output-sized.
     * Edges in no triangle get no row (support 0 — callers left-join). */
   def edgeSupport(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
-    val e = CacheScope.persist(
-      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+      bCol: String, assumeUnique: Boolean = false): DataFrame = {
+    // `assumeUnique` (r15, §2.4): callers feeding an already-canonical
+    // edge list (the k-truss peel rounds read back their own filtered
+    // parquet) skip the defensive distinct — a full extra shuffle of
+    // the edge list per round otherwise
+    val base = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+    val e = CacheScope.persist(if (assumeUnique) base else base.distinct())
     val deg = e.select(F.col("a").as("v"))
       .unionByName(e.select(F.col("b").as("v")))
       .groupBy("v").agg(F.count(F.lit(1)).as("dg"))

@@ -88,12 +88,14 @@ object CommunityQueries {
     * shared by D51 (the detected partition) and D53 (before/after the
     * refinement move). */
   private[graft] def modularityCore(edges: DataFrame, comm: DataFrame): DataFrame =
-    // serialized persist: FOUR consumers read the labeled edge list (the
-    // m broadcast, e_in, the two degree-union branches) — unpersisted,
-    // the two endpoint joins re-execute per branch (profiled ~3× the
-    // query cost at sf0.1); released per query by the driver
-    modularityCoreLabeled(graft.operators.CacheScope.persistSer(
-      Graph.labelEdges(edges, "pa", "pb", comm)))
+    // NO persist (r15, §5): since the one-pass explode rewrite of
+    // [[modularityCoreLabeled]], the labeled edge list is consumed by
+    // exactly ONE subtree (the persisted per-community aggregate — m
+    // and the final reduction both read THAT tiny frame, not the
+    // edges), so the old four-consumer persistSer was paying a full
+    // serialize + cache-write of a corpus-scale frame per scoring pass
+    // for zero reuse
+    modularityCoreLabeled(Graph.labelEdges(edges, "pa", "pb", comm))
 
   /** [[modularityCore]] from a PREBUILT (and caller-persisted)
     * [[Graph.labelEdges]] frame — the r9 verdict's fix: D53 used to run
@@ -872,15 +874,16 @@ object CommunityQueries {
       val base = s"/tmp/graft_refine_${Harness.runId}/" +
         s"conv_${refineRuns.incrementAndGet()}"
 
-      def scoreFine(lbl: DataFrame): (Long, Long) = {
-        val r = modularityCore(edges, lbl).collect().head
-        (r.getAs[Long]("n_communities"), r.getAs[Long]("q_micro"))
-      }
       def movedCount(a: DataFrame, b: DataFrame): Long =
         a.select(F.col("v"), F.col("community").as("_x"))
           .join(b.select(F.col("v"), F.col("community").as("_y")), "v")
           .agg(F.coalesce(F.sum(F.when(F.col("_x") =!= F.col("_y"), 1L)
             .otherwise(0L)), F.lit(0L))).collect().head.getLong(0)
+
+      def scoreFine(lbl: DataFrame): (Long, Long) = {
+        val r = modularityCore(edges, lbl).collect().head
+        (r.getAs[Long]("n_communities"), r.getAs[Long]("q_micro"))
+      }
 
       val rows = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long, Long)]
@@ -891,6 +894,14 @@ object CommunityQueries {
       var curN = q0row.getAs[Long]("n_communities")
       rows += ((0L, 0L, 0L, 1L, curN, curQ))
       // level 1: fine move rungs (rung 1 = the staged D53 move)
+      // (r15 note, §1.2: an A/B'd variant materialized each candidate's
+      // labelEdges frame to scratch parquet and reused it across the
+      // next move / the coarsen / the final remapped score — 6 label
+      // joins down to 3 + 3 columnar writes. At bench SF the label side
+      // is a runtime BROADCAST, so each labelEdges pass is one scan +
+      // two broadcast joins and the extra materialization LOST ~1.5 s;
+      // kept the rebuild-per-pass shape, which AQE turns into the cheap
+      // plan locally while staying shuffle-correct at scale.)
       for (r <- 1 to CONV_MOVES) {
         val (cand, nMoved, nc, q) =
           if (r == 1) {

@@ -749,10 +749,20 @@ object GraphMetricsQueries {
       var cur = Staged.coPurchaseEdges(s, d)
         .select(F.col("pa").as("a"), F.col("pb").as("b"))
       val rows = (1 to TRUSS_ROUNDS).map { r =>
-        val sup = graft.operators.Graph.edgeSupport(cur, "a", "b")
-        cur.join(sup, Seq("a", "b"), "left")
-          .na.fill(0L, Seq("support"))
-          .where(F.col("support") >= TRUSS_K - 2)
+        // assumeUnique: round 1 reads the staged deduped edge list,
+        // later rounds read back their own filtered parquet — both
+        // canonical already, so edgeSupport's defensive distinct was a
+        // pure extra shuffle per round (r15, §2.4)
+        val sup = graft.operators.Graph.edgeSupport(cur, "a", "b",
+          assumeUnique = true)
+        // survivors straight off the support aggregate: every (a, b) in
+        // `sup` IS an edge of `cur` (supports are credited only to the
+        // three real edges of each closed triangle), and edges absent
+        // from `sup` have support 0 < TRUSS_K − 2 — the former
+        // cur ⟕ sup + fill(0) + filter re-joined the whole edge list
+        // per round only to drop every row the filter could not keep
+        // anyway (r15, §2.4: one Exchange removed per round)
+        sup.where(F.col("support") >= TRUSS_K - 2)
           .select("a", "b")
           .write.mode("overwrite").parquet(s"$base/r$r")
         val next = s.read.parquet(s"$base/r$r")

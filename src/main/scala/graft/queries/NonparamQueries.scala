@@ -316,10 +316,10 @@ object NonparamQueries {
           F.count(F.lit(1)).as("cnt"))
       val tot = vals.agg(F.sum("n1v").cast("long").as("n1"),
         F.sum("n2v").cast("long").as("n2"))
-      val cum = graft.operators.DistRank.globalCumSum(
-        graft.operators.DistRank.globalCumSum(
-          vals, "n1v", "cum1", F.col("q").asc),
-        "cnt", "cumt", F.col("q").asc)
+      // fused DistRank pass (r15, §2.4): both cumulative counts in ONE
+      // range shuffle + sort instead of two chained passes
+      val cum = graft.operators.DistRank.globalCumSumsRowNumber(
+        vals, Seq("n1v" -> "cum1", "cnt" -> "cumt"), None, F.col("q").asc)
       // cum1·n2 scales as n²: widen through DECIMAL(38,0) (Spark wraps
       // int64 silently; DuckDB raises — the engines would diverge) and
       // surface via the §5 string→double route; guard the n1·n2
@@ -991,12 +991,11 @@ object NonparamQueries {
         .groupBy("cents")
         .agg(F.sum("i1").as("n1v"), F.expr("count(*) ").cast("long")
           .as("cnt"))
-      val cum = graft.operators.DistRank.globalCumSum(
-        vals, "cnt", "cumt", F.col("cents").asc)
-      val cum1 = graft.operators.DistRank.globalCumSum(
-        cum, "n1v", "cum1", F.col("cents").asc)
-      val rn = graft.operators.DistRank.globalRowNumber(
-        cum1, "rn", F.col("cents").asc)
+      // fused DistRank pass (r15, §2.4): both running sums and the row
+      // number in ONE range shuffle + sort instead of three
+      val rn = graft.operators.DistRank.globalCumSumsRowNumber(
+        vals, Seq("cnt" -> "cumt", "n1v" -> "cum1"), Some("rn"),
+        F.col("cents").asc)
       val nxt = rn.select(F.expr("rn - 1").as("rn"),
         F.col("cents").as("_next"))
       val tot = rn.agg(F.sum("n1v").cast("long").as("n1"),

@@ -1935,10 +1935,16 @@ object PipelineQueries {
         .withColumn("_src", F.lit(2L))
       val cand = a.unionByName(b).groupBy("doc_a", "doc_b")
         .agg(F.sum("_src").as("_src")) // 1 = A only, 2 = B only, 3 = both
-      val sh = TextOps.shingleDocs(docs, "doc_id", "text", 3)
-      val vh = sh.select(F.col("doc_id"),
-        Hashing.hash60(F.col("shingle")).as("h"))
-      val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+      // persisted (r15, §2.4): the hashed shingle frame feeds BOTH sides
+      // of the verification join AND the size aggregate — unpersisted,
+      // the corpus-scale shingle explode executed three times per run.
+      // sizes derive from the hashed frame (1 row per shingle either
+      // way), so the raw shingle strings never need a second pass.
+      val vh = graft.operators.CacheScope.persist(
+        TextOps.shingleDocs(docs, "doc_id", "text", 3)
+          .select(F.col("doc_id"),
+            Hashing.hash60(F.col("shingle")).as("h")))
+      val sizes = vh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
       val inter = cand
         .join(vh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(vh.select(F.col("doc_id").as("doc_b"), F.col("h")),

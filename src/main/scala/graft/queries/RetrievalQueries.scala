@@ -604,12 +604,19 @@ object RetrievalQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
-      val short = Similarity.bruteForceTopK(emb,
+      // persisted (r15, §2.4): the shortlist frame is queries×MMR_SHORT
+      // rows but its lineage is the FULL brute-force corpus scan, and it
+      // is referenced by round 1's seed pick plus every greedy round's
+      // anti-join — unpersisted, the bench plan re-ran the corpus
+      // scan+topK once per MMR round (5 scans per execution; AQE does
+      // not reuse exchanges across separate action subtrees)
+      val short = graft.operators.CacheScope.persist(
+        Similarity.bruteForceTopK(emb,
           emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
           k = MMR_SHORT)
         .withColumn("rel_micro",
           F.expr("CAST(round(cos * 1000000) AS BIGINT)"))
-        .select("query_id", "match_id", "rel_micro")
+        .select("query_id", "match_id", "rel_micro"))
       val shortV = graft.operators.CacheScope.persist(
         emb.select(F.col("vec_id").as("match_id"), F.col("embedding"))
           .join(F.broadcast(short), "match_id"))
