@@ -40,13 +40,17 @@ object Graph {
     * convergence action needed — fixed-point iterates are deterministic,
     * so callers pick iters once and results are reproducible). */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
-      iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
+      assumeUnique: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
       s"need iters >= 1 and 0 <= dampNum <= dampDen, got $iters, $dampNum/$dampDen")
+    // assumeUnique (r15, §2.4): for a unique canonical pair list
+    // (aCol < bCol) the doubled directed list is unique by construction
+    // — the defensive distinct was a full shuffle of 2m rows
+    val doubled = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+      .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
     val edges = CacheScope.persist(
-      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
-        .distinct())
+      if (assumeUnique) doubled else doubled.distinct())
     val degrees = CacheScope.persist(
       edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("deg")))
     val teleport = (dampDen - dampNum) * SCALE / dampDen
@@ -93,13 +97,15 @@ object Graph {
     * driver-side collect). */
   def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      assumeUnique: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
       s"need iters >= 1 and 0 <= dampNum <= dampDen, got $iters, $dampNum/$dampDen")
+    // assumeUnique: see [[pageRank]]
+    val doubled = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+      .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
     val edges = CacheScope.persist(
-      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
-        .distinct())
+      if (assumeUnique) doubled else doubled.distinct())
     val degrees = CacheScope.persist(
       edges.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("deg")))
     val spine = CacheScope.persist(
@@ -147,9 +153,11 @@ object Graph {
     * deg² wedges. Three shuffles total (degrees, wedge join, closing
     * join); `pairs` must hold each undirected edge once with
     * `aCol < bCol`. */
-  def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = CacheScope.persist(
-      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String,
+      assumeUnique: Boolean = false): DataFrame = {
+    // assumeUnique: see [[pageRank]]
+    val base0 = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+    val e = CacheScope.persist(if (assumeUnique) base0 else base0.distinct())
     val deg = e.select(F.col("a").as("v"))
       .unionByName(e.select(F.col("b").as("v")))
       .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
@@ -192,12 +200,13 @@ object Graph {
     * dependent — exactly what a distributed, oracle-checked operator
     * must not be. Returns (v, community). */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4, assumeUnique: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    // assumeUnique: see [[pageRank]]
+    val doubled = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+      .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
     val edges = CacheScope.persist(
-      pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-        .unionByName(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
-        .distinct())
+      if (assumeUnique) doubled else doubled.distinct())
     var labels = edges.select(F.col("src").as("v")).distinct()
       .select(F.col("v"), F.col("v").as("lbl"))
     var prev: DataFrame = null
@@ -364,9 +373,10 @@ object Graph {
     * wedge-sized. `pairs` must hold each undirected edge once with
     * `aCol < bCol`. */
   def localClustering(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
-    val e = CacheScope.persist(
-      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+      bCol: String, assumeUnique: Boolean = false): DataFrame = {
+    // assumeUnique: see [[pageRank]]
+    val base0 = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+    val e = CacheScope.persist(if (assumeUnique) base0 else base0.distinct())
     val deg = e.select(F.col("a").as("v"))
       .unionByName(e.select(F.col("b").as("v")))
       .groupBy("v").agg(F.count(F.lit(1)).as("dg"))
@@ -559,9 +569,10 @@ object Graph {
     * iff d(v) < 2 (every deg≥2 node gets an estimate). `pairs` must
     * hold each undirected edge once with `aCol < bCol`. */
   def localClusteringSampled(pairs: DataFrame, aCol: String,
-      bCol: String, k: Int): DataFrame = {
-    val e = CacheScope.persist(
-      pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b")).distinct())
+      bCol: String, k: Int, assumeUnique: Boolean = false): DataFrame = {
+    // assumeUnique: see [[pageRank]]
+    val base0 = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+    val e = CacheScope.persist(if (assumeUnique) base0 else base0.distinct())
     val dir = e.select(F.col("a").as("u"), F.col("b").as("v"))
       .unionByName(e.select(F.col("b").as("u"), F.col("a").as("v")))
     val deg = dir.groupBy("u").agg(F.count(F.lit(1)).as("dg"))
@@ -611,11 +622,12 @@ object Graph {
     * combined), each rung's node frame EAGERLY checkpointed and the
     * superseded rung's blocks freed, 1-row normalizers broadcast. */
   def hits(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2): (DataFrame, DataFrame) = {
+      iters: Int = 2, assumeUnique: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val edges = CacheScope.persist(
-      edgesIn.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
-        .distinct())
+    // assumeUnique (r15, §2.4): the staged canonical edge list is unique
+    // by construction — the defensive distinct was a full extra shuffle
+    val base = edgesIn.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+    val edges = CacheScope.persist(if (assumeUnique) base else base.distinct())
     val nodes = CacheScope.persist(
       edges.select(F.col("src").as("v"))
         .unionByName(edges.select(F.col("dst").as("v"))).distinct())
@@ -624,10 +636,15 @@ object Graph {
     // score' = raw·SCALE div Σraw (exact integers end to end)
     def halfRung(scores: DataFrame, scoreCol: String, joinOn: String,
         outKey: String, outCol: String): DataFrame = {
-      val raw = edges
+      // raw is PERSISTED (r15, §2.4): the L1 normalizer `tot` and the
+      // node left-join are two separate subtrees of the rung's plan —
+      // unpersisted, the edge join + aggregate executed TWICE per half-
+      // rung (8 edge passes per 2-iter HITS instead of 4; AQE does not
+      // reuse exchanges across the broadcast boundary). Node-sized frame.
+      val raw = CacheScope.persist(edges
         .join(scores.withColumnRenamed("v", joinOn), joinOn)
         .groupBy(F.col(outKey).as("v"))
-        .agg(F.sum(F.expr(s"CAST($scoreCol AS DECIMAL(38,0))")).as("_raw"))
+        .agg(F.sum(F.expr(s"CAST($scoreCol AS DECIMAL(38,0))")).as("_raw")))
       val tot = raw.agg(F.sum("_raw").as("_t"))
       nodes.join(raw, Seq("v"), "left")
         .crossJoin(F.broadcast(tot))

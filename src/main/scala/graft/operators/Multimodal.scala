@@ -119,8 +119,17 @@ object DctHash {
     (for (u <- 0 until 8; v <- 0 until 8 if (u, v) != (0, 0))
       yield (u, v)).sortBy { case (u, v) => (u + v, u, v) }.toArray
 
-  private def md5Hex(md: java.security.MessageDigest, s: String): String =
-    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  /** Raw digest bytes (r15, §1.2 per-task work): the pixel generators
+    * only ever read byte k back out of the hex string as
+    * `parseLong(hex.substring(2k, 2k+2), 16)` — which is exactly
+    * `digest(k) & 0xff`. The hex round-trip cost ~128 Formatter calls +
+    * 128 substring/parseLong allocations PER FRAME and dominated the
+    * whole DCT stage (the md5 and the 1016-multiply DCT are cheap by
+    * comparison). Byte-identical values, no strings. */
+  private def md5Bytes(md: java.security.MessageDigest,
+      s: String): Array[Byte] =
+    md.digest(s.getBytes("UTF-8"))
+  @inline private def ub(d: Array[Byte], k: Int): Long = (d(k) & 0xff).toLong
 
   /** 8×8 phash grid (F8/F9): base keyed on (doc_id div 4, row), ±v·amp
     * noise keyed on (doc_id, row) — byte-identical to the SQL
@@ -132,17 +141,15 @@ object DctHash {
     val px = new Array[Long](64)
     var r = 0
     while (r < 4) {
-      val base = md5Hex(md, s"$g#$r")
-      val noise = if (v == 0) null else md5Hex(md, s"$docId!$r")
+      val base = md5Bytes(md, s"$g#$r")
+      val noise = if (v == 0) null else md5Bytes(md, s"$docId!$r")
       var k = 0
       while (k < 16) {
         val j = r * 16 + k
-        val b = java.lang.Long.parseLong(base.substring(2 * k, 2 * k + 2), 16)
+        val b = ub(base, k)
         val d =
           if (v == 0) 0L
-          else java.lang.Long.parseLong(
-            noise.substring(2 * k, 2 * k + 2), 16) %
-            (2 * v * amp + 1) - v * amp
+          else ub(noise, k) % (2 * v * amp + 1) - v * amp
         px(j) = math.min(255L, math.max(0L, b + d))
         k += 1
       }
@@ -159,15 +166,13 @@ object DctHash {
     val px = new Array[Long](64)
     var r = 0
     while (r < 4) {
-      val base = md5Hex(md, s"$docId@${fi / 4}#$r")
-      val noise = md5Hex(md, s"$docId@$fi!$r")
+      val base = md5Bytes(md, s"$docId@${fi / 4}#$r")
+      val noise = md5Bytes(md, s"$docId@$fi!$r")
       var k = 0
       while (k < 16) {
         val j = r * 16 + k
-        val b = java.lang.Long.parseLong(base.substring(2 * k, 2 * k + 2), 16)
-        val d = java.lang.Long.parseLong(
-          noise.substring(2 * k, 2 * k + 2), 16) % 13 - 6
-        px(j) = math.min(255L, math.max(0L, b + d))
+        px(j) = math.min(255L, math.max(0L,
+          ub(base, k) + (ub(noise, k) % 13 - 6)))
         k += 1
       }
       r += 1
@@ -264,16 +269,16 @@ object DctHash {
     var r = 0
     while (r < 4) {
       val base =
-        if (shared) md5Hex(md, s"$g&$s#$r") else md5Hex(md, s"$docId~$s#$r")
+        if (shared) md5Bytes(md, s"$g&$s#$r")
+        else md5Bytes(md, s"$docId~$s#$r")
       val noise =
-        if (shared) md5Hex(md, s"$g&$fi!$r") else md5Hex(md, s"$docId~$fi!$r")
+        if (shared) md5Bytes(md, s"$g&$fi!$r")
+        else md5Bytes(md, s"$docId~$fi!$r")
       var k = 0
       while (k < 16) {
         val j = r * 16 + k
-        val b = java.lang.Long.parseLong(base.substring(2 * k, 2 * k + 2), 16)
-        val d = java.lang.Long.parseLong(
-          noise.substring(2 * k, 2 * k + 2), 16) % 13 - 6
-        px(j) = math.min(255L, math.max(0L, b + d))
+        px(j) = math.min(255L, math.max(0L,
+          ub(base, k) + (ub(noise, k) % 13 - 6)))
         k += 1
       }
       r += 1

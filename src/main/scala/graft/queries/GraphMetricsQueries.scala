@@ -1065,7 +1065,8 @@ object GraphMetricsQueries {
     "hits_scores",
     (s, d) => {
       val (scores, resid) = graft.operators.Graph.hits(
-        Staged.coPurchaseEdges(s, d), "pa", "pb", iters = 2)
+        Staged.coPurchaseEdges(s, d), "pa", "pb", iters = 2,
+        assumeUnique = true)
       scores.crossJoin(F.broadcast(resid))
         .select(F.col("v").as("pk"), F.col("hub_fp"), F.col("auth_fp"),
           F.expr("round(CAST(hub_fp AS DOUBLE) / 1000000000, 6)")
@@ -1148,7 +1149,8 @@ object GraphMetricsQueries {
         .unionAll(e.select(F.col("pb").as("v")))
         .where(F.col("v") % PPR_MOD === 0).distinct()
       graft.operators.Graph
-        .personalizedPageRank(e, "pa", "pb", seeds, iters = PPR_ITERS)
+        .personalizedPageRank(e, "pa", "pb", seeds, iters = PPR_ITERS,
+          assumeUnique = true)
         .orderBy(F.col("rank_fp").desc, F.col("v")).limit(100)
     },
     Some {

@@ -1121,7 +1121,10 @@ object PipelineQueries {
     "pagerank",
     (s, d) => {
       val pairs = Staged.minhashPairs(s, d)
-      graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iters = 5)
+      // assumeUnique: the staged banded-minhash pair list is one row per
+      // (doc_a < doc_b) pair by construction (r15, §2.4)
+      graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iters = 5,
+        assumeUnique = true)
         .orderBy("doc_id")
     },
     Some {
@@ -1159,7 +1162,8 @@ object PipelineQueries {
     "triangle_count",
     (s, d) => {
       val pairs = Staged.minhashPairs(s, d)
-      graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b")
+      graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b",
+        assumeUnique = true)
     },
     Some(s"""WITH $minhashCtesSql,
       e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM mh_pairs),

@@ -208,7 +208,7 @@ object Staged {
     stagedParquet(s, d, "community_labels") {
       graft.operators.Graph
         .labelPropagation(coPurchaseEdges(s, d), "pa", "pb",
-          CommunityQueries.lpaIters)
+          CommunityQueries.lpaIters, assumeUnique = true)
     }
 
   /** One-row exact-integer modularity summary (n_communities, m,
@@ -393,7 +393,7 @@ object Staged {
   def clusteringExact(s: SparkSession, d: String): DataFrame =
     stagedParquet(s, d, "clustering_exact") {
       graft.operators.Graph.localClustering(
-        coPurchaseEdges(s, d), "pa", "pb")
+        coPurchaseEdges(s, d), "pa", "pb", assumeUnique = true)
     }
 
   /** D60/D61 SAMPLED per-node clustering frame (v, dg, n_pairs,
@@ -404,7 +404,7 @@ object Staged {
     stagedParquet(s, d, "clustering_sampled") {
       graft.operators.Graph.localClusteringSampled(
         coPurchaseEdges(s, d), "pa", "pb",
-        GraphMetricsQueries.SAMPLE_K)
+        GraphMetricsQueries.SAMPLE_K, assumeUnique = true)
     }
 
   /** PQ codebooks trained on [[pqResidualCorpus]] (the D64 index). */
