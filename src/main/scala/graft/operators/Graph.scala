@@ -729,24 +729,32 @@ object Graph {
       .withColumn("idx", F.row_number().over(w).cast("long") - 1)
       .withColumn("deg", F.count(F.lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("u"))))
-    var walks = starts.select(F.col(startCol).as("walk_id"),
-      F.lit(0L).as("step"), F.col(startCol).as("node"))
-    var frontier = walks
-    for (t <- 1 to steps) {
+    // every per-step frontier is PERSISTED (r15, §2.4): the output is
+    // the UNION of all step frames, and step t's lineage is a t-join
+    // chain — unpersisted, the union action re-executed step 1's join
+    // `steps` times, step 2's `steps−1` times, … (O(steps²) joins plus
+    // `steps+1` re-runs of the starts projection). Frontier frames are
+    // walk-cohort-sized (≤ |starts| rows), so the cache cost is the
+    // walk corpus itself, not the graph.
+    val step0 = CacheScope.persist(
+      starts.select(F.col(startCol).as("walk_id"),
+        F.lit(0L).as("step"), F.col(startCol).as("node")))
+    var frontier = step0
+    val stepFrames = Seq(step0) ++ (1 to steps).map { t =>
       val key = F.concat(
         F.col("walk_id").cast("string"), F.lit("|"),
         F.lit(t.toString), F.lit("|"), F.col("_cu").cast("string"))
       val cur = frontier
         .select(F.col("walk_id"), F.col("node").as("_cu"))
         .withColumn("_h", Hashing.hash60(key))
-      val next = cur.join(adj,
+      val next = CacheScope.persist(cur.join(adj,
           cur("_cu") === adj("u") &&
             adj("idx") === F.pmod(cur("_h"), adj("deg")))
         .select(F.col("walk_id"), F.lit(t.toLong).as("step"),
-          F.col("v").as("node"))
-      walks = walks.unionAll(next)
+          F.col("v").as("node")))
       frontier = next
+      next
     }
-    walks
+    stepFrames.reduce(_ unionAll _)
   }
 }
