@@ -840,17 +840,23 @@ object GraphMetricsQueries {
           F.col("nv").cast("string")))
         .orderBy(F.col("_h"), F.col("nv")).limit(HC_SOURCES)
         .select(F.col("nv").as("src"))
-      val n1 = F.broadcast(srcs).join(edges,
-          F.col("src") === F.col("u"))
-        .select(F.col("src"), F.col("v").as("m"))
+      // n1 persisted (r15, §2.4): it feeds the expansion's build side
+      // AND the anti-join — unpersisted, the srcs⋈edges pass ran twice
+      val n1 = graft.operators.CacheScope.persist(
+        F.broadcast(srcs).join(edges, F.col("src") === F.col("u"))
+          .select(F.col("src"), F.col("v").as("m")))
       val paths = F.broadcast(n1)
         .join(edges.select(F.col("u").as("m"), F.col("v").as("w")), "m")
         .where(F.col("w") =!= F.col("src"))
         .join(n1.select(F.col("src"), F.col("m").as("w")),
           Seq("src", "w"), "left_anti")
-      val sigma = paths.groupBy("src", "w")
-        .agg(F.count(F.lit(1)).as("sigma"))
-      paths.join(sigma, Seq("src", "w"))
+      // σ_sw via a window over the SAME pass (r15, §2.4): the former
+      // groupBy + self-join re-executed the whole K·d̄² expansion a
+      // second time; the window shuffles the paths frame once and
+      // yields identical per-row 1/σ terms
+      val wSigma = org.apache.spark.sql.expressions.Window
+        .partitionBy("src", "w")
+      paths.withColumn("sigma", F.count(F.lit(1)).over(wSigma))
         .groupBy(F.col("m").as("node"))
         .agg(F.count(F.lit(1)).as("n_pairs"),
           F.sum(F.expr("1000000 div sigma")).as("bet_micro"))
