@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      val root = if (shm.isDirectory && shm.canWrite) "/dev/shm" else "/tmp"
+      s"$root/graft_bench_local_${ProcessHandle.current().pid()}"
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,9 +29,18 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
       // dedicated local dir so the shuffle-file telemetry counts THIS
-      // JVM's blockmgr state, not a neighbor run's (r15, item 5)
-      .config("spark.local.dir",
-        s"/tmp/graft_bench_local_${ProcessHandle.current().pid()}")
+      // JVM's blockmgr state, not a neighbor run's (r15, item 5).
+      // r15 OPT (§2.1/§6): prefer tmpfs (/dev/shm) for shuffle/spill
+      // files — the same bounded-harness rationale as the streaming
+      // checkpoints' tmpfs root (r9): the sweep's peak on-disk
+      // blockmgr footprint is ~0.5 GB at sf0.1 against a 128 GiB
+      // sandbox, and the disk-backed default charged the heavy graph
+      // queries (ktruss wedge shuffle) real fsync/page-cache cost.
+      // Production sizes real local SSDs for shuffle (a deployment
+      // choice, like the streaming checkpoint location);
+      // SPARK_GRAFT_LOCAL_DIR overrides, and a sandbox without a
+      // writable /dev/shm falls back to /tmp unchanged.
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region (otherwise the first
@@ -99,8 +113,7 @@ object Bench {
       t / (1024 * 1024)
     }
     def diskStats(): (Long, Long) = { // (files, MB) under this JVM's local dir
-      val root = new java.io.File(
-        s"/tmp/graft_bench_local_${ProcessHandle.current().pid()}")
+      val root = new java.io.File(localDir)
       var n = 0L; var bytes = 0L
       def walk(f: java.io.File): Unit = {
         val kids = f.listFiles()
