@@ -657,7 +657,13 @@ object CommunityQueries {
       val sn = cg.select(F.col("pa").as("v"))
         .unionByName(cg.select(F.col("pb").as("v"))).distinct()
         .select(F.col("v"), F.col("v").as("community"))
-      val moved = Graph.louvainMoveRoundWeighted(cg, sn, monotone = true)
+      // moved is PERSISTED (r15, §2.4): it is supernode-sized but its
+      // lineage is the whole coarse move round, and it feeds the l1
+      // map-back (whose labelEdges consumer scans it once per join
+      // side) AND the n_moved aggregate — unpersisted, the move round
+      // executed 3–4× per run
+      val moved = graft.operators.CacheScope.persist(
+        Graph.louvainMoveRoundWeighted(cg, sn, monotone = true))
       val l1 = l0.select(F.col("v"), F.col("community").as("_c0"))
         .join(F.broadcast(moved.select(F.col("v").as("_c0"),
           F.col("community").as("_c1"))), "_c0")
