@@ -637,14 +637,20 @@ object RetrievalQueries {
               .as("sim_micro")))
       val w = Window.partitionBy("query_id")
         .orderBy(F.col("_pico").desc, F.col("match_id"))
-      var selected = short
+      // each round's pick (and the seed) is PERSISTED (r15, §2.4/§3.3):
+      // round r+1 references `selected` three times (anti-join, the
+      // candidate join, and through the growing union), so the
+      // unpersisted plan tree grew ~3× per round — 427 Exchange nodes
+      // for 4 picks, with the same tiny window aggregates re-planned
+      // and re-executed dozens of times. Picks are queries×1 rows.
+      var selected = graft.operators.CacheScope.persist(short
         .withColumn("_pico",
           F.expr(s"$MMR_LAMBDA_MICRO * rel_micro"))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") === 1)
         .select(F.col("query_id"), F.col("match_id"),
           F.lit(1L).as("mmr_rank"), F.col("rel_micro"),
-          F.col("_pico").as("mmr_pico"))
+          F.col("_pico").as("mmr_pico")))
       for (r <- 2 to MMR_PICK) {
         val rem = short.join(
           selected.select("query_id", "match_id"),
@@ -666,7 +672,8 @@ object RetrievalQueries {
           .select(F.col("query_id"), F.col("match_id"),
             F.lit(r.toLong).as("mmr_rank"), F.col("rel_micro"),
             F.col("_pico").as("mmr_pico"))
-        selected = selected.unionByName(pick)
+        selected = graft.operators.CacheScope.persist(
+          selected.unionByName(pick))
       }
       selected.orderBy("query_id", "mmr_rank")
     },
